@@ -1,13 +1,221 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract (SURVEY §7): one entry per implemented operator from
+  * SURVEY §2, each paired with equivalent ANSI SQL the driver runs in
+  * DuckDB over the same parquet tables. Naming: `oNN_*` = reference-parity
+  * operators (SURVEY §2.1), `xNN_*` = extended surface (SURVEY §2.4).
+  *
+  * Determinism contract with the oracle: every query has an explicit
+  * total ORDER BY (unique tiebreaker), aliases match the SQL exactly, and
+  * all float aggregates go through [[graft.functions.Exact]] decimal
+  * helpers so values are bit-identical across engines and partitionings.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001 (the reference's DbToHdfs ETL shape);
+    * driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Etl.extract(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- reference parity (SURVEY §2.1) ----
+    "o02_etl_extract"     -> (Etl.extract(_, _)),
+    "o05_sink_roundtrip"  -> (Etl.sinkRoundtrip(_, _)),
+    "o07_pruned_avg"      -> (Etl.prunedAvg(_, _)),
+    "o12_partition_cache" -> (PartitionCache.protocolTrace(_, _)),
+    "o14_explode_count"   -> (Etl.explodeCount(_, _)),
+    "o16_row_count"       -> (Etl.rowCount(_, _)),
+    // ---- relational breadth (SURVEY §2.4 X1-X8) ----
+    "x01_grouped_agg"     -> (Relational.groupedAgg(_, _)),
+    "x02a_broadcast_join" -> (Relational.broadcastJoin(_, _)),
+    "x02b_semi_join"      -> (Relational.semiJoin(_, _)),
+    "x02c_anti_join"      -> (Relational.antiJoin(_, _)),
+    "x02d_star_join"      -> (Relational.starJoin(_, _)),
+    "x03_topk"            -> (Relational.topK(_, _)),
+    "x04a_window_rank"    -> (Relational.windowRank(_, _)),
+    "x04b_window_moving"  -> (Relational.windowMoving(_, _)),
+    "x05_distinct"        -> (Relational.distinctAgg(_, _)),
+    "x05b_approx_distinct" -> (Relational.approxDistinct(_, _)),
+    "x06a_rollup"         -> (Relational.rollupAgg(_, _)),
+    "x06b_cube"           -> (Relational.cubeAgg(_, _)),
+    "x07_setops"          -> (Relational.setOps(_, _)),
+    "x08a_string_fns"     -> (Relational.stringFns(_, _)),
+    "x08b_date_fns"       -> (Relational.dateFns(_, _)),
+    "x08c_math_fns"       -> (Relational.mathFns(_, _)),
+    "x08d_json_fns"       -> (Relational.jsonFns(_, _)),
+    "x08e_array_fns"      -> (Relational.arrayFns(_, _)),
+  )
+
+  // DuckDB decimal-exact fragments mirrored from graft.functions.Exact.
+  private val discounted =
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))"
+  private def dsum(c: String) =
+    s"CAST(SUM(CAST($c AS DECIMAL(12,2))) AS DOUBLE)"
+  private def davg(c: String) = s"${dsum(c)} / COUNT($c)"
+  private def avgFloorLong(c: String) =
+    s"CAST(FLOOR(${davg(c)}) AS BIGINT)"
+
+  def oracleSql: Map[String, String] = Map(
+    "o02_etl_extract" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
+        |       l_extendedprice, l_discount, l_returnflag,
+        |       o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_extendedprice > 30000 AND l_extendedprice < 80000
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice""".stripMargin,
+    "o05_sink_roundtrip" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_extendedprice > 30000 AND l_extendedprice < 80000
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "o07_pruned_avg" ->
+      s"""SELECT ${avgFloorLong("l_extendedprice")} AS avg_price
+         |FROM lineitem WHERE l_returnflag = 'R'""".stripMargin,
+    "o12_partition_cache" ->
+      s"""SELECT l_returnflag AS key, p.pass,
+         |       ${avgFloorLong("l_extendedprice")} AS avg_price,
+         |       CASE WHEN p.pass = 1 THEN 'create' ELSE 'reuse' END AS source
+         |FROM lineitem, (VALUES (1), (2)) p(pass)
+         |GROUP BY l_returnflag, p.pass
+         |ORDER BY key, p.pass""".stripMargin,
+    "o14_explode_count" ->
+      """SELECT token, COUNT(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY n DESC, token ASC""".stripMargin,
+    "o16_row_count" ->
+      """SELECT COUNT(*) AS n_rows
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_extendedprice > 30000 AND l_extendedprice < 80000""".stripMargin,
+    "x01_grouped_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${dsum("l_quantity")} AS sum_qty,
+         |  ${dsum("l_extendedprice")} AS sum_base_price,
+         |  CAST(SUM($discounted) AS DOUBLE) AS sum_disc_price,
+         |  CAST(SUM($discounted * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+         |  ${davg("l_quantity")} AS avg_qty,
+         |  ${davg("l_extendedprice")} AS avg_price,
+         |  ${davg("l_discount")} AS avg_disc,
+         |  COUNT(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-01-01'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "x02a_broadcast_join" ->
+      s"""SELECT p_brand, CAST(SUM($discounted) AS DOUBLE) AS revenue,
+         |       COUNT(*) AS n_items
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE p_size <= 20
+         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "x02b_semi_join" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+        |ORDER BY o_orderkey""".stripMargin,
+    "x02c_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "x02d_star_join" ->
+      s"""SELECT n_name, CAST(SUM($discounted) AS DOUBLE) AS revenue
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "x03_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "x04a_window_rank" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |              ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "x04b_window_moving" ->
+      """SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_partkey,
+        |  l_extendedprice,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) OVER (
+        |    PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey, l_extendedprice
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum3,
+        |  LAG(l_extendedprice, 1) OVER (
+        |    PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey, l_extendedprice
+        |  ) AS prev_price
+        |FROM lineitem WHERE l_suppkey <= 5
+        |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_partkey,
+        |  l_extendedprice""".stripMargin,
+    "x05_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+        |       COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // x05b_approx_distinct: HLL++ sketch values are engine-specific — no
+    // SQL oracle (driver records a rows-only check).
+    "x06a_rollup" ->
+      s"""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+         |       COALESCE(l_linestatus, 'ALL') AS linestatus,
+         |       COUNT(*) AS n, ${dsum("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         |ORDER BY returnflag, linestatus""".stripMargin,
+    "x06b_cube" ->
+      s"""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+         |       COALESCE(o_orderpriority, 'ALL') AS priority,
+         |       COUNT(*) AS n, ${dsum("o_totalprice")} AS sum_price
+         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         |ORDER BY status, priority""".stripMargin,
+    "x07_setops" ->
+      """WITH rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),
+        |big AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders
+        |        WHERE o_totalprice > 300000)
+        |SELECT 'union' AS op, c_custkey
+        |  FROM (SELECT c_custkey FROM rich UNION SELECT c_custkey FROM big) u
+        |UNION ALL
+        |SELECT 'intersect' AS op, c_custkey
+        |  FROM (SELECT c_custkey FROM rich INTERSECT SELECT c_custkey FROM big) i
+        |UNION ALL
+        |SELECT 'except' AS op, c_custkey
+        |  FROM (SELECT c_custkey FROM rich EXCEPT SELECT c_custkey FROM big) e
+        |ORDER BY op, c_custkey""".stripMargin,
+    "x08a_string_fns" ->
+      """SELECT p_partkey, UPPER(p_name) AS name_upper,
+        |       CAST(LENGTH(p_name) AS INT) AS name_len,
+        |       SUBSTRING(p_type, 1, 5) AS type_prefix,
+        |       CONCAT_WS('#', p_brand, p_type) AS brand_type,
+        |       REPLACE(p_name, ' ', '_') AS name_snake
+        |FROM part WHERE p_name LIKE '%a%' ORDER BY p_partkey""".stripMargin,
+    "x08b_date_fns" ->
+      """SELECT o_orderkey,
+        |       CAST(year(o_orderdate) AS INT) AS order_year,
+        |       CAST(month(o_orderdate) AS INT) AS order_month,
+        |       CAST(day(o_orderdate) AS INT) AS order_day,
+        |       CAST(isodow(o_orderdate) AS INT) AS order_isodow,
+        |       strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "x08c_math_fns" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey,
+        |       ABS(l_quantity - 25) AS qty_dev,
+        |       SQRT(l_quantity) AS qty_sqrt,
+        |       CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
+        |       CAST(CEIL(l_extendedprice) AS BIGINT) AS price_ceil,
+        |       CAST(ROUND(l_discount * 100) AS BIGINT) AS disc_pct,
+        |       l_orderkey % 7 AS key_mod7
+        |FROM lineitem WHERE l_suppkey <= 3
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, price_floor, disc_pct""".stripMargin,
+    "x08d_json_fns" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+        |       MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+        |       MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "x08e_array_fns" ->
+      """SELECT vec_id, CAST(len(embedding) AS INT) AS n_dims,
+        |       embedding[1] AS first_dim,
+        |       list_max(embedding) AS max_dim,
+        |       list_min(embedding) AS min_dim
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+  )
 }

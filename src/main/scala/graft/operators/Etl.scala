@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.functions.Exact
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Reference-parity batch ETL operators (SURVEY §2.1 O1-O11, O14, O16).
+  *
+  * The reference pipeline (`server.py:24-68`) is: SQL scan → inner
+  * equi-join (`loans ⋈ loan_types`) → open-interval range filter on
+  * `loan_amount` → SELECT * → Parquet sink. Fixture mapping per
+  * `FIXTURES.md` §3: fact = `lineitem`, dimension = `orders`, band filter
+  * on `l_extendedprice`.
+  *
+  * Scale stance: the join key `l_orderkey` is high-cardinality, so the
+  * fact side shuffles once on the key (sort-merge or shuffled-hash under
+  * AQE); no driver materialization anywhere (the reference pulls the full
+  * result set into one process' RAM — `server.py:39` — which caps it at
+  * ~3 GiB; this version streams through executors and scales out).
+  */
+object Etl {
+
+  /** O1-O4: scan + inner equi-join + exclusive range band + projection.
+    * Deterministic output order on the (orderkey, linenumber) PK so the
+    * driver's hash compare is stable.
+    */
+  def extract(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"), "inner")
+      .filter(col("l_extendedprice") > 30000 && col("l_extendedprice") < 80000)
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_returnflag"),
+        col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderpriority"))
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic fixture —
+      // extend the sort until total so the hash compare is stable.
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "l_extendedprice")
+  }
+
+  /** O5+O6: Parquet sink partitioned by a pruning key, then re-read.
+    * Mirrors the reference's HDFS Parquet write (`server.py:44-54`) but
+    * with directory partitions (`partitionBy`) instead of hand-named
+    * files — at 100 TB this is what makes per-key reads a partition-pruned
+    * scan instead of a full pass. Returns per-partition row counts read
+    * back from the sink (proves the roundtrip).
+    */
+  def sinkRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_sink_").toString
+    extract(spark, sfDir)
+      .write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    spark.read.parquet(out)
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+  }
+
+  /** O7+O9+O10: predicate-pushdown scan + ungrouped truncating AVG — the
+    * `CalcAvgLoan` fallback path (`server.py:125-128`). The equality
+    * filter reaches the Parquet reader (row-group + dictionary filter);
+    * only `l_extendedprice` is read (Catalyst column pruning — strictly
+    * better than the reference, which materializes all columns,
+    * `server.py:126`).
+    */
+  def prunedAvg(spark: SparkSession, sfDir: String, flag: String = "R"): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_returnflag") === flag)
+      .agg(Exact.avgFloorLong(col("l_extendedprice")).as("avg_price"))
+
+  /** O14: flatten + grouped count — the `BlockLocations` host-count shape
+    * (`server.py:80-86`: explode each block's hosts[], count per host),
+    * applied to the `documents` token stream. Hash aggregate with
+    * map-side partial combine; the explode never materializes whole
+    * documents on the driver.
+    */
+  def explodeCount(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("token"))
+
+  /** O16: row-count observability (`server.py:42,58` — rows-written status). */
+  def rowCount(spark: SparkSession, sfDir: String): DataFrame =
+    extract(spark, sfDir).agg(count(lit(1)).as("n_rows"))
+}

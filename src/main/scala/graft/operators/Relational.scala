@@ -1,0 +1,264 @@
+package graft.operators
+
+import graft.functions.Exact
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Relational breadth beyond the reference (SURVEY §2.4 X1-X8): grouped
+  * aggregates, the join family, top-k, windows, distinct/approx-distinct,
+  * rollup/cube, set operations, scalar-function surface.
+  *
+  * All money/measure aggregates route through [[Exact]] decimal helpers so
+  * results are independent of partition/summation order — both for the
+  * DuckDB oracle and for plan stability at scale.
+  */
+object Relational {
+  import Exact._
+
+  /** X1: grouped aggregate in the TPC-H Q1 shape — partial (map-side)
+    * aggregation then one shuffle on the low-cardinality group key.
+    */
+  def groupedAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val discounted = col("l_extendedprice").cast(Dec2) * oneMinus(col("l_discount"))
+    li.filter(col("l_shipdate") <= to_timestamp(lit("2000-01-01")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(discounted).cast(DoubleType).as("sum_disc_price"),
+        sum(discounted * (lit(1).cast(Dec2) + col("l_tax").cast(Dec2)))
+          .cast(DoubleType).as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** X2: broadcast hash join — `part` is a bounded dimension, so it ships
+    * to every executor and the fact table joins map-side with no shuffle
+    * of the 100 TB side.
+    */
+  def broadcastJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val p = Tables.part(spark, sfDir).filter(col("p_size") <= 20)
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"), "inner")
+      .groupBy("p_brand")
+      .agg(
+        sum(col("l_extendedprice").cast(Dec2) * oneMinus(col("l_discount")))
+          .cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("p_brand")
+  }
+
+  /** X2: left-semi join (EXISTS) — only the keys of the probe side move;
+    * no row duplication, output bounded by the left side.
+    */
+  def semiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val big = Tables.lineitem(spark, sfDir).filter(col("l_quantity") >= 48)
+    o.join(big, o("o_orderkey") === big("l_orderkey"), "left_semi")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  /** X2: left-anti join (NOT EXISTS) — customers that never ordered. */
+  def antiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  /** X2: multi-way star join (TPC-H Q5 shape) — revenue per nation.
+    * Small dims (`nation`, `region`, `supplier` at fixture scale) go
+    * broadcast; the fact⋈orders join shuffles once on the order key.
+    */
+  def starJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    val li = Tables.lineitem(spark, sfDir)
+    val s = Tables.supplier(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .join(li, o("o_orderkey") === li("l_orderkey"))
+      .join(broadcast(s), li("l_suppkey") === s("s_suppkey") &&
+        c("c_nationkey") === s("s_nationkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(col("l_extendedprice").cast(Dec2) * oneMinus(col("l_discount")))
+        .cast(DoubleType).as("revenue"))
+      .orderBy(desc("revenue"), asc("n_name"))
+  }
+
+  /** X3: top-k — planned as `TakeOrderedAndProject` (per-partition heap +
+    * driver merge of k rows), NOT a global sort of 100 TB.
+    */
+  def topK(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(10)
+
+  /** X4: ranking window — top-3 orders per customer by value. */
+  def windowRank(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** X4: frame window — per-supplier 3-row moving sum + lag over the
+    * ship-date timeline (decimal-exact inside the frame).
+    */
+  def windowMoving(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // (orderkey, linenumber) is not unique in the fixture — include
+    // l_partkey + l_extendedprice so the frame order is total.
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_partkey",
+        "l_extendedprice")
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_suppkey") <= 5)
+      .withColumn("moving_sum3",
+        sum(col("l_extendedprice").cast(Dec2))
+          .over(w.rowsBetween(-2, 0)).cast(DoubleType))
+      .withColumn("prev_price", lag(col("l_extendedprice"), 1).over(w))
+      .select("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber",
+        "l_partkey", "l_extendedprice", "moving_sum3", "prev_price")
+      .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber",
+        "l_partkey", "l_extendedprice")
+  }
+
+  /** X5: exact distinct counts per group (expand + two-phase aggregate). */
+  def distinctAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  /** X5: approximate distinct (HyperLogLog++) — constant memory per group
+    * vs the expand of exact distinct; the 100 TB default. Sketch values
+    * are engine-specific → no DuckDB oracle (rows-only check).
+    */
+  def approxDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+      .orderBy("l_returnflag")
+
+  /** X6: rollup — multi-granularity totals in one pass. */
+  def rollupAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"), col("sum_qty"))
+      .orderBy("returnflag", "linestatus")
+
+  /** X6: cube — all grouping-set combinations. */
+  def cubeAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("sum_price"))
+      .orderBy("status", "priority")
+
+  /** X7: set operations — UNION (distinct), INTERSECT, EXCEPT over two
+    * customer-key sets, tagged and stacked into one result.
+    */
+  def setOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val rich = Tables.customer(spark, sfDir)
+      .filter(col("c_acctbal") > 5000).select("c_custkey")
+    val bigSpenders = Tables.orders(spark, sfDir)
+      .filter(col("o_totalprice") > 300000)
+      .select(col("o_custkey").as("c_custkey")).distinct()
+    val u = rich.union(bigSpenders).distinct().withColumn("op", lit("union"))
+    val i = rich.intersect(bigSpenders).withColumn("op", lit("intersect"))
+    val e = rich.except(bigSpenders).withColumn("op", lit("except"))
+    u.union(i).union(e)
+      .select("op", "c_custkey")
+      .orderBy("op", "c_custkey")
+  }
+
+  /** X8: string scalar functions over `part`. */
+  def stringFns(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.part(spark, sfDir)
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("name_upper"),
+        length(col("p_name")).as("name_len"),
+        substring(col("p_type"), 1, 5).as("type_prefix"),
+        concat_ws("#", col("p_brand"), col("p_type")).as("brand_type"),
+        replace(col("p_name"), lit(" "), lit("_")).as("name_snake"))
+      .filter(col("p_name").contains("a"))
+      .orderBy("p_partkey")
+
+  /** X8: date/time scalar functions over `orders`. */
+  def dateFns(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("order_year"),
+        month(col("o_orderdate")).as("order_month"),
+        dayofmonth(col("o_orderdate")).as("order_day"),
+        (weekday(col("o_orderdate")) + 1).as("order_isodow"),
+        date_format(date_add(to_date(col("o_orderdate")), 30), "yyyy-MM-dd")
+          .as("due_date"))
+      .orderBy("o_orderkey")
+
+  /** X8: math scalar functions (boundary-safe choices only — see
+    * SURVEY §7.5 on cross-engine float traps).
+    */
+  def mathFns(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_suppkey") <= 3)
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        abs(col("l_quantity") - 25).as("qty_dev"),
+        sqrt(col("l_quantity")).as("qty_sqrt"),
+        floor(col("l_extendedprice")).cast(LongType).as("price_floor"),
+        ceil(col("l_extendedprice")).cast(LongType).as("price_ceil"),
+        round(col("l_discount") * 100).cast(LongType).as("disc_pct"),
+        pmod(col("l_orderkey"), lit(7)).as("key_mod7"))
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "price_floor",
+        "disc_pct")
+
+  /** X8: JSON extraction over `events.props` + grouped exact sums. */
+  def jsonFns(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).cast(LongType).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  /** X8: array scalar functions over the embedding vectors. */
+  def arrayFns(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(
+        col("vec_id"),
+        size(col("embedding")).as("n_dims"),
+        element_at(col("embedding"), 1).as("first_dim"),
+        array_max(col("embedding")).as("max_dim"),
+        array_min(col("embedding")).as("min_dim"))
+      .orderBy("vec_id")
+}

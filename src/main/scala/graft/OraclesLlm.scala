@@ -1,0 +1,214 @@
+package graft
+
+/** DuckDB oracle SQL for the LLM-pipeline operators (SURVEY §2.4
+  * X9-X11): dedup, similarity search, text analysis. Each statement
+  * replays the corresponding Spark pipeline exactly — same data-derived
+  * vocabulary ids, same linear-hash constants, same DECIMAL(28,14)
+  * accumulation — so results hash-match bit-for-bit.
+  */
+object OraclesLlm {
+
+  /** Tokens with 1-based position (mirrors TextAnalysis.tokens). */
+  private val toks =
+    """toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+      |              unnest(range(1, len(string_split(text,' '))+1)) AS ord
+      |         FROM documents)""".stripMargin
+
+  /** Corpus vocabulary ids (mirrors TextAnalysis.vocab). */
+  private val vocab =
+    """vocab AS (SELECT tok, CAST(ROW_NUMBER() OVER (ORDER BY tok) AS BIGINT) AS token_id
+      |          FROM (SELECT DISTINCT tok FROM toks))""".stripMargin
+
+  /** Distinct 3-shingles + shingle ids (mirrors Dedup.shingles/shingleIds). */
+  private val shingleCtes =
+    """sh0 AS (SELECT a.doc_id, a.tok||' '||b.tok||' '||c.tok AS shingle
+      |        FROM toks a JOIN toks b ON a.doc_id=b.doc_id AND b.ord=a.ord+1
+      |                    JOIN toks c ON a.doc_id=c.doc_id AND c.ord=a.ord+2),
+      |sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+      |sv AS (SELECT shingle, CAST(ROW_NUMBER() OVER (ORDER BY shingle) AS BIGINT) AS sid
+      |       FROM (SELECT DISTINCT shingle FROM sh)),
+      |ds AS (SELECT doc_id, sid FROM sh JOIN sv USING (shingle))""".stripMargin
+
+  /** SimHash per-doc fingerprints (mirrors Dedup.simhash). */
+  private val simhashCtes =
+    s"""$toks,
+       |$vocab,
+       |h AS (SELECT t.doc_id, (982451653*v.token_id + 12345) % 4294967291 AS g
+       |      FROM toks t JOIN vocab v USING (tok)),
+       |bits AS (SELECT doc_id, b,
+       |           SUM(CASE WHEN (g >> CAST(b AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+       |         FROM h, range(0,32) r(b) GROUP BY doc_id, b),
+       |fp AS (SELECT doc_id,
+       |         CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+       |             ELSE 0 END) AS BIGINT) AS simhash
+       |       FROM bits GROUP BY doc_id)""".stripMargin
+
+  /** Exploded int-quantized embeddings + exact integer norms
+    * (mirrors VectorOps.quantize/norm2Q). */
+  private val vecCtes =
+    """ex AS (SELECT vec_id, unnest(range(1,65)) AS pos, unnest(embedding) AS vf
+      |       FROM embeddings),
+      |exq AS (SELECT vec_id, pos,
+      |          CAST(ROUND(CAST(vf AS DOUBLE)*1000000) AS BIGINT) AS q FROM ex),
+      |norms AS (SELECT vec_id, CAST(SUM(q*q) AS BIGINT) AS n2
+      |          FROM exq GROUP BY vec_id)""".stripMargin
+
+  val sql: Map[String, String] = Map(
+    "x09a_exact_dedup" ->
+      """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies,
+        |       sha256(text) AS content_hash
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "x09b_minhash_lsh" ->
+      s"""WITH $toks,
+         |$shingleCtes,
+         |params AS (SELECT CAST(i AS INT) AS i,
+         |             (1103515245*(i+1)) % 2147483647 AS a,
+         |             (12345 + 2654435761*i) % 2147483647 AS b
+         |           FROM range(0,16) t(i)),
+         |mh AS (SELECT doc_id, i, MIN((a*sid+b) % 2147483647) AS mh
+         |       FROM ds, params GROUP BY doc_id, i),
+         |bands AS (SELECT doc_id, i//4 AS band,
+         |            SUM(mh * (CASE i%4 WHEN 0 THEN 1 WHEN 1 THEN 31
+         |                      WHEN 2 THEN 961 ELSE 29791 END)) AS bandkey
+         |          FROM mh GROUP BY doc_id, i//4),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |         FROM bands x JOIN bands y
+         |           ON x.band=y.band AND x.bandkey=y.bandkey AND x.doc_id<y.doc_id),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY doc_id),
+         |inters AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+         |           FROM cand c JOIN ds da ON c.doc_a=da.doc_id
+         |                       JOIN ds db ON c.doc_b=db.doc_id AND da.sid=db.sid
+         |           GROUP BY c.doc_a, c.doc_b)
+         |SELECT i.doc_a, i.doc_b,
+         |       CAST(i.inter AS DOUBLE)/(sa.n + sb.n - i.inter) AS jaccard
+         |FROM inters i JOIN sizes sa ON i.doc_a=sa.doc_id
+         |              JOIN sizes sb ON i.doc_b=sb.doc_id
+         |WHERE CAST(i.inter AS DOUBLE)/(sa.n + sb.n - i.inter) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "x09c_simhash" ->
+      s"""WITH $simhashCtes
+         |SELECT doc_id, simhash FROM fp ORDER BY doc_id""".stripMargin,
+    "x09d_simhash_pairs" ->
+      s"""WITH $simhashCtes
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "x09e_ngram_jaccard" ->
+      s"""WITH $toks,
+         |g0 AS (SELECT a.doc_id, a.tok||' '||b.tok AS gram
+         |       FROM toks a JOIN toks b ON a.doc_id=b.doc_id AND b.ord=a.ord+1),
+         |grams AS (SELECT DISTINCT doc_id, gram FROM g0),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+         |inters AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS inter
+         |           FROM grams x JOIN grams y
+         |             ON x.gram=y.gram AND x.doc_id<y.doc_id GROUP BY 1,2)
+         |SELECT i.doc_a, i.doc_b,
+         |       CAST(i.inter AS DOUBLE)/(sa.n + sb.n - i.inter) AS jaccard
+         |FROM inters i JOIN sizes sa ON i.doc_a=sa.doc_id
+         |              JOIN sizes sb ON i.doc_b=sb.doc_id
+         |WHERE CAST(i.inter AS DOUBLE)/(sa.n + sb.n - i.inter) >= 0.6
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "x10a_cosine_topk" ->
+      s"""WITH $vecCtes,
+         |dots AS (SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+         |           CAST(SUM(q.q*e.q) AS BIGINT) AS dot
+         |         FROM exq q JOIN exq e
+         |           ON q.pos = e.pos AND q.vec_id < 8 AND e.vec_id <> q.vec_id
+         |         GROUP BY 1, 2),
+         |cosv AS (SELECT d.query_id, d.vec_id,
+         |           CAST(d.dot AS DOUBLE) /
+         |             (SQRT(CAST(nq.n2 AS DOUBLE))*SQRT(CAST(ne.n2 AS DOUBLE))) AS cosine
+         |         FROM dots d JOIN norms nq ON d.query_id = nq.vec_id
+         |                     JOIN norms ne ON d.vec_id = ne.vec_id),
+         |rk AS (SELECT query_id, vec_id, cosine,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id
+         |           ORDER BY cosine DESC, vec_id) AS rkn FROM cosv)
+         |SELECT query_id, CAST(rkn AS INT) AS rnk, vec_id, cosine
+         |FROM rk WHERE rkn <= 5 ORDER BY query_id, rnk""".stripMargin,
+    "x10b_ann_lsh" ->
+      s"""WITH $vecCtes,
+         |hyp AS (SELECT j, pos,
+         |          2*((1103515245*(j*64+pos)+12345) % 1000003) - 1000003 AS wnum
+         |        FROM range(0,8) t(j), range(1,65) r(pos)),
+         |proj AS (SELECT e.vec_id, h.j, CAST(SUM(e.q*h.wnum) AS BIGINT) AS p
+         |         FROM exq e JOIN hyp h ON e.pos = h.pos GROUP BY 1, 2),
+         |buck AS (SELECT vec_id,
+         |           CAST(SUM(CASE WHEN p >= 0
+         |               THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+         |               ELSE 0 END) AS BIGINT) AS bucket
+         |         FROM proj GROUP BY vec_id),
+         |dots AS (SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+         |           CAST(SUM(qd.q*ed.q) AS BIGINT) AS dot
+         |         FROM buck q JOIN buck e
+         |           ON q.bucket = e.bucket AND q.vec_id < 8 AND e.vec_id <> q.vec_id
+         |         JOIN exq qd ON qd.vec_id = q.vec_id
+         |         JOIN exq ed ON ed.vec_id = e.vec_id AND ed.pos = qd.pos
+         |         GROUP BY 1, 2),
+         |cosv AS (SELECT d.query_id, d.vec_id,
+         |           CAST(d.dot AS DOUBLE) /
+         |             (SQRT(CAST(nq.n2 AS DOUBLE))*SQRT(CAST(ne.n2 AS DOUBLE))) AS cosine
+         |         FROM dots d JOIN norms nq ON d.query_id = nq.vec_id
+         |                     JOIN norms ne ON d.vec_id = ne.vec_id),
+         |rk AS (SELECT query_id, vec_id, cosine,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id
+         |           ORDER BY cosine DESC, vec_id) AS rkn FROM cosv)
+         |SELECT query_id, CAST(rkn AS INT) AS rnk, vec_id, cosine
+         |FROM rk WHERE rkn <= 3 ORDER BY query_id, rnk""".stripMargin,
+    "x11a_lang_id" ->
+      """SELECT doc_id, actual_lang, score_en, score_es, score_de, score_fr,
+        |       score_zh,
+        |       CASE WHEN score_en>=score_es AND score_en>=score_de
+        |                 AND score_en>=score_fr AND score_en>=score_zh THEN 'en'
+        |            WHEN score_es>=score_de AND score_es>=score_fr
+        |                 AND score_es>=score_zh THEN 'es'
+        |            WHEN score_de>=score_fr AND score_de>=score_zh THEN 'de'
+        |            WHEN score_fr>=score_zh THEN 'fr'
+        |            ELSE 'zh' END AS predicted
+        |FROM (SELECT doc_id, lang AS actual_lang,
+        |        CAST(len(list_filter(string_split(text,' '), t -> t='the'))
+        |           + len(list_filter(string_split(text,' '), t -> t='a')) AS INT) AS score_en,
+        |        CAST(len(list_filter(string_split(text,' '), t -> t='data'))
+        |           + len(list_filter(string_split(text,' '), t -> t='table')) AS INT) AS score_es,
+        |        CAST(len(list_filter(string_split(text,' '), t -> t='window'))
+        |           + len(list_filter(string_split(text,' '), t -> t='row')) AS INT) AS score_de,
+        |        CAST(len(list_filter(string_split(text,' '), t -> t='filter'))
+        |           + len(list_filter(string_split(text,' '), t -> t='stream')) AS INT) AS score_fr,
+        |        CAST(len(list_filter(string_split(text,' '), t -> t='spark'))
+        |           + len(list_filter(string_split(text,' '), t -> t='query')) AS INT) AS score_zh
+        |      FROM documents) s
+        |ORDER BY doc_id""".stripMargin,
+    "x11b_quality_score" ->
+      """SELECT doc_id, n_tokens, n_distinct, len_chars,
+        |       n_distinct/n_tokens AS ttr,
+        |       (len_chars - (n_tokens - 1))/n_tokens AS avg_tok_len,
+        |       n_stop/n_tokens AS stop_ratio,
+        |       CASE WHEN n_tokens >= 20 AND n_distinct/n_tokens >= 0.25
+        |            THEN 1 ELSE 0 END AS keep
+        |FROM (SELECT doc_id,
+        |        CAST(len(string_split(text,' ')) AS INT) AS n_tokens,
+        |        CAST(len(list_distinct(string_split(text,' '))) AS INT) AS n_distinct,
+        |        CAST(length(text) AS INT) AS len_chars,
+        |        CAST(len(list_filter(string_split(text,' '), t -> t='the'))
+        |           + len(list_filter(string_split(text,' '), t -> t='a')) AS INT) AS n_stop
+        |      FROM documents) s
+        |ORDER BY doc_id""".stripMargin,
+    "x11c_token_stats" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split(text,' ')) AS INT) AS n_tokens,
+        |       CAST(len(list_distinct(string_split(text,' '))) AS INT) AS n_distinct,
+        |       CAST(length(text) AS INT) AS n_chars,
+        |       CAST(CEIL(length(text)/4.0) AS BIGINT) AS est_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x11d_fingerprint" ->
+      s"""WITH $toks,
+         |$vocab
+         |SELECT t.doc_id,
+         |       bit_xor((982451653*v.token_id + 12345 + 40503*t.ord) % 2147483647)
+         |         AS fingerprint,
+         |       COUNT(*) AS n_tokens
+         |FROM toks t JOIN vocab v USING (tok)
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+  )
+}

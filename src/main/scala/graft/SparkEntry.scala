@@ -47,6 +47,18 @@ object SparkEntry {
     "x08c_math_fns"       -> (Relational.mathFns(_, _)),
     "x08d_json_fns"       -> (Relational.jsonFns(_, _)),
     "x08e_array_fns"      -> (Relational.arrayFns(_, _)),
+    // ---- LLM-pipeline ops (SURVEY §2.4 X9-X11) ----
+    "x09a_exact_dedup"    -> (Dedup.exactDedup(_, _)),
+    "x09b_minhash_lsh"    -> (Dedup.minhashLsh(_, _)),
+    "x09c_simhash"        -> (Dedup.simhash(_, _)),
+    "x09d_simhash_pairs"  -> (Dedup.simhashPairs(_, _)),
+    "x09e_ngram_jaccard"  -> (Dedup.ngramJaccard(_, _)),
+    "x10a_cosine_topk"    -> ((s, d) => Similarity.cosineTopK(s, d)),
+    "x10b_ann_lsh"        -> ((s, d) => Similarity.annLsh(s, d)),
+    "x11a_lang_id"        -> (TextAnalysis.langId(_, _)),
+    "x11b_quality_score"  -> (TextAnalysis.qualityScore(_, _)),
+    "x11c_token_stats"    -> (TextAnalysis.tokenStats(_, _)),
+    "x11d_fingerprint"    -> (TextAnalysis.fingerprint(_, _)),
   )
 
   // DuckDB decimal-exact fragments mirrored from graft.functions.Exact.
@@ -58,7 +70,7 @@ object SparkEntry {
   private def avgFloorLong(c: String) =
     s"CAST(FLOOR(${davg(c)}) AS BIGINT)"
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = OraclesLlm.sql ++ Map(
     "o02_etl_extract" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
         |       l_extendedprice, l_discount, l_returnflag,

@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Vector math over `ArrayType(FloatType)` embedding columns, built on
+  * Spark's codegen'd higher-order functions (`zip_with`/`aggregate`) —
+  * no UDF, no serialization boundary, whole-stage-codegen eligible.
+  *
+  * Exactness strategy: embeddings are quantized to a 1e-6 grid as BIGINTs
+  * (`ROUND(v * 1e6)` — the int-quantization trick production ANN systems
+  * use anyway), and dot products / norms are then computed in exact
+  * 64-bit integer arithmetic: order-independent, engine-independent, and
+  * bit-stable under any partitioning. Only the final cosine division
+  * happens in floating point (single deterministic double op chain).
+  * A 64-dim dot of 1e-6-quantized unit vectors stays ≤ ~2^45 — far from
+  * BIGINT overflow. (A first cut accumulated double products in
+  * DECIMAL(28,14); that died on cross-engine double→decimal cast
+  * rounding at the 1e-15 edge — integers have no such edge.)
+  */
+object VectorOps {
+  /** Quantization scale: 6 decimal digits ≈ float32's precision for
+    * unit-norm embedding values. */
+  val Q: Long = 1000000L
+
+  /** Float array → quantized BIGINT array.
+    * Oracle twin: list_transform / per-element
+    * CAST(ROUND(CAST(v AS DOUBLE) * 1000000) AS BIGINT). */
+  def quantize(a: Column): Column =
+    transform(a, x => round(x.cast(DoubleType) * Q).cast(LongType))
+
+  /** Exact integer dot product of two quantized BIGINT arrays.
+    * Oracle twin: SUM(qa_i * qb_i) over the unnested vectors. */
+  def dotQ(qa: Column, qb: Column): Column =
+    aggregate(zip_with(qa, qb, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Exact integer squared norm of a quantized array. */
+  def norm2Q(qa: Column): Column = dotQ(qa, qa)
+
+  /** Cosine from integer dot and norms (exact until the final division;
+    * the integer values convert to double exactly — they are < 2^53). */
+  def cosineFromQ(dot: Column, n2a: Column, n2b: Column): Column =
+    dot.cast(DoubleType) / (sqrt(n2a.cast(DoubleType)) * sqrt(n2b.cast(DoubleType)))
+}

@@ -1,0 +1,172 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** X9: corpus deduplication — exact, MinHash+LSH, and SimHash
+  * (SURVEY §2.4). The LLM-pipeline workhorse ops, designed so every hash
+  * is arithmetic over data-derived ids (not engine-native string hashes),
+  * which makes the whole pipeline replayable in the DuckDB oracle and
+  * stable across engines/versions.
+  *
+  * Scale design: candidate generation is always an equi-join on a bucket
+  * key (shared shingle, LSH band signature), never an O(n²) cross join of
+  * the corpus; the only cross join in this file is SimHash pair scoring,
+  * which operates on the tiny per-doc fingerprint relation and would be
+  * band-bucketed the same way at 100 TB.
+  */
+object Dedup {
+  private val P = 2147483647L // 2^31-1, Mersenne prime for linear hashes
+
+  /** Exact dedup by full content: one shuffle on the text (in practice
+    * on its hash — we also emit sha256 as the content key a 100 TB
+    * pipeline would group by instead of the raw text).
+    */
+  def exactDedup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy("text")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"),
+        sha2(col("text"), 256).as("content_hash"))
+      .select("keep_id", "n_copies", "content_hash")
+      .orderBy("keep_id")
+
+  /** Distinct 3-token shingles per document (the MinHash input set). */
+  def shingles(docs: DataFrame): DataFrame = {
+    val t = TextAnalysis.tokens(docs)
+    val w = Window.partitionBy("doc_id").orderBy("ord")
+    t.withColumn("t2", lead("tok", 1).over(w))
+      .withColumn("t3", lead("tok", 2).over(w))
+      .filter(col("t3").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("tok"), col("t2"), col("t3"))
+        .as("shingle"))
+      .distinct()
+  }
+
+  /** Shingle vocabulary ids (same construction as [[TextAnalysis.vocab]]). */
+  private def shingleIds(docs: DataFrame): DataFrame = {
+    val sh = shingles(docs)
+    val v = sh.select("shingle").distinct()
+      .withColumn("sid", row_number().over(Window.orderBy("shingle")).cast(LongType))
+    sh.join(v, "shingle").select("doc_id", "sid")
+  }
+
+  /** MinHash + LSH near-dedup:
+    * 16 linear min-hashes over shingle ids → 4 bands × 4 rows → band
+    * signature keys → candidate pairs by band equi-join → exact Jaccard
+    * verification of candidates only. Emits verified pairs with
+    * jaccard ≥ 0.5 (the fixture's planted near-dups sit at ≥ 0.8 with a
+    * clean gap below — see SURVEY §5 methodology).
+    */
+  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val ds = shingleIds(Tables.documents(spark, sfDir)).cache()
+
+    val params = spark.range(0, 16).select(
+      col("id").cast(IntegerType).as("i"),
+      ((lit(1103515245L) * (col("id") + 1)) % P).as("a"),
+      ((lit(12345L) + lit(2654435761L) * col("id")) % P).as("b"))
+
+    val mh = ds.crossJoin(broadcast(params))
+      .withColumn("h", (col("a") * col("sid") + col("b")) % P)
+      .groupBy("doc_id", "i").agg(min(col("h")).as("mh"))
+
+    // Band signature: order-free weighted sum of the band's 4 min-hashes
+    // (weights 31^k) — one BIGINT key per (doc, band), join-able without
+    // any array/string aggregation.
+    val bands = mh
+      .withColumn("band", (col("i") / 4).cast(IntegerType))
+      .withColumn("m",
+        when(col("i") % 4 === 0, 1L).when(col("i") % 4 === 1, 31L)
+          .when(col("i") % 4 === 2, 961L).otherwise(29791L))
+      .groupBy("doc_id", "band").agg(sum(col("mh") * col("m")).as("bandkey"))
+
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bandkey") === col("y.bandkey")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+
+    val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(ds.as("da"), col("doc_a") === col("da.doc_id"))
+      .join(ds.as("db"),
+        col("doc_b") === col("db.doc_id") && col("da.sid") === col("db.sid"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+
+    inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast(DoubleType)
+          / (col("sa.n") + col("sb.n") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash fingerprints (32-bit) + near-dup pairs at Hamming ≤ 3.
+    * Per-bit sign of the sum of ±1 votes from every token occurrence's
+    * linear hash. Pair scoring is over the fingerprint relation only.
+    */
+  def simhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val P2 = 4294967291L // prime < 2^32 → 32 usable bits
+    val t = TextAnalysis.tokens(Tables.documents(spark, sfDir))
+    val v = TextAnalysis.vocab(t)
+    val hashed = t.join(v, "tok")
+      .withColumn("g", (lit(982451653L) * col("token_id") + lit(12345L)) % P2)
+    val bits = hashed
+      .crossJoin(broadcast(spark.range(0, 32).select(col("id").as("b"))))
+      .withColumn("vote",
+        when(expr("shiftright(g, CAST(b AS INT)) % 2") === 1, 1L)
+          .otherwise(-1L))
+      .groupBy("doc_id", "b").agg(sum(col("vote")).as("s"))
+    bits
+      .withColumn("bitval",
+        when(col("s") > 0,
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))")).otherwise(0L))
+      .groupBy("doc_id").agg(sum(col("bitval")).as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  /** Near-dup pairs by SimHash Hamming distance ≤ 3 over the fingerprint
+    * relation. (At 100 TB: band the 32 bits into 4 bytes and equi-join on
+    * any shared byte — hamming ≤ 3 guarantees one band matches — instead
+    * of this fixture-scale cross join.)
+    */
+  def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val fp = simhash(spark, sfDir)
+    fp.as("a").join(fp.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("CAST(bit_count(a.simhash ^ b.simhash) AS INT)").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** N-gram (bigram) Jaccard similarity via inverted-index candidate
+    * generation: docs sharing at least one bigram are joined through the
+    * bigram (an equi-join — the classic scalable near-dup plan), then
+    * exact Jaccard is computed and thresholded.
+    */
+  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = TextAnalysis.tokens(Tables.documents(spark, sfDir))
+    val w = Window.partitionBy("doc_id").orderBy("ord")
+    val grams = t.withColumn("t2", lead("tok", 1).over(w))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("tok"), col("t2")).as("gram"))
+      .distinct().cache()
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = grams.as("x").join(grams.as("y"),
+        col("x.gram") === col("y.gram") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast(DoubleType)
+          / (col("sa.n") + col("sb.n") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.6)
+      .orderBy("doc_a", "doc_b")
+  }
+}

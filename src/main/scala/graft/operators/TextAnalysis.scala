@@ -1,0 +1,118 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** X11: text-analysis operators over the `documents` corpus — the
+  * token-level building blocks an LLM-data pipeline runs before training
+  * (SURVEY §2.4). All heuristics are deliberately expressible in portable
+  * SQL so the DuckDB oracle can replay them exactly (no engine-specific
+  * string hashing anywhere).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization with 1-based position. Explode keeps the
+    * work distributed; nothing ever collects a document on the driver.
+    */
+  def tokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("ord0", "tok")))
+      .select(col("doc_id"), (col("ord0") + 1).cast(LongType).as("ord"),
+        col("tok"))
+
+  /** Corpus vocabulary: token → dense 1-based id, by sorted order. The
+    * id is derived from the data (no engine-specific hash), so the DuckDB
+    * oracle can reproduce it bit-for-bit. Scale note: the vocabulary is
+    * sublinear in corpus size (Heaps' law) and the global window runs on
+    * the *distinct* tokens only; at 100 TB you'd still expect ≤ tens of
+    * millions of rows here, and the result is broadcast to the join.
+    */
+  def vocab(tokens: DataFrame): DataFrame =
+    tokens.select("tok").distinct()
+      .withColumn("token_id",
+        row_number().over(Window.orderBy("tok")).cast(LongType))
+
+  private def markerCount(toks: Column, words: Seq[String]): Column =
+    words.map(w => size(filter(toks, t => t === w))).reduce(_ + _)
+
+  /** Language-ID by marker-token scoring with a deterministic CASE-chain
+    * argmax (ties resolve in fixed priority order en>es>de>fr>zh).
+    */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val markers = Seq(
+      "en" -> Seq("the", "a"), "es" -> Seq("data", "table"),
+      "de" -> Seq("window", "row"), "fr" -> Seq("filter", "stream"),
+      "zh" -> Seq("spark", "query"))
+    val scored = Tables.documents(spark, sfDir).select(
+      col("doc_id") +: col("lang").as("actual_lang") +:
+        markers.map { case (l, ws) => markerCount(toks, ws).as(s"score_$l") }: _*)
+    val Seq(en, es, de, fr, zh) =
+      Seq("en", "es", "de", "fr", "zh").map(l => col(s"score_$l"))
+    scored.withColumn("predicted",
+        when(en >= es && en >= de && en >= fr && en >= zh, "en")
+          .when(es >= de && es >= fr && es >= zh, "es")
+          .when(de >= fr && de >= zh, "de")
+          .when(fr >= zh, "fr")
+          .otherwise("zh"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: token count, type-token ratio, mean token length,
+    * stopword ratio, and a keep/drop flag — the standard pre-training
+    * corpus filters, all in exact integer/rational arithmetic.
+    */
+  def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_distinct"),
+        length(col("text")).as("len_chars"),
+        markerCount(toks, Seq("the", "a")).as("n_stop"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        col("len_chars"),
+        (col("n_distinct") / col("n_tokens")).as("ttr"),
+        ((col("len_chars") - (col("n_tokens") - 1)) / col("n_tokens"))
+          .as("avg_tok_len"),
+        (col("n_stop") / col("n_tokens")).as("stop_ratio"),
+        when(col("n_tokens") >= 20 && col("n_distinct") / col("n_tokens") >= 0.25, 1)
+          .otherwise(0).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-document token statistics incl. a BPE-ish size estimate
+    * (chars/4 is the classic tokens-per-byte rule of thumb).
+    */
+  def tokenStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_distinct"),
+        length(col("text")).as("n_chars"),
+        ceil(length(col("text")) / 4.0).cast(LongType).as("est_bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** Position-sensitive document fingerprint: XOR-fold of a linear hash
+    * of (vocab token id, position). Two docs share a fingerprint iff they
+    * are (with overwhelming probability) the same token sequence — an
+    * order-aware complement to content-hash dedup.
+    */
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = tokens(Tables.documents(spark, sfDir))
+    val v = vocab(t)
+    t.join(v, "tok")
+      .withColumn("h",
+        (lit(982451653L) * col("token_id") + lit(12345L)
+          + lit(40503L) * col("ord")) % lit(2147483647L))
+      .groupBy("doc_id")
+      .agg(expr("bit_xor(h)").as("fingerprint"),
+        count(lit(1)).as("n_tokens"))
+      .orderBy("doc_id")
+  }
+}

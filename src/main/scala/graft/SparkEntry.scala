@@ -59,6 +59,13 @@ object SparkEntry {
     "x11b_quality_score"  -> (TextAnalysis.qualityScore(_, _)),
     "x11c_token_stats"    -> (TextAnalysis.tokenStats(_, _)),
     "x11d_fingerprint"    -> (TextAnalysis.fingerprint(_, _)),
+    // ---- streaming (SURVEY §2.4 X12-X13), typed UDAF (X14), multimodal ----
+    "x12a_stream_tumbling" -> (graft.streaming.Streaming.tumbling(_, _)),
+    "x12b_stream_sliding"  -> (graft.streaming.Streaming.sliding(_, _)),
+    "x13a_stream_dedup"    -> (graft.streaming.Streaming.streamDedup(_, _)),
+    "x13b_sessionize"      -> (graft.streaming.Streaming.sessionize(_, _)),
+    "x14_typed_udaf"       -> (graft.functions.TypedAggs.l2Query(_, _)),
+    "xm1_multimodal_meta"  -> (Multimodal.binaryMeta(_, _)),
   )
 
   // DuckDB decimal-exact fragments mirrored from graft.functions.Exact.
@@ -229,5 +236,49 @@ object SparkEntry {
         |       list_max(embedding) AS max_dim,
         |       list_min(embedding) AS min_dim
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    // Streaming batch-equivalence oracles (one batch → no late data, so
+    // the event-time windows replay as plain GROUP BYs; SURVEY §5).
+    "x12a_stream_tumbling" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |       event_type, COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "x12b_stream_sliding" ->
+      """WITH b AS (SELECT unnest([time_bucket(INTERVAL 5 MINUTE, ts),
+        |                          time_bucket(INTERVAL 5 MINUTE, ts) - INTERVAL 5 MINUTE]) AS ws
+        |           FROM events)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, COUNT(*) AS n
+        |FROM b GROUP BY ws ORDER BY window_start""".stripMargin,
+    "x13a_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type,
+        |       strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS minute
+        |FROM events ORDER BY user_id, event_type, minute""".stripMargin,
+    "x13b_sessionize" ->
+      """WITH l AS (SELECT user_id, ts,
+        |             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |           FROM events),
+        |f AS (SELECT user_id, ts,
+        |        CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE
+        |             THEN 1 ELSE 0 END AS news FROM l),
+        |s AS (SELECT user_id, ts,
+        |        SUM(news) OVER (PARTITION BY user_id ORDER BY ts
+        |          ROWS UNBOUNDED PRECEDING) AS sess FROM f)
+        |SELECT user_id,
+        |       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        |       strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+        |       COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, sess ORDER BY user_id, session_start""".stripMargin,
+    "x14_typed_udaf" ->
+      """SELECT l_returnflag, SQRT(SUM(l_quantity*l_quantity)) AS qty_l2norm,
+        |       COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "xm1_multimodal_meta" ->
+      """SELECT doc_id,
+        |       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |       sha256(text) AS sha256_hex,
+        |       CAST(octet_length(encode(text)) % 640 AS INT) AS fake_width,
+        |       CAST((octet_length(encode(text)) * 7) % 480 AS INT) AS fake_height,
+        |       CAST(octet_length(encode(text)) % 16 + 1 AS INT) AS fake_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,114 @@
+package graft.streaming
+
+import graft.functions.Exact
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** X12-X13: Structured Streaming over the `events` table — event-time
+  * windows with watermarks, streaming dedup, sessionization
+  * (SURVEY §2.4).
+  *
+  * Execution shape: `readStream` file source → event-time transforms →
+  * memory sink, driven to completion synchronously (the fixture is one
+  * batch; on a cluster the same code runs continuously with the watermark
+  * bounding state). Correctness is checked by batch-equivalence: with all
+  * data in one batch nothing is late, so a DuckDB oracle over the same
+  * parquet replays each query exactly (SURVEY §5 — streaming has no
+  * native SQL oracle, batch equivalence is the strategy).
+  *
+  * State-at-scale notes: every stateful op here keys its state by a
+  * bounded expression (window × type, dedup key × watermark horizon,
+  * session per user), so state size is O(active keys), not O(events).
+  */
+object Streaming {
+  private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Raw-schema streaming source for events (ns timestamps read as longs
+    * and converted to µs, mirroring [[Tables.events]]). */
+  private def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // The file stream source needs a directory; pathGlobFilter narrows
+    // the listing to just the events table.
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Run a streaming DataFrame to exhaustion into a memory sink and
+    * return the materialized result. */
+  private def runToBatch(stream: DataFrame, mode: String): DataFrame = {
+    val name = s"graft_stream_${counter.incrementAndGet()}"
+    val q = stream.writeStream.outputMode(mode)
+      .format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    stream.sparkSession.table(name)
+  }
+
+  /** X12: tumbling 1-hour event-time windows with a 1-hour watermark —
+    * count + exact sum per (window, event_type). */
+  def tumbling(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = eventsStream(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Exact.dsum(col("value")).as("sum_value"))
+    runToBatch(agg, "complete")
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+  }
+
+  /** X12: sliding windows (10 min length, 5 min slide) — each event
+    * lands in exactly two windows. */
+  def sliding(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = eventsStream(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+    runToBatch(agg, "complete")
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"), col("n"))
+      .orderBy("window_start")
+  }
+
+  /** X13: streaming dedup within the watermark horizon — state is one
+    * entry per distinct (user, type, minute) key and is dropped once the
+    * watermark passes, so it never grows unboundedly. */
+  def streamDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val dd = eventsStream(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .withColumn("minute_ts", date_trunc("minute", col("ts")))
+      .select(col("ts"), col("user_id"), col("event_type"), col("minute_ts"))
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "minute_ts")
+    runToBatch(dd, "append")
+      .select(col("user_id"), col("event_type"),
+        date_format(col("minute_ts"), "yyyy-MM-dd HH:mm:ss").as("minute"))
+      .orderBy("user_id", "event_type", "minute")
+  }
+
+  /** X13: sessionization — 30-minute-gap session windows per user
+    * (session ends 30 min after its last event; an event exactly at the
+    * previous session's end starts a new one). Uses the native
+    * `session_window` operator (merging-window state, not a sort).
+    */
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("session_start"),
+        date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("session_end"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+}

@@ -64,6 +64,7 @@ object SparkEntry {
     "x12b_stream_sliding"  -> (graft.streaming.Streaming.sliding(_, _)),
     "x13a_stream_dedup"    -> (graft.streaming.Streaming.streamDedup(_, _)),
     "x13b_sessionize"      -> (graft.streaming.Streaming.sessionize(_, _)),
+    "x13c_stateful_stats"  -> (graft.streaming.Streaming.statefulUserStats(_, _)),
     "x14_typed_udaf"       -> (graft.functions.TypedAggs.l2Query(_, _)),
     "xm1_multimodal_meta"  -> (Multimodal.binaryMeta(_, _)),
   )
@@ -268,6 +269,11 @@ object SparkEntry {
         |       strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
         |       COUNT(*) AS n_events
         |FROM s GROUP BY user_id, sess ORDER BY user_id, session_start""".stripMargin,
+    "x13c_stateful_stats" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS first_ts,
+        |       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_ts
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "x14_typed_udaf" ->
       """SELECT l_returnflag, SQRT(SUM(l_quantity*l_quantity)) AS qty_l2norm,
         |       COUNT(*) AS n

@@ -63,24 +63,29 @@ object Dedup {
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val ds = shingleIds(Tables.documents(spark, sfDir)).cache()
 
-    val params = spark.range(0, 16).select(
-      col("id").cast(IntegerType).as("i"),
-      ((lit(1103515245L) * (col("id") + 1)) % P).as("a"),
-      ((lit(12345L) + lit(2654435761L) * col("id")) % P).as("b"))
-
-    val mh = ds.crossJoin(broadcast(params))
-      .withColumn("h", (col("a") * col("sid") + col("b")) % P)
-      .groupBy("doc_id", "i").agg(min(col("h")).as("mh"))
+    // All 16 min-hashes in ONE aggregation pass over the shingle-id
+    // relation (16 min() expressions, map-side combined) — no 16× row
+    // blow-up, no extra shuffle. At 100 TB this is the difference
+    // between one scan and sixteen.
+    val hashParams: Seq[(Int, Long, Long)] = (0 until 16).map { i =>
+      (i, (1103515245L * (i + 1)) % P, (12345L + 2654435761L * i) % P)
+    }
+    val mhCols = hashParams.map { case (i, a, b) =>
+      min((lit(a) * col("sid") + lit(b)) % P).as(s"mh$i")
+    }
+    val mhWide = ds.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
 
     // Band signature: order-free weighted sum of the band's 4 min-hashes
     // (weights 31^k) — one BIGINT key per (doc, band), join-able without
     // any array/string aggregation.
-    val bands = mh
-      .withColumn("band", (col("i") / 4).cast(IntegerType))
-      .withColumn("m",
-        when(col("i") % 4 === 0, 1L).when(col("i") % 4 === 1, 31L)
-          .when(col("i") % 4 === 2, 961L).otherwise(29791L))
-      .groupBy("doc_id", "band").agg(sum(col("mh") * col("m")).as("bandkey"))
+    val weights = Seq(1L, 31L, 961L, 29791L)
+    def bandKey(bd: Int) =
+      (0 until 4).map(r => col(s"mh${bd * 4 + r}") * weights(r)).reduce(_ + _)
+    val bands = mhWide.select(col("doc_id"), explode(array(
+        (0 until 4).map(bd =>
+          struct(lit(bd).as("band"), bandKey(bd).as("bandkey"))): _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"),
+        col("bb.bandkey").as("bandkey"))
 
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bandkey") === col("y.bandkey")
@@ -115,30 +120,45 @@ object Dedup {
     val v = TextAnalysis.vocab(t)
     val hashed = t.join(v, "tok")
       .withColumn("g", (lit(982451653L) * col("token_id") + lit(12345L)) % P2)
-    val bits = hashed
-      .crossJoin(broadcast(spark.range(0, 32).select(col("id").as("b"))))
-      .withColumn("vote",
-        when(expr("shiftright(g, CAST(b AS INT)) % 2") === 1, 1L)
-          .otherwise(-1L))
-      .groupBy("doc_id", "b").agg(sum(col("vote")).as("s"))
-    bits
-      .withColumn("bitval",
-        when(col("s") > 0,
-          expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))")).otherwise(0L))
-      .groupBy("doc_id").agg(sum(col("bitval")).as("simhash"))
+    // All 32 bit-vote sums in ONE aggregation pass (map-side combined) —
+    // no 32× row blow-up; the fingerprint assembles from the 32 sums in
+    // a single projection.
+    val voteCols = (0 until 32).map { b =>
+      sum(when(expr(s"shiftright(g, $b) % 2") === 1, 1L).otherwise(-1L))
+        .as(s"s$b")
+    }
+    val fingerprintExpr = (0 until 32).map { b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+    hashed.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id"), fingerprintExpr.as("simhash"))
       .orderBy("doc_id")
   }
 
   /** Near-dup pairs by SimHash Hamming distance ≤ 3 over the fingerprint
-    * relation. (At 100 TB: band the 32 bits into 4 bytes and equi-join on
-    * any shared byte — hamming ≤ 3 guarantees one band matches — instead
-    * of this fixture-scale cross join.)
+    * relation, via byte-banding: with the 32 bits split into 4 bytes, any
+    * pair within hamming 3 must share at least one identical byte
+    * (pigeonhole), so candidates come from an equi-join on
+    * (byte-index, byte-value) — ~256× fewer scored pairs than the naive
+    * cross join, and a keyed shuffle instead of an all-pairs broadcast.
     */
   def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val fp = simhash(spark, sfDir)
-    fp.as("a").join(fp.as("b"), col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        expr("CAST(bit_count(a.simhash ^ b.simhash) AS INT)").as("hamming"))
+    val fp = simhash(spark, sfDir).cache()
+    val banded = fp.select(col("doc_id"), explode(array((0 until 4).map(bd =>
+        struct(lit(bd).as("bb"),
+          expr(s"shiftright(simhash, ${8 * bd}) % 256").as("bv"))): _*))
+        .as("s"))
+      .select(col("doc_id"), col("s.bb").as("bb"), col("s.bv").as("bv"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.bb") === col("y.bb") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(fp.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a")), "doc_a")
+      .join(fp.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        expr("CAST(bit_count(sim_a ^ sim_b) AS INT)").as("hamming"))
       .filter(col("hamming") <= 3)
       .orderBy("doc_a", "doc_b")
   }

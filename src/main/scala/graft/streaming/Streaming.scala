@@ -95,6 +95,46 @@ object Streaming {
       .orderBy("user_id", "event_type", "minute")
   }
 
+  /** Typed rows for the custom-state operator. */
+  case class Ev(user_id: Long, tsMicros: Long)
+  case class UserStats(user_id: Long, n_events: Long,
+                       first_us: Long, last_us: Long)
+
+  /** X13: arbitrary stateful processing via `mapGroupsWithState` —
+    * per-user running statistics kept in typed executor-side state
+    * (partitioned by the group key; one state entry per user, merged
+    * incrementally per micro-batch). The shape any custom sessionizer /
+    * enrichment state machine takes in this engine.
+    */
+  def statefulUserStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val evs = eventsStream(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsMicros")).as[Ev]
+    val out = evs.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[UserStats]) =>
+          val prev = state.getOption
+            .getOrElse(UserStats(uid, 0L, Long.MaxValue, Long.MinValue))
+          var (n, f, l) = (prev.n_events, prev.first_us, prev.last_us)
+          it.foreach { e =>
+            n += 1
+            if (e.tsMicros < f) f = e.tsMicros
+            if (e.tsMicros > l) l = e.tsMicros
+          }
+          val s = UserStats(uid, n, f, l)
+          state.update(s)
+          s
+      }
+    runToBatch(out.toDF(), "update")
+      .select(col("user_id"), col("n_events"),
+        date_format(timestamp_micros(col("first_us")),
+          "yyyy-MM-dd HH:mm:ss.SSSSSS").as("first_ts"),
+        date_format(timestamp_micros(col("last_us")),
+          "yyyy-MM-dd HH:mm:ss.SSSSSS").as("last_ts"))
+      .orderBy("user_id")
+  }
+
   /** X13: sessionization — 30-minute-gap session windows per user
     * (session ends 30 min after its last event; an event exactly at the
     * previous session's end starts a new one). Uses the native

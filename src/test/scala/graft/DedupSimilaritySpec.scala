@@ -1,0 +1,73 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+class DedupSimilaritySpec extends SparkSuite {
+
+  test("exact dedup keeps every distinct document exactly once") {
+    val rows = Dedup.exactDedup(spark, sf).collect()
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_.getLong(1)).sum == total)
+    assert(rows.forall(_.getString(2).length == 64), "sha256 hex expected")
+  }
+
+  test("minhash-LSH pairs are genuinely similar (recheck via shingle sets)") {
+    val pairs = Dedup.minhashLsh(spark, sf).collect()
+    assert(pairs.nonEmpty, "fixture plants near-duplicates; none found")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val sh = Dedup.shingles(docs).collect()
+      .groupBy(_.getLong(0)).map { case (k, v) => k -> v.map(_.getString(1)).toSet }
+    pairs.foreach { r =>
+      val (a, b, j) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val (sa, sb) = (sh(a), sh(b))
+      val expect = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      assert(math.abs(expect - j) < 1e-12, s"pair ($a,$b): $j vs $expect")
+      assert(j >= 0.5)
+    }
+  }
+
+  test("simhash near-pairs have small hamming distance and high jaccard pairs overlap") {
+    val ham = Dedup.simhashPairs(spark, sf).collect()
+    assert(ham.forall(_.getInt(2) <= 3))
+    val mh = Dedup.minhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hs = ham.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((mh & hs).nonEmpty, "the two near-dup detectors should agree somewhere")
+  }
+
+  test("brute-force top-k matches a naive driver-side computation for one query") {
+    val got = Similarity.cosineTopK(spark, sf).collect()
+      .filter(_.getLong(0) == 0).sortBy(_.getInt(1))
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def q(v: Array[Float]): Array[Long] =
+      v.map(x => math.round(x.toDouble * 1000000))
+    val q0 = q(vecs(0))
+    def cos(b: Array[Float]): Double = {
+      val qb = q(b)
+      val dot = q0.zip(qb).map { case (x, y) => x * y }.sum
+      dot.toDouble / (math.sqrt(q0.map(x => x * x).sum.toDouble) *
+        math.sqrt(qb.map(x => x * x).sum.toDouble))
+    }
+    val naive = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos(v)) }
+      .sortBy { case (id, c) => (-c, id) }.take(5)
+    assert(got.map(_.getLong(2)).toSeq == naive.map(_._1))
+    got.zip(naive).foreach { case (r, (_, c)) =>
+      assert(math.abs(r.getDouble(3) - c) < 1e-12)
+    }
+  }
+
+  test("LSH ANN returns true cosines (subset of brute-force scoring)") {
+    val ann = Similarity.annLsh(spark, sf).collect()
+    assert(ann.nonEmpty)
+    val brute = Similarity.cosineTopK(spark, sf, k = 499).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    ann.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      assert(brute.contains(key))
+      assert(math.abs(brute(key) - r.getDouble(3)) < 1e-12)
+    }
+  }
+}

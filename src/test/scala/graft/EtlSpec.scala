@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.{Etl, PartitionCache}
+import org.apache.spark.sql.functions._
+
+class EtlSpec extends SparkSuite {
+
+  test("extract respects the exclusive price band and joins every row") {
+    val df = Etl.extract(spark, sf).cache()
+    val n = df.count()
+    assert(n > 0)
+    val Array(row) = df
+      .agg(min("l_extendedprice"), max("l_extendedprice")).collect()
+    assert(row.getDouble(0) > 30000.0 && row.getDouble(1) < 80000.0)
+    assert(Etl.rowCount(spark, sf).head().getLong(0) == n)
+    df.unpersist()
+  }
+
+  test("sink roundtrip preserves per-flag counts") {
+    val fromSink = Etl.sinkRoundtrip(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = Etl.extract(spark, sf).groupBy("l_returnflag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fromSink == direct)
+  }
+
+  test("pruned avg matches an independently computed truncating mean") {
+    val got = Etl.prunedAvg(spark, sf, "R").head().getLong(0)
+    val rows = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_returnflag") === "R")
+      .select("l_extendedprice").collect().map(_.getDouble(0))
+    val expected = math.floor(
+      rows.map(BigDecimal(_).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble / rows.length).toLong
+    assert(got == expected)
+  }
+
+  test("partition cache runs create on pass 1 and reuse on pass 2, same values") {
+    val rows = PartitionCache.protocolTrace(spark, sf).collect()
+    assert(rows.length == 6)
+    val byKey = rows.groupBy(_.getString(0))
+    byKey.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getString(3)).toSeq == Seq("create", "reuse"))
+      assert(sorted.map(_.getLong(2)).distinct.length == 1,
+        "create and reuse paths must agree on the value")
+    }
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.{Etl, Relational, Similarity}
+
+/** Physical-plan audits: the properties that matter at 100 TB must be
+  * visible in the plan, not assumed — broadcast joins stay broadcast,
+  * filters reach the parquet scan, top-k never global-sorts, aggregates
+  * split partial/final (SURVEY §4).
+  */
+class PlanSpec extends SparkSuite {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("dimension join is a broadcast hash join") {
+    assert(plan(Relational.broadcastJoin(spark, sf))
+      .contains("BroadcastHashJoin"))
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not a global sort+limit") {
+    assert(plan(Relational.topK(spark, sf)).contains("TakeOrderedAndProject"))
+  }
+
+  test("range filter is pushed into the parquet scan") {
+    val p = plan(Etl.extract(spark, sf))
+    assert(p.contains("PushedFilters"))
+    assert(p.contains("GreaterThan(l_extendedprice,30000"),
+      s"expected pushed range filter in:\n$p")
+  }
+
+  test("pruned avg reads only the aggregated column plus the filter key") {
+    val p = plan(Etl.prunedAvg(spark, sf))
+    assert(p.contains("EqualTo(l_returnflag,R)"), "equality pushdown missing")
+    // ReadSchema must not include unrelated wide columns
+    assert(!p.contains("l_shipdate"), s"column pruning failed:\n$p")
+  }
+
+  test("grouped aggregate splits into partial and final hash aggregates") {
+    val p = plan(Relational.groupedAgg(spark, sf))
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("brute-force similarity never shuffles the corpus side") {
+    val p = plan(Similarity.cosineTopK(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"query side should broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), "corpus must not shuffle for the score join")
+  }
+
+  test("whole-stage codegen covers the flagship aggregate") {
+    // Under AQE the final (codegen'd) plan exists only after the
+    // DataFrame's own queryExecution runs (collect, not count — count
+    // builds a separate plan). Codegen stages print as `*(n)` markers.
+    val df = Relational.groupedAgg(spark, sf)
+    df.collect()
+    assert("""\*\(\d+\)""".r.findFirstIn(plan(df)).nonEmpty,
+      "no whole-stage-codegen stages in final plan")
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.{Multimodal, TextAnalysis}
+
+class TextMultimodalSpec extends SparkSuite {
+
+  private lazy val nDocs =
+    spark.read.parquet(s"$sf/documents.parquet").count()
+
+  test("per-doc text analytics cover every document") {
+    assert(TextAnalysis.tokenStats(spark, sf).count() == nDocs)
+    assert(TextAnalysis.qualityScore(spark, sf).count() == nDocs)
+    assert(TextAnalysis.langId(spark, sf).count() == nDocs)
+  }
+
+  test("quality ratios are well-formed") {
+    TextAnalysis.qualityScore(spark, sf).collect().foreach { r =>
+      val ttr = r.getDouble(4)
+      assert(ttr > 0 && ttr <= 1.0, s"ttr out of range: $ttr")
+    }
+  }
+
+  test("fingerprints are deterministic across runs") {
+    val a = TextAnalysis.fingerprint(spark, sf).collect().toSeq
+    val b = TextAnalysis.fingerprint(spark, sf).collect().toSeq
+    assert(a == b)
+  }
+
+  test("multimodal decode stub runs per-partition and yields sane features") {
+    val feats = Multimodal.decodeStub(Multimodal.asMediaTable(spark, sf))
+      .collect()
+    assert(feats.length == nDocs)
+    feats.foreach { f =>
+      assert(f.width >= 0 && f.width < 640)
+      assert(f.height >= 0 && f.height < 480)
+      assert(f.mean_byte >= 0 && f.mean_byte < 256)
+      assert(f.n_bytes > 0)
+    }
+  }
+
+  test("binary metadata agrees with the decode stub") {
+    val meta = Multimodal.binaryMeta(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(3))).toMap
+    Multimodal.decodeStub(Multimodal.asMediaTable(spark, sf)).collect()
+      .foreach { f =>
+        val (nBytes, width) = meta(f.doc_id)
+        assert(nBytes == f.n_bytes && width == f.width)
+      }
+  }
+}

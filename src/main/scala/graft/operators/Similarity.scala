@@ -32,11 +32,16 @@ object Similarity {
   private val NQueries = 8
   private val Dims = 64
 
-  /** vec_id, quantized vector, exact integer squared norm. */
-  private def quantized(spark: SparkSession, sfDir: String): DataFrame =
+  /** vec_id, float vector, exact integer squared norm — norm and all
+    * pair dots use the fused native [[graft.plans.QuantizedDot]]
+    * expression (single codegen'd loop, no intermediate arrays);
+    * bit-equal to the HOF quantize/dotQ form (QuantizedDotSpec). */
+  private def quantized(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.plans.QuantizedDot.register(spark)
     Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("qe"))
-      .withColumn("n2", VectorOps.norm2Q(col("qe")))
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("n2", expr("quantized_dot(embedding, embedding)"))
+  }
 
   private def topkOf(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))
@@ -50,12 +55,12 @@ object Similarity {
   def cosineTopK(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
     val all = quantized(spark, sfDir)
     val q = all.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("query_id"), col("qe").as("q_qe"),
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("n2").as("q_n2"))
     val scored = all.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),
-        VectorOps.cosineFromQ(VectorOps.dotQ(col("q_qe"), col("qe")),
+        VectorOps.cosineFromQ(expr("quantized_dot(q_emb, embedding)"),
           col("q_n2"), col("n2")).as("cosine"))
     topkOf(scored, k)
   }
@@ -70,9 +75,9 @@ object Similarity {
     * `sum(qv * (2r - 1000003))` — exact.
     */
   def annLsh(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
-    val ex = quantized(spark, sfDir)
-      .select(col("vec_id"), col("qe"), col("n2"),
-        posexplode(col("qe")).as(Seq("pos0", "qv")))
+    val ex = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        posexplode(VectorOps.quantize(col("embedding"))).as(Seq("pos0", "qv")))
       .select(col("vec_id"), (col("pos0") + 1).cast(LongType).as("pos"),
         col("qv"))
     val hyper = spark.range(0, 8).select(col("id").as("j"))
@@ -89,12 +94,12 @@ object Similarity {
 
     val all = quantized(spark, sfDir).join(buckets, "vec_id")
     val q = all.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("query_id"), col("qe").as("q_qe"),
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("n2").as("q_n2"), col("bucket"))
     val scored = all.join(broadcast(q), "bucket")
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),
-        VectorOps.cosineFromQ(VectorOps.dotQ(col("q_qe"), col("qe")),
+        VectorOps.cosineFromQ(expr("quantized_dot(q_emb, embedding)"),
           col("q_n2"), col("n2")).as("cosine"))
     topkOf(scored, k)
   }

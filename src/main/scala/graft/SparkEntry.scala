@@ -47,6 +47,7 @@ object SparkEntry {
     "x08c_math_fns"       -> (Relational.mathFns(_, _)),
     "x08d_json_fns"       -> (Relational.jsonFns(_, _)),
     "x08e_array_fns"      -> (Relational.arrayFns(_, _)),
+    "x08f_map_fns"        -> (Relational.mapFns(_, _)),
     // ---- LLM-pipeline ops (SURVEY §2.4 X9-X11) ----
     "x09a_exact_dedup"    -> (Dedup.exactDedup(_, _)),
     "x09b_minhash_lsh"    -> (Dedup.minhashLsh(_, _)),
@@ -237,6 +238,11 @@ object SparkEntry {
         |       list_max(embedding) AS max_dim,
         |       list_min(embedding) AS min_dim
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "x08f_map_fns" ->
+      """SELECT event_id, event_type AS type_val,
+        |       CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+        |       2 AS m_size, 'type,k' AS keys
+        |FROM events ORDER BY event_id""".stripMargin,
     // Streaming batch-equivalence oracles (one batch → no late data, so
     // the event-time windows replay as plain GROUP BYs; SURVEY §5).
     "x12a_stream_tumbling" ->

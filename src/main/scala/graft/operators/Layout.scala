@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout techniques for 100 TB joins (SURVEY §7.5): bucketing
+  * for shuffle-free co-located joins, salting for skewed keys. These are
+  * layout/plan tools, not queries — their plan-level properties are
+  * asserted in LayoutSpec.
+  */
+object Layout {
+
+  /** Write `df` as a bucketed (+ sorted) table so later equi-joins on
+    * `key` read both sides pre-partitioned — no Exchange at query time.
+    * The write shuffles once; every subsequent join of tables bucketed
+    * to the same (key, n) is co-located. That trade (one write-time
+    * shuffle, N query-time shuffles saved) is the backbone of a 100 TB
+    * star schema.
+    */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+                    key: String, nBuckets: Int): Unit = {
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
+    df.write.bucketBy(nBuckets, key).sortBy(key)
+      .option("path", path).format("parquet").saveAsTable(table)
+  }
+
+  /** Salted equi-join for skewed build keys: the big (skewed) side gets
+    * a deterministic salt derived from its row content; the small side
+    * is replicated once per salt. Row-for-row equivalent to the plain
+    * join (each big row matches exactly one salted replica) but the
+    * shuffle key becomes (key, salt), splitting a hot key across
+    * `nSalts` reducers. AQE's skew-join handles moderate skew
+    * automatically; salting is the explicit tool for pathological keys.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame,
+                 bigKey: String, smallKey: String, nSalts: Int): DataFrame = {
+    val saltedBig = big.withColumn("__salt",
+      pmod(hash(big.columns.map(col): _*), lit(nSalts)))
+    val expandedSmall = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(nSalts - 1))))
+    saltedBig.join(expandedSmall,
+        saltedBig(bigKey) === expandedSmall(smallKey) &&
+          saltedBig("__salt") === expandedSmall("__salt"))
+      .drop("__salt")
+  }
+}

@@ -251,6 +251,20 @@ object Relational {
         min(col("k")).as("min_k"), max(col("k")).as("max_k"))
       .orderBy("event_type")
 
+  /** X8: map scalar functions — build a typed map per event, then
+    * extract/inspect it (MapType round-trip through columnar ops). */
+  def mapFns(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_id"),
+        map(lit("type"), col("event_type"),
+          lit("k"), get_json_object(col("props"), "$.k")).as("m"))
+      .select(col("event_id"),
+        element_at(col("m"), "type").as("type_val"),
+        element_at(col("m"), "k").cast(IntegerType).as("k_val"),
+        size(col("m")).as("m_size"),
+        array_join(map_keys(col("m")), ",").as("keys"))
+      .orderBy("event_id")
+
   /** X8: array scalar functions over the embedding vectors. */
   def arrayFns(spark: SparkSession, sfDir: String): DataFrame =
     Tables.embeddings(spark, sfDir)

@@ -35,6 +35,13 @@ class EtlSpec extends SparkSuite {
     assert(got == expected)
   }
 
+  test("avg over an empty group returns null, not a crash (pinned semantics)") {
+    // The reference crashes on an empty county (int(NaN), server.py:128);
+    // our engine defines the behavior: SQL-standard NULL.
+    val row = Etl.prunedAvg(spark, sf, "Z").head()
+    assert(row.isNullAt(0))
+  }
+
   test("partition cache runs create on pass 1 and reuse on pass 2, same values") {
     val rows = PartitionCache.protocolTrace(spark, sf).collect()
     assert(rows.length == 6)

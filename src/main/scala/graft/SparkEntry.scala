@@ -26,7 +26,9 @@ object SparkEntry {
     "o05_sink_roundtrip"  -> (Etl.sinkRoundtrip(_, _)),
     "o07_pruned_avg"      -> (Etl.prunedAvg(_, _)),
     "o12_partition_cache" -> (PartitionCache.protocolTrace(_, _)),
+    "o13_block_locations" -> (graft.sources.StorageMeta.blocksPerHost(_, _)),
     "o14_explode_count"   -> (Etl.explodeCount(_, _)),
+    "of1_format_roundtrip" -> (graft.sources.Formats.roundtrip(_, _)),
     "o16_row_count"       -> (Etl.rowCount(_, _)),
     // ---- relational breadth (SURVEY §2.4 X1-X8) ----
     "x01_grouped_agg"     -> (Relational.groupedAgg(_, _)),
@@ -102,6 +104,20 @@ object SparkEntry {
          |FROM lineitem, (VALUES (1), (2)) p(pass)
          |GROUP BY l_returnflag, p.pass
          |ORDER BY key, p.pass""".stripMargin,
+    // o13_block_locations: filesystem metadata — no SQL oracle
+    // (rows-only check), mirrors the reference's BlockLocations RPC.
+    "of1_format_roundtrip" ->
+      s"""WITH base AS (
+         |  SELECT l_returnflag, l_extendedprice
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  WHERE l_extendedprice > 30000 AND l_extendedprice < 80000),
+         |agg AS (
+         |  SELECT l_returnflag, COUNT(*) AS n,
+         |         ${dsum("l_extendedprice")} AS sum_price
+         |  FROM base GROUP BY l_returnflag)
+         |SELECT f.format, a.l_returnflag, a.n, a.sum_price
+         |FROM agg a, (VALUES ('csv'), ('json'), ('orc')) f(format)
+         |ORDER BY f.format, a.l_returnflag""".stripMargin,
     "o14_explode_count" ->
       """SELECT token, COUNT(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)

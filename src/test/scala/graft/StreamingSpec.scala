@@ -39,6 +39,35 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("watermark drops events later than the horizon across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[(java.sql.Timestamp, String)]
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val agg = src.toDF().toDF("ts", "k")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("k"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("graft_late_test").start()
+    // batch 1: events up to 12:00 → watermark advances to 11:50
+    src.addData((t("2024-01-01 11:00:00"), "a"), (t("2024-01-01 12:00:00"), "a"))
+    q.processAllAvailable()
+    // batch 2: an 11:05 event is behind the 11:50 watermark → dropped;
+    // its (closed) 11:00 window must still show only the batch-1 event
+    src.addData((t("2024-01-01 11:05:00"), "a"), (t("2024-01-01 12:01:00"), "a"))
+    q.processAllAvailable()
+    src.addData((t("2024-01-01 13:00:00"), "a")) // push watermark, close windows
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("graft_late_test").collect()
+      .map(r => r.getStruct(0).getTimestamp(0).toString -> r.getLong(2)).toMap
+    assert(rows("2024-01-01 11:00:00.0") == 1L,
+      s"late 11:05 event should have been dropped: $rows")
+  }
+
   test("mapGroupsWithState per-user stats equal a batch aggregate") {
     val st = Streaming.statefulUserStats(spark, sf).collect()
     val batch = Tables.events(spark, sf).groupBy("user_id")

@@ -41,8 +41,12 @@ object SparkEntry {
     "x04b_window_moving"  -> (Relational.windowMoving(_, _)),
     "x05_distinct"        -> (Relational.distinctAgg(_, _)),
     "x05b_approx_distinct" -> (Relational.approxDistinct(_, _)),
+    "x05c_median"         -> (Relational.medianAgg(_, _)),
+    "x05d_approx_quantiles" -> (Relational.approxPercentiles(_, _)),
     "x06a_rollup"         -> (Relational.rollupAgg(_, _)),
     "x06b_cube"           -> (Relational.cubeAgg(_, _)),
+    "x06c_pivot"          -> (Relational.pivotAgg(_, _)),
+    "x06d_unpivot"        -> (Relational.unpivotMeasures(_, _)),
     "x07_setops"          -> (Relational.setOps(_, _)),
     "x08a_string_fns"     -> (Relational.stringFns(_, _)),
     "x08b_date_fns"       -> (Relational.dateFns(_, _)),
@@ -70,6 +74,7 @@ object SparkEntry {
     "x13c_stateful_stats"  -> (graft.streaming.Streaming.statefulUserStats(_, _)),
     "x14_typed_udaf"       -> (graft.functions.TypedAggs.l2Query(_, _)),
     "xm1_multimodal_meta"  -> (Multimodal.binaryMeta(_, _)),
+    "x15_sql_api"          -> (SqlApi.tpchQ3(_, _)),
   )
 
   // DuckDB decimal-exact fragments mirrored from graft.functions.Exact.
@@ -192,6 +197,33 @@ object SparkEntry {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // x05b_approx_distinct: HLL++ sketch values are engine-specific — no
     // SQL oracle (driver records a rows-only check).
+    "x05c_median" ->
+      """WITH r AS (SELECT l_returnflag, l_quantity,
+        |             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |               ORDER BY l_quantity) AS rn,
+        |             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |           FROM lineitem)
+        |SELECT l_returnflag,
+        |       (MAX(CASE WHEN rn = (n+1)//2 THEN l_quantity END)
+        |        + MAX(CASE WHEN rn = n//2 + 1 THEN l_quantity END)) / 2.0
+        |         AS median_qty
+        |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // x05d_approx_quantiles: GK-sketch values are engine-specific — no
+    // SQL oracle (rows-only check).
+    "x06c_pivot" ->
+      """SELECT l_returnflag,
+        |       COUNT(*) FILTER (WHERE l_linestatus = 'F') AS F,
+        |       COUNT(*) FILTER (WHERE l_linestatus = 'O') AS O
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "x06d_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey,
+        |       'l_quantity' AS measure, l_quantity AS val
+        |FROM lineitem WHERE l_suppkey <= 2
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, l_partkey,
+        |       'l_extendedprice' AS measure, l_extendedprice AS val
+        |FROM lineitem WHERE l_suppkey <= 2
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, measure, val""".stripMargin,
     "x06a_rollup" ->
       s"""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
          |       COALESCE(l_linestatus, 'ALL') AS linestatus,
@@ -300,6 +332,8 @@ object SparkEntry {
       """SELECT l_returnflag, SQRT(SUM(l_quantity*l_quantity)) AS qty_l2norm,
         |       COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // Identical ANSI text runs on both engines (SqlApi.q3Sql).
+    "x15_sql_api" -> graft.operators.SqlApi.q3Sql,
     "xm1_multimodal_meta" ->
       """SELECT doc_id,
         |       CAST(octet_length(encode(text)) AS INT) AS n_bytes,

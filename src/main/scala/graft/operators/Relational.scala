@@ -158,6 +158,53 @@ object Relational {
       .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
       .orderBy("l_returnflag")
 
+  /** X5: exact per-group median via rank arithmetic — integer-exact
+    * order statistics, portable across engines (interpolating
+    * `percentile` built-ins differ in float arithmetic). */
+  def medianAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    val wn = Window.partitionBy("l_returnflag")
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_quantity"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wn))
+      .groupBy("l_returnflag")
+      .agg(((max(when(col("rn") === expr("(n+1) div 2"), col("l_quantity")))
+        + max(when(col("rn") === expr("n div 2 + 1"), col("l_quantity"))))
+        / 2.0).as("median_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  /** X5: approximate percentiles (GK sketch) — the constant-memory
+    * distributed path for quantiles at 100 TB. Sketch-dependent values →
+    * rows-only check. */
+  def approxPercentiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(percentile_approx(col("l_extendedprice"),
+        array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("price_quartiles"))
+      .orderBy("l_returnflag")
+
+  /** X6: pivot with explicit key values (no driver-side distinct pass —
+    * at scale, always enumerate the pivot domain). */
+  def pivotAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(count(lit(1)))
+      .orderBy("l_returnflag")
+
+  /** X6: unpivot/melt — wide measures to long (id, measure, val). */
+  def unpivotMeasures(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_suppkey") <= 2)
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber"), col("l_partkey")),
+        Array(col("l_quantity"), col("l_extendedprice")),
+        "measure", "val")
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "measure", "val")
+
   /** X6: rollup — multi-granularity totals in one pass. */
   def rollupAgg(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)

@@ -1,0 +1,35 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** SQL entry point: the engine's capabilities are equally reachable as
+  * ANSI SQL over registered views (`spark.sql`). The flagship proof is a
+  * TPC-H Q3-shaped query whose text is BYTE-IDENTICAL between Spark and
+  * the DuckDB oracle — same decimal-exact arithmetic conventions, same
+  * result hash.
+  */
+object SqlApi {
+
+  /** Shared ANSI text (runs unmodified on Spark SQL and DuckDB). */
+  val q3Sql: String =
+    """SELECT o_orderkey,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |            (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |  AND l_shipdate > TIMESTAMP '1996-01-01'
+      |GROUP BY o_orderkey
+      |ORDER BY revenue DESC, o_orderkey
+      |LIMIT 10""".stripMargin
+
+  def tpchQ3(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("customer", "orders", "lineitem").foreach { t =>
+      Tables.table(spark, sfDir, t).createOrReplaceTempView(t)
+    }
+    spark.sql(q3Sql)
+  }
+}

@@ -1,5 +1,13 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Driver-contract benchmark: one JSON line with per-query seconds over
+  * `SPARK_GRAFT_SF_DIR`. Also replicates the reference's
+  * create-vs-reuse A/B (`performance_analyzer.py` B1-B4: clear cache,
+  * time cold `CalcAvgLoan`, time warm repeat) as `cache_create_sec` /
+  * `cache_reuse_sec` for direct comparison with BASELINE.md.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +15,36 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    // JVM/codegen warm-up outside the timed region (the reference's
+    // numbers also exclude interpreter start-up; SURVEY §6 caveats).
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    def sec[T](f: => T): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> sec(try fn(spark, sfDir).count() catch { case _: Throwable => -1L })
+    }
+
+    // Reference A/B: cold create vs warm reuse of the partition cache.
+    val cacheDir =
+      java.nio.file.Files.createTempDirectory("graft_bench_cache_").toString
+    val tCreate = sec(
+      operators.PartitionCache.calcAvg(spark, sfDir, cacheDir, "R"))
+    val tReuse = sec(
+      operators.PartitionCache.calcAvg(spark, sfDir, cacheDir, "R"))
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cache_create_sec":$tCreate,"cache_reuse_sec":$tReuse,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

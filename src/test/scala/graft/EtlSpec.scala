@@ -42,6 +42,24 @@ class EtlSpec extends SparkSuite {
     assert(row.isNullAt(0))
   }
 
+  test("partition cache falls back to recreate when the partition is corrupt") {
+    val cacheDir =
+      java.nio.file.Files.createTempDirectory("graft_corrupt_").toString
+    val (v1, s1) = PartitionCache.calcAvg(spark, sf, cacheDir, "A")
+    assert(s1 == "create")
+    // Corrupt the materialized partition: replace its parquet files with
+    // garbage (the reference's DataNode-loss scenario, server.py:118-121).
+    val dir = new java.io.File(s"$cacheDir/l_returnflag=A")
+    dir.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+      java.nio.file.Files.write(f.toPath, "not a parquet file".getBytes)
+    }
+    val (v2, s2) = PartitionCache.calcAvg(spark, sf, cacheDir, "A")
+    assert(s2 == "recreate", s"expected recreate, got $s2")
+    assert(v1 == v2, "recreate must recompute the same value")
+    val (_, s3) = PartitionCache.calcAvg(spark, sf, cacheDir, "A")
+    assert(s3 == "reuse", "cache must be healthy again after recreate")
+  }
+
   test("partition cache runs create on pass 1 and reuse on pass 2, same values") {
     val rows = PartitionCache.protocolTrace(spark, sf).collect()
     assert(rows.length == 6)

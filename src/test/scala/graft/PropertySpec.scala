@@ -11,7 +11,16 @@ import org.scalacheck.rng.Seed
   * aggregation buys us. (Plain ScalaCheck generators with a fixed seed;
   * no scalatest bridge in the offline dep cache.)
   */
-class PropertySpec extends SparkSuite {
+class PropertySpec extends SparkSuite
+  with org.scalatest.BeforeAndAfterAll {
+
+  // The cached scan must not leak into other suites' plans (Spark's
+  // cache manager substitutes InMemoryTableScan by plan match, which
+  // would defeat PlanSpec's pushdown assertions).
+  override def afterAll(): Unit = {
+    li.unpersist(blocking = true)
+    super.afterAll()
+  }
 
   private def samples[A](g: Gen[A], n: Int): Seq[A] =
     (0 until n).flatMap(i =>

@@ -36,6 +36,7 @@ object SparkEntry {
     "x02b_semi_join"      -> (Relational.semiJoin(_, _)),
     "x02c_anti_join"      -> (Relational.antiJoin(_, _)),
     "x02d_star_join"      -> (Relational.starJoin(_, _)),
+    "x02e_correlated"     -> (SqlApi.correlatedSubquery(_, _)),
     "x03_topk"            -> (Relational.topK(_, _)),
     "x04a_window_rank"    -> (Relational.windowRank(_, _)),
     "x04b_window_moving"  -> (Relational.windowMoving(_, _)),
@@ -54,6 +55,8 @@ object SparkEntry {
     "x08d_json_fns"       -> (Relational.jsonFns(_, _)),
     "x08e_array_fns"      -> (Relational.arrayFns(_, _)),
     "x08f_map_fns"        -> (Relational.mapFns(_, _)),
+    "x08g_regexp_fns"     -> (Relational.regexpFns(_, _)),
+    "x08h_higher_order"   -> (Relational.higherOrderFns(_, _)),
     // ---- LLM-pipeline ops (SURVEY §2.4 X9-X11) ----
     "x09a_exact_dedup"    -> (Dedup.exactDedup(_, _)),
     "x09b_minhash_lsh"    -> (Dedup.minhashLsh(_, _)),
@@ -69,6 +72,7 @@ object SparkEntry {
     // ---- streaming (SURVEY §2.4 X12-X13), typed UDAF (X14), multimodal ----
     "x12a_stream_tumbling" -> (graft.streaming.Streaming.tumbling(_, _)),
     "x12b_stream_sliding"  -> (graft.streaming.Streaming.sliding(_, _)),
+    "x12c_stream_static"   -> (graft.streaming.Streaming.streamStaticJoin(_, _)),
     "x13a_stream_dedup"    -> (graft.streaming.Streaming.streamDedup(_, _)),
     "x13b_sessionize"      -> (graft.streaming.Streaming.sessionize(_, _)),
     "x13c_stateful_stats"  -> (graft.streaming.Streaming.statefulUserStats(_, _)),
@@ -167,6 +171,8 @@ object SparkEntry {
          |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
          |JOIN nation ON s_nationkey = n_nationkey
          |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    // Same ANSI text runs on both engines.
+    "x02e_correlated" -> graft.operators.SqlApi.correlatedSql,
     "x03_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
@@ -248,6 +254,12 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'except' AS op, c_custkey
         |  FROM (SELECT c_custkey FROM rich EXCEPT SELECT c_custkey FROM big) e
+        |UNION ALL
+        |SELECT 'intersect_all' AS op, c_custkey
+        |  FROM (SELECT c_custkey FROM rich INTERSECT ALL SELECT c_custkey FROM big) ia
+        |UNION ALL
+        |SELECT 'except_all' AS op, c_custkey
+        |  FROM (SELECT c_custkey FROM rich EXCEPT ALL SELECT c_custkey FROM big) ea
         |ORDER BY op, c_custkey""".stripMargin,
     "x08a_string_fns" ->
       """SELECT p_partkey, UPPER(p_name) AS name_upper,
@@ -291,6 +303,29 @@ object SparkEntry {
         |       CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
         |       2 AS m_size, 'type,k' AS keys
         |FROM events ORDER BY event_id""".stripMargin,
+    "x08g_regexp_fns" ->
+      """SELECT p_partkey,
+        |       regexp_extract(p_name, '[a-z]+') AS first_word,
+        |       regexp_replace(p_type, '[AEIOU]', '_', 'g') AS type_devoweled,
+        |       CAST(regexp_matches(p_brand, '[0-9]$') AS INT) AS brand_ends_digit
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "x08h_higher_order" ->
+      """SELECT vec_id,
+        |       CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_positive,
+        |       CAST(list_sum(list_transform(embedding,
+        |         x -> ABS(CAST(ROUND(CAST(x AS DOUBLE)*1000000) AS BIGINT)))) AS BIGINT) AS l1_q,
+        |       CAST(len(list_filter(embedding,
+        |         x -> ABS(x) > CAST(0.1 AS FLOAT))) AS INT) AS n_large
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "x12c_stream_static" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |       CASE event_type
+        |         WHEN 'click' THEN 'engagement' WHEN 'view' THEN 'engagement'
+        |         WHEN 'purchase' THEN 'revenue' WHEN 'signup' THEN 'growth'
+        |         ELSE 'ops' END AS category,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY day, category""".stripMargin,
     // Streaming batch-equivalence oracles (one batch → no late data, so
     // the event-time windows replay as plain GROUP BYs; SURVEY §5).
     "x12a_stream_tumbling" ->

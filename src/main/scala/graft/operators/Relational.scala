@@ -239,7 +239,9 @@ object Relational {
     val u = rich.union(bigSpenders).distinct().withColumn("op", lit("union"))
     val i = rich.intersect(bigSpenders).withColumn("op", lit("intersect"))
     val e = rich.except(bigSpenders).withColumn("op", lit("except"))
-    u.union(i).union(e)
+    val ia = rich.intersectAll(bigSpenders).withColumn("op", lit("intersect_all"))
+    val ea = rich.exceptAll(bigSpenders).withColumn("op", lit("except_all"))
+    u.union(i).union(e).union(ia).union(ea)
       .select("op", "c_custkey")
       .orderBy("op", "c_custkey")
   }
@@ -311,6 +313,30 @@ object Relational {
         size(col("m")).as("m_size"),
         array_join(map_keys(col("m")), ",").as("keys"))
       .orderBy("event_id")
+
+  /** X8: regexp scalar functions (patterns restricted to constructs
+    * with identical semantics in Java regex and RE2). */
+  def regexpFns(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.part(spark, sfDir)
+      .select(col("p_partkey"),
+        regexp_extract(col("p_name"), "[a-z]+", 0).as("first_word"),
+        regexp_replace(col("p_type"), "[AEIOU]", "_").as("type_devoweled"),
+        col("p_brand").rlike("[0-9]$").cast(IntegerType).as("brand_ends_digit"))
+      .orderBy("p_partkey")
+
+  /** X8: higher-order array functions (lambda transforms executed per
+    * row inside codegen — the array-processing surface LLM pipelines
+    * lean on). Counts/sums over int-quantized values keep it exact. */
+  def higherOrderFns(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        size(filter(col("embedding"), x => x > 0)).as("n_positive"),
+        aggregate(
+          transform(col("embedding"),
+            x => round(x.cast(DoubleType) * 1000000).cast(LongType)),
+          lit(0L), (acc, x) => acc + abs(x)).as("l1_q"),
+        size(filter(col("embedding"), x => abs(x) > lit(0.1f))).as("n_large"))
+      .orderBy("vec_id")
 
   /** X8: array scalar functions over the embedding vectors. */
   def arrayFns(spark: SparkSession, sfDir: String): DataFrame =

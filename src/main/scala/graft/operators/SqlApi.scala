@@ -32,4 +32,20 @@ object SqlApi {
     }
     spark.sql(q3Sql)
   }
+
+  /** Correlated scalar subquery (decorrelated by Catalyst into an
+    * aggregate + join — never a per-row re-execution). Shared ANSI text. */
+  val correlatedSql: String =
+    """SELECT o_orderkey, o_orderstatus
+      |FROM orders
+      |WHERE (SELECT COUNT(*) FROM lineitem
+      |       WHERE l_orderkey = o_orderkey) >= 6
+      |ORDER BY o_orderkey""".stripMargin
+
+  def correlatedSubquery(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("orders", "lineitem").foreach { t =>
+      Tables.table(spark, sfDir, t).createOrReplaceTempView(t)
+    }
+    spark.sql(correlatedSql)
+  }
 }

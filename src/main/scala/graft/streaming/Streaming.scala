@@ -95,6 +95,29 @@ object Streaming {
       .orderBy("user_id", "event_type", "minute")
   }
 
+  /** X12: stream-static join — enrich the event stream with a static
+    * dimension (broadcast to every micro-batch; the standard pattern for
+    * slowly-changing lookup tables in a streaming pipeline), then a
+    * watermarked windowed aggregate per enriched category.
+    */
+  def streamStaticJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dim = Seq(
+      ("click", "engagement"), ("view", "engagement"),
+      ("purchase", "revenue"), ("signup", "growth"), ("error", "ops"))
+      .toDF("event_type", "category")
+    val agg = eventsStream(spark, sfDir)
+      .join(broadcast(dim), "event_type")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"), col("category"))
+      .agg(count(lit(1)).as("n"), Exact.dsum(col("value")).as("sum_value"))
+    runToBatch(agg, "complete")
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("category"), col("n"), col("sum_value"))
+      .orderBy("day", "category")
+  }
+
   /** Typed rows for the custom-state operator. */
   case class Ev(user_id: Long, tsMicros: Long)
   case class UserStats(user_id: Long, n_events: Long,

@@ -63,24 +63,21 @@ object Dedup {
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val ds = shingleIds(Tables.documents(spark, sfDir)).cache()
 
-    // All 16 min-hashes in ONE aggregation pass over the shingle-id
-    // relation (16 min() expressions, map-side combined) — no 16× row
-    // blow-up, no extra shuffle. At 100 TB this is the difference
-    // between one scan and sixteen.
-    val hashParams: Seq[(Int, Long, Long)] = (0 until 16).map { i =>
-      (i, (1103515245L * (i + 1)) % P, (12345L + 2654435761L * i) % P)
-    }
-    val mhCols = hashParams.map { case (i, a, b) =>
-      min((lit(a) * col("sid") + lit(b)) % P).as(s"mh$i")
-    }
-    val mhWide = ds.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+    // All 16 min-hashes in ONE aggregation pass via the sketch-style
+    // custom aggregate (graft.plans.MinHashAgg): the shingle-id set
+    // collapses map-side into a 16-long buffer per document — no 16×
+    // row blow-up, no extra shuffle, 128 bytes per doc on the wire.
+    graft.plans.MinHashAgg.register(spark)
+    val mhWide = ds.groupBy("doc_id")
+      .agg(expr(s"${graft.plans.MinHashAgg.name}(sid)").as("mh"))
 
     // Band signature: order-free weighted sum of the band's 4 min-hashes
     // (weights 31^k) — one BIGINT key per (doc, band), join-able without
     // any array/string aggregation.
     val weights = Seq(1L, 31L, 961L, 29791L)
     def bandKey(bd: Int) =
-      (0 until 4).map(r => col(s"mh${bd * 4 + r}") * weights(r)).reduce(_ + _)
+      (0 until 4).map(r =>
+        element_at(col("mh"), bd * 4 + r + 1) * weights(r)).reduce(_ + _)
     val bands = mhWide.select(col("doc_id"), explode(array(
         (0 until 4).map(bd =>
           struct(lit(bd).as("band"), bandKey(bd).as("bandkey"))): _*)).as("bb"))

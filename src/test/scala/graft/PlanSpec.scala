@@ -47,6 +47,18 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), "corpus must not shuffle for the score join")
   }
 
+  test("partitionBy layout gives partition-pruned reads") {
+    val out = java.nio.file.Files.createTempDirectory("graft_prune_").toString
+    spark.read.parquet(s"$sf/lineitem.parquet")
+      .write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    val df = spark.read.parquet(out)
+      .filter(org.apache.spark.sql.functions.col("l_returnflag") === "R")
+      .groupBy().count()
+    val p = plan(df)
+    assert(p.contains("PartitionFilters: [isnotnull(l_returnflag"),
+      s"expected partition pruning in:\n$p")
+  }
+
   test("whole-stage codegen covers the flagship aggregate") {
     // Under AQE the final (codegen'd) plan exists only after the
     // DataFrame's own queryExecution runs (collect, not count — count

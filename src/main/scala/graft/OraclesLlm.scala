@@ -110,6 +110,32 @@ object OraclesLlm {
          |              JOIN sizes sb ON i.doc_b=sb.doc_id
          |WHERE CAST(i.inter AS DOUBLE)/(sa.n + sb.n - i.inter) >= 0.6
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "x09f_embedding_dedup" ->
+      s"""WITH $vecCtes,
+         |hyp AS (SELECT j, pos,
+         |          2*((1103515245*(j*64+pos)+12345) % 1000003) - 1000003 AS wnum
+         |        FROM range(0,8) t(j), range(1,65) r(pos)),
+         |proj AS (SELECT e.vec_id, h.j, CAST(SUM(e.q*h.wnum) AS BIGINT) AS p
+         |         FROM exq e JOIN hyp h ON e.pos = h.pos GROUP BY 1, 2),
+         |buck AS (SELECT vec_id,
+         |           CAST(SUM(CASE WHEN p >= 0
+         |               THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+         |               ELSE 0 END) AS BIGINT) AS bucket
+         |         FROM proj GROUP BY vec_id),
+         |pairs AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |          FROM buck a JOIN buck b
+         |            ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |dots AS (SELECT p.vec_a, p.vec_b, CAST(SUM(qa.q*qb.q) AS BIGINT) AS dot
+         |         FROM pairs p JOIN exq qa ON qa.vec_id = p.vec_a
+         |                      JOIN exq qb ON qb.vec_id = p.vec_b AND qb.pos = qa.pos
+         |         GROUP BY 1, 2),
+         |cosv AS (SELECT vec_a, vec_b,
+         |           CAST(dot AS DOUBLE) /
+         |             (SQRT(CAST(na.n2 AS DOUBLE))*SQRT(CAST(nb.n2 AS DOUBLE))) AS cosine
+         |         FROM dots JOIN norms na ON vec_a = na.vec_id
+         |                   JOIN norms nb ON vec_b = nb.vec_id)
+         |SELECT vec_a, vec_b, cosine FROM cosv
+         |WHERE cosine >= 0.45 ORDER BY vec_a, vec_b""".stripMargin,
     "x10a_cosine_topk" ->
       s"""WITH $vecCtes,
          |dots AS (SELECT q.vec_id AS query_id, e.vec_id AS vec_id,

@@ -63,6 +63,7 @@ object SparkEntry {
     "x09c_simhash"        -> (Dedup.simhash(_, _)),
     "x09d_simhash_pairs"  -> (Dedup.simhashPairs(_, _)),
     "x09e_ngram_jaccard"  -> (Dedup.ngramJaccard(_, _)),
+    "x09f_embedding_dedup" -> ((s, d) => Similarity.embeddingNearDup(s, d)),
     "x10a_cosine_topk"    -> ((s, d) => Similarity.cosineTopK(s, d)),
     "x10b_ann_lsh"        -> ((s, d) => Similarity.annLsh(s, d)),
     "x11a_lang_id"        -> (TextAnalysis.langId(_, _)),
@@ -76,6 +77,7 @@ object SparkEntry {
     "x13a_stream_dedup"    -> (graft.streaming.Streaming.streamDedup(_, _)),
     "x13b_sessionize"      -> (graft.streaming.Streaming.sessionize(_, _)),
     "x13c_stateful_stats"  -> (graft.streaming.Streaming.statefulUserStats(_, _)),
+    "x13d_active_hours"    -> (graft.streaming.Streaming.userActiveHours(_, _)),
     "x14_typed_udaf"       -> (graft.functions.TypedAggs.l2Query(_, _)),
     "xm1_multimodal_meta"  -> (Multimodal.binaryMeta(_, _)),
     "x15_sql_api"          -> (SqlApi.tpchQ3(_, _)),
@@ -363,6 +365,10 @@ object SparkEntry {
         |       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS first_ts,
         |       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_ts
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "x13d_active_hours" ->
+      """SELECT DISTINCT user_id,
+        |       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS active_hour
+        |FROM events ORDER BY user_id, active_hour""".stripMargin,
     "x14_typed_udaf" ->
       """SELECT l_returnflag, SQRT(SUM(l_quantity*l_quantity)) AS qty_l2norm,
         |       COUNT(*) AS n

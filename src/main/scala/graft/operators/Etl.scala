@@ -85,4 +85,15 @@ object Etl {
   /** O16: row-count observability (`server.py:42,58` — rows-written status). */
   def rowCount(spark: SparkSession, sfDir: String): DataFrame =
     extract(spark, sfDir).agg(count(lit(1)).as("n_rows"))
+
+  /** O16 extended: in-flight pipeline metrics via `observe` — counters
+    * computed during the pass itself (no second job), the way a 100 TB
+    * ETL reports rows-written/bytes without re-scanning. Metrics surface
+    * through `df.queryExecution.observedMetrics` / listeners (see
+    * EtlSpec).
+    */
+  def extractObserved(spark: SparkSession, sfDir: String): DataFrame =
+    extract(spark, sfDir).observe("etl_metrics",
+      count(lit(1)).as("rows_out"),
+      graft.functions.Exact.dsum(col("l_extendedprice")).as("sum_price"))
 }

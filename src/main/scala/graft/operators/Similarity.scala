@@ -65,6 +65,27 @@ object Similarity {
     topkOf(scored, k)
   }
 
+  /** X9/X10: embedding-cosine near-duplicate pairs — ALL same-bucket
+    * pairs (not just the query set) scored with the fused dot and
+    * thresholded. This is vector-level corpus dedup: at 100 TB the
+    * bucket key partitions the similarity join so each task scores one
+    * bucket's O(k²) pairs instead of the corpus's O(N²).
+    */
+  def embeddingNearDup(spark: SparkSession, sfDir: String,
+                       threshold: Double = 0.45): DataFrame = {
+    val all = quantized(spark, sfDir).join(bucketsOf(spark, sfDir), "vec_id")
+    val a = all.select(col("bucket"), col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"), col("n2").as("n2_a"))
+    val b = all.select(col("bucket"), col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"), col("n2").as("n2_b"))
+    a.join(b, Seq("bucket")).filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        VectorOps.cosineFromQ(expr("quantized_dot(emb_a, emb_b)"),
+          col("n2_a"), col("n2_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** LSH-bucketed approximate top-k (k=3): sign-of-projection onto 8
     * fixed pseudo-random hyperplanes → bucket key → candidates share the
     * bucket → exact cosine within candidates only.
@@ -74,7 +95,10 @@ object Similarity {
     * 1000003`; the projection sign is evaluated on the integer numerator
     * `sum(qv * (2r - 1000003))` — exact.
     */
-  def annLsh(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+  /** LSH bucket signature per vector: sign of the projection onto 8
+    * fixed pseudo-random hyperplanes, evaluated in exact integer
+    * arithmetic (weight numerators `2r - 1000003`). */
+  private def bucketsOf(spark: SparkSession, sfDir: String): DataFrame = {
     val ex = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"),
         posexplode(VectorOps.quantize(col("embedding"))).as(Seq("pos0", "qv")))
@@ -85,14 +109,16 @@ object Similarity {
       .withColumn("wnum",
         lit(2L) * ((lit(1103515245L) * (col("j") * Dims + col("pos"))
           + lit(12345L)) % lit(1000003L)) - lit(1000003L))
-    val buckets = ex.join(broadcast(hyper), "pos")
+    ex.join(broadcast(hyper), "pos")
       .groupBy("vec_id", "j").agg(sum(col("qv") * col("wnum")).as("p"))
       .groupBy("vec_id")
       .agg(sum(when(col("p") >= 0,
         expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))"))
         .otherwise(0L)).as("bucket"))
+  }
 
-    val all = quantized(spark, sfDir).join(buckets, "vec_id")
+  def annLsh(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    val all = quantized(spark, sfDir).join(bucketsOf(spark, sfDir), "vec_id")
     val q = all.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("n2").as("q_n2"), col("bucket"))

@@ -158,6 +158,37 @@ object Streaming {
       .orderBy("user_id")
   }
 
+  /** X13: `flatMapGroupsWithState` — zero-or-more outputs per group per
+    * batch: emits one row per user per HOUR bucket seen (a per-user
+    * activity calendar), keeping the seen-hours set in typed state. The
+    * flatMap sibling of [[statefulUserStats]], completing the arbitrary-
+    * state API surface.
+    */
+  def userActiveHours(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val evs = eventsStream(spark, sfDir)
+      .select(col("user_id"),
+        // integer div, NOT `/` (double division could round across an
+        // hour boundary at epoch-micros magnitudes)
+        expr("unix_micros(ts) div 3600000000").as("hourIdx"))
+      .as[(Long, Long)]
+    val out = evs.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[(Long, Long)], state: GroupState[Set[Long]]) =>
+          val seen = state.getOption.getOrElse(Set.empty[Long])
+          val fresh = it.map(_._2).toSet -- seen
+          state.update(seen ++ fresh)
+          fresh.toSeq.sorted.map(h => (uid, h)).iterator
+      }
+    runToBatch(out.toDF("user_id", "hour_idx"), "append")
+      .select(col("user_id"),
+        date_format(timestamp_micros(col("hour_idx") * 3600000000L),
+          "yyyy-MM-dd HH:00").as("active_hour"))
+      .orderBy("user_id", "active_hour")
+  }
+
   /** X13: sessionization — 30-minute-gap session windows per user
     * (session ends 30 min after its last event; an event exactly at the
     * previous session's end starts a new one). Uses the native

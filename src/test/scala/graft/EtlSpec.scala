@@ -35,6 +35,14 @@ class EtlSpec extends SparkSuite {
     assert(got == expected)
   }
 
+  test("observe() reports in-flight metrics without a second scan") {
+    val df = Etl.extractObserved(spark, sf)
+    df.collect()
+    val m = df.queryExecution.observedMetrics("etl_metrics")
+    assert(m.getAs[Long]("rows_out") == Etl.extract(spark, sf).count())
+    assert(m.getAs[Double]("sum_price") > 0)
+  }
+
   test("avg over an empty group returns null, not a crash (pinned semantics)") {
     // The reference crashes on an empty county (int(NaN), server.py:128);
     // our engine defines the behavior: SQL-standard NULL.

@@ -29,6 +29,22 @@ object OraclesLlm {
       |       FROM (SELECT DISTINCT shingle FROM sh)),
       |ds AS (SELECT doc_id, sid FROM sh JOIN sv USING (shingle))""".stripMargin
 
+  /** Bigram-Jaccard near-dup pairs `npairs(doc_a, doc_b, jaccard)`
+    * (mirrors Dedup.ngramJaccard; requires the `toks` CTE). */
+  private val ngramPairCtes =
+    """g0 AS (SELECT a.doc_id, a.tok||' '||b.tok AS gram
+      |       FROM toks a JOIN toks b ON a.doc_id=b.doc_id AND b.ord=a.ord+1),
+      |grams AS (SELECT DISTINCT doc_id, gram FROM g0),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+      |inters AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS inter
+      |           FROM grams x JOIN grams y
+      |             ON x.gram=y.gram AND x.doc_id<y.doc_id GROUP BY 1,2),
+      |npairs AS (SELECT i.doc_a, i.doc_b,
+      |             CAST(i.inter AS DOUBLE)/(sa.n + sb.n - i.inter) AS jaccard
+      |           FROM inters i JOIN sizes sa ON i.doc_a=sa.doc_id
+      |                         JOIN sizes sb ON i.doc_b=sb.doc_id
+      |           WHERE CAST(i.inter AS DOUBLE)/(sa.n + sb.n - i.inter) >= 0.6)""".stripMargin
+
   /** SimHash per-doc fingerprints (mirrors Dedup.simhash). */
   private val simhashCtes =
     s"""$toks,
@@ -97,19 +113,21 @@ object OraclesLlm {
          |ORDER BY doc_a, doc_b""".stripMargin,
     "x09e_ngram_jaccard" ->
       s"""WITH $toks,
-         |g0 AS (SELECT a.doc_id, a.tok||' '||b.tok AS gram
-         |       FROM toks a JOIN toks b ON a.doc_id=b.doc_id AND b.ord=a.ord+1),
-         |grams AS (SELECT DISTINCT doc_id, gram FROM g0),
-         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
-         |inters AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS inter
-         |           FROM grams x JOIN grams y
-         |             ON x.gram=y.gram AND x.doc_id<y.doc_id GROUP BY 1,2)
-         |SELECT i.doc_a, i.doc_b,
-         |       CAST(i.inter AS DOUBLE)/(sa.n + sb.n - i.inter) AS jaccard
-         |FROM inters i JOIN sizes sa ON i.doc_a=sa.doc_id
-         |              JOIN sizes sb ON i.doc_b=sb.doc_id
-         |WHERE CAST(i.inter AS DOUBLE)/(sa.n + sb.n - i.inter) >= 0.6
+         |$ngramPairCtes
+         |SELECT doc_a, doc_b, jaccard FROM npairs
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "x09g_dedup_clusters" ->
+      s"""WITH RECURSIVE $toks,
+         |$ngramPairCtes,
+         |e AS (SELECT doc_a AS s, doc_b AS d FROM npairs
+         |      UNION ALL SELECT doc_b, doc_a FROM npairs),
+         |reach(s, d) AS (SELECT s, d FROM e
+         |                UNION
+         |                SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s),
+         |verts AS (SELECT DISTINCT s FROM e)
+         |SELECT v.s AS doc_id, LEAST(v.s, MIN(r.d)) AS cluster_id
+         |FROM verts v JOIN reach r ON r.s = v.s
+         |GROUP BY v.s ORDER BY doc_id""".stripMargin,
     "x09f_embedding_dedup" ->
       s"""WITH $vecCtes,
          |hyp AS (SELECT j, pos,

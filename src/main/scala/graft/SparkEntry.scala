@@ -64,6 +64,7 @@ object SparkEntry {
     "x09d_simhash_pairs"  -> (Dedup.simhashPairs(_, _)),
     "x09e_ngram_jaccard"  -> (Dedup.ngramJaccard(_, _)),
     "x09f_embedding_dedup" -> ((s, d) => Similarity.embeddingNearDup(s, d)),
+    "x09g_dedup_clusters" -> (Dedup.dedupClusters(_, _)),
     "x10a_cosine_topk"    -> ((s, d) => Similarity.cosineTopK(s, d)),
     "x10b_ann_lsh"        -> ((s, d) => Similarity.annLsh(s, d)),
     "x11a_lang_id"        -> (TextAnalysis.langId(_, _)),
@@ -81,6 +82,7 @@ object SparkEntry {
     "x14_typed_udaf"       -> (graft.functions.TypedAggs.l2Query(_, _)),
     "xm1_multimodal_meta"  -> (Multimodal.binaryMeta(_, _)),
     "x15_sql_api"          -> (SqlApi.tpchQ3(_, _)),
+    "x16_asof_join"        -> (Relational.asofAttribution(_, _)),
   )
 
   // DuckDB decimal-exact fragments mirrored from graft.functions.Exact.
@@ -375,6 +377,20 @@ object SparkEntry {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // Identical ANSI text runs on both engines (SqlApi.q3Sql).
     "x15_sql_api" -> graft.operators.SqlApi.q3Sql,
+    "x16_asof_join" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type, ts FROM events
+        |            WHERE event_type IN ('click', 'purchase')),
+        |w AS (SELECT *,
+        |        LAST_VALUE(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+        |          OVER (PARTITION BY user_id ORDER BY ts, event_type, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |          AS last_click_ts
+        |      FROM ev)
+        |SELECT event_id, user_id,
+        |       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+        |       strftime(last_click_ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts
+        |FROM w WHERE event_type = 'purchase'
+        |ORDER BY user_id, purchase_ts, event_id""".stripMargin,
     "xm1_multimodal_meta" ->
       """SELECT doc_id,
         |       CAST(octet_length(encode(text)) AS INT) AS n_bytes,

@@ -160,6 +160,43 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Near-dup clusters: connected components over the n-gram-Jaccard
+    * pair graph, labeled by the component's minimum doc_id — the step
+    * that turns pairwise near-dup hits into "keep one per cluster"
+    * corpus dedup. Iterative min-label propagation (the small-star
+    * backbone of large-scale CC): each round is one keyed join +
+    * aggregate; component diameters of near-dup graphs are tiny, so it
+    * converges in a few rounds. Oracle: recursive-CTE transitive
+    * closure in DuckDB.
+    */
+  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = ngramJaccard(spark, sfDir)
+      .select(col("doc_a"), col("doc_b")).cache()
+    val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
+    var labels = sym.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")).cache()
+    var changed = true
+    var iter = 0
+    while (changed && iter < 20) {
+      val neighborMin = sym
+        .join(labels.select(col("doc_id").as("dst"), col("label")), "dst")
+        .groupBy(col("src").as("doc_id")).agg(min("label").as("nmin"))
+      val updated = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .cache()
+      changed = updated
+        .join(labels.withColumnRenamed("label", "old"), "doc_id")
+        .filter(col("label") =!= col("old")).limit(1).count() > 0
+      labels = updated
+      iter += 1
+    }
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   /** N-gram (bigram) Jaccard similarity via inverted-index candidate
     * generation: docs sharing at least one bigram are joined through the
     * bigram (an equi-join — the classic scalable near-dup plan), then

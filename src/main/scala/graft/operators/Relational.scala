@@ -246,6 +246,35 @@ object Relational {
       .orderBy("op", "c_custkey")
   }
 
+  /** X16: as-of join (event-time attribution) — each `purchase` event
+    * matched to the same user's most recent prior-or-simultaneous
+    * `click`. Composed from a tagged union + running `last_value` over
+    * the merged timeline (SURVEY §7.4 preference (a): builtins express
+    * the semantics — one shuffle on user_id, no custom physical
+    * operator needed). The classic join for attribution/feature
+    * pipelines; at scale it stays a single keyed window, never a range
+    * cross join.
+    */
+  def asofAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("click", "purchase"))
+    // clicks sort before purchases at the same (ts) via the tag so a
+    // simultaneous click is visible to the purchase.
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_type"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.withColumn("last_click_ts",
+        last(when(col("event_type") === "click", col("ts")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("purchase_ts"),
+        date_format(col("last_click_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("click_ts"))
+      .orderBy("user_id", "purchase_ts", "event_id")
+  }
+
   /** X8: string scalar functions over `part`. */
   def stringFns(spark: SparkSession, sfDir: String): DataFrame =
     Tables.part(spark, sfDir)

@@ -36,6 +36,20 @@ class DedupSimilaritySpec extends SparkSuite {
     assert((mh & hs).nonEmpty, "the two near-dup detectors should agree somewhere")
   }
 
+  test("dedup clusters are consistent with the pair graph") {
+    val pairs = Dedup.ngramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val labels = Dedup.dedupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.foreach { case (a, b) =>
+      assert(labels(a) == labels(b), s"pair ($a,$b) split across clusters")
+    }
+    // every label is the minimum member of its component
+    labels.groupBy(_._2).foreach { case (cl, members) =>
+      assert(members.keys.min == cl)
+    }
+  }
+
   test("brute-force top-k matches a naive driver-side computation for one query") {
     val got = Similarity.cosineTopK(spark, sf).collect()
       .filter(_.getLong(0) == 0).sortBy(_.getInt(1))

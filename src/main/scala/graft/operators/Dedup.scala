@@ -177,9 +177,14 @@ object Dedup {
       .cache()
     var labels = sym.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id")).cache()
-    var changed = true
+    // Labels only ever decrease, so the label-sum is a monotone
+    // potential: fixpoint ⇔ sum unchanged (one cheap aggregate per
+    // round instead of a join-based diff).
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum("label")).head().getLong(0)
+    var prevSum = labelSum(labels)
     var iter = 0
-    while (changed && iter < 20) {
+    while (iter < 20) {
       val neighborMin = sym
         .join(labels.select(col("doc_id").as("dst"), col("label")), "dst")
         .groupBy(col("src").as("doc_id")).agg(min("label").as("nmin"))
@@ -187,11 +192,11 @@ object Dedup {
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
         .cache()
-      changed = updated
-        .join(labels.withColumnRenamed("label", "old"), "doc_id")
-        .filter(col("label") =!= col("old")).limit(1).count() > 0
+      val s = labelSum(updated)
+      labels.unpersist()
       labels = updated
       iter += 1
+      if (s == prevSum) iter = 20 else prevSum = s
     }
     labels.select(col("doc_id"), col("label").as("cluster_id"))
       .orderBy("doc_id")

@@ -25,7 +25,10 @@ object Etl {
     * Deterministic output order on the (orderkey, linenumber) PK so the
     * driver's hash compare is stable.
     */
-  def extract(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The extract WITHOUT the determinism sort — for consumers that
+    * aggregate or re-write the rows (a global sort before a sink/agg is
+    * pure wasted shuffle at scale). */
+  def extractUnsorted(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
     val o = Tables.orders(spark, sfDir)
     li.join(o, li("l_orderkey") === o("o_orderkey"), "inner")
@@ -36,11 +39,14 @@ object Etl {
         col("l_discount"), col("l_returnflag"),
         col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
         col("o_orderpriority"))
-      // (l_orderkey, l_linenumber) is NOT unique in the synthetic fixture —
-      // extend the sort until total so the hash compare is stable.
+  }
+
+  def extract(spark: SparkSession, sfDir: String): DataFrame =
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic fixture —
+    // extend the sort until total so the hash compare is stable.
+    extractUnsorted(spark, sfDir)
       .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
         "l_extendedprice")
-  }
 
   /** O5+O6: Parquet sink partitioned by a pruning key, then re-read.
     * Mirrors the reference's HDFS Parquet write (`server.py:44-54`) but
@@ -51,7 +57,7 @@ object Etl {
     */
   def sinkRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     val out = java.nio.file.Files.createTempDirectory("graft_sink_").toString
-    extract(spark, sfDir)
+    extractUnsorted(spark, sfDir)
       .write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
     spark.read.parquet(out)
       .groupBy("l_returnflag").agg(count(lit(1)).as("n_rows"))
@@ -84,7 +90,7 @@ object Etl {
 
   /** O16: row-count observability (`server.py:42,58` — rows-written status). */
   def rowCount(spark: SparkSession, sfDir: String): DataFrame =
-    extract(spark, sfDir).agg(count(lit(1)).as("n_rows"))
+    extractUnsorted(spark, sfDir).agg(count(lit(1)).as("n_rows"))
 
   /** O16 extended: in-flight pipeline metrics via `observe` — counters
     * computed during the pass itself (no second job), the way a 100 TB

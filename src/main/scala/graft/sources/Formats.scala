@@ -19,7 +19,7 @@ object Formats {
     * textual round-trips — Spark emits shortest-roundtrip literals.)
     */
   def roundtrip(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = graft.operators.Etl.extract(spark, sfDir)
+    val base = graft.operators.Etl.extractUnsorted(spark, sfDir)
       .select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
     val dir = java.nio.file.Files.createTempDirectory("graft_formats_").toString
 

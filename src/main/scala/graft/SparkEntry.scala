@@ -40,6 +40,7 @@ object SparkEntry {
     "x03_topk"            -> (Relational.topK(_, _)),
     "x04a_window_rank"    -> (Relational.windowRank(_, _)),
     "x04b_window_moving"  -> (Relational.windowMoving(_, _)),
+    "x04c_window_range"   -> (Relational.windowRangeFrame(_, _)),
     "x05_distinct"        -> (Relational.distinctAgg(_, _)),
     "x05b_approx_distinct" -> (Relational.approxDistinct(_, _)),
     "x05c_median"         -> (Relational.medianAgg(_, _)),
@@ -47,6 +48,7 @@ object SparkEntry {
     "x06a_rollup"         -> (Relational.rollupAgg(_, _)),
     "x06b_cube"           -> (Relational.cubeAgg(_, _)),
     "x06c_pivot"          -> (Relational.pivotAgg(_, _)),
+    "x06e_grouping_sets"  -> (SqlApi.groupingSets(_, _)),
     "x06d_unpivot"        -> (Relational.unpivotMeasures(_, _)),
     "x07_setops"          -> (Relational.setOps(_, _)),
     "x08a_string_fns"     -> (Relational.stringFns(_, _)),
@@ -75,6 +77,7 @@ object SparkEntry {
     "x12a_stream_tumbling" -> (graft.streaming.Streaming.tumbling(_, _)),
     "x12b_stream_sliding"  -> (graft.streaming.Streaming.sliding(_, _)),
     "x12c_stream_static"   -> (graft.streaming.Streaming.streamStaticJoin(_, _)),
+    "x12d_stream_stream"   -> (graft.streaming.Streaming.streamStreamJoin(_, _)),
     "x13a_stream_dedup"    -> (graft.streaming.Streaming.streamDedup(_, _)),
     "x13b_sessionize"      -> (graft.streaming.Streaming.sessionize(_, _)),
     "x13c_stateful_stats"  -> (graft.streaming.Streaming.statefulUserStats(_, _)),
@@ -201,6 +204,12 @@ object SparkEntry {
         |FROM lineitem WHERE l_suppkey <= 5
         |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_partkey,
         |  l_extendedprice""".stripMargin,
+    "x04c_window_range" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_returnflag, l_quantity,
+        |       COUNT(*) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+        |         RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS n_near_qty
+        |FROM lineitem WHERE l_suppkey <= 3
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity, l_returnflag""".stripMargin,
     "x05_distinct" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
         |       COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
@@ -234,6 +243,8 @@ object SparkEntry {
         |       'l_extendedprice' AS measure, l_extendedprice AS val
         |FROM lineitem WHERE l_suppkey <= 2
         |ORDER BY l_orderkey, l_linenumber, l_partkey, measure, val""".stripMargin,
+    // Identical ANSI text runs on both engines (SqlApi.groupingSetsSql).
+    "x06e_grouping_sets" -> graft.operators.SqlApi.groupingSetsSql,
     "x06a_rollup" ->
       s"""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
          |       COALESCE(l_linestatus, 'ALL') AS linestatus,
@@ -343,6 +354,14 @@ object SparkEntry {
         |           FROM events)
         |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, COUNT(*) AS n
         |FROM b GROUP BY ws ORDER BY window_start""".stripMargin,
+    "x12d_stream_stream" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+        |       p.user_id
+        |FROM events p JOIN events c
+        |  ON p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND p.user_id = c.user_id
+        | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+        |ORDER BY purchase_id, click_id""".stripMargin,
     "x13a_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type,
         |       strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS minute

@@ -138,6 +138,22 @@ object Relational {
         "l_partkey", "l_extendedprice")
   }
 
+  /** X4: value-RANGE frame window — peers defined by the ordering
+    * VALUE (±2 quantity units), not row positions, so the result is
+    * tie-order independent by construction. */
+  def windowRangeFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("l_returnflag").orderBy(col("l_quantity"))
+      .rangeBetween(-2, 2)
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_suppkey") <= 3)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_returnflag"), col("l_quantity"))
+      .withColumn("n_near_qty", count(lit(1)).over(w))
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_quantity",
+        "l_returnflag")
+  }
+
   /** X5: exact distinct counts per group (expand + two-phase aggregate). */
   def distinctAgg(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)

@@ -48,4 +48,23 @@ object SqlApi {
     }
     spark.sql(correlatedSql)
   }
+
+  /** Explicit GROUPING SETS (the general form rollup/cube compile to),
+    * with GROUPING() disambiguating the all-rows from the null-key
+    * stratum. Shared ANSI text. */
+  val groupingSetsSql: String =
+    """SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
+      |       COALESCE(l_linestatus, '(all)') AS linestatus,
+      |       CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+      |       CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+      |       COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+      |                        (l_returnflag, l_linestatus))
+      |ORDER BY returnflag, linestatus, g_flag, g_status""".stripMargin
+
+  def groupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.table(spark, sfDir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(groupingSetsSql)
+  }
 }

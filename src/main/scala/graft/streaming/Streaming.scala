@@ -118,6 +118,33 @@ object Streaming {
       .orderBy("day", "category")
   }
 
+  /** X12: stream-stream inner join — purchases joined to the same
+    * user's clicks within the preceding hour, both sides watermarked so
+    * join state is bounded by the time-range condition (the canonical
+    * two-stream pattern; state eviction follows the watermark + interval
+    * bound). Batch-equivalence oracle: with one batch it is exactly the
+    * interval self-join.
+    */
+  def streamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val clicks = eventsStream(spark, sfDir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = eventsStream(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", "2 hours")
+    val joined = purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+    runToBatch(joined, "append")
+      .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"))
+      .orderBy("purchase_id", "click_id")
+  }
+
   /** Typed rows for the custom-state operator. */
   case class Ev(user_id: Long, tsMicros: Long)
   case class UserStats(user_id: Long, n_events: Long,

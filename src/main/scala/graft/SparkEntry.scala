@@ -86,6 +86,8 @@ object SparkEntry {
     "xm1_multimodal_meta"  -> (Multimodal.binaryMeta(_, _)),
     "x15_sql_api"          -> (SqlApi.tpchQ3(_, _)),
     "x16_asof_join"        -> (Relational.asofAttribution(_, _)),
+    "x17_train_test_split" -> (TextAnalysis.trainTestSplit(_, _)),
+    "x18_profile"          -> (Relational.profileMeasures(_, _)),
   )
 
   // DuckDB decimal-exact fragments mirrored from graft.functions.Exact.
@@ -396,6 +398,26 @@ object SparkEntry {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // Identical ANSI text runs on both engines (SqlApi.q3Sql).
     "x15_sql_api" -> graft.operators.SqlApi.q3Sql,
+    "x17_train_test_split" ->
+      """SELECT CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'valid'
+        |            ELSE 'test' END AS split,
+        |       COUNT(*) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        |FROM (SELECT doc_id, n_chars,
+        |        ((doc_id * 2654435761) % 2147483647) % 10 AS b
+        |      FROM documents) s
+        |GROUP BY 1 ORDER BY split""".stripMargin,
+    "x18_profile" ->
+      s"""WITH m AS (
+         |  SELECT 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+         |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+         |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+         |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+         |SELECT measure, COUNT(*) AS n, COUNT(DISTINCT val) AS n_distinct,
+         |       MIN(val) AS min_val, MAX(val) AS max_val,
+         |       ${davg("val")} AS mean_val
+         |FROM m GROUP BY measure ORDER BY measure""".stripMargin,
     "x16_asof_join" ->
       """WITH ev AS (SELECT event_id, user_id, event_type, ts FROM events
         |            WHERE event_type IN ('click', 'purchase')),

@@ -221,6 +221,24 @@ object Relational {
         "measure", "val")
       .orderBy("l_orderkey", "l_linenumber", "l_partkey", "measure", "val")
 
+  /** Data profiling: per-measure column statistics in one pass over the
+    * unpivoted measures (count, distinct, min/max, exact mean) — the
+    * data-quality summary a pipeline runs before training on a new
+    * source.
+    */
+  def profileMeasures(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .unpivot(Array.empty[org.apache.spark.sql.Column],
+        Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        "measure", "val")
+      .groupBy("measure")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("val")).as("n_distinct"),
+        min(col("val")).as("min_val"), max(col("val")).as("max_val"),
+        davg(col("val")).as("mean_val"))
+      .orderBy("measure")
+
   /** X6: rollup — multi-granularity totals in one pass. */
   def rollupAgg(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)

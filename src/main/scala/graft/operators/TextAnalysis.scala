@@ -98,6 +98,26 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Train/valid/test corpus split by a deterministic linear hash of the
+    * document key (80/10/10) — the reproducible-split primitive every
+    * training pipeline needs: stable under reruns, engine-independent
+    * (no RNG, no engine-native hash), and shardable (the split column
+    * can drive a partitioned write). Emits per-split counts + exact
+    * content totals as the auditable summary.
+    */
+  def trainTestSplit(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("bucket",
+        ((col("doc_id") * lit(2654435761L)) % lit(2147483647L)) % 10)
+      .withColumn("split",
+        when(col("bucket") < 8, "train")
+          .when(col("bucket") === 8, "valid").otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy("split")
+
   /** Position-sensitive document fingerprint: XOR-fold of a linear hash
     * of (vocab token id, position). Two docs share a fingerprint iff they
     * are (with overwhelming probability) the same token sequence — an

@@ -29,6 +29,7 @@ object SparkEntry {
     "o13_block_locations" -> (graft.sources.StorageMeta.blocksPerHost(_, _)),
     "o14_explode_count"   -> (Etl.explodeCount(_, _)),
     "of1_format_roundtrip" -> (graft.sources.Formats.roundtrip(_, _)),
+    "of2_incremental_append" -> (Etl.incrementalAppend(_, _)),
     "o16_row_count"       -> (Etl.rowCount(_, _)),
     // ---- relational breadth (SURVEY §2.4 X1-X8) ----
     "x01_grouped_agg"     -> (Relational.groupedAgg(_, _)),
@@ -136,6 +137,11 @@ object SparkEntry {
          |SELECT f.format, a.l_returnflag, a.n, a.sum_price
          |FROM agg a, (VALUES ('csv'), ('json'), ('orc')) f(format)
          |ORDER BY f.format, a.l_returnflag""".stripMargin,
+    // Per-year counts survive the overlap-append iff ingestion was
+    // exactly-once by key — so the oracle is just the clean totals.
+    "of2_incremental_append" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year, COUNT(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY o_year""".stripMargin,
     "o14_explode_count" ->
       """SELECT token, COUNT(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)

@@ -26,6 +26,15 @@ class TextMultimodalSpec extends SparkSuite {
     assert(a == b)
   }
 
+  test("train/valid/test split partitions the corpus exactly") {
+    val rows = graft.operators.TextAnalysis.trainTestSplit(spark, sf).collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq == Seq("test", "train", "valid"))
+    assert(rows.map(_.getLong(1)).sum == nDocs)
+    // deterministic across runs
+    val again = graft.operators.TextAnalysis.trainTestSplit(spark, sf).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("multimodal decode stub runs per-partition and yields sane features") {
     val feats = Multimodal.decodeStub(Multimodal.asMediaTable(spark, sf))
       .collect()

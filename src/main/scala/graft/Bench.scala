@@ -29,11 +29,26 @@ object Bench {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
+    // Per-query timing with explicit failure capture: a query that throws
+    // is reported in `errors` (and its time covers only the failed run) —
+    // never silently counted as a fast success.
+    var errors = Map.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> sec(try fn(spark, sfDir).count() catch { case _: Throwable => -1L })
+      name -> sec(
+        try fn(spark, sfDir).count()
+        catch { case e: Throwable =>
+          errors += name -> e.toString.takeWhile(_ != '\n').take(200)
+        })
     }
 
-    // Reference A/B: cold create vs warm reuse of the partition cache.
+    // Reference A/B: cold create vs warm reuse of the partition cache
+    // (performance_analyzer.py B1-B4). The write path is warmed ONCE on a
+    // throwaway dir first — the reference's numbers come from a long-lived
+    // server process, so a cold-JVM first write would overstate create by
+    // the one-off committer/codec init cost, not the query cost.
+    val warmDir =
+      java.nio.file.Files.createTempDirectory("graft_bench_warm_").toString
+    operators.PartitionCache.calcAvg(spark, sfDir, warmDir, "R")
     val cacheDir =
       java.nio.file.Files.createTempDirectory("graft_bench_cache_").toString
     val tCreate = sec(
@@ -43,8 +58,11 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errJson = errors.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\"" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cache_create_sec":$tCreate,"cache_reuse_sec":$tReuse,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"cache_create_sec":$tCreate,"cache_reuse_sec":$tReuse,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -3,10 +3,18 @@ package graft
 /** DuckDB oracle SQL for the LLM-pipeline operators (SURVEY §2.4
   * X9-X11): dedup, similarity search, text analysis. Each statement
   * replays the corresponding Spark pipeline exactly — same data-derived
-  * vocabulary ids, same linear-hash constants, same DECIMAL(28,14)
-  * accumulation — so results hash-match bit-for-bit.
+  * content-hash ids (polynomial hash over character codes — portable
+  * arithmetic, where engine-native string hashes never match), same
+  * linear-hash constants, same exact-decimal accumulation — so results
+  * hash-match bit-for-bit.
   */
 object OraclesLlm {
+
+  /** Polynomial char-code hash, mirroring `TextAnalysis.polyHash`:
+    * fold over character codes with `(acc*31 + code) mod (2^31-1)`. */
+  private def polyHash(e: String) =
+    s"""list_reduce(list_transform(string_split($e,''),
+       | ch -> CAST(ascii(ch) AS BIGINT)), (a,b) -> (a*31+b) % 2147483647)""".stripMargin
 
   /** Tokens with 1-based position (mirrors TextAnalysis.tokens). */
   private val toks =
@@ -14,43 +22,40 @@ object OraclesLlm {
       |              unnest(range(1, len(string_split(text,' '))+1)) AS ord
       |         FROM documents)""".stripMargin
 
-  /** Corpus vocabulary ids (mirrors TextAnalysis.vocab). */
-  private val vocab =
-    """vocab AS (SELECT tok, CAST(ROW_NUMBER() OVER (ORDER BY tok) AS BIGINT) AS token_id
-      |          FROM (SELECT DISTINCT tok FROM toks))""".stripMargin
-
-  /** Distinct 3-shingles + shingle ids (mirrors Dedup.shingles/shingleIds). */
+  /** Distinct 3-shingle content-hash ids per doc
+    * (mirrors Dedup.shingles/shingleIds). */
   private val shingleCtes =
-    """sh0 AS (SELECT a.doc_id, a.tok||' '||b.tok||' '||c.tok AS shingle
-      |        FROM toks a JOIN toks b ON a.doc_id=b.doc_id AND b.ord=a.ord+1
-      |                    JOIN toks c ON a.doc_id=c.doc_id AND c.ord=a.ord+2),
-      |sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
-      |sv AS (SELECT shingle, CAST(ROW_NUMBER() OVER (ORDER BY shingle) AS BIGINT) AS sid
-      |       FROM (SELECT DISTINCT shingle FROM sh)),
-      |ds AS (SELECT doc_id, sid FROM sh JOIN sv USING (shingle))""".stripMargin
+    s"""sh0 AS (SELECT a.doc_id, a.tok||' '||b.tok||' '||c.tok AS shingle
+       |        FROM toks a JOIN toks b ON a.doc_id=b.doc_id AND b.ord=a.ord+1
+       |                    JOIN toks c ON a.doc_id=c.doc_id AND c.ord=a.ord+2),
+       |ds AS (SELECT DISTINCT doc_id, ${polyHash("shingle")} AS sid FROM sh0)""".stripMargin
 
   /** Bigram-Jaccard near-dup pairs `npairs(doc_a, doc_b, jaccard)`
-    * (mirrors Dedup.ngramJaccard; requires the `toks` CTE). */
+    * (mirrors Dedup.ngramJaccard incl. the df ≤ 300 stop-gram ceiling;
+    * requires the `toks` CTE). */
   private val ngramPairCtes =
-    """g0 AS (SELECT a.doc_id, a.tok||' '||b.tok AS gram
-      |       FROM toks a JOIN toks b ON a.doc_id=b.doc_id AND b.ord=a.ord+1),
-      |grams AS (SELECT DISTINCT doc_id, gram FROM g0),
-      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
-      |inters AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS inter
-      |           FROM grams x JOIN grams y
-      |             ON x.gram=y.gram AND x.doc_id<y.doc_id GROUP BY 1,2),
-      |npairs AS (SELECT i.doc_a, i.doc_b,
-      |             CAST(i.inter AS DOUBLE)/(sa.n + sb.n - i.inter) AS jaccard
-      |           FROM inters i JOIN sizes sa ON i.doc_a=sa.doc_id
-      |                         JOIN sizes sb ON i.doc_b=sb.doc_id
-      |           WHERE CAST(i.inter AS DOUBLE)/(sa.n + sb.n - i.inter) >= 0.6)""".stripMargin
+    s"""g0 AS (SELECT a.doc_id, a.tok||' '||b.tok AS gram
+       |       FROM toks a JOIN toks b ON a.doc_id=b.doc_id AND b.ord=a.ord+1),
+       |grams0 AS (SELECT DISTINCT doc_id, ${polyHash("gram")} AS gid FROM g0),
+       |hot AS (SELECT gid FROM grams0 GROUP BY gid HAVING COUNT(*) > 300),
+       |grams AS (SELECT * FROM grams0 g
+       |          WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.gid = g.gid)),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+       |inters AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS inter
+       |           FROM grams x JOIN grams y
+       |             ON x.gid=y.gid AND x.doc_id<y.doc_id GROUP BY 1,2),
+       |npairs AS (SELECT i.doc_a, i.doc_b,
+       |             CAST(i.inter AS DOUBLE)/(sa.n + sb.n - i.inter) AS jaccard
+       |           FROM inters i JOIN sizes sa ON i.doc_a=sa.doc_id
+       |                         JOIN sizes sb ON i.doc_b=sb.doc_id
+       |           WHERE CAST(i.inter AS DOUBLE)/(sa.n + sb.n - i.inter) >= 0.6)""".stripMargin
 
   /** SimHash per-doc fingerprints (mirrors Dedup.simhash). */
   private val simhashCtes =
     s"""$toks,
-       |$vocab,
-       |h AS (SELECT t.doc_id, (982451653*v.token_id + 12345) % 4294967291 AS g
-       |      FROM toks t JOIN vocab v USING (tok)),
+       |h AS (SELECT t.doc_id,
+       |        (982451653*${polyHash("tok")} + 12345) % 4294967291 AS g
+       |      FROM toks t),
        |bits AS (SELECT doc_id, b,
        |           SUM(CASE WHEN (g >> CAST(b AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS s
        |         FROM h, range(0,32) r(b) GROUP BY doc_id, b),
@@ -246,13 +251,13 @@ object OraclesLlm {
         |       CAST(CEIL(length(text)/4.0) AS BIGINT) AS est_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
     "x11d_fingerprint" ->
-      s"""WITH $toks,
-         |$vocab
+      s"""WITH $toks
          |SELECT t.doc_id,
-         |       bit_xor((982451653*v.token_id + 12345 + 40503*t.ord) % 2147483647)
+         |       bit_xor((982451653*${polyHash("t.tok")} + 12345 + 40503*t.ord)
+         |               % 2147483647)
          |         AS fingerprint,
          |       COUNT(*) AS n_tokens
-         |FROM toks t JOIN vocab v USING (tok)
+         |FROM toks t
          |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
   )
 }

@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -33,25 +32,37 @@ object Dedup {
       .select("keep_id", "n_copies", "content_hash")
       .orderBy("keep_id")
 
-  /** Distinct 3-token shingles per document (the MinHash input set). */
-  def shingles(docs: DataFrame): DataFrame = {
-    val t = TextAnalysis.tokens(docs)
-    val w = Window.partitionBy("doc_id").orderBy("ord")
-    t.withColumn("t2", lead("tok", 1).over(w))
-      .withColumn("t3", lead("tok", 2).over(w))
-      .filter(col("t3").isNotNull)
-      .select(col("doc_id"), concat_ws(" ", col("tok"), col("t2"), col("t3"))
-        .as("shingle"))
-      .distinct()
+  /** All n-token shingles of each document as one array column, built
+    * directly from the token array (`transform` over positions) — pure
+    * columnar projection; round 1 used two `lead()` window passes over
+    * the exploded token stream, which re-sorts every document's tokens.
+    */
+  private def shingleArr(n: Int) = {
+    val arr = split(col("text"), " ")
+    transform(sequence(lit(1), size(arr) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(k => element_at(arr, i + k)): _*))
   }
 
-  /** Shingle vocabulary ids (same construction as [[TextAnalysis.vocab]]). */
-  private def shingleIds(docs: DataFrame): DataFrame = {
-    val sh = shingles(docs)
-    val v = sh.select("shingle").distinct()
-      .withColumn("sid", row_number().over(Window.orderBy("shingle")).cast(LongType))
-    sh.join(v, "shingle").select("doc_id", "sid")
-  }
+  /** Distinct 3-token shingles per document (the MinHash input set). */
+  def shingles(docs: DataFrame): DataFrame =
+    docs.filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), explode(shingleArr(3)).as("shingle"))
+      .distinct()
+
+  /** Shingle ids by content hash ([[TextAnalysis.polyHash]]): a pure
+    * projection — no vocabulary relation, no global window, no join-back.
+    * Round 1 assigned dense ids via `row_number` over an un-partitioned
+    * window, which funnels every distinct shingle through ONE task;
+    * shingle cardinality grows near-linearly with corpus size, so that
+    * was the hard 100 TB bottleneck of the MinHash path. Hashing before
+    * the distinct also makes the dedup shuffle carry (long, long) pairs
+    * instead of shingle strings. */
+  private def shingleIds(docs: DataFrame): DataFrame =
+    docs.filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"),
+        explode(transform(shingleArr(3), s => TextAnalysis.polyHash(s)))
+          .as("sid"))
+      .distinct()
 
   /** MinHash + LSH near-dedup:
     * 16 linear min-hashes over shingle ids → 4 bands × 4 rows → band
@@ -114,8 +125,8 @@ object Dedup {
   def simhash(spark: SparkSession, sfDir: String): DataFrame = {
     val P2 = 4294967291L // prime < 2^32 → 32 usable bits
     val t = TextAnalysis.tokens(Tables.documents(spark, sfDir))
-    val v = TextAnalysis.vocab(t)
-    val hashed = t.join(v, "tok")
+    val hashed = t
+      .withColumn("token_id", TextAnalysis.polyHash(col("tok")))
       .withColumn("g", (lit(982451653L) * col("token_id") + lit(12345L)) % P2)
     // All 32 bit-vote sums in ONE aggregation pass (map-side combined) —
     // no 32× row blow-up; the fingerprint assembles from the 32 sums in
@@ -188,10 +199,17 @@ object Dedup {
       val neighborMin = sym
         .join(labels.select(col("doc_id").as("dst"), col("label")), "dst")
         .groupBy(col("src").as("doc_id")).agg(min("label").as("nmin"))
-      val updated = labels.join(neighborMin, Seq("doc_id"), "left")
+      val next = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .cache()
+      // Truncate lineage every few rounds: without this the plan chains
+      // one join deeper per iteration, so a task retry late in the loop
+      // would replay the whole chain (and the plan itself grows without
+      // bound at scale). localCheckpoint materializes the labels and
+      // cuts the logical plan at that point; cache covers the rounds in
+      // between.
+      val updated =
+        if (iter % 3 == 2) next.localCheckpoint() else next.cache()
       val s = labelSum(updated)
       labels.unpersist()
       labels = updated
@@ -206,17 +224,34 @@ object Dedup {
     * generation: docs sharing at least one bigram are joined through the
     * bigram (an equi-join — the classic scalable near-dup plan), then
     * exact Jaccard is computed and thresholded.
+    *
+    * Scale guards:
+    *  - grams travel as content-hash BIGINT ids ([[TextAnalysis.polyHash]]),
+    *    never strings — the distinct, the self-join shuffle, and the
+    *    pair-count aggregate all key on (long, long);
+    *  - a document-frequency ceiling (`maxDf`) drops stop-grams before
+    *    the self-join: a gram appearing in df documents contributes
+    *    O(df²) candidate rows, so the Zipf head alone would dominate the
+    *    join at corpus scale. Jaccard is then computed over the
+    *    surviving gram sets (standard stop-gram semantics, mirrored
+    *    exactly in the DuckDB oracle). The hot-gram list is tiny
+    *    (≤ total gram occurrences / maxDf), so the anti-join broadcasts.
     */
-  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
-    val t = TextAnalysis.tokens(Tables.documents(spark, sfDir))
-    val w = Window.partitionBy("doc_id").orderBy("ord")
-    val grams = t.withColumn("t2", lead("tok", 1).over(w))
-      .filter(col("t2").isNotNull)
-      .select(col("doc_id"), concat_ws(" ", col("tok"), col("t2")).as("gram"))
-      .distinct().cache()
-    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = grams.as("x").join(grams.as("y"),
-        col("x.gram") === col("y.gram") && col("x.doc_id") < col("y.doc_id"))
+  def ngramJaccard(spark: SparkSession, sfDir: String,
+                   maxDf: Long = 300L): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val grams = docs.filter(size(split(col("text"), " ")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(shingleArr(2), s => TextAnalysis.polyHash(s)))
+          .as("gid"))
+      .distinct()
+      .cache()
+    val hot = grams.groupBy("gid").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("gid")
+    val kept = grams.join(broadcast(hot), Seq("gid"), "left_anti").cache()
+    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = kept.as("x").join(kept.as("y"),
+        col("x.gid") === col("y.gid") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     inter

@@ -194,13 +194,18 @@ object Relational {
 
   /** X5: approximate percentiles (GK sketch) — the constant-memory
     * distributed path for quantiles at 100 TB. Sketch-dependent values →
-    * rows-only check. */
+    * rows-only check; the quartile array is exploded to scalar rows
+    * `(l_returnflag, quantile, value)` so the dump stays sortable. */
   def approxPercentiles(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
       .groupBy("l_returnflag")
       .agg(percentile_approx(col("l_extendedprice"),
         array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("price_quartiles"))
-      .orderBy("l_returnflag")
+      .select(col("l_returnflag"),
+        posexplode(col("price_quartiles")).as(Seq("pos0", "value")))
+      .select(col("l_returnflag"),
+        ((col("pos0") + 1) * 0.25).as("quantile"), col("value"))
+      .orderBy("l_returnflag", "quantile")
 
   /** X6: pivot with explicit key values (no driver-side distinct pass —
     * at scale, always enumerate the pivot domain). */

@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -23,17 +22,29 @@ object TextAnalysis {
       .select(col("doc_id"), (col("ord0") + 1).cast(LongType).as("ord"),
         col("tok"))
 
-  /** Corpus vocabulary: token → dense 1-based id, by sorted order. The
-    * id is derived from the data (no engine-specific hash), so the DuckDB
-    * oracle can reproduce it bit-for-bit. Scale note: the vocabulary is
-    * sublinear in corpus size (Heaps' law) and the global window runs on
-    * the *distinct* tokens only; at 100 TB you'd still expect ≤ tens of
-    * millions of rows here, and the result is broadcast to the join.
+  private val P = 2147483647L // 2^31-1, Mersenne prime
+
+  /** Token/shingle id as a data-derived polynomial hash over character
+    * codes: `h = fold(codes, (acc, c) => (acc*31 + c) mod (2^31-1))`.
+    *
+    * This replaces the round-1 dense-vocabulary construction
+    * (`row_number` over a GLOBAL window — a single-partition sort of
+    * every distinct token/shingle, the classic 100 TB bottleneck: shingle
+    * cardinality grows near-linearly with corpus size). The hash needs no
+    * vocabulary relation at all — no distinct, no window, no join-back;
+    * it is a pure per-row projection that scales embarrassingly and stays
+    * engine-portable (DuckDB replays it with `list_reduce` over
+    * `ascii()` codes — engine-native string hashes never match across
+    * engines, arithmetic over character codes always does).
+    *
+    * Id collisions are possible (31-bit space) but harmless for the
+    * downstream set/sketch ops, and the oracle reproduces them exactly.
     */
-  def vocab(tokens: DataFrame): DataFrame =
-    tokens.select("tok").distinct()
-      .withColumn("token_id",
-        row_number().over(Window.orderBy("tok")).cast(LongType))
+  def polyHash(s: Column): Column = {
+    val codes = transform(split(s, ""), ch => ascii(ch).cast(LongType))
+    aggregate(slice(codes, lit(2), size(codes) - 1), element_at(codes, 1),
+      (acc, c) => (acc * 31L + c) % P)
+  }
 
   private def markerCount(toks: Column, words: Seq[String]): Column =
     words.map(w => size(filter(toks, t => t === w))).reduce(_ + _)
@@ -119,14 +130,15 @@ object TextAnalysis {
       .orderBy("split")
 
   /** Position-sensitive document fingerprint: XOR-fold of a linear hash
-    * of (vocab token id, position). Two docs share a fingerprint iff they
-    * are (with overwhelming probability) the same token sequence — an
-    * order-aware complement to content-hash dedup.
+    * of (token content hash, position). Two docs share a fingerprint iff
+    * they are (with overwhelming probability) the same token sequence —
+    * an order-aware complement to content-hash dedup. The token id is
+    * [[polyHash]] computed inline: no vocabulary shuffle, the whole
+    * pipeline is explode → project → one keyed aggregate.
     */
   def fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
     val t = tokens(Tables.documents(spark, sfDir))
-    val v = vocab(t)
-    t.join(v, "tok")
+    t.withColumn("token_id", polyHash(col("tok")))
       .withColumn("h",
         (lit(982451653L) * col("token_id") + lit(12345L)
           + lit(40503L) * col("ord")) % lit(2147483647L))

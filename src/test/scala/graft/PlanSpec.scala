@@ -59,6 +59,23 @@ class PlanSpec extends SparkSuite {
       s"expected partition pruning in:\n$p")
   }
 
+  test("text-hash pipelines have no single-partition stage") {
+    // Round 1 assigned vocabulary/shingle ids with row_number() over a
+    // GLOBAL window — a SinglePartition exchange funnelling every
+    // distinct token/shingle through one task. The content-hash ids must
+    // keep these plans free of any single-partition shuffle (the final
+    // presentation orderBy is a range exchange, not SinglePartition).
+    import graft.operators.{Dedup, TextAnalysis}
+    for (df <- Seq(Dedup.simhash(spark, sf),
+                   graft.operators.TextAnalysis.fingerprint(spark, sf),
+                   Dedup.minhashLsh(spark, sf),
+                   Dedup.ngramJaccard(spark, sf))) {
+      val p = plan(df)
+      assert(!p.contains("SinglePartition"),
+        s"single-partition stage in plan:\n$p")
+    }
+  }
+
   test("whole-stage codegen covers the flagship aggregate") {
     // Under AQE the final (codegen'd) plan exists only after the
     // DataFrame's own queryExecution runs (collect, not count — count

@@ -20,6 +20,20 @@ class TextMultimodalSpec extends SparkSuite {
     }
   }
 
+  test("polyHash matches the DuckDB replay values (pinned)") {
+    // Pinned against DuckDB 1.0: list_reduce(list_transform(
+    //   string_split(s,''), ch -> CAST(ascii(ch) AS BIGINT)),
+    //   (a,b) -> (a*31+b) % 2147483647)
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val rows = Seq("a", "abc", "the quick fox").toDF("s")
+      .select(col("s"), TextAnalysis.polyHash(col("s")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows("a") == 97L)
+    assert(rows("abc") == 96354L)
+    assert(rows("the quick fox") == 2081235932L)
+  }
+
   test("fingerprints are deterministic across runs") {
     val a = TextAnalysis.fingerprint(spark, sf).collect().toSeq
     val b = TextAnalysis.fingerprint(spark, sf).collect().toSeq

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -32,21 +32,29 @@ object Dedup {
       .select("keep_id", "n_copies", "content_hash")
       .orderBy("keep_id")
 
-  /** All n-token shingles of each document as one array column, built
-    * directly from the token array (`transform` over positions) — pure
+  /** `(doc_id, arr)` with the token array MATERIALIZED as its own
+    * projection. The array must be a bound column before any
+    * higher-order `transform` consumes it positionally — a `split(...)`
+    * expression captured directly inside a lambda is re-evaluated per
+    * element (O(len²) per document; measured 4.5× slower on the gram
+    * build), and the optimizer's collapse-projection guard keeps a
+    * multiply-referenced alias from being inlined back. */
+  private def tokArr(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("arr"))
+
+  /** All n-token shingles as one array column, built directly from the
+    * materialized token array (`transform` over positions) — pure
     * columnar projection; round 1 used two `lead()` window passes over
     * the exploded token stream, which re-sorts every document's tokens.
     */
-  private def shingleArr(n: Int) = {
-    val arr = split(col("text"), " ")
+  private def shingleArrOf(arr: Column, n: Int): Column =
     transform(sequence(lit(1), size(arr) - (n - 1)),
       i => concat_ws(" ", (0 until n).map(k => element_at(arr, i + k)): _*))
-  }
 
   /** Distinct 3-token shingles per document (the MinHash input set). */
   def shingles(docs: DataFrame): DataFrame =
-    docs.filter(size(split(col("text"), " ")) >= 3)
-      .select(col("doc_id"), explode(shingleArr(3)).as("shingle"))
+    tokArr(docs).filter(size(col("arr")) >= 3)
+      .select(col("doc_id"), explode(shingleArrOf(col("arr"), 3)).as("shingle"))
       .distinct()
 
   /** Shingle ids by content hash ([[TextAnalysis.polyHash]]): a pure
@@ -58,10 +66,10 @@ object Dedup {
     * the distinct also makes the dedup shuffle carry (long, long) pairs
     * instead of shingle strings. */
   private def shingleIds(docs: DataFrame): DataFrame =
-    docs.filter(size(split(col("text"), " ")) >= 3)
+    tokArr(docs).filter(size(col("arr")) >= 3)
       .select(col("doc_id"),
-        explode(transform(shingleArr(3), s => TextAnalysis.polyHash(s)))
-          .as("sid"))
+        explode(transform(shingleArrOf(col("arr"), 3),
+          s => TextAnalysis.polyHash(s))).as("sid"))
       .distinct()
 
   /** MinHash + LSH near-dedup:
@@ -183,25 +191,30 @@ object Dedup {
   def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = ngramJaccard(spark, sfDir)
       .select(col("doc_a"), col("doc_b")).cache()
-    val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val verts = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    // Symmetric edges PLUS a self-loop per vertex: with (v, v) present,
+    // min-over-neighbor-labels already includes the vertex's own label,
+    // so one keyed join + one aggregate IS the whole round — no second
+    // join to fold the old label back in (each round is a fixed-size
+    // tiny job here, so stage count, not data volume, is the cost).
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .union(verts.select(col("doc_id").as("src"), col("doc_id").as("dst")))
       .cache()
-    var labels = sym.select(col("src").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id")).cache()
+    var labels = verts.withColumn("label", col("doc_id")).cache()
     // Labels only ever decrease, so the label-sum is a monotone
     // potential: fixpoint ⇔ sum unchanged (one cheap aggregate per
-    // round instead of a join-based diff).
+    // round instead of a join-based diff); the same action materializes
+    // the round's cache, so each round is exactly one job.
     def labelSum(df: DataFrame): Long =
       df.agg(sum("label")).head().getLong(0)
     var prevSum = labelSum(labels)
     var iter = 0
     while (iter < 20) {
-      val neighborMin = sym
+      val next = edges
         .join(labels.select(col("doc_id").as("dst"), col("label")), "dst")
-        .groupBy(col("src").as("doc_id")).agg(min("label").as("nmin"))
-      val next = labels.join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .groupBy(col("src").as("doc_id")).agg(min("label").as("label"))
       // Truncate lineage every few rounds: without this the plan chains
       // one join deeper per iteration, so a task retry late in the loop
       // would replay the whole chain (and the plan itself grows without
@@ -240,10 +253,10 @@ object Dedup {
   def ngramJaccard(spark: SparkSession, sfDir: String,
                    maxDf: Long = 300L): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val grams = docs.filter(size(split(col("text"), " ")) >= 2)
+    val grams = tokArr(docs).filter(size(col("arr")) >= 2)
       .select(col("doc_id"),
-        explode(transform(shingleArr(2), s => TextAnalysis.polyHash(s)))
-          .as("gid"))
+        explode(transform(shingleArrOf(col("arr"), 2),
+          s => TextAnalysis.polyHash(s))).as("gid"))
       .distinct()
       .cache()
     val hot = grams.groupBy("gid").agg(count(lit(1)).as("df"))

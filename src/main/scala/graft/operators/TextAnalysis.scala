@@ -39,8 +39,21 @@ object TextAnalysis {
     *
     * Id collisions are possible (31-bit space) but harmless for the
     * downstream set/sketch ops, and the oracle reproduces them exactly.
+    *
+    * Routed through the native codegen'd [[graft.plans.PolyHash]]
+    * expression (the composed HOF form is ~2× slower on the corpus-wide
+    * token/gram streams; equality pinned in PolyHashSpec).
     */
   def polyHash(s: Column): Column = {
+    graft.plans.PolyHash.register(SparkSession.active)
+    call_function(graft.plans.PolyHash.name, s)
+  }
+
+  /** Composed-builtins reference form of [[polyHash]] (HOF fold over
+    * `ascii` codes) — kept as the executable spec the native expression
+    * is pinned against; NULL on empty input where the native form
+    * returns 0 (the tokenizer emits no empty strings). */
+  def polyHashHof(s: Column): Column = {
     val codes = transform(split(s, ""), ch => ascii(ch).cast(LongType))
     aggregate(slice(codes, lit(2), size(codes) - 1), element_at(codes, 1),
       (acc, c) => (acc * 31L + c) % P)

@@ -107,6 +107,8 @@ object QuantizedDot {
 /** Engine extensions entry point: register with
   * `--conf spark.sql.extensions=graft.plans.GraftExtensions`. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     QuantizedDot.injectInto(e)
+    PolyHash.injectInto(e)
+  }
 }

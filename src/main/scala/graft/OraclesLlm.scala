@@ -137,17 +137,18 @@ object OraclesLlm {
       s"""WITH $vecCtes,
          |hyp AS (SELECT j, pos,
          |          2*((1103515245*(j*64+pos)+12345) % 1000003) - 1000003 AS wnum
-         |        FROM range(0,8) t(j), range(1,65) r(pos)),
+         |        FROM range(0,16) t(j), range(1,65) r(pos)),
          |proj AS (SELECT e.vec_id, h.j, CAST(SUM(e.q*h.wnum) AS BIGINT) AS p
          |         FROM exq e JOIN hyp h ON e.pos = h.pos GROUP BY 1, 2),
-         |buck AS (SELECT vec_id,
+         |buck AS (SELECT vec_id, j//8 AS band,
          |           CAST(SUM(CASE WHEN p >= 0
-         |               THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
-         |               ELSE 0 END) AS BIGINT) AS bucket
-         |         FROM proj GROUP BY vec_id),
-         |pairs AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |               THEN (CAST(1 AS BIGINT) << CAST(j%8 AS INT))
+         |               ELSE 0 END) AS BIGINT) AS bandkey
+         |         FROM proj GROUP BY vec_id, j//8),
+         |pairs AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
          |          FROM buck a JOIN buck b
-         |            ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |            ON a.band = b.band AND a.bandkey = b.bandkey
+         |           AND a.vec_id < b.vec_id),
          |dots AS (SELECT p.vec_a, p.vec_b, CAST(SUM(qa.q*qb.q) AS BIGINT) AS dot
          |         FROM pairs p JOIN exq qa ON qa.vec_id = p.vec_a
          |                      JOIN exq qb ON qb.vec_id = p.vec_b AND qb.pos = qa.pos
@@ -180,20 +181,23 @@ object OraclesLlm {
       s"""WITH $vecCtes,
          |hyp AS (SELECT j, pos,
          |          2*((1103515245*(j*64+pos)+12345) % 1000003) - 1000003 AS wnum
-         |        FROM range(0,8) t(j), range(1,65) r(pos)),
+         |        FROM range(0,16) t(j), range(1,65) r(pos)),
          |proj AS (SELECT e.vec_id, h.j, CAST(SUM(e.q*h.wnum) AS BIGINT) AS p
          |         FROM exq e JOIN hyp h ON e.pos = h.pos GROUP BY 1, 2),
-         |buck AS (SELECT vec_id,
+         |buck AS (SELECT vec_id, j//8 AS band,
          |           CAST(SUM(CASE WHEN p >= 0
-         |               THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
-         |               ELSE 0 END) AS BIGINT) AS bucket
-         |         FROM proj GROUP BY vec_id),
-         |dots AS (SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
-         |           CAST(SUM(qd.q*ed.q) AS BIGINT) AS dot
+         |               THEN (CAST(1 AS BIGINT) << CAST(j%8 AS INT))
+         |               ELSE 0 END) AS BIGINT) AS bandkey
+         |         FROM proj GROUP BY vec_id, j//8),
+         |cand AS (SELECT DISTINCT q.vec_id AS query_id, e.vec_id AS vec_id
          |         FROM buck q JOIN buck e
-         |           ON q.bucket = e.bucket AND q.vec_id < 8 AND e.vec_id <> q.vec_id
-         |         JOIN exq qd ON qd.vec_id = q.vec_id
-         |         JOIN exq ed ON ed.vec_id = e.vec_id AND ed.pos = qd.pos
+         |           ON q.band = e.band AND q.bandkey = e.bandkey
+         |          AND q.vec_id < 8 AND e.vec_id <> q.vec_id),
+         |dots AS (SELECT c.query_id, c.vec_id,
+         |           CAST(SUM(qd.q*ed.q) AS BIGINT) AS dot
+         |         FROM cand c
+         |         JOIN exq qd ON qd.vec_id = c.query_id
+         |         JOIN exq ed ON ed.vec_id = c.vec_id AND ed.pos = qd.pos
          |         GROUP BY 1, 2),
          |cosv AS (SELECT d.query_id, d.vec_id,
          |           CAST(d.dot AS DOUBLE) /

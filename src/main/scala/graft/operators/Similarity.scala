@@ -65,20 +65,66 @@ object Similarity {
     topkOf(scored, k)
   }
 
-  /** X9/X10: embedding-cosine near-duplicate pairs — ALL same-bucket
-    * pairs (not just the query set) scored with the fused dot and
+  /** Banded random-hyperplane LSH signatures: `planes` sign bits split
+    * into `bands` band keys of `planes/bands` bits each — one
+    * `(vec_id, band, bandkey)` row per band (the same banded-equi-join
+    * shape as MinHash-LSH). Candidates are pairs sharing ANY band, so
+    * recall and bucket population are tunable independently: more
+    * planes per band → smaller buckets (the O(k²) per-bucket scoring
+    * shrinks); more bands → multi-probe recall. A single fixed-width
+    * bucket (round 1: 8 planes, 1 band = 256 buckets) leaves N/256
+    * vectors per bucket at corpus scale — the quadratic blowup the
+    * banding removes.
+    *
+    * The hyperplane weight for (plane j, dim pos) is
+    * `r/1000003 - 0.5` with `r = (1103515245*(j*64+pos)+12345) mod
+    * 1000003`; the projection sign is evaluated on the integer numerator
+    * `sum(qv * (2r - 1000003))` — exact integer arithmetic, replayable
+    * in the DuckDB oracle, no RNG state and no float comparisons.
+    */
+  private[operators] def bandedBuckets(spark: SparkSession, sfDir: String,
+                                       planes: Int, bands: Int): DataFrame = {
+    require(planes % bands == 0, "bands must divide planes")
+    val perBand = planes / bands
+    val ex = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        posexplode(VectorOps.quantize(col("embedding"))).as(Seq("pos0", "qv")))
+      .select(col("vec_id"), (col("pos0") + 1).cast(LongType).as("pos"),
+        col("qv"))
+    val hyper = spark.range(0, planes).select(col("id").as("j"))
+      .crossJoin(spark.range(1, Dims + 1).select(col("id").as("pos")))
+      .withColumn("wnum",
+        lit(2L) * ((lit(1103515245L) * (col("j") * Dims + col("pos"))
+          + lit(12345L)) % lit(1000003L)) - lit(1000003L))
+    ex.join(broadcast(hyper), "pos")
+      .groupBy("vec_id", "j").agg(sum(col("qv") * col("wnum")).as("p"))
+      .groupBy(col("vec_id"), expr(s"j div $perBand").as("band"))
+      .agg(sum(when(col("p") >= 0,
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST(j % $perBand AS INT))"))
+        .otherwise(0L)).as("bandkey"))
+  }
+
+  /** X9/X10: embedding-cosine near-duplicate pairs — ALL pairs sharing
+    * any LSH band (not just the query set) scored with the fused dot and
     * thresholded. This is vector-level corpus dedup: at 100 TB the
-    * bucket key partitions the similarity join so each task scores one
-    * bucket's O(k²) pairs instead of the corpus's O(N²).
+    * (band, bandkey) key partitions the similarity join so each task
+    * scores one bucket's O(k²) pairs instead of the corpus's O(N²).
     */
   def embeddingNearDup(spark: SparkSession, sfDir: String,
-                       threshold: Double = 0.45): DataFrame = {
-    val all = quantized(spark, sfDir).join(bucketsOf(spark, sfDir), "vec_id")
-    val a = all.select(col("bucket"), col("vec_id").as("vec_a"),
-      col("embedding").as("emb_a"), col("n2").as("n2_a"))
-    val b = all.select(col("bucket"), col("vec_id").as("vec_b"),
-      col("embedding").as("emb_b"), col("n2").as("n2_b"))
-    a.join(b, Seq("bucket")).filter(col("vec_a") < col("vec_b"))
+                       threshold: Double = 0.45,
+                       planes: Int = 16, bands: Int = 2): DataFrame = {
+    val bk = bandedBuckets(spark, sfDir, planes, bands)
+    val cand = bk.as("x").join(bk.as("y"),
+        col("x.band") === col("y.band") && col("x.bandkey") === col("y.bandkey")
+          && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    val all = quantized(spark, sfDir)
+    cand
+      .join(all.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
+        col("n2").as("n2_a")), "vec_a")
+      .join(all.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
+        col("n2").as("n2_b")), "vec_b")
       .select(col("vec_a"), col("vec_b"),
         VectorOps.cosineFromQ(expr("quantized_dot(emb_a, emb_b)"),
           col("n2_a"), col("n2_b")).as("cosine"))
@@ -86,44 +132,24 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
-  /** LSH-bucketed approximate top-k (k=3): sign-of-projection onto 8
-    * fixed pseudo-random hyperplanes → bucket key → candidates share the
-    * bucket → exact cosine within candidates only.
-    *
-    * The hyperplane weight for (plane j, dim pos) is
-    * `r/1000003 - 0.5` with `r = (1103515245*(j*64+pos)+12345) mod
-    * 1000003`; the projection sign is evaluated on the integer numerator
-    * `sum(qv * (2r - 1000003))` — exact.
-    */
-  /** LSH bucket signature per vector: sign of the projection onto 8
-    * fixed pseudo-random hyperplanes, evaluated in exact integer
-    * arithmetic (weight numerators `2r - 1000003`). */
-  private def bucketsOf(spark: SparkSession, sfDir: String): DataFrame = {
-    val ex = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"),
-        posexplode(VectorOps.quantize(col("embedding"))).as(Seq("pos0", "qv")))
-      .select(col("vec_id"), (col("pos0") + 1).cast(LongType).as("pos"),
-        col("qv"))
-    val hyper = spark.range(0, 8).select(col("id").as("j"))
-      .crossJoin(spark.range(1, Dims + 1).select(col("id").as("pos")))
-      .withColumn("wnum",
-        lit(2L) * ((lit(1103515245L) * (col("j") * Dims + col("pos"))
-          + lit(12345L)) % lit(1000003L)) - lit(1000003L))
-    ex.join(broadcast(hyper), "pos")
-      .groupBy("vec_id", "j").agg(sum(col("qv") * col("wnum")).as("p"))
-      .groupBy("vec_id")
-      .agg(sum(when(col("p") >= 0,
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))"))
-        .otherwise(0L)).as("bucket"))
-  }
-
-  def annLsh(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
-    val all = quantized(spark, sfDir).join(bucketsOf(spark, sfDir), "vec_id")
-    val q = all.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        col("n2").as("q_n2"), col("bucket"))
-    val scored = all.join(broadcast(q), "bucket")
-      .filter(col("query_id") =!= col("vec_id"))
+  /** LSH-banded approximate top-k (k=3): candidates share at least one
+    * (band, bandkey) with the query vector; exact cosine within
+    * candidates only. */
+  def annLsh(spark: SparkSession, sfDir: String, k: Int = 3,
+             planes: Int = 16, bands: Int = 2): DataFrame = {
+    val bk = bandedBuckets(spark, sfDir, planes, bands)
+    val cand = bk.as("e").join(
+        broadcast(bk.filter(col("vec_id") < NQueries).as("q")),
+        col("e.band") === col("q.band") && col("e.bandkey") === col("q.bandkey")
+          && col("e.vec_id") =!= col("q.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("e.vec_id").as("vec_id"))
+      .distinct()
+    val all = quantized(spark, sfDir)
+    val scored = cand
+      .join(broadcast(all.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          col("n2").as("q_n2"))), "query_id")
+      .join(all, "vec_id")
       .select(col("query_id"), col("vec_id"),
         VectorOps.cosineFromQ(expr("quantized_dot(q_emb, embedding)"),
           col("q_n2"), col("n2")).as("cosine"))

@@ -84,4 +84,25 @@ class DedupSimilaritySpec extends SparkSuite {
       assert(math.abs(brute(key) - r.getDouble(3)) < 1e-12)
     }
   }
+
+  test("banded LSH width is tunable and more bands never lose candidates") {
+    // Bands are prefixes of the same hyperplane sequence, so the 24×3
+    // config's candidate set is a superset of the default 16×2 one:
+    // per (query, rank), the wider config's cosine can only improve.
+    val narrow = Similarity.annLsh(spark, sf, k = 3, planes = 16, bands = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    val wide = Similarity.annLsh(spark, sf, k = 3, planes = 24, bands = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    assert(wide.size >= narrow.size)
+    narrow.foreach { case (key, cosNarrow) =>
+      assert(wide.contains(key))
+      assert(wide(key) >= cosNarrow - 1e-15,
+        s"rank $key regressed: ${wide(key)} < $cosNarrow")
+    }
+    // Wider near-dup config stays exact: every reported pair really
+    // clears the cosine threshold (spot-check against the fused dot).
+    val nd = Similarity.embeddingNearDup(spark, sf, threshold = 0.3,
+      planes = 24, bands = 3).collect()
+    nd.foreach(r => assert(r.getDouble(2) >= 0.3))
+  }
 }

@@ -30,6 +30,7 @@ object SparkEntry {
     "o14_explode_count"   -> (Etl.explodeCount(_, _)),
     "of1_format_roundtrip" -> (graft.sources.Formats.roundtrip(_, _)),
     "of2_incremental_append" -> (Etl.incrementalAppend(_, _)),
+    "of3_jdbc_roundtrip"  -> (graft.sources.JdbcSource.jdbcRoundtrip(_, _)),
     "o16_row_count"       -> (Etl.rowCount(_, _)),
     // ---- relational breadth (SURVEY §2.4 X1-X8) ----
     "x01_grouped_agg"     -> (Relational.groupedAgg(_, _)),
@@ -137,6 +138,14 @@ object SparkEntry {
          |SELECT f.format, a.l_returnflag, a.n, a.sum_price
          |FROM agg a, (VALUES ('csv'), ('json'), ('orc')) f(format)
          |ORDER BY f.format, a.l_returnflag""".stripMargin,
+    // The roundtrip through the embedded RDBMS must preserve values
+    // exactly — so the oracle is the same aggregate over the parquet
+    // table the RDBMS was loaded from.
+    "of3_jdbc_roundtrip" ->
+      """SELECT n_regionkey, COUNT(*) AS n, MIN(n_nationkey) AS min_key,
+        |       MIN(n_name) AS first_name
+        |FROM nation WHERE n_regionkey <= 2
+        |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
     // Per-year counts survive the overlap-append iff ingestion was
     // exactly-once by key — so the oracle is just the clean totals.
     "of2_incremental_append" ->

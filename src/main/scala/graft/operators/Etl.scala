@@ -113,6 +113,32 @@ object Etl {
       .orderBy("o_year")
   }
 
+  /** O5/O11 storage policy: per-write Hadoop/Parquet conf passthrough.
+    * The reference pins replication=2 and 1 MiB blocks for the main file
+    * and replication=1 for partition files (`server.py:49-50,135-136`,
+    * `hadoop_conf/hdfs-site.xml:4-18`). In Spark this is NOT a
+    * session-global setting: every `DataFrameWriter.option` whose key is
+    * a Hadoop conf key is merged into that write's Hadoop configuration
+    * (`sessionState.newHadoopConfWithOptions`), so two sinks in one job
+    * can carry different policies — exactly the reference's
+    * main-vs-partitions split. On HDFS `dfs.replication`/`dfs.blocksize`
+    * take effect at block placement; on the local-FS fixtures they are
+    * inert, so StoragePolicySpec proves the channel with
+    * `parquet.block.size` (row-group size), which observably changes the
+    * written file layout.
+    */
+  def writeWithStoragePolicy(df: DataFrame, path: String,
+                             hadoopOpts: Map[String, String]): Unit =
+    hadoopOpts.foldLeft(df.write.mode("overwrite")) {
+      case (w, (k, v)) => w.option(k, v)
+    }.parquet(path)
+
+  /** The reference's exact policy pair, as ready-made option maps. */
+  val MainFilePolicy: Map[String, String] =
+    Map("dfs.replication" -> "2", "dfs.blocksize" -> "1048576")
+  val PartitionPolicy: Map[String, String] =
+    Map("dfs.replication" -> "1", "dfs.blocksize" -> "1048576")
+
   /** O16: row-count observability (`server.py:42,58` — rows-written status). */
   def rowCount(spark: SparkSession, sfDir: String): DataFrame =
     extractUnsorted(spark, sfDir).agg(count(lit(1)).as("n_rows"))

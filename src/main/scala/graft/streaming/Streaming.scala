@@ -41,7 +41,14 @@ object Streaming {
   }
 
   /** Run a streaming DataFrame to exhaustion into a memory sink and
-    * return the materialized result. */
+    * return the materialized result.
+    *
+    * TEST-HARNESS ONLY: the memory sink collects results on the driver,
+    * which is fine here because every query below emits a small
+    * aggregate and the driver contract wants a DataFrame back. A
+    * production pipeline lands in a file/Kafka sink with a checkpoint
+    * instead — that path is [[tumblingToFileSink]] (exactly-once,
+    * resumable, nothing driver-side). */
   private def runToBatch(stream: DataFrame, mode: String): DataFrame = {
     val name = s"graft_stream_${counter.incrementAndGet()}"
     val q = stream.writeStream.outputMode(mode)
@@ -64,6 +71,34 @@ object Streaming {
           .as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
       .orderBy("window_start", "event_type")
+  }
+
+  /** X12 production sink path: the same tumbling aggregate written to a
+    * parquet FILE sink with a checkpoint location — exactly-once and
+    * resumable, vs the memory sink the test harness uses. Append output
+    * mode: a window is emitted once the watermark passes its end (the
+    * trailing no-data micro-batch finalizes evictable state), so the
+    * sink only ever holds immutable, finalized windows — exactly what a
+    * downstream batch consumer wants to read. Returns the sink re-read
+    * as a batch DataFrame (StreamingSinkSpec checks it against the
+    * complete-mode result).
+    */
+  def tumblingToFileSink(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_fsink_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_fsink_ck_").toString
+    val agg = eventsStream(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Exact.dsum(col("value")).as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+    val q = agg.writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(out).orderBy("window_start", "event_type")
   }
 
   /** X12: sliding windows (10 min length, 5 min slide) — each event

@@ -75,4 +75,27 @@ class StreamingSpec extends SparkSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(st.map(r => r.getLong(0) -> r.getLong(1)).toMap == batch)
   }
+
+  test("file sink lands finalized windows (production path)") {
+    // Append-mode file sink holds exactly the windows the watermark has
+    // finalized; each must agree with the complete-mode (memory-sink)
+    // result, and everything except the trailing watermark horizon must
+    // be present.
+    val fileRows = Streaming.tumblingToFileSink(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+    assert(fileRows.nonEmpty, "no finalized windows reached the file sink")
+    assert(fileRows.map(_._1).distinct.length == fileRows.length)
+    val complete = Streaming.tumbling(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    fileRows.foreach { case (key, v) =>
+      assert(complete(key) == v, s"file-sink window $key disagrees: $v vs ${complete(key)}")
+    }
+    // all but the last watermark-horizon hour must be finalized
+    val lastFinalized = fileRows.map(_._1._1).max
+    val lastComplete = complete.keys.map(_._1).max
+    assert(fileRows.length >= complete.size - 2,
+      s"too few finalized windows (${fileRows.length} of ${complete.size}; " +
+        s"file-sink max $lastFinalized, complete max $lastComplete)")
+  }
 }

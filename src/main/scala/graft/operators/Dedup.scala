@@ -206,29 +206,39 @@ object Dedup {
     // Labels only ever decrease, so the label-sum is a monotone
     // potential: fixpoint ⇔ sum unchanged (one cheap aggregate per
     // round instead of a join-based diff); the same action materializes
-    // the round's cache, so each round is exactly one job.
+    // the round's cache, so each round is exactly one job. The sentinel
+    // initial sum avoids spending a job on the trivial starting labels.
     def labelSum(df: DataFrame): Long =
       df.agg(sum("label")).head().getLong(0)
-    var prevSum = labelSum(labels)
+    var prevSum = Long.MinValue
     var iter = 0
-    while (iter < 20) {
-      val next = edges
-        .join(labels.select(col("doc_id").as("dst"), col("label")), "dst")
-        .groupBy(col("src").as("doc_id")).agg(min("label").as("label"))
-      // Truncate lineage every few rounds: without this the plan chains
-      // one join deeper per iteration, so a task retry late in the loop
-      // would replay the whole chain (and the plan itself grows without
-      // bound at scale). localCheckpoint materializes the labels and
-      // cuts the logical plan at that point; cache covers the rounds in
-      // between.
-      val updated =
-        if (iter % 3 == 2) next.localCheckpoint() else next.cache()
-      val s = labelSum(updated)
-      labels.unpersist()
-      labels = updated
-      iter += 1
-      if (s == prevSum) iter = 20 else prevSum = s
-    }
+    // The rounds are fixed-shape keyed joins over bounded label/edge
+    // frames; AQE's stage-by-stage materialization barriers roughly
+    // double each round's latency (measured) while having nothing to
+    // re-plan, so it is scoped off for the loop and restored after.
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeWas = spark.conf.get(aqeKey, "true")
+    spark.conf.set(aqeKey, "false")
+    try {
+      while (iter < 20) {
+        val next = edges
+          .join(labels.select(col("doc_id").as("dst"), col("label")), "dst")
+          .groupBy(col("src").as("doc_id")).agg(min("label").as("label"))
+        // Truncate lineage every few rounds: without this the plan
+        // chains one join deeper per iteration, so a task retry late in
+        // the loop would replay the whole chain (and the plan itself
+        // grows without bound at scale). localCheckpoint materializes
+        // the labels and cuts the logical plan at that point; cache
+        // covers the rounds in between.
+        val updated =
+          if (iter % 3 == 2) next.localCheckpoint() else next.cache()
+        val s = labelSum(updated)
+        labels.unpersist()
+        labels = updated
+        iter += 1
+        if (s == prevSum) iter = 20 else prevSum = s
+      }
+    } finally spark.conf.set(aqeKey, aqeWas)
     labels.select(col("doc_id"), col("label").as("cluster_id"))
       .orderBy("doc_id")
   }
@@ -267,13 +277,17 @@ object Dedup {
         col("x.gid") === col("y.gid") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
-    inter
+    val npairs = inter
       .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast(DoubleType)
           / (col("sa.n") + col("sb.n") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= 0.6)
-      .orderBy("doc_a", "doc_b")
+      // The thresholded pair set is tiny (near-dup rate × corpus) and is
+      // what every consumer iterates over — the clustering loop would
+      // otherwise replay the O(df²) candidate join from scratch.
+      .cache()
+    npairs.orderBy("doc_a", "doc_b")
   }
 }

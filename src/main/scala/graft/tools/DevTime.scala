@@ -19,9 +19,9 @@ object DevTime {
       val t0 = System.nanoTime(); val n = f
       println(f"[devtime] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s  n=$n")
     }
-    time("warm ngram") { Dedup.ngramJaccard(spark, sfDir).count() }
-    time("dedupClusters") { Dedup.dedupClusters(spark, sfDir).count() }
-    time("dedupClusters again") { Dedup.dedupClusters(spark, sfDir).count() }
+    time("x09e ngram") { Dedup.ngramJaccard(spark, sfDir).count() }
+    time("x09g clusters (after e)") { Dedup.dedupClusters(spark, sfDir).count() }
+    time("x09g clusters again") { Dedup.dedupClusters(spark, sfDir).count() }
     spark.stop()
   }
 }

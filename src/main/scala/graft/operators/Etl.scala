@@ -58,6 +58,13 @@ object Etl {
   def sinkRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     val out = java.nio.file.Files.createTempDirectory("graft_sink_").toString
     extractUnsorted(spark, sfDir)
+      // Align the shuffle with the sink layout: without this every
+      // upstream task writes one file into every partition directory
+      // (tasks × keys small files — the classic small-files failure at
+      // scale); repartitioning on the partition key gives each directory
+      // a handful of full-size files. At 100 TB you'd repartition(n, key)
+      // to target file size.
+      .repartition(col("l_returnflag"))
       .write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
     spark.read.parquet(out)
       .groupBy("l_returnflag").agg(count(lit(1)).as("n_rows"))

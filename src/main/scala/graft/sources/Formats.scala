@@ -19,13 +19,18 @@ object Formats {
     * textual round-trips — Spark emits shortest-roundtrip literals.)
     */
   def roundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    // Cache the extract: three sinks consume it, and without the cache
+    // each write replays the join from the source (3× the scan+shuffle).
     val base = graft.operators.Etl.extractUnsorted(spark, sfDir)
       .select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
+      .cache()
     val dir = java.nio.file.Files.createTempDirectory("graft_formats_").toString
 
     base.write.mode("overwrite").option("header", "true").csv(s"$dir/csv")
     base.write.mode("overwrite").json(s"$dir/json")
     base.write.mode("overwrite").orc(s"$dir/orc")
+
+    base.unpersist() // downstream reads come from the written files
 
     val csv = spark.read.option("header", "true")
       .schema(base.schema).csv(s"$dir/csv")

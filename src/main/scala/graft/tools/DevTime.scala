@@ -1,6 +1,5 @@
 package graft.tools
 
-import graft.operators.Dedup
 import org.apache.spark.sql.SparkSession
 
 /** Throwaway micro-bench (dev only). */
@@ -19,9 +18,10 @@ object DevTime {
       val t0 = System.nanoTime(); val n = f
       println(f"[devtime] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s  n=$n")
     }
-    time("x09e ngram") { Dedup.ngramJaccard(spark, sfDir).count() }
-    time("x09g clusters (after e)") { Dedup.dedupClusters(spark, sfDir).count() }
-    time("x09g clusters again") { Dedup.dedupClusters(spark, sfDir).count() }
+    time("o05 sinkRoundtrip") { graft.operators.Etl.sinkRoundtrip(spark, sfDir).count() }
+    time("o05 again") { graft.operators.Etl.sinkRoundtrip(spark, sfDir).count() }
+    time("of1 formats") { graft.sources.Formats.roundtrip(spark, sfDir).count() }
+    time("of1 again") { graft.sources.Formats.roundtrip(spark, sfDir).count() }
     spark.stop()
   }
 }

@@ -254,6 +254,39 @@ object OraclesLlm {
         |       CAST(length(text) AS INT) AS n_chars,
         |       CAST(CEIL(length(text)/4.0) AS BIGINT) AS est_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x11e_tfidf" ->
+      s"""WITH $toks,
+         |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+         |dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |s AS (SELECT tf.doc_id, tf.tok, tf.tf, dfq.df,
+         |        CAST(tf.tf * n.n_docs AS DOUBLE)/dfq.df AS score
+         |      FROM tf JOIN dfq USING (tok), n),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+         |        ORDER BY score DESC, tok) AS rnk FROM s)
+         |SELECT doc_id, CAST(rnk AS INT) AS rnk, tok, tf, df, score
+         |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    "x10c_label_centroids" ->
+      """WITH ex AS (SELECT label, unnest(range(1,65)) AS pos,
+        |              unnest(embedding) AS vf FROM embeddings),
+        |exq AS (SELECT label, pos,
+        |          CAST(ROUND(CAST(vf AS DOUBLE)*1000000) AS BIGINT) AS q FROM ex)
+        |SELECT label, pos, COUNT(*) AS n_vecs,
+        |       CAST(SUM(q) AS DOUBLE)/COUNT(*)/1e6 AS centroid
+        |FROM exq GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+    "x17b_stratified_sample" ->
+      """SELECT lang, COUNT(*) AS n_total,
+        |       CAST(SUM(kept) AS BIGINT) AS n_kept,
+        |       CAST(SUM(kept * n_chars) AS BIGINT) AS kept_chars,
+        |       MIN(CASE WHEN kept = 1 THEN doc_id END) AS first_kept
+        |FROM (SELECT doc_id, lang, n_chars,
+        |        CASE WHEN ((doc_id * 2654435761) % 2147483647) % 1000 <
+        |          CASE lang WHEN 'en' THEN 250 WHEN 'de' THEN 500
+        |                    WHEN 'es' THEN 500 WHEN 'fr' THEN 500
+        |                    WHEN 'zh' THEN 500 ELSE 0 END
+        |        THEN 1 ELSE 0 END AS kept
+        |      FROM documents) s
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "x11d_fingerprint" ->
       s"""WITH $toks
          |SELECT t.doc_id,

@@ -75,6 +75,9 @@ object SparkEntry {
     "x11b_quality_score"  -> (TextAnalysis.qualityScore(_, _)),
     "x11c_token_stats"    -> (TextAnalysis.tokenStats(_, _)),
     "x11d_fingerprint"    -> (TextAnalysis.fingerprint(_, _)),
+    "x11e_tfidf"          -> ((s, d) => TextAnalysis.tfidfTop(s, d)),
+    "x10c_label_centroids" -> (Similarity.labelCentroids(_, _)),
+    "x17b_stratified_sample" -> (TextAnalysis.stratifiedSample(_, _)),
     // ---- streaming (SURVEY §2.4 X12-X13), typed UDAF (X14), multimodal ----
     "x12a_stream_tumbling" -> (graft.streaming.Streaming.tumbling(_, _)),
     "x12b_stream_sliding"  -> (graft.streaming.Streaming.sliding(_, _)),

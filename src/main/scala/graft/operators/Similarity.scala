@@ -132,6 +132,26 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Per-class embedding centroids (class prototypes) — the embedding
+    * aggregation a curation pipeline runs constantly (cluster summaries,
+    * label prototypes for nearest-centroid classification, drift
+    * checks). Exact integer accumulation over the quantized vectors;
+    * the only float op is the final dequantizing division, in a pinned
+    * order so DuckDB replays it bit-for-bit. One keyed shuffle on
+    * (label, dim); at 100 TB the partial sums combine map-side so the
+    * shuffle carries `labels × dims` rows per task, not vectors.
+    */
+  def labelCentroids(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("label"),
+        posexplode(VectorOps.quantize(col("embedding"))).as(Seq("pos0", "qv")))
+      .select(col("label"), (col("pos0") + 1).cast(LongType).as("pos"), col("qv"))
+      .groupBy("label", "pos")
+      .agg(count(lit(1)).as("n_vecs"), sum("qv").as("sum_q"))
+      .select(col("label"), col("pos"), col("n_vecs"),
+        (col("sum_q").cast(DoubleType) / col("n_vecs") / 1e6).as("centroid"))
+      .orderBy("label", "pos")
+
   /** LSH-banded approximate top-k (k=3): candidates share at least one
     * (band, bandkey) with the query vector; exact cosine within
     * candidates only. */

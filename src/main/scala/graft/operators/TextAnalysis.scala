@@ -142,6 +142,58 @@ object TextAnalysis {
         min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
       .orderBy("split")
 
+  /** Stratified deterministic sampling — the training-mix rebalancing
+    * primitive: per-class keep-rates (here: downsample the dominant
+    * `en` class to 25%, keep 50% of the rest) applied via a linear hash
+    * of the document key, so the sample is reproducible across runs,
+    * engines, and cluster sizes (no RNG, no `TABLESAMPLE`), and any
+    * shard can be sampled independently (pure per-row predicate — no
+    * shuffle added to the pipeline). Emits per-class audit totals.
+    */
+  def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val rates = Seq("en" -> 250, "de" -> 500, "es" -> 500,
+      "fr" -> 500, "zh" -> 500) // keep-rate in per-mille
+    val rate = rates.tail.foldLeft(
+      when(col("lang") === rates.head._1, rates.head._2)) {
+      case (acc, (l, r)) => acc.when(col("lang") === l, r)
+    }.otherwise(0)
+    Tables.documents(spark, sfDir)
+      .withColumn("h", ((col("doc_id") * lit(2654435761L)) % lit(2147483647L)) % 1000)
+      .withColumn("kept", (col("h") < rate).cast("int"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_total"),
+        sum(col("kept")).as("n_kept"),
+        sum(col("kept") * col("n_chars")).as("kept_chars"),
+        min(when(col("kept") === 1, col("doc_id"))).as("first_kept"))
+      .orderBy("lang")
+  }
+
+  /** TF-IDF term ranking per document — the classic relevance/keyword
+    * primitive, in exact arithmetic: the idf is the exact rational
+    * `n_docs / df` (no logarithm — libm ulp differences are what break
+    * cross-engine determinism), so `score = tf · n_docs / df` with ONE
+    * IEEE division as the last step. Top-3 terms per document with a
+    * deterministic tiebreak. The per-doc window is partitioned by
+    * doc_id (bounded), the df aggregate is one keyed shuffle, and the
+    * corpus size joins in as a broadcast scalar — no global stage.
+    */
+  def tfidfTop(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+    val t = tokens(docs)
+    val tf = t.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, "tok").crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        (col("tf") * col("n_docs")).cast(DoubleType) / col("df"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("tok"))
+    scored.withColumn("rnk", row_number().over(w).cast(IntegerType))
+      .filter(col("rnk") <= k)
+      .select("doc_id", "rnk", "tok", "tf", "df", "score")
+      .orderBy("doc_id", "rnk")
+  }
+
   /** Position-sensitive document fingerprint: XOR-fold of a linear hash
     * of (token content hash, position). Two docs share a fingerprint iff
     * they are (with overwhelming probability) the same token sequence —

@@ -18,10 +18,12 @@ object DevTime {
       val t0 = System.nanoTime(); val n = f
       println(f"[devtime] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s  n=$n")
     }
-    time("o05 sinkRoundtrip") { graft.operators.Etl.sinkRoundtrip(spark, sfDir).count() }
-    time("o05 again") { graft.operators.Etl.sinkRoundtrip(spark, sfDir).count() }
-    time("of1 formats") { graft.sources.Formats.roundtrip(spark, sfDir).count() }
-    time("of1 again") { graft.sources.Formats.roundtrip(spark, sfDir).count() }
+    for (parts <- Seq("32", "8", "4", "8", "32")) {
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      time(s"x12d parts=$parts") {
+        graft.streaming.Streaming.streamStreamJoin(spark, sfDir).count()
+      }
+    }
     spark.stop()
   }
 }

@@ -49,6 +49,43 @@ class TextMultimodalSpec extends SparkSuite {
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("stratified sample downsamples per-class deterministically") {
+    val rows = TextAnalysis.stratifiedSample(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.values.forall { case (total, kept) => kept <= total })
+    assert(rows.keySet == Set("de", "en", "es", "fr", "zh"))
+    // en keeps ~25%, the rest ~50% — allow generous sampling slack
+    val (enTotal, enKept) = rows("en")
+    assert(enKept.toDouble / enTotal < 0.40, s"en keep-rate too high: $rows")
+    val again = TextAnalysis.stratifiedSample(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows == again)
+  }
+
+  test("tf-idf ranks rare terms above stopwords") {
+    val rows = TextAnalysis.tfidfTop(spark, sf).collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    assert(byDoc.values.forall(rs => rs.map(_.getInt(1)).sorted.sameElements(
+      (1 to rs.length))), "ranks must be 1..k per doc")
+    byDoc.values.foreach { rs =>
+      val scores = rs.sortBy(_.getInt(1)).map(_.getDouble(5))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+    // a term appearing in every document scores n_docs/df = 1 per
+    // occurrence; top terms should beat that baseline
+    assert(rows.filter(_.getInt(1) == 1).forall(_.getDouble(5) >= 1.0))
+  }
+
+  test("label centroids cover every (label, dim) with bounded values") {
+    val rows = graft.operators.Similarity.labelCentroids(spark, sf).collect()
+    val labels = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("label").distinct().count()
+    assert(rows.length == labels * 64)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(3)) <= 1.0, s"centroid out of range: $r")
+    }
+  }
+
   test("multimodal decode stub runs per-partition and yields sane features") {
     val feats = Multimodal.decodeStub(Multimodal.asMediaTable(spark, sf))
       .collect()

@@ -274,6 +274,35 @@ object OraclesLlm {
         |SELECT label, pos, COUNT(*) AS n_vecs,
         |       CAST(SUM(q) AS DOUBLE)/COUNT(*)/1e6 AS centroid
         |FROM exq GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+    "x11f_clean_text" ->
+      """SELECT doc_id,
+        |       CAST(length(clean) AS INT) AS clean_len,
+        |       CAST(len(string_split(clean, ' ')) AS INT) AS n_clean_tokens,
+        |       sha256(clean) AS clean_hash
+        |FROM (SELECT doc_id,
+        |        trim(regexp_replace(regexp_replace(lower(text),
+        |          '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS clean
+        |      FROM documents) s
+        |ORDER BY doc_id""".stripMargin,
+    "x10d_nearest_centroid" ->
+      """WITH ex AS (SELECT vec_id, label, unnest(range(1,65)) AS pos,
+        |              unnest(embedding) AS vf FROM embeddings),
+        |exq AS (SELECT vec_id, label, pos,
+        |          CAST(ROUND(CAST(vf AS DOUBLE)*1000000) AS BIGINT) AS q FROM ex),
+        |cent AS (SELECT label AS c_label, pos, CAST(SUM(q) AS BIGINT) AS s,
+        |           COUNT(*) AS n
+        |         FROM exq GROUP BY label, pos),
+        |sc AS (SELECT e.vec_id, e.label AS true_label, c.c_label AS label, c.n,
+        |         CAST(SUM(e.q * c.s) AS BIGINT) AS num
+        |       FROM exq e JOIN cent c ON e.pos = c.pos
+        |       GROUP BY 1, 2, 3, 4),
+        |scored AS (SELECT vec_id, true_label, label,
+        |             CAST(num AS DOUBLE)/n AS score FROM sc),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |        ORDER BY score DESC, label) AS rnk FROM scored)
+        |SELECT true_label, label AS predicted_label, COUNT(*) AS n_vecs
+        |FROM r WHERE rnk = 1
+        |GROUP BY 1, 2 ORDER BY true_label, predicted_label""".stripMargin,
     "x17b_stratified_sample" ->
       """SELECT lang, COUNT(*) AS n_total,
         |       CAST(SUM(kept) AS BIGINT) AS n_kept,

@@ -76,7 +76,9 @@ object SparkEntry {
     "x11c_token_stats"    -> (TextAnalysis.tokenStats(_, _)),
     "x11d_fingerprint"    -> (TextAnalysis.fingerprint(_, _)),
     "x11e_tfidf"          -> ((s, d) => TextAnalysis.tfidfTop(s, d)),
+    "x11f_clean_text"     -> (TextAnalysis.cleanText(_, _)),
     "x10c_label_centroids" -> (Similarity.labelCentroids(_, _)),
+    "x10d_nearest_centroid" -> (Similarity.nearestCentroid(_, _)),
     "x17b_stratified_sample" -> (TextAnalysis.stratifiedSample(_, _)),
     // ---- streaming (SURVEY §2.4 X12-X13), typed UDAF (X14), multimodal ----
     "x12a_stream_tumbling" -> (graft.streaming.Streaming.tumbling(_, _)),

@@ -152,6 +152,44 @@ object Similarity {
         (col("sum_q").cast(DoubleType) / col("n_vecs") / 1e6).as("centroid"))
       .orderBy("label", "pos")
 
+  /** Nearest-centroid classification + confusion matrix — the
+    * auto-labeling/drift-check loop a curation pipeline closes with
+    * [[labelCentroids]]: every vector is assigned the label whose
+    * centroid maximizes the mean dot product, and assignments are
+    * aggregated against the true labels. Scoring is exact integer
+    * arithmetic (vector · centroid-numerator) with ONE double division
+    * at the end, and a deterministic label tiebreak — so the argmax is
+    * engine-stable. Scale shape: the centroid relation is labels × dims
+    * (tiny → broadcast); the corpus side streams through one keyed
+    * aggregate per (vector, label) — no shuffle of the vectors
+    * themselves beyond the scoring aggregate.
+    */
+  def nearestCentroid(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val vq = emb.select(col("vec_id"), col("label").as("true_label"),
+        posexplode(VectorOps.quantize(col("embedding"))).as(Seq("pos0", "qv")))
+      .select(col("vec_id"), col("true_label"),
+        (col("pos0") + 1).cast(LongType).as("pos"), col("qv"))
+    // centroid numerators: per (label, pos) the quantized component sum
+    // and the label's vector count (centroid = s / (n · 1e6))
+    val cent = emb.select(col("label"),
+        posexplode(VectorOps.quantize(col("embedding"))).as(Seq("pos0", "qv")))
+      .select(col("label"), (col("pos0") + 1).cast(LongType).as("pos"), col("qv"))
+      .groupBy("label", "pos")
+      .agg(sum("qv").as("s"), count(lit(1)).as("n"))
+    val scored = vq.join(broadcast(cent), "pos")
+      .groupBy(col("vec_id"), col("true_label"), col("label"), col("n"))
+      .agg(sum(col("qv") * col("s")).as("num"))
+      .select(col("vec_id"), col("true_label"), col("label"),
+        (col("num").cast(DoubleType) / col("n")).as("score"))
+    val w = Window.partitionBy("vec_id").orderBy(desc("score"), asc("label"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .groupBy(col("true_label"), col("label").as("predicted_label"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .orderBy("true_label", "predicted_label")
+  }
+
   /** LSH-banded approximate top-k (k=3): candidates share at least one
     * (band, bandkey) with the query vector; exact cosine within
     * candidates only. */

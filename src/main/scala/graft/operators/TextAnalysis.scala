@@ -142,6 +142,25 @@ object TextAnalysis {
         min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
       .orderBy("split")
 
+  /** Corpus text cleaning — the canonicalization pass that runs before
+    * dedup/tokenization in a training pipeline: lowercase, strip
+    * non-alphanumerics, collapse runs of whitespace, trim. Pure
+    * columnar regexp projection (no UDF, no shuffle); emits the cleaned
+    * text's audit columns (length, token count, content hash) so the
+    * transform is verifiable without dumping full text.
+    */
+  def cleanText(spark: SparkSession, sfDir: String): DataFrame = {
+    val cleaned = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), cleaned.as("clean"))
+      .select(col("doc_id"),
+        length(col("clean")).as("clean_len"),
+        size(split(col("clean"), " ")).as("n_clean_tokens"),
+        sha2(col("clean"), 256).as("clean_hash"))
+      .orderBy("doc_id")
+  }
+
   /** Stratified deterministic sampling — the training-mix rebalancing
     * primitive: per-class keep-rates (here: downsample the dominant
     * `en` class to 25%, keep 50% of the rest) applied via a linear hash

@@ -76,6 +76,24 @@ class TextMultimodalSpec extends SparkSuite {
     assert(rows.filter(_.getInt(1) == 1).forall(_.getDouble(5) >= 1.0))
   }
 
+  test("text cleaning canonicalizes and is verifiable by hash") {
+    val rows = TextAnalysis.cleanText(spark, sf).collect()
+    assert(rows.length == nDocs)
+    rows.foreach { r =>
+      assert(r.getInt(1) >= 0)
+      assert(r.getInt(2) >= 1)
+      assert(r.getString(3).length == 64, "sha256 hex expected")
+    }
+  }
+
+  test("nearest-centroid assigns every vector exactly once") {
+    val conf = graft.operators.Similarity.nearestCentroid(spark, sf).collect()
+    val total = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(conf.map(_.getLong(2)).sum == total,
+      "confusion matrix must partition the corpus")
+    conf.foreach(r => assert(r.getLong(2) > 0))
+  }
+
   test("label centroids cover every (label, dim) with bounded values") {
     val rows = graft.operators.Similarity.labelCentroids(spark, sf).collect()
     val labels = spark.read.parquet(s"$sf/embeddings.parquet")

@@ -274,6 +274,34 @@ object OraclesLlm {
         |SELECT label, pos, COUNT(*) AS n_vecs,
         |       CAST(SUM(q) AS DOUBLE)/COUNT(*)/1e6 AS centroid
         |FROM exq GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+    "x11g_chunking" ->
+      s"""WITH $toks,
+         |nn AS (SELECT doc_id, MAX(ord) AS n FROM toks GROUP BY doc_id),
+         |starts AS (SELECT doc_id, n, unnest(range(1, n + 1, 96)) AS start
+         |           FROM nn),
+         |chunks AS (SELECT s.doc_id, (s.start - 1)//96 + 1 AS chunk_idx,
+         |             s.start, LEAST(128, s.n - s.start + 1) AS n_tokens,
+         |             ${polyHash("string_agg(t.tok, ' ' ORDER BY t.ord)")}
+         |               AS chunk_hash
+         |           FROM starts s JOIN toks t ON t.doc_id = s.doc_id
+         |             AND t.ord >= s.start AND t.ord < s.start + 128
+         |           GROUP BY s.doc_id, s.start, s.n)
+         |SELECT doc_id, chunk_idx, start, n_tokens, chunk_hash
+         |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin,
+    "x09h_contamination" ->
+      s"""WITH $toks,
+         |$ngramPairCtes,
+         |sp AS (SELECT doc_id,
+         |         CASE WHEN ((doc_id * 2654435761) % 2147483647) % 10 < 8
+         |                THEN 'train'
+         |              WHEN ((doc_id * 2654435761) % 2147483647) % 10 = 8
+         |                THEN 'valid'
+         |              ELSE 'test' END AS split
+         |       FROM documents)
+         |SELECT sa.split AS split_a, sb.split AS split_b, COUNT(*) AS n_pairs
+         |FROM npairs p JOIN sp sa ON p.doc_a = sa.doc_id
+         |              JOIN sp sb ON p.doc_b = sb.doc_id
+         |GROUP BY 1, 2 ORDER BY split_a, split_b""".stripMargin,
     "x11f_clean_text" ->
       """SELECT doc_id,
         |       CAST(length(clean) AS INT) AS clean_len,

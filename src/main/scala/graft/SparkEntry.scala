@@ -77,6 +77,8 @@ object SparkEntry {
     "x11d_fingerprint"    -> (TextAnalysis.fingerprint(_, _)),
     "x11e_tfidf"          -> ((s, d) => TextAnalysis.tfidfTop(s, d)),
     "x11f_clean_text"     -> (TextAnalysis.cleanText(_, _)),
+    "x11g_chunking"       -> ((s, d) => TextAnalysis.chunkDocs(s, d)),
+    "x09h_contamination"  -> (Dedup.contamination(_, _)),
     "x10c_label_centroids" -> (Similarity.labelCentroids(_, _)),
     "x10d_nearest_centroid" -> (Similarity.nearestCentroid(_, _)),
     "x17b_stratified_sample" -> (TextAnalysis.stratifiedSample(_, _)),

@@ -243,6 +243,34 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Train/eval contamination check — near-duplicate pairs that CROSS
+    * the train/valid/test split boundary (the leakage every training
+    * pipeline must audit before reporting eval numbers). Composes the
+    * near-dup pair graph with the deterministic split assignment
+    * ([[TextAnalysis.trainTestSplit]]'s linear key hash) and counts
+    * pairs per (split_a, split_b) cell; off-diagonal cells are
+    * contamination. Cost is one broadcast-able join over the (tiny)
+    * pair set — the expensive candidate generation is shared with, and
+    * cached by, [[ngramJaccard]].
+    */
+  def contamination(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = ngramJaccard(spark, sfDir).select("doc_a", "doc_b")
+    val splits = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        (((col("doc_id") * lit(2654435761L)) % lit(2147483647L)) % 10).as("b"))
+      .select(col("doc_id"),
+        when(col("b") < 8, "train").when(col("b") === 8, "valid")
+          .otherwise("test").as("split"))
+    pairs
+      .join(splits.select(col("doc_id").as("doc_a"), col("split").as("split_a")),
+        "doc_a")
+      .join(splits.select(col("doc_id").as("doc_b"), col("split").as("split_b")),
+        "doc_b")
+      .groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("split_a", "split_b")
+  }
+
   /** N-gram (bigram) Jaccard similarity via inverted-index candidate
     * generation: docs sharing at least one bigram are joined through the
     * bigram (an equi-join — the classic scalable near-dup plan), then

@@ -213,6 +213,31 @@ object TextAnalysis {
       .orderBy("doc_id", "rnk")
   }
 
+  /** Fixed-size token chunking with overlap — the document→training-
+    * sequence transform every LLM pipeline runs (context-window-sized
+    * chunks, strided so boundaries overlap). Pure columnar: the token
+    * array materializes once per document, chunk starts come from
+    * `sequence`, and each chunk's content hash is computed inline — no
+    * shuffle, no explode-then-window, embarrassingly parallel at any
+    * corpus size. Emits audit rows (doc, chunk ordinal, bounds, hash),
+    * not the chunk text itself.
+    */
+  def chunkDocs(spark: SparkSession, sfDir: String,
+                chunkLen: Int = 128, stride: Int = 96): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("arr"))
+      .select(col("doc_id"), col("arr"), size(col("arr")).as("n"),
+        posexplode(sequence(lit(1), size(col("arr")), lit(stride)))
+          .as(Seq("idx0", "start")))
+      .select(col("doc_id"),
+        (col("idx0") + 1).cast(LongType).as("chunk_idx"),
+        col("start").cast(LongType).as("start"),
+        least(lit(chunkLen), col("n") - col("start") + 1).cast(LongType)
+          .as("n_tokens"),
+        polyHash(concat_ws(" ",
+          slice(col("arr"), col("start"), lit(chunkLen)))).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+
   /** Position-sensitive document fingerprint: XOR-fold of a linear hash
     * of (token content hash, position). Two docs share a fingerprint iff
     * they are (with overwhelming probability) the same token sequence —

@@ -50,6 +50,17 @@ class DedupSimilaritySpec extends SparkSuite {
     }
   }
 
+  test("contamination cells partition the near-dup pair set") {
+    val cells = Dedup.contamination(spark, sf).collect()
+    val totalPairs = Dedup.ngramJaccard(spark, sf).count()
+    assert(cells.map(_.getLong(2)).sum == totalPairs,
+      "every near-dup pair must land in exactly one split cell")
+    val splits = Set("train", "valid", "test")
+    cells.foreach { r =>
+      assert(splits(r.getString(0)) && splits(r.getString(1)))
+    }
+  }
+
   test("brute-force top-k matches a naive driver-side computation for one query") {
     val got = Similarity.cosineTopK(spark, sf).collect()
       .filter(_.getLong(0) == 0).sortBy(_.getInt(1))

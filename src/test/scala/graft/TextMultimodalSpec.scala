@@ -86,6 +86,29 @@ class TextMultimodalSpec extends SparkSuite {
     }
   }
 
+  test("chunking covers every token with the configured stride") {
+    val chunks = TextAnalysis.chunkDocs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nToks = spark.read.parquet(s"$sf/documents.parquet")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.split(
+            org.apache.spark.sql.functions.col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    chunks.groupBy(_._1).foreach { case (doc, cs) =>
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.map(_._2).sameElements(1L to sorted.length),
+        s"chunk ordinals not contiguous for doc $doc")
+      sorted.foreach { case (_, idx, start, n) =>
+        assert(start == 1 + (idx - 1) * 96)
+        assert(n >= 1 && n <= 128)
+      }
+      val last = sorted.last
+      assert(last._3 + last._4 - 1 == nToks(doc),
+        s"doc $doc tokens not fully covered")
+    }
+  }
+
   test("nearest-centroid assigns every vector exactly once") {
     val conf = graft.operators.Similarity.nearestCentroid(spark, sf).collect()
     val total = spark.read.parquet(s"$sf/embeddings.parquet").count()

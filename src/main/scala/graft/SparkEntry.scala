@@ -31,6 +31,7 @@ object SparkEntry {
     "of1_format_roundtrip" -> (graft.sources.Formats.roundtrip(_, _)),
     "of2_incremental_append" -> (Etl.incrementalAppend(_, _)),
     "of3_jdbc_roundtrip"  -> (graft.sources.JdbcSource.jdbcRoundtrip(_, _)),
+    "of4_upsert_merge"    -> (Etl.upsertMerge(_, _)),
     "o16_row_count"       -> (Etl.rowCount(_, _)),
     // ---- relational breadth (SURVEY §2.4 X1-X8) ----
     "x01_grouped_agg"     -> (Relational.groupedAgg(_, _)),
@@ -153,6 +154,15 @@ object SparkEntry {
         |       MIN(n_name) AS first_name
         |FROM nation WHERE n_regionkey <= 2
         |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    // The merged sink equals "base with every 10th key repriced" —
+    // expressible as one CASE over the clean table.
+    "of4_upsert_merge" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |       CAST(SUM(CASE WHEN o_orderkey % 10 = 0
+        |                THEN CAST(o_totalprice AS DECIMAL(12,2)) + 1000
+        |                ELSE CAST(o_totalprice AS DECIMAL(12,2)) END)
+        |            AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // Per-year counts survive the overlap-append iff ingestion was
     // exactly-once by key — so the oracle is just the clean totals.
     "of2_incremental_append" ->

@@ -4,6 +4,7 @@ import graft.functions.Exact
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Reference-parity batch ETL operators (SURVEY §2.1 O1-O11, O14, O16).
   *
@@ -145,6 +146,36 @@ object Etl {
     Map("dfs.replication" -> "2", "dfs.blocksize" -> "1048576")
   val PartitionPolicy: Map[String, String] =
     Map("dfs.replication" -> "1", "dfs.blocksize" -> "1048576")
+
+  /** Keyed upsert (MERGE) — the other half of incremental ingestion:
+    * [[incrementalAppend]] handles new keys; this handles CHANGED rows.
+    * The change batch replaces matching keys and the rest of the base
+    * survives (`changes ∪ (base ⟕̸ changes)` — an anti-join union, the
+    * copy-on-write merge a parquet lake runs). Both legs are keyed
+    * shuffles; at scale the change batch is typically the small side
+    * and broadcasts. Change values go through exact decimal arithmetic
+    * so the merged aggregate is oracle-replayable. Returns per-status
+    * totals read back from the merged sink.
+    */
+  def upsertMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_merge_").toString
+    val orders = Tables.orders(spark, sfDir)
+    orders.write.mode("overwrite").parquet(out)
+    // change batch: every 10th key gets a repriced total (+1000, exact)
+    val changes = orders.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice",
+        (col("o_totalprice").cast(DecimalType(12, 2)) + 1000)
+          .cast("double"))
+    val base = spark.read.parquet(out)
+    val merged = changes.unionByName(
+      base.join(changes.select("o_orderkey"), Seq("o_orderkey"), "left_anti"))
+    val mergedOut = s"$out/merged"
+    merged.write.mode("overwrite").parquet(mergedOut)
+    spark.read.parquet(mergedOut)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), Exact.dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
 
   /** O16: row-count observability (`server.py:42,58` — rows-written status). */
   def rowCount(spark: SparkSession, sfDir: String): DataFrame =

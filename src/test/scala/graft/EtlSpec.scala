@@ -68,6 +68,27 @@ class EtlSpec extends SparkSuite {
     assert(s3 == "reuse", "cache must be healthy again after recreate")
   }
 
+  test("upsert merge replaces changed keys and keeps the rest intact") {
+    import org.apache.spark.sql.functions._
+    val merged = Etl.upsertMerge(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val clean = spark.read.parquet(s"$sf/orders.parquet")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        graft.functions.Exact.dsum(col("o_totalprice")).as("s"),
+        sum((col("o_orderkey") % 10 === 0).cast("long")).as("n_changed"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toMap
+    assert(merged.keySet == clean.keySet)
+    merged.foreach { case (status, (n, sumPrice)) =>
+      val (cn, cs, changed) = clean(status)
+      assert(n == cn, "merge must not change row counts")
+      assert(math.abs(sumPrice - (cs + 1000.0 * changed)) < 1e-6,
+        s"$status: each changed key must be repriced exactly once")
+    }
+  }
+
   test("partition cache runs create on pass 1 and reuse on pass 2, same values") {
     val rows = PartitionCache.protocolTrace(spark, sf).collect()
     assert(rows.length == 6)

@@ -209,7 +209,8 @@ object Dedup {
     // the round's cache, so each round is exactly one job. The sentinel
     // initial sum avoids spending a job on the trivial starting labels.
     def labelSum(df: DataFrame): Long =
-      df.agg(sum("label")).head().getLong(0)
+      // coalesce: an empty pair graph (clean corpus) sums to NULL
+      df.agg(coalesce(sum("label"), lit(0L))).head().getLong(0)
     var prevSum = Long.MinValue
     var iter = 0
     // The rounds are fixed-shape keyed joins over bounded label/edge

@@ -36,8 +36,13 @@ object PartitionCache {
     val partPath = new Path(s"$cacheDir/$KeyCol=$key")
     val fs = partPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-    def avgOf(df: DataFrame): Long =
-      df.agg(Exact.avgFloorLong(col(ValCol))).head().getLong(0)
+    // Pinned empty-key behavior: AVG over zero rows is 0 (the reference
+    // crashes here — `int(NaN)` on an unknown county, `server.py:128`;
+    // we define it instead, SURVEY §7.5).
+    def avgOf(df: DataFrame): Long = {
+      val r = df.agg(Exact.avgFloorLong(col(ValCol))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
 
     def createFrom(source: String): (Long, String) = {
       // Full-table scan with the key predicate pushed into the parquet

@@ -76,6 +76,24 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("new pipeline ops keep their scale-shape plans") {
+    import graft.operators.{Dedup, TextAnalysis}
+    // chunking: pure columnar — the only exchange is the presentation
+    // sort (no shuffle does any real work)
+    val chunkPlan = plan(TextAnalysis.chunkDocs(spark, sf))
+    assert(!chunkPlan.contains("Exchange hashpartitioning"),
+      s"chunking must not shuffle:\n$chunkPlan")
+    // nearest-centroid: the centroid relation broadcasts; vectors are
+    // never on the build side
+    val ncPlan = plan(graft.operators.Similarity.nearestCentroid(spark, sf))
+    assert(ncPlan.contains("BroadcastExchange"),
+      s"centroids should broadcast:\n$ncPlan")
+    // stop-gram cut: the hot-gram list joins as a broadcast anti-join
+    val njPlan = plan(Dedup.ngramJaccard(spark, sf))
+    assert(njPlan.contains("LeftAnti") && njPlan.contains("Broadcast"),
+      s"df-ceiling anti-join should broadcast:\n$njPlan")
+  }
+
   test("whole-stage codegen covers the flagship aggregate") {
     // Under AQE the final (codegen'd) plan exists only after the
     // DataFrame's own queryExecution runs (collect, not count — count

@@ -50,18 +50,23 @@ object OraclesLlm {
        |                         JOIN sizes sb ON i.doc_b=sb.doc_id
        |           WHERE CAST(i.inter AS DOUBLE)/(sa.n + sb.n - i.inter) >= 0.6)""".stripMargin
 
-  /** SimHash per-doc fingerprints (mirrors Dedup.simhash). */
+  /** SimHash per-doc 64-bit fingerprints, two 32-bit halves
+    * (mirrors Dedup.simhash). */
   private val simhashCtes =
     s"""$toks,
        |h AS (SELECT t.doc_id,
-       |        (982451653*${polyHash("tok")} + 12345) % 4294967291 AS g
+       |        (982451653*${polyHash("tok")} + 12345) % 4294967291 AS g1,
+       |        (1540483477*${polyHash("tok")} + 99991) % 4294967291 AS g2
        |      FROM toks t),
        |bits AS (SELECT doc_id, b,
-       |           SUM(CASE WHEN (g >> CAST(b AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+       |           SUM(CASE WHEN (g1 >> CAST(b AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS s,
+       |           SUM(CASE WHEN (g2 >> CAST(b AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS t
        |         FROM h, range(0,32) r(b) GROUP BY doc_id, b),
        |fp AS (SELECT doc_id,
        |         CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
-       |             ELSE 0 END) AS BIGINT) AS simhash
+       |             ELSE 0 END) AS BIGINT) AS simhash_lo,
+       |         CAST(SUM(CASE WHEN t > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+       |             ELSE 0 END) AS BIGINT) AS simhash_hi
        |       FROM bits GROUP BY doc_id)""".stripMargin
 
   /** Exploded int-quantized embeddings + exact integer norms
@@ -108,13 +113,18 @@ object OraclesLlm {
          |ORDER BY doc_a, doc_b""".stripMargin,
     "x09c_simhash" ->
       s"""WITH $simhashCtes
-         |SELECT doc_id, simhash FROM fp ORDER BY doc_id""".stripMargin,
+         |SELECT doc_id, simhash_lo, simhash_hi FROM fp ORDER BY doc_id""".stripMargin,
+    // All-pairs in the oracle (tiny at oracle scale); the engine's
+    // 16-bit banding is pigeonhole-complete for hamming ≤ 3, so the
+    // result sets are provably equal.
     "x09d_simhash_pairs" ->
       s"""WITH $simhashCtes
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |       CAST(bit_count(xor(a.simhash_lo, b.simhash_lo))
+         |          + bit_count(xor(a.simhash_hi, b.simhash_hi)) AS INT) AS hamming
          |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |WHERE bit_count(xor(a.simhash_lo, b.simhash_lo))
+         |    + bit_count(xor(a.simhash_hi, b.simhash_hi)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
     "x09e_ngram_jaccard" ->
       s"""WITH $toks,

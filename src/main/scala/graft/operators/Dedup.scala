@@ -126,44 +126,58 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** SimHash fingerprints (32-bit) + near-dup pairs at Hamming ≤ 3.
+  /** SimHash fingerprints (64-bit, as two 32-bit halves from two
+    * independent linear hash families) + near-dup pairs at Hamming ≤ 3.
     * Per-bit sign of the sum of ±1 votes from every token occurrence's
-    * linear hash. Pair scoring is over the fingerprint relation only.
+    * hash. Round 1 used a single 32-bit fingerprint with byte (8-bit)
+    * bands — pigeonhole-correct, but an 8-bit band has only 256 values,
+    * so each candidate bucket holds N/256 documents at corpus scale and
+    * per-bucket pairing goes quadratic (the same failure mode as the
+    * fixed-width vector LSH). 64 bits buy 16-bit bands: 65 536 values
+    * per band, 256× smaller buckets, same ≤3-Hamming completeness.
     */
   def simhash(spark: SparkSession, sfDir: String): DataFrame = {
-    val P2 = 4294967291L // prime < 2^32 → 32 usable bits
+    val P2 = 4294967291L // prime < 2^32 → 32 usable bits per half
     val t = TextAnalysis.tokens(Tables.documents(spark, sfDir))
     val hashed = t
       .withColumn("token_id", TextAnalysis.polyHash(col("tok")))
-      .withColumn("g", (lit(982451653L) * col("token_id") + lit(12345L)) % P2)
-    // All 32 bit-vote sums in ONE aggregation pass (map-side combined) —
-    // no 32× row blow-up; the fingerprint assembles from the 32 sums in
-    // a single projection.
-    val voteCols = (0 until 32).map { b =>
-      sum(when(expr(s"shiftright(g, $b) % 2") === 1, 1L).otherwise(-1L))
-        .as(s"s$b")
-    }
-    val fingerprintExpr = (0 until 32).map { b =>
-      when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L)
+      .withColumn("g1", (lit(982451653L) * col("token_id") + lit(12345L)) % P2)
+      .withColumn("g2", (lit(1540483477L) * col("token_id") + lit(99991L)) % P2)
+    // All 64 bit-vote sums in ONE aggregation pass (map-side combined) —
+    // no per-bit row blow-up; both fingerprint halves assemble from the
+    // sums in a single projection.
+    val voteCols =
+      (0 until 32).map { b =>
+        sum(when(expr(s"shiftright(g1, $b) % 2") === 1, 1L).otherwise(-1L))
+          .as(s"s$b")
+      } ++ (0 until 32).map { b =>
+        sum(when(expr(s"shiftright(g2, $b) % 2") === 1, 1L).otherwise(-1L))
+          .as(s"t$b")
+      }
+    def half(prefix: String) = (0 until 32).map { b =>
+      when(col(s"$prefix$b") > 0, lit(1L << b)).otherwise(0L)
     }.reduce(_ + _)
     hashed.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
-      .select(col("doc_id"), fingerprintExpr.as("simhash"))
+      .select(col("doc_id"), half("s").as("simhash_lo"), half("t").as("simhash_hi"))
       .orderBy("doc_id")
   }
 
-  /** Near-dup pairs by SimHash Hamming distance ≤ 3 over the fingerprint
-    * relation, via byte-banding: with the 32 bits split into 4 bytes, any
-    * pair within hamming 3 must share at least one identical byte
-    * (pigeonhole), so candidates come from an equi-join on
-    * (byte-index, byte-value) — ~256× fewer scored pairs than the naive
-    * cross join, and a keyed shuffle instead of an all-pairs broadcast.
+  /** Near-dup pairs by SimHash Hamming distance ≤ 3 over the 64-bit
+    * fingerprints, via 16-bit banding: with the 64 bits split into 4
+    * bands, any pair within hamming 3 must share at least one intact
+    * band (pigeonhole), so candidates come from an equi-join on
+    * (band-index, band-value) — complete for the threshold, with bucket
+    * population N/65 536 instead of the byte-banding's N/256.
     */
   def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val fp = simhash(spark, sfDir).cache()
-    val banded = fp.select(col("doc_id"), explode(array((0 until 4).map(bd =>
-        struct(lit(bd).as("bb"),
-          expr(s"shiftright(simhash, ${8 * bd}) % 256").as("bv"))): _*))
-        .as("s"))
+    val bandExprs = Seq(
+      ("simhash_lo", 0), ("simhash_lo", 16), ("simhash_hi", 0), ("simhash_hi", 16))
+    val banded = fp.select(col("doc_id"),
+        explode(array(bandExprs.zipWithIndex.map { case ((c, sh), i) =>
+          struct(lit(i).as("bb"),
+            expr(s"shiftright($c, $sh) % 65536").as("bv"))
+        }: _*)).as("s"))
       .select(col("doc_id"), col("s.bb").as("bb"), col("s.bv").as("bv"))
     val cand = banded.as("x").join(banded.as("y"),
         col("x.bb") === col("y.bb") && col("x.bv") === col("y.bv") &&
@@ -171,10 +185,13 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     cand
-      .join(fp.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a")), "doc_a")
-      .join(fp.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b")), "doc_b")
+      .join(fp.select(col("doc_id").as("doc_a"),
+        col("simhash_lo").as("lo_a"), col("simhash_hi").as("hi_a")), "doc_a")
+      .join(fp.select(col("doc_id").as("doc_b"),
+        col("simhash_lo").as("lo_b"), col("simhash_hi").as("hi_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        expr("CAST(bit_count(sim_a ^ sim_b) AS INT)").as("hamming"))
+        expr("CAST(bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b) AS INT)")
+          .as("hamming"))
       .filter(col("hamming") <= 3)
       .orderBy("doc_a", "doc_b")
   }

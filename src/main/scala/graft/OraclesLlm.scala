@@ -341,6 +341,46 @@ object OraclesLlm {
         |SELECT true_label, label AS predicted_label, COUNT(*) AS n_vecs
         |FROM r WHERE rnk = 1
         |GROUP BY 1, 2 ORDER BY true_label, predicted_label""".stripMargin,
+    "x10e_ivf_topk" ->
+      """WITH ex AS (SELECT vec_id, label, unnest(range(1,65)) AS pos,
+        |              unnest(embedding) AS vf FROM embeddings),
+        |exq AS (SELECT vec_id, label, pos,
+        |          CAST(ROUND(CAST(vf AS DOUBLE)*1000000) AS BIGINT) AS q FROM ex),
+        |norms AS (SELECT vec_id, CAST(SUM(q*q) AS BIGINT) AS n2
+        |          FROM exq GROUP BY vec_id),
+        |cent AS (SELECT label AS cell, pos, CAST(SUM(q) AS BIGINT) AS s,
+        |           COUNT(*) AS n
+        |         FROM exq GROUP BY label, pos),
+        |sc AS (SELECT e.vec_id, c.cell, c.n, CAST(SUM(e.q*c.s) AS BIGINT) AS num
+        |       FROM exq e JOIN cent c ON e.pos = c.pos GROUP BY 1, 2, 3),
+        |cs AS (SELECT vec_id, cell, CAST(num AS DOUBLE)/n AS cellscore FROM sc),
+        |assign AS (SELECT vec_id, cell FROM
+        |             (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |                ORDER BY cellscore DESC, cell) AS rnk FROM cs)
+        |           WHERE rnk = 1),
+        |probes AS (SELECT vec_id AS query_id, cell FROM
+        |             (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |                ORDER BY cellscore DESC, cell) AS rnk
+        |              FROM cs WHERE vec_id < 8)
+        |           WHERE rnk <= 2),
+        |cand AS (SELECT DISTINCT p.query_id, a.vec_id
+        |         FROM probes p JOIN assign a
+        |           ON p.cell = a.cell AND a.vec_id <> p.query_id),
+        |dots AS (SELECT c.query_id, c.vec_id, CAST(SUM(qd.q*ed.q) AS BIGINT) AS dot
+        |         FROM cand c
+        |         JOIN exq qd ON qd.vec_id = c.query_id
+        |         JOIN exq ed ON ed.vec_id = c.vec_id AND ed.pos = qd.pos
+        |         GROUP BY 1, 2),
+        |cosv AS (SELECT d.query_id, d.vec_id,
+        |           CAST(d.dot AS DOUBLE) /
+        |             (SQRT(CAST(nq.n2 AS DOUBLE))*SQRT(CAST(ne.n2 AS DOUBLE))) AS cosine
+        |         FROM dots d JOIN norms nq ON d.query_id = nq.vec_id
+        |                     JOIN norms ne ON d.vec_id = ne.vec_id),
+        |rk AS (SELECT query_id, vec_id, cosine,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id
+        |           ORDER BY cosine DESC, vec_id) AS rkn FROM cosv)
+        |SELECT query_id, CAST(rkn AS INT) AS rnk, vec_id, cosine
+        |FROM rk WHERE rkn <= 3 ORDER BY query_id, rnk""".stripMargin,
     "x17b_stratified_sample" ->
       """SELECT lang, COUNT(*) AS n_total,
         |       CAST(SUM(kept) AS BIGINT) AS n_kept,

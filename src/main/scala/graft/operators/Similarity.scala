@@ -190,6 +190,63 @@ object Similarity {
       .orderBy("true_label", "predicted_label")
   }
 
+  /** Mean-dot score of every vector against every coarse cell (the
+    * label centroids acting as IVF cells): exact integer numerator, one
+    * double division — shared by [[ivfTopK]]'s assignment and probe
+    * sides. */
+  private def cellScores(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val vq = emb.select(col("vec_id"),
+        posexplode(VectorOps.quantize(col("embedding"))).as(Seq("pos0", "qv")))
+      .select(col("vec_id"), (col("pos0") + 1).cast(LongType).as("pos"),
+        col("qv"))
+    val cent = emb.select(col("label"),
+        posexplode(VectorOps.quantize(col("embedding"))).as(Seq("pos0", "qv")))
+      .select(col("label"), (col("pos0") + 1).cast(LongType).as("pos"), col("qv"))
+      .groupBy("label", "pos")
+      .agg(sum("qv").as("s"), count(lit(1)).as("n"))
+    vq.join(broadcast(cent), "pos")
+      .groupBy(col("vec_id"), col("label").as("cell"), col("n"))
+      .agg(sum(col("qv") * col("s")).as("num"))
+      .select(col("vec_id"), col("cell"),
+        (col("num").cast(DoubleType) / col("n")).as("cellscore"))
+  }
+
+  /** IVF-style approximate top-k: the corpus is coarsely quantized into
+    * cells (here the label centroids — a deterministic, data-derived
+    * coarse quantizer; a k-means codebook slots into the same shape),
+    * every vector is ASSIGNED to its best cell, and a query probes only
+    * its `nprobe` best cells — so exact scoring touches `nprobe/cells`
+    * of the corpus instead of all of it. This is the inverted-file
+    * complement to [[annLsh]]: LSH buckets by random projection, IVF by
+    * learned/derived structure. The cell relation is tiny and
+    * broadcasts; the probe join is keyed on the cell id.
+    */
+  def ivfTopK(spark: SparkSession, sfDir: String, k: Int = 3,
+              nprobe: Int = 2): DataFrame = {
+    val cs = cellScores(spark, sfDir).cache()
+    val w = Window.partitionBy("vec_id").orderBy(desc("cellscore"), asc("cell"))
+    val assign = cs.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1).select(col("vec_id"), col("cell"))
+    val probes = cs.filter(col("vec_id") < NQueries)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("cell"))
+    val cand = broadcast(probes).join(assign, "cell")
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id")).distinct()
+    val all = quantized(spark, sfDir)
+    val scored = cand
+      .join(broadcast(all.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          col("n2").as("q_n2"))), "query_id")
+      .join(all, "vec_id")
+      .select(col("query_id"), col("vec_id"),
+        VectorOps.cosineFromQ(expr("quantized_dot(q_emb, embedding)"),
+          col("q_n2"), col("n2")).as("cosine"))
+    topkOf(scored, k)
+  }
+
   /** LSH-banded approximate top-k (k=3): candidates share at least one
     * (band, bandkey) with the query vector; exact cosine within
     * candidates only. */

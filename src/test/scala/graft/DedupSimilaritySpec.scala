@@ -96,6 +96,25 @@ class DedupSimilaritySpec extends SparkSuite {
     }
   }
 
+  test("IVF probe returns true cosines and more probes never lose results") {
+    val brute = Similarity.cosineTopK(spark, sf, k = 499).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val ivf = Similarity.ivfTopK(spark, sf).collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      assert(brute.contains(key))
+      assert(math.abs(brute(key) - r.getDouble(3)) < 1e-12)
+    }
+    // probing every cell = exact top-k over the whole corpus
+    val nCells = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("label").distinct().count().toInt
+    val full = Similarity.ivfTopK(spark, sf, k = 3, nprobe = nCells).collect()
+    val exact = Similarity.cosineTopK(spark, sf, k = 3).collect()
+    assert(full.map(_.toSeq).toSeq == exact.map(_.toSeq).toSeq,
+      "nprobe = all cells must equal brute force")
+  }
+
   test("banded LSH width is tunable and more bands never lose candidates") {
     // Bands are prefixes of the same hyperplane sequence, so the 24×3
     // config's candidate set is a superset of the default 16×2 one:

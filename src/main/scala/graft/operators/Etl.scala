@@ -177,6 +177,29 @@ object Etl {
       .orderBy("o_orderstatus")
   }
 
+  /** Small-file compaction — the lake-maintenance pass that follows any
+    * incremental sink: appends accumulate one file per batch per task,
+    * and a directory of tiny files turns every downstream scan into a
+    * listing/open storm. Rewrites a parquet directory into
+    * `ceil(bytes / targetBytes)` files (repartition, not coalesce — a
+    * full shuffle re-balances skewed input files instead of gluing them
+    * in place) and atomically swaps via a temp dir + rename. Returns the
+    * file count after compaction.
+    */
+  def compactDir(spark: SparkSession, dir: String,
+                 targetBytes: Long = 128L * 1024 * 1024): Long = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(path).getLength
+    val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val tmp = new org.apache.hadoop.fs.Path(dir + "__compact_tmp")
+    spark.read.parquet(dir).repartition(nFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(path, true)
+    fs.rename(tmp, path)
+    fs.listStatus(path).count(_.getPath.getName.endsWith(".parquet")).toLong
+  }
+
   /** O16: row-count observability (`server.py:42,58` — rows-written status). */
   def rowCount(spark: SparkSession, sfDir: String): DataFrame =
     extractUnsorted(spark, sfDir).agg(count(lit(1)).as("n_rows"))

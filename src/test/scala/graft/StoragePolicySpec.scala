@@ -40,6 +40,28 @@ class StoragePolicySpec extends SparkSuite {
         "— per-write conf did not reach the writer")
   }
 
+  test("compaction collapses a many-file directory, preserving rows") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_").toString
+    val df = spark.read.parquet(s"$sf/lineitem.parquet")
+    // simulate 5 incremental batches → many small files
+    for (i <- 0 until 5)
+      df.filter(col("l_orderkey") % 5 === i).repartition(8)
+        .write.mode("append").parquet(dir)
+    val before = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(before >= 20, s"expected many small files, got $before")
+    val rows = spark.read.parquet(dir).count()
+    val sum = spark.read.parquet(dir)
+      .agg(graft.functions.Exact.dsum(col("l_extendedprice"))).head().getDouble(0)
+    val after = Etl.compactDir(spark, dir)
+    assert(after < before / 2, s"compaction ineffective: $before -> $after")
+    assert(spark.read.parquet(dir).count() == rows)
+    val sum2 = spark.read.parquet(dir)
+      .agg(graft.functions.Exact.dsum(col("l_extendedprice"))).head().getDouble(0)
+    assert(sum == sum2, "compaction must preserve content exactly")
+  }
+
   test("dfs replication/blocksize keys merge into the per-write conf") {
     // The exact channel DataFrameWriter uses for file sinks: any option
     // is merged into that write's Hadoop Configuration. On HDFS these

@@ -80,6 +80,7 @@ object Dedup {
     * clean gap below — see SURVEY §5 methodology).
     */
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.plans.PolyHash.register(spark)
     val ds = shingleIds(Tables.documents(spark, sfDir)).cache()
 
     // All 16 min-hashes in ONE aggregation pass via the sketch-style
@@ -137,6 +138,7 @@ object Dedup {
     * per band, 256× smaller buckets, same ≤3-Hamming completeness.
     */
   def simhash(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.plans.PolyHash.register(spark)
     val P2 = 4294967291L // prime < 2^32 → 32 usable bits per half
     val t = TextAnalysis.tokens(Tables.documents(spark, sfDir))
     val hashed = t
@@ -274,11 +276,7 @@ object Dedup {
   def contamination(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = ngramJaccard(spark, sfDir).select("doc_a", "doc_b")
     val splits = Tables.documents(spark, sfDir)
-      .select(col("doc_id"),
-        (((col("doc_id") * lit(2654435761L)) % lit(2147483647L)) % 10).as("b"))
-      .select(col("doc_id"),
-        when(col("b") < 8, "train").when(col("b") === 8, "valid")
-          .otherwise("test").as("split"))
+      .select(col("doc_id"), TextAnalysis.splitOf(col("doc_id")).as("split"))
     pairs
       .join(splits.select(col("doc_id").as("doc_a"), col("split").as("split_a")),
         "doc_a")
@@ -308,6 +306,7 @@ object Dedup {
     */
   def ngramJaccard(spark: SparkSession, sfDir: String,
                    maxDf: Long = 300L): DataFrame = {
+    graft.plans.PolyHash.register(spark)
     val docs = Tables.documents(spark, sfDir)
     val grams = tokArr(docs).filter(size(col("arr")) >= 2)
       .select(col("doc_id"),

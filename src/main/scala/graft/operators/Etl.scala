@@ -192,11 +192,22 @@ object Etl {
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bytes = fs.getContentSummary(path).getLength
     val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    val tmp = new org.apache.hadoop.fs.Path(dir + "__compact_tmp")
-    spark.read.parquet(dir).repartition(nFiles)
+    // Siblings of the target (never children — a trailing slash on `dir`
+    // must not land the tmp dir inside it, or the swap would delete the
+    // fresh copy), built via the parent so the path is normalized.
+    val tmp = new org.apache.hadoop.fs.Path(
+      path.getParent, path.getName + "__compact_tmp")
+    val bak = new org.apache.hadoop.fs.Path(
+      path.getParent, path.getName + "__compact_bak")
+    spark.read.parquet(path.toString).repartition(nFiles)
       .write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(path, true)
-    fs.rename(tmp, path)
+    // Swap via rename-to-backup so the original survives any failure:
+    // worst case the data lives at the backup path; it is only deleted
+    // after the new copy is in place. Both renames are metadata-only.
+    if (fs.exists(bak)) fs.delete(bak, true)
+    require(fs.rename(path, bak), s"could not move $path aside to $bak")
+    require(fs.rename(tmp, path), s"could not promote $tmp to $path")
+    fs.delete(bak, true)
     fs.listStatus(path).count(_.getPath.getName.endsWith(".parquet")).toLong
   }
 

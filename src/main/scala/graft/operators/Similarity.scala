@@ -7,26 +7,24 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** X10: similarity search over the `embeddings` table
-  * (`ArrayType(FloatType)`, 64-dim).
-  *
-  * Two plans for the same query ("top-k nearest by cosine for each query
-  * vector"), both over int-quantized vectors (see [[VectorOps]]):
-  *  - [[cosineTopK]] — brute force: broadcast the (small) query set and
-  *    score every corpus vector with codegen'd higher-order functions.
-  *    Exact recall; total cost O(|Q|·N·d), embarrassingly parallel, no
-  *    shuffle until the final per-query top-k. Right when |Q| is small
-  *    or recall must be 1.0.
-  *  - [[annLsh]] — random-hyperplane LSH: each vector gets an 8-bit
-  *    bucket signature; candidates are an equi-join on the bucket key,
-  *    so the scored pair count drops ~256× and the shuffle is keyed,
-  *    not all-pairs. The 100 TB scale path (same structure as an
-  *    IVF probe, with deterministic data-independent "centroids").
-  *
-  * Hyperplane weights are pseudo-random rationals from a fixed LCG
-  * formula, used in integer-numerator form so the bucket-sign test is
-  * exact integer arithmetic — deterministic and replayable in the DuckDB
+/** X10: similarity search and embedding analytics over the `embeddings`
+  * table (`ArrayType(FloatType)`, 64-dim), all over int-quantized
+  * vectors (see [[VectorOps]]) so every score is exact arithmetic with
+  * one final IEEE division — deterministic and replayable in the DuckDB
   * oracle, no RNG state and no float comparisons anywhere.
+  *
+  * Three plans for "top-k nearest by cosine per query vector":
+  *  - [[cosineTopK]] — brute force: broadcast the (small) query set and
+  *    score every corpus vector with the fused codegen'd dot. Exact
+  *    recall; O(|Q|·N·d), embarrassingly parallel, no shuffle until the
+  *    final per-query top-k.
+  *  - [[annLsh]] — banded random-hyperplane LSH ([[bandedBuckets]]):
+  *    candidates share any (band, bandkey); planes-per-band sizes the
+  *    buckets, band count sets multi-probe recall.
+  *  - [[ivfTopK]] — inverted-file probing: coarse cells (data-derived
+  *    centroids), assignment + nprobe best cells per query.
+  * Plus corpus analytics on the same machinery: [[embeddingNearDup]],
+  * [[labelCentroids]], [[nearestCentroid]].
   */
 object Similarity {
   private val NQueries = 8
@@ -165,27 +163,14 @@ object Similarity {
     * themselves beyond the scoring aggregate.
     */
   def nearestCentroid(spark: SparkSession, sfDir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, sfDir)
-    val vq = emb.select(col("vec_id"), col("label").as("true_label"),
-        posexplode(VectorOps.quantize(col("embedding"))).as(Seq("pos0", "qv")))
-      .select(col("vec_id"), col("true_label"),
-        (col("pos0") + 1).cast(LongType).as("pos"), col("qv"))
-    // centroid numerators: per (label, pos) the quantized component sum
-    // and the label's vector count (centroid = s / (n · 1e6))
-    val cent = emb.select(col("label"),
-        posexplode(VectorOps.quantize(col("embedding"))).as(Seq("pos0", "qv")))
-      .select(col("label"), (col("pos0") + 1).cast(LongType).as("pos"), col("qv"))
-      .groupBy("label", "pos")
-      .agg(sum("qv").as("s"), count(lit(1)).as("n"))
-    val scored = vq.join(broadcast(cent), "pos")
-      .groupBy(col("vec_id"), col("true_label"), col("label"), col("n"))
-      .agg(sum(col("qv") * col("s")).as("num"))
-      .select(col("vec_id"), col("true_label"), col("label"),
-        (col("num").cast(DoubleType) / col("n")).as("score"))
-    val w = Window.partitionBy("vec_id").orderBy(desc("score"), asc("label"))
-    scored.withColumn("rnk", row_number().over(w))
+    val cs = cellScores(spark, sfDir)
+    val labels = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label").as("true_label"))
+    val w = Window.partitionBy("vec_id").orderBy(desc("cellscore"), asc("cell"))
+    cs.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") === 1)
-      .groupBy(col("true_label"), col("label").as("predicted_label"))
+      .join(labels, "vec_id")
+      .groupBy(col("true_label"), col("cell").as("predicted_label"))
       .agg(count(lit(1)).as("n_vecs"))
       .orderBy("true_label", "predicted_label")
   }

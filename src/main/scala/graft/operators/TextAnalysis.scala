@@ -45,6 +45,11 @@ object TextAnalysis {
     * token/gram streams; equality pinned in PolyHashSpec).
     */
   def polyHash(s: Column): Column = {
+    // Registration keys off the ACTIVE session: correct for every
+    // driver-contract entry point (the session passed in is the active
+    // one). A pipeline built against a non-active `newSession()` should
+    // call `graft.plans.PolyHash.register(thatSession)` first — the
+    // function registry is session-scoped.
     graft.plans.PolyHash.register(SparkSession.active)
     call_function(graft.plans.PolyHash.name, s)
   }
@@ -129,13 +134,18 @@ object TextAnalysis {
     * can drive a partitioned write). Emits per-split counts + exact
     * content totals as the auditable summary.
     */
+  /** The split-assignment hash shared by [[trainTestSplit]] and
+    * `Dedup.contamination` (ONE definition — the contamination audit
+    * must agree with the split it audits) and mirrored in the DuckDB
+    * oracles. */
+  def splitOf(key: Column): Column = {
+    val bucket = ((key * lit(2654435761L)) % lit(2147483647L)) % 10
+    when(bucket < 8, "train").when(bucket === 8, "valid").otherwise("test")
+  }
+
   def trainTestSplit(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
-      .withColumn("bucket",
-        ((col("doc_id") * lit(2654435761L)) % lit(2147483647L)) % 10)
-      .withColumn("split",
-        when(col("bucket") < 8, "train")
-          .when(col("bucket") === 8, "valid").otherwise("test"))
+      .withColumn("split", splitOf(col("doc_id")))
       .groupBy("split")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("total_chars"),
@@ -223,7 +233,8 @@ object TextAnalysis {
     * not the chunk text itself.
     */
   def chunkDocs(spark: SparkSession, sfDir: String,
-                chunkLen: Int = 128, stride: Int = 96): DataFrame =
+                chunkLen: Int = 128, stride: Int = 96): DataFrame = {
+    graft.plans.PolyHash.register(spark)
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), split(col("text"), " ").as("arr"))
       .select(col("doc_id"), col("arr"), size(col("arr")).as("n"),
@@ -237,6 +248,7 @@ object TextAnalysis {
         polyHash(concat_ws(" ",
           slice(col("arr"), col("start"), lit(chunkLen)))).as("chunk_hash"))
       .orderBy("doc_id", "chunk_idx")
+  }
 
   /** Position-sensitive document fingerprint: XOR-fold of a linear hash
     * of (token content hash, position). Two docs share a fingerprint iff
@@ -246,6 +258,7 @@ object TextAnalysis {
     * pipeline is explode → project → one keyed aggregate.
     */
   def fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.plans.PolyHash.register(spark)
     val t = tokens(Tables.documents(spark, sfDir))
     t.withColumn("token_id", polyHash(col("tok")))
       .withColumn("h",

@@ -34,13 +34,21 @@ object JdbcSource {
     Tables.nation(spark, sfDir)
       .write.mode(SaveMode.Overwrite).jdbc(url, "nation", props)
 
-    scanSharded(spark, url)
+    // Materialize eagerly (localCheckpoint) so the returned DataFrame no
+    // longer depends on the database, then shut the embedded engine down
+    // — Derby otherwise keeps every booted database's page cache and
+    // lock tables alive for the JVM lifetime.
+    val result = scanSharded(spark, url)
       .filter(col("n_regionkey") <= 2)
       .groupBy("n_regionkey")
       .agg(count(lit(1)).as("n"),
         min(col("n_nationkey")).as("min_key"),
         min(col("n_name")).as("first_name"))
       .orderBy("n_regionkey")
+      .localCheckpoint()
+    try java.sql.DriverManager.getConnection(s"jdbc:derby:$dir/db;shutdown=true")
+    catch { case _: java.sql.SQLException => () } // shutdown always throws
+    result
   }
 
   /** The sharded scan itself (also plan-asserted by JdbcSourceSpec):

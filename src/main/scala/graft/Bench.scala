@@ -37,7 +37,9 @@ object Bench {
       name -> sec(
         try fn(spark, sfDir).count()
         catch { case e: Throwable =>
+          // printable ASCII only — a control char would break the JSON line
           errors += name -> e.toString.takeWhile(_ != '\n').take(200)
+            .map(c => if (c >= ' ' && c <= '~') c else ' ')
         })
     }
 

@@ -333,6 +333,14 @@ object Dedup {
       // what every consumer iterates over — the clustering loop would
       // otherwise replay the O(df²) candidate join from scratch.
       .cache()
+    // Materialize the small result NOW (the same work its first consumer
+    // would trigger — cached, so nothing is computed twice) and release
+    // the corpus-sized intermediates: the distinct gram set is the
+    // largest relation of the whole text pipeline and must not stay
+    // pinned for the session lifetime.
+    npairs.count()
+    kept.unpersist()
+    grams.unpersist()
     npairs.orderBy("doc_a", "doc_b")
   }
 }

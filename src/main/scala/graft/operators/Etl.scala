@@ -169,7 +169,9 @@ object Etl {
     val base = spark.read.parquet(out)
     val merged = changes.unionByName(
       base.join(changes.select("o_orderkey"), Seq("o_orderkey"), "left_anti"))
-    val mergedOut = s"$out/merged"
+    // SIBLING of the base sink, never a subdirectory — leaf files at two
+    // directory depths corrupt partition discovery for later readers.
+    val mergedOut = s"${out}_merged"
     merged.write.mode("overwrite").parquet(mergedOut)
     spark.read.parquet(mergedOut)
       .groupBy("o_orderstatus")

@@ -217,9 +217,14 @@ object Similarity {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= nprobe)
       .select(col("vec_id").as("query_id"), col("cell"))
+    // Materialize the (tiny) candidate list and cut its lineage so the
+    // N-vectors × N-cells score relation can be released immediately
+    // instead of staying cached for the session lifetime.
     val cand = broadcast(probes).join(assign, "cell")
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id")).distinct()
+      .localCheckpoint()
+    cs.unpersist()
     val all = quantized(spark, sfDir)
     val scored = cand
       .join(broadcast(all.filter(col("vec_id") < NQueries)

@@ -1,0 +1,36 @@
+package graft
+
+/** Driver-contract invariants: the correctness gate hash-compares each
+  * `queries` entry against its `oracleSql` twin, so a key typo or a
+  * missing oracle silently downgrades a query to a weaker check. Pin
+  * the alignment and the exact rows-only exception set. */
+class ContractSpec extends SparkSuite {
+
+  test("every oracle key names a declared query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle entries without queries: $orphans")
+  }
+
+  test("rows-only queries are exactly the documented sketch/fs set") {
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly == Set(
+      "o13_block_locations",   // filesystem metadata — not visible to SQL
+      "x05b_approx_distinct",  // HLL++ sketch values are engine-specific
+      "x05d_approx_quantiles"  // GK sketch values are engine-specific
+    ), s"unexpected rows-only set: $rowsOnly")
+  }
+
+  test("flagship entry returns rows (driver smoke-check)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query function builds an analyzable plan") {
+    // Construction must not throw (resolution errors, missing columns,
+    // bad registrations) for any declared query; execution is the
+    // verify/bench mains' job.
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      assert(df.schema.fields.nonEmpty, s"$name has an empty schema")
+    }
+  }
+}

@@ -145,7 +145,7 @@ object SparkEntry {
          |         ${dsum("l_extendedprice")} AS sum_price
          |  FROM base GROUP BY l_returnflag)
          |SELECT f.format, a.l_returnflag, a.n, a.sum_price
-         |FROM agg a, (VALUES ('csv'), ('json'), ('orc')) f(format)
+         |FROM agg a, (VALUES ('csv'), ('json'), ('orc'), ('xml')) f(format)
          |ORDER BY f.format, a.l_returnflag""".stripMargin,
     // The roundtrip through the embedded RDBMS must preserve values
     // exactly — so the oracle is the same aggregate over the parquet

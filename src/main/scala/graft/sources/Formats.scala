@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multi-format source/sink surface (beyond the reference's
-  * parquet-only pipeline): CSV, JSON, and ORC writers/readers with the
+  * parquet-only pipeline): CSV, JSON, ORC, and XML writers/readers with the
   * same DataFrame semantics. A user switching from the reference gets
   * interchange formats (CSV/JSON for ingest/export boundaries) and ORC
   * as the alternative columnar store — all partition-parallel, all
@@ -29,6 +29,8 @@ object Formats {
     base.write.mode("overwrite").option("header", "true").csv(s"$dir/csv")
     base.write.mode("overwrite").json(s"$dir/json")
     base.write.mode("overwrite").orc(s"$dir/orc")
+    // XML is a native data source since Spark 4 — no external module.
+    base.write.mode("overwrite").option("rowTag", "row").xml(s"$dir/xml")
 
     base.unpersist() // downstream reads come from the written files
 
@@ -36,8 +38,10 @@ object Formats {
       .schema(base.schema).csv(s"$dir/csv")
     val json = spark.read.schema(base.schema).json(s"$dir/json")
     val orc = spark.read.orc(s"$dir/orc")
+    val xml = spark.read.option("rowTag", "row")
+      .schema(base.schema).xml(s"$dir/xml")
 
-    Seq("csv" -> csv, "json" -> json, "orc" -> orc)
+    Seq("csv" -> csv, "json" -> json, "orc" -> orc, "xml" -> xml)
       .map { case (fmt, df) =>
         df.groupBy("l_returnflag")
           .agg(count(lit(1)).as("n"),

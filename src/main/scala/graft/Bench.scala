@@ -33,7 +33,13 @@ object Bench {
     // is reported in `errors` (and its time covers only the failed run) —
     // never silently counted as a fast success.
     var errors = Map.empty[String, String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated query filter for interactive iteration
+    // (SPARK_GRAFT_ONLY=x09e_ngram_jaccard,x09g_dedup_clusters).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    val selected =
+      if (only.isEmpty) SparkEntry.queries else SparkEntry.queries.filter(kv => only(kv._1))
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> sec(
         try fn(spark, sfDir).count()
         catch { case e: Throwable =>
@@ -64,7 +70,21 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"cache_create_sec":$tCreate,"cache_reuse_sec":$tReuse,"sf":"$sfDir"}""")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"cache_create_sec":$tCreate,"cache_reuse_sec":$tReuse,"sf":"$sfDir"}"""
+    println(fullLine)
+    // The full line above exceeds the harness's 2 KiB output-tail capture
+    // (74 queries x ~26 chars), so it can never be parsed whole from the
+    // tail. Persist it as an artifact, then print a compact summary line
+    // LAST (top slowest queries, 2-decimal seconds) that fits the tail.
+    if (only.isEmpty) // don't clobber the artifact from filtered runs
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_FULL.json"),
+        (fullLine + "\n").getBytes("UTF-8"))
+      catch { case _: Throwable => () } // artifact write is best-effort
+    def r2(v: Double): String = f"$v%.2f"
+    val slowest = results.sortBy(-_._2).take(12)
+      .map { case (k, v) => "\"" + k + "\":" + r2(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$slowest,"n_queries":${results.size},"n_errors":${errors.size},"cache_create_sec":${r2(tCreate)},"cache_reuse_sec":${r2(tReuse)},"sf":"$sfDir","detail":"BENCH_FULL.json"}""")
     spark.stop()
   }
 }

@@ -304,8 +304,34 @@ object Dedup {
     *    exactly in the DuckDB oracle). The hot-gram list is tiny
     *    (≤ total gram occurrences / maxDf), so the anti-join broadcasts.
     */
+  /** The two physical strategies for the same logical similarity join.
+    * They produce IDENTICAL pair sets (pinned by DedupSimilaritySpec);
+    * the right choice is a property of the corpus's gram-frequency
+    * distribution, not of the query:
+    *
+    *  - [[CountJoin]]: inverted-index self-join + pair-count aggregation.
+    *    Candidate volume is Σ_g df(g)², but every row does constant work
+    *    and the aggregate combines map-side. Wins when the vocabulary is
+    *    small/closed and df is uniformly high (every pair is a candidate
+    *    anyway, so candidate *pruning* cannot pay for itself) — which is
+    *    exactly the synthetic fixture corpus.
+    *  - [[PrefixFilter]]: AllPairs/PPJoin prefix filtering (Bayardo et
+    *    al., WWW'07). Order each doc's grams rarest-first (global df
+    *    order); J(A,B) ≥ τ forces |A∩B| ≥ ⌈τ|A|⌉, so some intersection
+    *    gram falls in A's first |A|−⌈τ|A|⌉+1 grams — candidates come
+    *    from prefix⋈full-index with a τ|A| ≤ |B| ≤ |A|/τ size guard,
+    *    then exact verification. The Zipf head never enters a prefix, so
+    *    on a real open-vocabulary corpus (the 100 TB case) candidate
+    *    volume collapses from Σ df² to near-linear — the strategy a
+    *    large-scale dedup run should select.
+    */
+  sealed trait JaccardStrategy
+  case object CountJoin extends JaccardStrategy
+  case object PrefixFilter extends JaccardStrategy
+
   def ngramJaccard(spark: SparkSession, sfDir: String,
-                   maxDf: Long = 300L): DataFrame = {
+                   maxDf: Long = 300L,
+                   strategy: JaccardStrategy = CountJoin): DataFrame = {
     graft.plans.PolyHash.register(spark)
     val docs = Tables.documents(spark, sfDir)
     val grams = tokArr(docs).filter(size(col("arr")) >= 2)
@@ -314,24 +340,69 @@ object Dedup {
           s => TextAnalysis.polyHash(s))).as("gid"))
       .distinct()
       .cache()
-    val hot = grams.groupBy("gid").agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDf).select("gid")
+    val dfreq = grams.groupBy("gid").agg(count(lit(1)).as("df"))
+    val hot = dfreq.filter(col("df") > maxDf).select("gid")
     val kept = grams.join(broadcast(hot), Seq("gid"), "left_anti").cache()
-    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = kept.as("x").join(kept.as("y"),
-        col("x.gid") === col("y.gid") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    val npairs = inter
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .select(col("doc_a"), col("doc_b"),
-        (col("inter").cast(DoubleType)
-          / (col("sa.n") + col("sb.n") - col("inter"))).as("jaccard"))
+
+    var strategyCache: Option[DataFrame] = None
+    val scored = strategy match {
+      case CountJoin =>
+        val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val inter = kept.as("x").join(kept.as("y"),
+            col("x.gid") === col("y.gid") && col("x.doc_id") < col("y.doc_id"))
+          .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("inter"))
+        inter
+          .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+          .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+          .select(col("doc_a"), col("doc_b"),
+            (col("inter").cast(DoubleType)
+              / (col("sa.n") + col("sb.n") - col("inter"))).as("jaccard"))
+
+      case PrefixFilter =>
+        // τ = 3/5 in exact integer arithmetic throughout (0.6 is not
+        // dyadic: float `ceil(n*0.6)` mis-sizes the prefix when 5 | n).
+        val arrs = kept.join(dfreq, "gid")
+          .groupBy("doc_id")
+          .agg(sort_array(collect_list(struct(col("df"), col("gid"))))
+            .as("sarr"))
+          .select(col("doc_id"),
+            transform(col("sarr"), s => s.getField("gid")).as("arr"),
+            size(col("sarr")).as("n"))
+          // prefix length p = n − ⌈3n/5⌉ + 1
+          .withColumn("p", col("n") - (col("n") * 3 + 4) / 5 + 1)
+          .cache()
+        strategyCache = Some(arrs)
+        val prefixRows = arrs.select(col("doc_id"), col("n"),
+          explode(slice(col("arr"), lit(1), col("p"))).as("gid"))
+        val fullRows = arrs.select(col("doc_id"), col("n"),
+          explode(col("arr")).as("gid"))
+        val cand = prefixRows.as("x").join(fullRows.as("y"),
+            col("x.gid") === col("y.gid")
+              && col("x.doc_id") =!= col("y.doc_id")
+              && col("y.n") * 5 >= col("x.n") * 3  // |B| ≥ τ|A|
+              && col("y.n") * 3 <= col("x.n") * 5) // |B| ≤ |A|/τ
+          .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+            greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
+          .distinct()
+        // Exact verification: true intersection via array_intersect over
+        // the per-doc gram arrays (distinct gids — set semantics).
+        val inter2 = size(array_intersect(col("arr_a"), col("arr_b")))
+        cand
+          .join(arrs.select(col("doc_id").as("doc_a"), col("arr").as("arr_a"),
+            col("n").as("n_a")), "doc_a")
+          .join(arrs.select(col("doc_id").as("doc_b"), col("arr").as("arr_b"),
+            col("n").as("n_b")), "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            (inter2.cast(DoubleType)
+              / (col("n_a") + col("n_b") - inter2)).as("jaccard"))
+    }
+
+    val npairs = scored
       .filter(col("jaccard") >= 0.6)
       // The thresholded pair set is tiny (near-dup rate × corpus) and is
       // what every consumer iterates over — the clustering loop would
-      // otherwise replay the O(df²) candidate join from scratch.
+      // otherwise replay the candidate join from scratch.
       .cache()
     // Materialize the small result NOW (the same work its first consumer
     // would trigger — cached, so nothing is computed twice) and release
@@ -339,6 +410,7 @@ object Dedup {
     // largest relation of the whole text pipeline and must not stay
     // pinned for the session lifetime.
     npairs.count()
+    strategyCache.foreach(_.unpersist())
     kept.unpersist()
     grams.unpersist()
     npairs.orderBy("doc_a", "doc_b")

@@ -84,22 +84,40 @@ object Similarity {
                                        planes: Int, bands: Int): DataFrame = {
     require(planes % bands == 0, "bands must divide planes")
     val perBand = planes / bands
-    val ex = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"),
-        posexplode(VectorOps.quantize(col("embedding"))).as(Seq("pos0", "qv")))
-      .select(col("vec_id"), (col("pos0") + 1).cast(LongType).as("pos"),
-        col("qv"))
-    val hyper = spark.range(0, planes).select(col("id").as("j"))
-      .crossJoin(spark.range(1, Dims + 1).select(col("id").as("pos")))
-      .withColumn("wnum",
-        lit(2L) * ((lit(1103515245L) * (col("j") * Dims + col("pos"))
-          + lit(12345L)) % lit(1000003L)) - lit(1000003L))
-    ex.join(broadcast(hyper), "pos")
-      .groupBy("vec_id", "j").agg(sum(col("qv") * col("wnum")).as("p"))
-      .groupBy(col("vec_id"), expr(s"j div $perBand").as("band"))
-      .agg(sum(when(col("p") >= 0,
-        expr(s"shiftleft(CAST(1 AS BIGINT), CAST(j % $perBand AS INT))"))
-        .otherwise(0L)).as("bandkey"))
+    graft.plans.QuantizedDot.register(spark)
+    // The hyperplane weights are compile-time constants, so each
+    // projection p_j = Σ_pos qv·wnum(j,pos) is ONE fused codegen'd
+    // quantized_dot(embedding, <const weight vector>) call — a pure
+    // per-row projection. (An earlier revision exploded every vector to
+    // 64 (pos, qv) rows and joined a broadcast (j, pos, wnum) relation:
+    // N×64×planes intermediate rows plus two shuffled aggregations,
+    // all replaced here by per-row arithmetic with no shuffle at all.)
+    // Exactness: quantized_dot re-quantizes round(w·1e6), and
+    // |wnum| < 1000003 means the float carrier w = wnum/1e6 re-quantizes
+    // to exactly wnum (float's 2⁻²⁴ relative error is < 0.06 absolute
+    // after ×1e6, far under the 0.5 rounding margin) — so p_j, every
+    // band key, and every downstream candidate/cosine are bit-identical
+    // to the explicit-join form and to the DuckDB oracle's replay.
+    def wvec(j: Int): Array[Float] =
+      (1 to Dims).map { pos =>
+        val r = (1103515245L * (j.toLong * Dims + pos) + 12345L) % 1000003L
+        ((2L * r - 1000003L).toDouble / 1e6).toFloat
+      }.toArray
+    val pCols = (0 until planes).map(j =>
+      call_function(graft.plans.QuantizedDot.name,
+        col("embedding"), lit(wvec(j))).as(s"p$j"))
+    val withP = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id") +: pCols: _*)
+    val bandStructs = (0 until bands).map { b =>
+      val key = (0 until perBand).map { r =>
+        val j = b * perBand + r
+        when(col(s"p$j") >= 0, lit(1L << r)).otherwise(0L)
+      }.reduce(_ + _)
+      struct(lit(b.toLong).as("band"), key.as("bandkey"))
+    }
+    withP.select(col("vec_id"), explode(array(bandStructs: _*)).as("s"))
+      .select(col("vec_id"), col("s.band").as("band"),
+        col("s.bandkey").as("bandkey"))
   }
 
   /** X9/X10: embedding-cosine near-duplicate pairs — ALL pairs sharing

@@ -50,6 +50,18 @@ class DedupSimilaritySpec extends SparkSuite {
     }
   }
 
+  test("prefix-filter and count-join jaccard strategies agree exactly") {
+    // The AllPairs/PPJoin prefix plan (the 100 TB open-vocabulary
+    // strategy) is a lossless candidate pruning: both physical plans
+    // must produce the identical thresholded pair set, jaccard included.
+    val count = Dedup.ngramJaccard(spark, sf, strategy = Dedup.CountJoin)
+      .collect().map(_.toSeq)
+    val prefix = Dedup.ngramJaccard(spark, sf, strategy = Dedup.PrefixFilter)
+      .collect().map(_.toSeq)
+    assert(count.nonEmpty, "fixture plants near-duplicates; none found")
+    assert(count.toSeq == prefix.toSeq)
+  }
+
   test("contamination cells partition the near-dup pair set") {
     val cells = Dedup.contamination(spark, sf).collect()
     val totalPairs = Dedup.ngramJaccard(spark, sf).count()

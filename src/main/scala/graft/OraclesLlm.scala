@@ -394,6 +394,62 @@ object OraclesLlm {
         |        THEN 1 ELSE 0 END AS kept
         |      FROM documents) s
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "x11h_repetition" ->
+      s"""WITH $toks,
+         |g AS (SELECT a.doc_id, a.tok||' '||b.tok AS gram
+         |      FROM toks a JOIN toks b ON a.doc_id=b.doc_id AND b.ord=a.ord+1),
+         |c AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2)
+         |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+         |       COUNT(*) AS n_distinct_bigrams,
+         |       CAST(SUM(c) - COUNT(*) AS DOUBLE)/CAST(SUM(c) AS DOUBLE)
+         |         AS dup_fraction,
+         |       CAST(MAX(c) AS BIGINT) AS max_repeat
+         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "x09i_chunk_dedup" ->
+      s"""WITH $toks,
+         |nn AS (SELECT doc_id, MAX(ord) AS n FROM toks GROUP BY doc_id),
+         |starts AS (SELECT doc_id, unnest(range(1, n + 1, 16)) AS start
+         |           FROM nn),
+         |blocks AS (SELECT s.doc_id, s.start,
+         |             ${polyHash("string_agg(t.tok, ' ' ORDER BY t.ord)")}
+         |               AS bh
+         |           FROM starts s JOIN toks t ON t.doc_id = s.doc_id
+         |             AND t.ord >= s.start AND t.ord < s.start + 16
+         |           GROUP BY s.doc_id, s.start),
+         |occ AS (SELECT bh, COUNT(*) AS occ FROM blocks GROUP BY bh)
+         |SELECT b.doc_id, COUNT(*) AS n_blocks,
+         |       CAST(SUM(CASE WHEN o.occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_dup_blocks,
+         |       CAST(SUM(CASE WHEN o.occ > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |         / COUNT(*) AS dup_ratio
+         |FROM blocks b JOIN occ o ON b.bh = o.bh
+         |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin,
+    "x11i_pii_redaction" ->
+      """WITH p AS (SELECT doc_id, text ||
+        |             CASE WHEN doc_id % 5 = 0
+        |                    THEN ' contact user'||doc_id||'@example.com'
+        |                  WHEN doc_id % 5 = 1
+        |                    THEN ' call 555-'||lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |                  WHEN doc_id % 5 = 2
+        |                    THEN ' host 10.0.'||(doc_id % 256)||'.7'
+        |                  ELSE '' END AS pii_text
+        |           FROM documents),
+        |r AS (SELECT doc_id, pii_text,
+        |        regexp_replace(regexp_replace(regexp_replace(pii_text,
+        |          '[a-z0-9]+@[a-z0-9.]+\.[a-z]+', '[EMAIL]', 'g'),
+        |          '555-[0-9]{4}', '[PHONE]', 'g'),
+        |          '10\.[0-9]+\.[0-9]+\.[0-9]+', '[IP]', 'g') AS redacted
+        |      FROM p)
+        |SELECT doc_id,
+        |       CAST(len(regexp_extract_all(pii_text,
+        |         '[a-z0-9]+@[a-z0-9.]+\.[a-z]+')) AS INT) AS n_emails,
+        |       CAST(len(regexp_extract_all(pii_text,
+        |         '555-[0-9]{4}')) AS INT) AS n_phones,
+        |       CAST(len(regexp_extract_all(pii_text,
+        |         '10\.[0-9]+\.[0-9]+\.[0-9]+')) AS INT) AS n_ips,
+        |       CAST(length(redacted) AS INT) AS redacted_len,
+        |       sha256(redacted) AS redacted_hash
+        |FROM r ORDER BY doc_id""".stripMargin,
     "x11d_fingerprint" ->
       s"""WITH $toks
          |SELECT t.doc_id,

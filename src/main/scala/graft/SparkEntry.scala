@@ -48,6 +48,7 @@ object SparkEntry {
     "x05b_approx_distinct" -> (Relational.approxDistinct(_, _)),
     "x05c_median"         -> (Relational.medianAgg(_, _)),
     "x05d_approx_quantiles" -> (Relational.approxPercentiles(_, _)),
+    "x05e_exact_quantiles" -> (Relational.exactQuantiles(_, _)),
     "x06a_rollup"         -> (Relational.rollupAgg(_, _)),
     "x06b_cube"           -> (Relational.cubeAgg(_, _)),
     "x06c_pivot"          -> (Relational.pivotAgg(_, _)),
@@ -80,6 +81,9 @@ object SparkEntry {
     "x11f_clean_text"     -> (TextAnalysis.cleanText(_, _)),
     "x11g_chunking"       -> ((s, d) => TextAnalysis.chunkDocs(s, d)),
     "x09h_contamination"  -> (Dedup.contamination(_, _)),
+    "x09i_chunk_dedup"    -> ((s, d) => Dedup.chunkDedup(s, d)),
+    "x11h_repetition"     -> (TextAnalysis.repetition(_, _)),
+    "x11i_pii_redaction"  -> (TextAnalysis.piiRedaction(_, _)),
     "x10c_label_centroids" -> (Similarity.labelCentroids(_, _)),
     "x10d_nearest_centroid" -> (Similarity.nearestCentroid(_, _)),
     "x10e_ivf_topk"       -> ((s, d) => Similarity.ivfTopK(s, d)),
@@ -97,6 +101,7 @@ object SparkEntry {
     "xm1_multimodal_meta"  -> (Multimodal.binaryMeta(_, _)),
     "x15_sql_api"          -> (SqlApi.tpchQ3(_, _)),
     "x16_asof_join"        -> (Relational.asofAttribution(_, _)),
+    "x16b_interval_join"   -> (Relational.intervalJoin(_, _)),
     "x17_train_test_split" -> (TextAnalysis.trainTestSplit(_, _)),
     "x18_profile"          -> (Relational.profileMeasures(_, _)),
   )
@@ -264,6 +269,25 @@ object SparkEntry {
         |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // x05d_approx_quantiles: GK-sketch values are engine-specific — no
     // SQL oracle (rows-only check).
+    "x05e_exact_quantiles" ->
+      """WITH r AS (SELECT l_returnflag, l_extendedprice,
+        |             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |               ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+        |             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |           FROM lineitem)
+        |SELECT l_returnflag,
+        |       MAX(CASE WHEN rn = (1*n+3)//4 THEN l_extendedprice END) AS q25,
+        |       MAX(CASE WHEN rn = (2*n+3)//4 THEN l_extendedprice END) AS q50,
+        |       MAX(CASE WHEN rn = (3*n+3)//4 THEN l_extendedprice END) AS q75
+        |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "x16b_interval_join" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+        |       p.user_id
+        |FROM events p JOIN events c
+        |  ON p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND p.user_id = c.user_id
+        | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+        |ORDER BY purchase_id, click_id""".stripMargin,
     "x06c_pivot" ->
       """SELECT l_returnflag,
         |       COUNT(*) FILTER (WHERE l_linestatus = 'F') AS F,

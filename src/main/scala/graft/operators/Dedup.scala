@@ -263,6 +263,41 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Block-level exact dedup (the paragraph/line-dedup pass of a CCNet-
+    * style pipeline, at aligned token-block granularity): documents are
+    * cut into aligned 16-token blocks, block content hashes are counted
+    * corpus-wide, and each document reports how much of it duplicates
+    * blocks seen elsewhere. This catches shared boilerplate and near-
+    * copies that whole-document exact dedup misses. Scale shape: block
+    * build is a pure projection; the corpus-wide work is ONE groupBy on
+    * a 64-bit block hash (map-side combined) + one join back on the same
+    * key — the same single-shuffle pattern as [[exactDedup]], at block
+    * instead of document granularity.
+    */
+  def chunkDedup(spark: SparkSession, sfDir: String,
+                 blockLen: Int = 16): DataFrame = {
+    graft.plans.PolyHash.register(spark)
+    val blocks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("arr"))
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("arr")), lit(blockLen)))
+          .as("start"),
+        col("arr"))
+      .select(col("doc_id"), col("start"),
+        TextAnalysis.polyHash(
+          concat_ws(" ", slice(col("arr"), col("start"), lit(blockLen))))
+          .as("bh"))
+    val occ = blocks.groupBy("bh").agg(count(lit(1)).as("occ"))
+    blocks.join(occ, "bh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("occ") > 1, 1L).otherwise(0L)).as("n_dup_blocks"))
+      .select(col("doc_id"), col("n_blocks"), col("n_dup_blocks"),
+        (col("n_dup_blocks").cast(DoubleType) / col("n_blocks"))
+          .as("dup_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** Train/eval contamination check — near-duplicate pairs that CROSS
     * the train/valid/test split boundary (the leakage every training
     * pipeline must audit before reporting eval numbers). Composes the

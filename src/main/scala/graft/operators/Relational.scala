@@ -207,6 +207,73 @@ object Relational {
         ((col("pos0") + 1) * 0.25).as("quantile"), col("value"))
       .orderBy("l_returnflag", "quantile")
 
+  /** X5: EXACT discrete quartiles by rank arithmetic — the exact,
+    * hash-matchable twin of [[approxPercentiles]]'s GK sketch (which is
+    * engine-specific and so only rows-checked). Each quartile p = k/4 is
+    * the value at rank ⌈p·n⌉ (percentile_disc semantics), computed with
+    * integer arithmetic only — `(k·n+3) div 4` — so both engines pick
+    * the identical element: no interpolation, no float rank. Two window
+    * passes per group partition (rank + count), then one aggregate; at
+    * scale the partition key bounds the sort. */
+  def exactQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    val wn = Window.partitionBy("l_returnflag")
+    val ranked = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_orderkey"), col("l_linenumber"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wn))
+    ranked.groupBy("l_returnflag")
+      .agg(
+        max(when(col("rn") === expr("(1*n+3) div 4"), col("l_extendedprice")))
+          .as("q25"),
+        max(when(col("rn") === expr("(2*n+3) div 4"), col("l_extendedprice")))
+          .as("q50"),
+        max(when(col("rn") === expr("(3*n+3) div 4"), col("l_extendedprice")))
+          .as("q75"))
+      .orderBy("l_returnflag")
+  }
+
+  /** X16: batch interval join at scale — purchases matched to the same
+    * user's clicks in the preceding hour. A naive plan joins on user_id
+    * alone and filters the time predicate AFTER pairing (per-user
+    * cross-product — quadratic in events-per-user, the classic range-join
+    * trap Spark's equi-join planner can't avoid on its own). This plan
+    * BUCKETS time by the interval length: each click lands in one hour
+    * bucket, each purchase probes its own and the previous bucket
+    * (`[ts−1h, ts]` spans at most two), so the join is a pure equi-join
+    * on (user, bucket) with the exact interval refined afterwards —
+    * candidate volume drops from |user-group|² to pairs within adjacent
+    * buckets. A purchase's two probe buckets are distinct, so no pair
+    * can match twice: no dedup pass needed. Same result as the
+    * stream-stream join `x12d` (one-batch equivalence).
+    */
+  def intervalJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val us = unix_micros(col("ts"))
+    val HourUs = 3600L * 1000000L
+    // integer div, NOT `/`: double division can round across a bucket
+    // boundary at epoch-micros magnitudes (same pitfall as x13d)
+    val bucketOf = expr(s"unix_micros(ts) div $HourUs")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), us.as("c_us"),
+        col("event_id").as("click_id"), bucketOf.as("bucket"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), us.as("p_us"),
+        col("event_id").as("purchase_id"),
+        explode(array(bucketOf, bucketOf - 1)).as("bucket"))
+    purchases.join(clicks,
+        col("p_user") === col("c_user") &&
+          purchases("bucket") === clicks("bucket") &&
+          col("c_us") <= col("p_us") &&
+          col("c_us") >= col("p_us") - HourUs)
+      .select(col("purchase_id"), col("click_id"),
+        col("p_user").as("user_id"))
+      .orderBy("purchase_id", "click_id")
+  }
+
   /** X6: pivot with explicit key values (no driver-side distinct pass —
     * at scale, always enumerate the pivot domain). */
   def pivotAgg(spark: SparkSession, sfDir: String): DataFrame =

@@ -250,6 +250,75 @@ object TextAnalysis {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** Within-document repetition metrics (the Gopher-family quality
+    * filter batch pipelines run before training): per document, total
+    * and distinct bigram counts, the duplicated-bigram fraction, and the
+    * most-repeated bigram's count. Machine-generated and boilerplate
+    * text shows up as high dup_fraction / max_repeat. Shape at scale:
+    * one explode + one keyed aggregate per (doc, gram) + one per doc —
+    * all map-side-combinable, no corpus-wide relation anywhere.
+    */
+  def repetition(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val grams = docs
+      .select(col("doc_id"), split(col("text"), " ").as("arr"))
+      .filter(size(col("arr")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("arr")) - 1),
+          i => concat_ws(" ", element_at(col("arr"), i),
+            element_at(col("arr"), i + 1)))).as("gram"))
+    grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bigrams"),
+        max("c").as("max_repeat"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_distinct_bigrams"),
+        ((col("n_bigrams") - col("n_distinct_bigrams")).cast(DoubleType)
+          / col("n_bigrams")).as("dup_fraction"),
+        col("max_repeat"))
+      .orderBy("doc_id")
+  }
+
+  /** PII detection + redaction audit — the scrub every training corpus
+    * goes through. The fixture corpus is synthetic and PII-free, so the
+    * operator first PLANTS deterministic PII (key-derived, so both
+    * engines plant identically), then detects with portable regexes
+    * (Java and RE2 agree on this subset), redacts, and emits the audit:
+    * per-doc match counts per category plus the redacted text's hash —
+    * verifying the full plant→detect→redact→audit loop without dumping
+    * text. Pure per-row projection: no shuffle, shardable at any scale.
+    */
+  def piiRedaction(spark: SparkSession, sfDir: String): DataFrame = {
+    val EmailPat = "[a-z0-9]+@[a-z0-9.]+\\.[a-z]+"
+    val PhonePat = "555-[0-9]{4}"
+    val IpPat = "10\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+    val planted = concat(col("text"),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+        .when(col("doc_id") % 5 === 1,
+          concat(lit(" call 555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .when(col("doc_id") % 5 === 2,
+          concat(lit(" host 10.0."), (col("doc_id") % 256), lit(".7")))
+        .otherwise(lit("")))
+    val redacted = regexp_replace(regexp_replace(regexp_replace(
+      col("pii_text"), EmailPat, "[EMAIL]"), PhonePat, "[PHONE]"),
+      IpPat, "[IP]")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), planted.as("pii_text"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("pii_text"), lit(EmailPat), lit(0)))
+          .as("n_emails"),
+        size(regexp_extract_all(col("pii_text"), lit(PhonePat), lit(0)))
+          .as("n_phones"),
+        size(regexp_extract_all(col("pii_text"), lit(IpPat), lit(0)))
+          .as("n_ips"),
+        redacted.as("redacted"))
+      .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
+        length(col("redacted")).as("redacted_len"),
+        sha2(col("redacted"), 256).as("redacted_hash"))
+      .orderBy("doc_id")
+  }
+
   /** Position-sensitive document fingerprint: XOR-fold of a linear hash
     * of (token content hash, position). Two docs share a fingerprint iff
     * they are (with overwhelming probability) the same token sequence —

@@ -94,6 +94,44 @@ class PlanSpec extends SparkSuite {
       s"df-ceiling anti-join should broadcast:\n$njPlan")
   }
 
+  test("interval join plans as an equi-join on (user, bucket), not a cross product") {
+    val p = plan(Relational.intervalJoin(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"range join must bucket into an equi-join:\n$p")
+  }
+
+  test("runtime bloom-filter pruning injects into a selective fact-dim join") {
+    // The runtime row-level filter Spark builds from the dim side's join
+    // keys — the 100 TB mechanism that stops a selective join from
+    // scanning fact rows that can never match. Assert the optimizer
+    // injects it when thresholds allow.
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      // the rule only fires for (probable) shuffle joins — at fixture
+      // scale the dim would broadcast, so force the shuffle-join shape
+      // the 100 TB plan would actually have
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = keys.map { case (k, _) => k -> conf.getOption(k) }
+    keys.foreach { case (k, v) => conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.functions._
+      val fact = spark.read.parquet(s"$sf/lineitem.parquet")
+      val dim = spark.read.parquet(s"$sf/part.parquet")
+        .filter(col("p_size") === 1) // selective build side
+      val joined = fact.join(dim, col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand").count()
+      val opt = joined.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain") && opt.contains("bloom_filter_agg"),
+        s"expected injected runtime bloom filter in:\n$opt")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("whole-stage codegen covers the flagship aggregate") {
     // Under AQE the final (codegen'd) plan exists only after the
     // DataFrame's own queryExecution runs (collect, not count — count

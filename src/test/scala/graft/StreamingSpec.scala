@@ -98,4 +98,16 @@ class StreamingSpec extends SparkSuite {
       s"too few finalized windows (${fileRows.length} of ${complete.size}; " +
         s"file-sink max $lastFinalized, complete max $lastComplete)")
   }
+  test("batch bucketed interval join equals the stream-stream interval join") {
+    // Same logical query, two physical engines: the time-bucketed batch
+    // equi-join (x16b) and the watermarked stream-stream join (x12d)
+    // must produce the identical pair set on a one-batch fixture.
+    val batch = graft.operators.Relational.intervalJoin(spark, sf)
+      .collect().map(_.toSeq)
+    val streamed = Streaming.streamStreamJoin(spark, sf)
+      .collect().map(_.toSeq)
+    assert(batch.nonEmpty)
+    assert(batch.toSeq == streamed.toSeq)
+  }
+
 }

@@ -148,4 +148,47 @@ class TextMultimodalSpec extends SparkSuite {
         assert(nBytes == f.n_bytes && width == f.width)
       }
   }
+  test("repetition metrics are well-formed and cover the corpus") {
+    val rows = TextAnalysis.repetition(spark, sf).collect()
+    assert(rows.length == nDocs)
+    rows.foreach { r =>
+      val (n, d, frac, mx) =
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))
+      assert(d <= n && mx >= 1 && mx <= n)
+      assert(frac >= 0.0 && frac < 1.0)
+      assert(math.abs(frac - (n - d).toDouble / n) < 1e-15)
+    }
+  }
+
+  test("pii redaction finds every planted item and only redacts what it finds") {
+    val rows = TextAnalysis.piiRedaction(spark, sf).collect()
+    assert(rows.length == nDocs)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val (e, p, i) = (r.getInt(1), r.getInt(2), r.getInt(3))
+      (id % 5) match {
+        case 0 => assert(e >= 1, s"doc $id: planted email not found")
+        case 1 => assert(p >= 1, s"doc $id: planted phone not found")
+        case 2 => assert(i >= 1, s"doc $id: planted ip not found")
+        case _ => assert(e + p + i == 0,
+          s"doc $id: unexpected PII in clean synthetic text")
+      }
+    }
+  }
+
+  test("chunk dedup finds the planted cross-document block sharing") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.Dedup.chunkDedup(spark, sf).collect()
+    assert(rows.length == nDocs)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "dup blocks exceed total")
+      assert(math.abs(r.getDouble(3) - r.getLong(2).toDouble / r.getLong(1)) < 1e-15)
+    }
+    // block partitioning is exhaustive: ceil(n_tokens / 16) blocks per doc
+    val expected = spark.read.parquet(s"$sf/documents.parquet")
+      .select(ceil(size(split(col("text"), " ")) / 16.0)).collect()
+      .map(_.getLong(0)).sum
+    assert(rows.map(_.getLong(1)).sum == expected)
+  }
+
 }

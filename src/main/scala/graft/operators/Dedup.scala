@@ -110,19 +110,26 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
 
-    val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(ds.as("da"), col("doc_a") === col("da.doc_id"))
-      .join(ds.as("db"),
-        col("doc_b") === col("db.doc_id") && col("da.sid") === col("db.sid"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-
-    inter
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+    // Exact-Jaccard verification against per-doc shingle-set ARRAYS
+    // (sorted, so the relation is deterministic): one keyed aggregate
+    // builds the doc → set relation, then the candidate pair set (tiny:
+    // band-collision rate × corpus) joins it twice and intersects
+    // per-row. This replaces two corpus-sized shuffle joins + a pair
+    // aggregate with joins against a relation of |docs| rows — and at
+    // 100 TB the array relation shards by doc_id while each verification
+    // stays a single-row operation.
+    val setArrs = ds.groupBy("doc_id")
+      .agg(sort_array(collect_list("sid")).as("sids"))
+      .select(col("doc_id"), col("sids"), size(col("sids")).as("n"))
+    val inter = size(array_intersect(col("sids_a"), col("sids_b")))
+    cand
+      .join(setArrs.select(col("doc_id").as("doc_a"), col("sids").as("sids_a"),
+        col("n").as("n_a")), "doc_a")
+      .join(setArrs.select(col("doc_id").as("doc_b"), col("sids").as("sids_b"),
+        col("n").as("n_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        (col("inter").cast(DoubleType)
-          / (col("sa.n") + col("sb.n") - col("inter"))).as("jaccard"))
+        (inter.cast(DoubleType)
+          / (col("n_a") + col("n_b") - inter)).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
       .orderBy("doc_a", "doc_b")
   }

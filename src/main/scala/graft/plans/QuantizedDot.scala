@@ -90,10 +90,19 @@ object QuantizedDot {
   private def builder(exprs: Seq[Expression]): Expression =
     QuantizedDot(exprs.head, exprs(1))
 
-  /** Idempotent per-session SQL registration (`quantized_dot(a, b)`). */
-  def register(spark: SparkSession): Unit =
+  /** Idempotent per-session SQL registration (`quantized_dot(a, b)`),
+    * plus the self-dot → fused-norm optimizer rule ([[SelfDotToNorm]])
+    * via the public `experimentalMethods` hook (the extensions-free
+    * path; `GraftExtensions` injects the same rule for
+    * `spark.sql.extensions` deployments). */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, builder, "scala_udf")
+    QuantizedNorm2.register(spark)
+    val em = spark.experimental
+    if (!em.extraOptimizations.contains(SelfDotToNorm))
+      em.extraOptimizations = em.extraOptimizations :+ SelfDotToNorm
+  }
 
   /** The `SparkSessionExtensions` hook form, for
     * `spark.sql.extensions=graft.plans.GraftExtensions` deployments. */
@@ -109,6 +118,8 @@ object QuantizedDot {
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     QuantizedDot.injectInto(e)
+    QuantizedNorm2.injectInto(e)
     PolyHash.injectInto(e)
+    e.injectOptimizerRule(_ => SelfDotToNorm)
   }
 }

@@ -45,4 +45,23 @@ class QuantizedDotSpec extends SparkSuite {
       .eval(null).asInstanceOf[Long]
     assert(interp == rows(0).getLong(0))
   }
+  test("self-dot rewrites to the fused norm and values are unchanged") {
+    import org.apache.spark.sql.functions._
+    graft.plans.QuantizedDot.register(spark)
+    val df = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"),
+        expr("quantized_dot(embedding, embedding)").as("n2"),
+        expr("quantized_norm2(embedding)").as("n2f"))
+    // the optimizer rule must strengthen the self-dot in the plan...
+    assert(df.queryExecution.optimizedPlan.toString.contains("quantized_norm2"),
+      "SelfDotToNorm rule did not fire")
+    // ...and a distinct-argument dot must NOT be rewritten
+    val two = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(expr("quantized_dot(embedding, reverse(embedding))").as("d"))
+    assert(two.queryExecution.optimizedPlan.toString.contains("quantized_dot"),
+      "rule must only rewrite self-dots")
+    // bit-identical values either way
+    df.collect().foreach(r => assert(r.getLong(1) == r.getLong(2)))
+  }
+
 }

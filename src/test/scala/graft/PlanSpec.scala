@@ -132,6 +132,22 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("top-k-per-group pushes the rank limit below the window sort") {
+    // Spark's WindowGroupLimit: a `row_number() <= k` filter above a
+    // window must prune to k rows per group BEFORE the full window sort
+    // materializes — the difference between sorting k rows per key and
+    // sorting the corpus at 100 TB. All three rank-filter queries
+    // (windows, tf-idf, similarity top-k) must keep this shape.
+    import graft.operators.TextAnalysis
+    for (df <- Seq(Relational.windowRank(spark, sf),
+                   TextAnalysis.tfidfTop(spark, sf),
+                   Similarity.cosineTopK(spark, sf))) {
+      val p = plan(df)
+      assert(p.contains("WindowGroupLimit"),
+        s"rank-limit pushdown missing from plan:\n$p")
+    }
+  }
+
   test("whole-stage codegen covers the flagship aggregate") {
     // Under AQE the final (codegen'd) plan exists only after the
     // DataFrame's own queryExecution runs (collect, not count — count

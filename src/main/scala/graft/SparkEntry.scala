@@ -97,6 +97,7 @@ object SparkEntry {
     "x13b_sessionize"      -> (graft.streaming.Streaming.sessionize(_, _)),
     "x13c_stateful_stats"  -> (graft.streaming.Streaming.statefulUserStats(_, _)),
     "x13d_active_hours"    -> (graft.streaming.Streaming.userActiveHours(_, _)),
+    "x13e_value_state"     -> (graft.streaming.Streaming.valueStateStats(_, _)),
     "x14_typed_udaf"       -> (graft.functions.TypedAggs.l2Query(_, _)),
     "xm1_multimodal_meta"  -> (Multimodal.binaryMeta(_, _)),
     "x15_sql_api"          -> (SqlApi.tpchQ3(_, _)),
@@ -449,6 +450,10 @@ object SparkEntry {
       """SELECT DISTINCT user_id,
         |       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS active_hour
         |FROM events ORDER BY user_id, active_hour""".stripMargin,
+    "x13e_value_state" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "x14_typed_udaf" ->
       """SELECT l_returnflag, SQRT(SUM(l_quantity*l_quantity)) AS qty_l2norm,
         |       COUNT(*) AS n

@@ -277,6 +277,63 @@ object Streaming {
       .orderBy("user_id", "active_hour")
   }
 
+  /** State slot for [[valueStateStats]] — exact money kept as integer
+    * cents so streaming accumulation order can't perturb the sum. */
+  case class UserAcc(n: Long, sumCents: Long)
+  case class UserSum(user_id: Long, n_events: Long, sum_cents: Long)
+
+  /** X13: `transformWithState` — Spark 4's arbitrary-state successor to
+    * `(flat)mapGroupsWithState`: named typed state slots in a RocksDB
+    * state store (plus timers/TTL, unused here), per-user running count
+    * and EXACT value sum (integer cents in a `ValueState`). The state
+    * API a new stateful operator should target going forward; requires
+    * the RocksDB state-store provider, scoped around the run.
+    */
+  private class UserSumProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long), UserSum] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[UserAcc] = _
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[UserAcc]("acc",
+        org.apache.spark.sql.Encoders.product[UserAcc],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[UserSum] = {
+      val prev = Option(st.get()).getOrElse(UserAcc(0L, 0L))
+      var n = prev.n
+      var s = prev.sumCents
+      rows.foreach { r => n += 1; s += r._2 }
+      st.update(UserAcc(n, s))
+      Iterator.single(UserSum(key, n, s))
+    }
+  }
+
+  def valueStateStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val evs = eventsStream(spark, sfDir)
+      .select(col("user_id"),
+        // HALF_UP to integer cents — the same 2-decimal grid as the
+        // DECIMAL(12,2) casts the batch oracles use
+        round(col("value") * 100).cast(LongType).as("cents"))
+      .as[(Long, Long)]
+    val out = evs.groupByKey(_._1)
+      .transformWithState(new UserSumProcessor, TimeMode.None(),
+        OutputMode.Update())
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val was = spark.conf.get(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val res =
+      try runToBatch(out.toDF(), "update")
+      finally spark.conf.set(key, was)
+    res.select(col("user_id"), col("n_events"),
+        (col("sum_cents") / 100.0).as("sum_value"))
+      .orderBy("user_id")
+  }
+
   /** X13: sessionization — 30-minute-gap session windows per user
     * (session ends 30 min after its last event; an event exactly at the
     * previous session's end starts a new one). Uses the native

@@ -110,4 +110,19 @@ class StreamingSpec extends SparkSuite {
     assert(batch.toSeq == streamed.toSeq)
   }
 
+  test("transformWithState value-state stats equal the batch aggregate") {
+    val got = Streaming.valueStateStats(spark, sf).collect()
+    val want = Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        graft.functions.Exact.dsum(col("value")).as("sum_value"))
+      .orderBy("user_id").collect()
+    assert(got.length == want.length && got.nonEmpty)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getLong(0) == w.getLong(0) && g.getLong(1) == w.getLong(1))
+      assert(math.abs(g.getDouble(2) - w.getDouble(2)) < 1e-9,
+        s"user ${g.getLong(0)}: ${g.getDouble(2)} vs ${w.getDouble(2)}")
+    }
+  }
+
 }

@@ -44,6 +44,8 @@ object SparkEntry {
     "x04a_window_rank"    -> (Relational.windowRank(_, _)),
     "x04b_window_moving"  -> (Relational.windowMoving(_, _)),
     "x04c_window_range"   -> (Relational.windowRangeFrame(_, _)),
+    "x04d_window_distribution" -> (Relational.windowDistribution(_, _)),
+    "x02f_outer_join"     -> (Relational.outerJoin(_, _)),
     "x05_distinct"        -> (Relational.distinctAgg(_, _)),
     "x05b_approx_distinct" -> (Relational.approxDistinct(_, _)),
     "x05c_median"         -> (Relational.medianAgg(_, _)),
@@ -251,6 +253,29 @@ object SparkEntry {
         |         RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS n_near_qty
         |FROM lineitem WHERE l_suppkey <= 3
         |ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity, l_returnflag""".stripMargin,
+    "x04d_window_distribution" ->
+      """SELECT l_returnflag, l_quantity, l_orderkey, l_linenumber, l_partkey,
+        |       CAST(NTILE(4) OVER w AS INT) AS qtile,
+        |       PERCENT_RANK() OVER w AS pct_rank,
+        |       CUME_DIST() OVER w AS cume
+        |FROM lineitem WHERE l_suppkey <= 3
+        |WINDOW w AS (PARTITION BY l_returnflag
+        |             ORDER BY l_quantity, l_orderkey, l_linenumber, l_partkey)
+        |ORDER BY l_returnflag, l_quantity, l_orderkey, l_linenumber,
+        |  l_partkey""".stripMargin,
+    "x02f_outer_join" ->
+      s"""WITH rich AS (SELECT c_custkey, c_name FROM customer
+         |              WHERE c_acctbal > 7000),
+         |big AS (SELECT o_custkey, COUNT(*) AS n_big_orders,
+         |          ${dsum("o_totalprice")} AS sum_big_price
+         |        FROM orders WHERE o_totalprice > 250000 GROUP BY o_custkey)
+         |SELECT COALESCE(c_custkey, o_custkey) AS custkey, c_name,
+         |       n_big_orders, sum_big_price,
+         |       CASE WHEN c_custkey IS NULL THEN 'orders_only'
+         |            WHEN o_custkey IS NULL THEN 'customer_only'
+         |            ELSE 'both' END AS match_class
+         |FROM rich FULL OUTER JOIN big ON c_custkey = o_custkey
+         |ORDER BY custkey""".stripMargin,
     "x05_distinct" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
         |       COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows

@@ -390,10 +390,17 @@ object Dedup {
     val scored = strategy match {
       case CountJoin =>
         val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        // The pair-count aggregate is the hot stage (Σ df² rows into up
+        // to |docs|²/2 keys): fuse the ordered pair into ONE BIGINT key
+        // (doc ids are 31-bit) so the hash map keys, compares, and
+        // shuffle rows are half-width; unpack after the aggregate.
         val inter = kept.as("x").join(kept.as("y"),
             col("x.gid") === col("y.gid") && col("x.doc_id") < col("y.doc_id"))
-          .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-          .agg(count(lit(1)).as("inter"))
+          .select((shiftleft(col("x.doc_id"), 32) + col("y.doc_id")).as("pk"))
+          .groupBy("pk").agg(count(lit(1)).as("inter"))
+          .select(shiftright(col("pk"), 32).as("doc_a"),
+            (col("pk").bitwiseAND(lit(4294967295L))).as("doc_b"),
+            col("inter"))
         inter
           .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
           .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))

@@ -74,6 +74,34 @@ object Relational {
       .orderBy("c_custkey")
   }
 
+  /** X2: FULL OUTER join — rich customers vs big-spend order books, with
+    * both unmatched sides surviving (the reconciliation-report shape:
+    * who has money but no big orders, who places big orders without a
+    * rich profile). Keys coalesce; a match-class column makes the three
+    * populations auditable. Same single keyed shuffle as the inner join
+    * — outer-ness is a property of the join operator, not extra passes.
+    */
+  def outerJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val rich = Tables.customer(spark, sfDir)
+      .filter(col("c_acctbal") > 7000)
+      .select(col("c_custkey"), col("c_name"))
+    val big = Tables.orders(spark, sfDir)
+      .filter(col("o_totalprice") > 250000)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_big_orders"),
+        Exact.dsum(col("o_totalprice")).as("sum_big_price"))
+    rich.join(big, rich("c_custkey") === big("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_name"),
+        col("n_big_orders"),
+        col("sum_big_price"),
+        when(col("c_custkey").isNull, "orders_only")
+          .when(col("o_custkey").isNull, "customer_only")
+          .otherwise("both").as("match_class"))
+      .orderBy("custkey")
+  }
+
   /** X2: multi-way star join (TPC-H Q5 shape) — revenue per nation.
     * Small dims (`nation`, `region`, `supplier` at fixture scale) go
     * broadcast; the fact⋈orders join shuffles once on the order key.
@@ -206,6 +234,26 @@ object Relational {
       .select(col("l_returnflag"),
         ((col("pos0") + 1) * 0.25).as("quantile"), col("value"))
       .orderBy("l_returnflag", "quantile")
+
+  /** X4: window distribution functions — ntile bucketing, percent_rank,
+    * cume_dist over a TOTAL per-partition order (unique tiebreak), so
+    * every rank is tie-free and the rational rank arithmetic
+    * ((rn−1)/(n−1), rn/n, equal-split tiles) is engine-exact.
+    */
+  def windowDistribution(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy("l_quantity", "l_orderkey", "l_linenumber", "l_partkey")
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_suppkey") <= 3)
+      .select(col("l_returnflag"), col("l_quantity"), col("l_orderkey"),
+        col("l_linenumber"), col("l_partkey"))
+      .withColumn("qtile", ntile(4).over(w))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .orderBy("l_returnflag", "l_quantity", "l_orderkey", "l_linenumber",
+        "l_partkey")
+  }
 
   /** X5: EXACT discrete quartiles by rank arithmetic — the exact,
     * hash-matchable twin of [[approxPercentiles]]'s GK sketch (which is

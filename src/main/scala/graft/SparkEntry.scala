@@ -107,6 +107,7 @@ object SparkEntry {
     "x16b_interval_join"   -> (Relational.intervalJoin(_, _)),
     "x17_train_test_split" -> (TextAnalysis.trainTestSplit(_, _)),
     "x18_profile"          -> (Relational.profileMeasures(_, _)),
+    "x18b_histogram"       -> (Relational.histogram(_, _)),
   )
 
   // DuckDB decimal-exact fragments mirrored from graft.functions.Exact.
@@ -505,6 +506,11 @@ object SparkEntry {
          |       MIN(val) AS min_val, MAX(val) AS max_val,
          |       ${davg("val")} AS mean_val
          |FROM m GROUP BY measure ORDER BY measure""".stripMargin,
+    "x18b_histogram" ->
+      """SELECT CAST(FLOOR(l_extendedprice / 5000) AS INT) AS bucket,
+        |       COUNT(*) AS n, MIN(l_extendedprice) AS lo,
+        |       MAX(l_extendedprice) AS hi
+        |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin,
     "x16_asof_join" ->
       """WITH ev AS (SELECT event_id, user_id, event_type, ts FROM events
         |            WHERE event_type IN ('click', 'purchase')),

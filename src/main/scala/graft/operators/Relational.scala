@@ -235,6 +235,23 @@ object Relational {
         ((col("pos0") + 1) * 0.25).as("quantile"), col("value"))
       .orderBy("l_returnflag", "quantile")
 
+  /** X18: equi-width histogram of a measure — the distribution profile a
+    * pipeline health check renders. Fixed bucket width in exact
+    * arithmetic (integer-safe: a 2-decimal price can't round across a
+    * 5000 boundary in IEEE division), one map-side-combinable aggregate;
+    * buckets with no rows are absent by construction (sparse output, not
+    * a dense zero-filled domain).
+    */
+  def histogram(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .select(floor(col("l_extendedprice") / 5000).cast(IntegerType)
+        .as("bucket"), col("l_extendedprice"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        min("l_extendedprice").as("lo"),
+        max("l_extendedprice").as("hi"))
+      .orderBy("bucket")
+
   /** X4: window distribution functions — ntile bucketing, percent_rank,
     * cume_dist over a TOTAL per-partition order (unique tiebreak), so
     * every rank is tie-free and the rational rank arithmetic

@@ -26,11 +26,16 @@ object Formats {
       .cache()
     val dir = java.nio.file.Files.createTempDirectory("graft_formats_").toString
 
-    base.write.mode("overwrite").option("header", "true").csv(s"$dir/csv")
-    base.write.mode("overwrite").json(s"$dir/json")
-    base.write.mode("overwrite").orc(s"$dir/orc")
+    // Size the writer task count to the data, not the shuffle width: at
+    // fixture scale 4 formats × 32 shuffle partitions is 128 writer
+    // tasks emitting 128 tiny files — task/commit overhead, not I/O. At
+    // 100 TB the same line targets file size (rows/target per file).
+    val w = base.coalesce(4)
+    w.write.mode("overwrite").option("header", "true").csv(s"$dir/csv")
+    w.write.mode("overwrite").json(s"$dir/json")
+    w.write.mode("overwrite").orc(s"$dir/orc")
     // XML is a native data source since Spark 4 — no external module.
-    base.write.mode("overwrite").option("rowTag", "row").xml(s"$dir/xml")
+    w.write.mode("overwrite").option("rowTag", "row").xml(s"$dir/xml")
 
     base.unpersist() // downstream reads come from the written files
 

@@ -43,6 +43,9 @@ class EdgeCaseSpec extends SparkSuite {
     assert(TextAnalysis.chunkDocs(spark, emptySf).count() == 0)
     assert(TextAnalysis.cleanText(spark, emptySf).count() == 0)
     assert(TextAnalysis.stratifiedSample(spark, emptySf).count() == 0)
+    assert(TextAnalysis.repetition(spark, emptySf).count() == 0)
+    assert(TextAnalysis.piiRedaction(spark, emptySf).count() == 0)
+    assert(Dedup.chunkDedup(spark, emptySf).count() == 0)
   }
 
   test("similarity search is empty-safe") {
@@ -60,6 +63,10 @@ class EdgeCaseSpec extends SparkSuite {
     assert(Dedup.simhash(spark, oneSf).count() == 1)
     assert(TextAnalysis.fingerprint(spark, oneSf).count() == 1)
     assert(TextAnalysis.chunkDocs(spark, oneSf).count() >= 1)
+    assert(TextAnalysis.repetition(spark, oneSf).count() == 1)
+    // one document: every block is globally unique -> zero dup blocks
+    val cd = Dedup.chunkDedup(spark, oneSf).collect()
+    assert(cd.length == 1 && cd.head.getLong(2) == 0L)
     // one vector: it is its own nearest centroid
     val conf = Similarity.nearestCentroid(spark, oneSf).collect()
     assert(conf.length == 1 && conf.head.getLong(2) == 1L)

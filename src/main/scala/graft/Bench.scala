@@ -81,7 +81,10 @@ object Bench {
         java.nio.file.Paths.get("BENCH_FULL.json"),
         (fullLine + "\n").getBytes("UTF-8"))
       catch { case _: Throwable => () } // artifact write is best-effort
-    def r2(v: Double): String = f"$v%.2f"
+    // Locale.ROOT: f"" uses the JVM default locale — a comma-decimal
+    // locale would emit invalid JSON
+    def r2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val slowest = results.sortBy(-_._2).take(12)
       .map { case (k, v) => "\"" + k + "\":" + r2(v) }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$slowest,"n_queries":${results.size},"n_errors":${errors.size},"cache_create_sec":${r2(tCreate)},"cache_reuse_sec":${r2(tReuse)},"sf":"$sfDir","detail":"BENCH_FULL.json"}""")

@@ -39,7 +39,7 @@ object Dedup {
     * element (O(len²) per document; measured 4.5× slower on the gram
     * build), and the optimizer's collapse-projection guard keeps a
     * multiply-referenced alias from being inlined back. */
-  private def tokArr(docs: DataFrame): DataFrame =
+  private[operators] def tokArr(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("arr"))
 
   /** All n-token shingles as one array column, built directly from the
@@ -47,7 +47,7 @@ object Dedup {
     * columnar projection; round 1 used two `lead()` window passes over
     * the exploded token stream, which re-sorts every document's tokens.
     */
-  private def shingleArrOf(arr: Column, n: Int): Column =
+  private[operators] def shingleArrOf(arr: Column, n: Int): Column =
     transform(sequence(lit(1), size(arr) - (n - 1)),
       i => concat_ws(" ", (0 until n).map(k => element_at(arr, i + k)): _*))
 
@@ -294,8 +294,13 @@ object Dedup {
         TextAnalysis.polyHash(
           concat_ws(" ", slice(col("arr"), col("start"), lit(blockLen))))
           .as("bh"))
-    val occ = blocks.groupBy("bh").agg(count(lit(1)).as("occ"))
-    blocks.join(occ, "bh")
+    // occurrence count as a window over the block-hash partition: ONE
+    // corpus scan and one bh-keyed shuffle (a separate aggregate + join
+    // back would scan and shuffle the block build twice)
+    val withOcc = blocks.withColumn("occ",
+      count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("bh")))
+    withOcc
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_blocks"),
         sum(when(col("occ") > 1, 1L).otherwise(0L)).as("n_dup_blocks"))
@@ -418,8 +423,11 @@ object Dedup {
           .select(col("doc_id"),
             transform(col("sarr"), s => s.getField("gid")).as("arr"),
             size(col("sarr")).as("n"))
-          // prefix length p = n − ⌈3n/5⌉ + 1
-          .withColumn("p", col("n") - (col("n") * 3 + 4) / 5 + 1)
+          // prefix length p = n − ⌈3n/5⌉ + 1. `div`, NOT `/`: Column./
+          // on integers is DOUBLE division, and slice() would truncate
+          // the fractional length — an off-by-one short prefix that can
+          // silently miss pairs sitting exactly at the τ boundary.
+          .withColumn("p", col("n") - expr("(n * 3 + 4) div 5") + 1)
           .cache()
         strategyCache = Some(arrs)
         val prefixRows = arrs.select(col("doc_id"), col("n"),

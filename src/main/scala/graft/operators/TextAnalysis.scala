@@ -259,14 +259,13 @@ object TextAnalysis {
     * all map-side-combinable, no corpus-wide relation anywhere.
     */
   def repetition(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-    val grams = docs
-      .select(col("doc_id"), split(col("text"), " ").as("arr"))
+    // ONE bigram-construction definition corpus-wide: reuse Dedup's
+    // shingle builder so gram semantics can never diverge between the
+    // dedup pipelines and this filter (both mirror the same oracle CTE).
+    val grams = Dedup.tokArr(Tables.documents(spark, sfDir))
       .filter(size(col("arr")) >= 2)
       .select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(col("arr")) - 1),
-          i => concat_ws(" ", element_at(col("arr"), i),
-            element_at(col("arr"), i + 1)))).as("gram"))
+        explode(Dedup.shingleArrOf(col("arr"), 2)).as("gram"))
     grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
       .groupBy("doc_id")
       .agg(sum("c").as("n_bigrams"),

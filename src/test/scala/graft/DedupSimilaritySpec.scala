@@ -147,4 +147,23 @@ class DedupSimilaritySpec extends SparkSuite {
       planes = 24, bands = 3).collect()
     nd.foreach(r => assert(r.getDouble(2) >= 0.3))
   }
+  test("prefix filter catches pairs exactly at the jaccard threshold (regression)") {
+    // Boundary construction: two 5-token docs sharing 3 of their 4
+    // bigrams, each with one globally-unique bigram -> J = 3/5 exactly,
+    // and the unique (rarest) grams sort FIRST, so a one-short prefix
+    // (the double-division slice bug this pins) holds only the
+    // non-shared gram and silently misses the pair.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tau_").toString
+    Seq((1L, "a x y z w"), (2L, "b x y z w"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    for (st <- Seq(Dedup.CountJoin, Dedup.PrefixFilter)) {
+      val pairs = Dedup.ngramJaccard(spark, dir, strategy = st).collect()
+      assert(pairs.length == 1, s"$st must find the tau-boundary pair")
+      assert(pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L)
+      assert(pairs.head.getDouble(2) == 0.6)
+    }
+  }
+
 }

@@ -60,4 +60,39 @@ class PropertySpec extends SparkSuite
       assert(direct == viaOp)
     }
   }
+  test("every query is invariant to input sharding and row order") {
+    // The determinism contract at the physical-data level: re-shard
+    // every fixture table into a different file count with a different
+    // row order, and every declared query must return IDENTICAL rows.
+    // This is what makes results reproducible across cluster sizes and
+    // ingest layouts at 100 TB. Excluded by design: o13 (filesystem
+    // metadata IS layout), x05d (GK sketch is merge-order-dependent —
+    // the documented reason it is rows-only in the driver gate), and
+    // the readStream-based queries (the file-stream source addresses
+    // the events table by its exact fixture file name via
+    // pathGlobFilter, which a re-sharded DIRECTORY copy cannot satisfy;
+    // their value determinism is covered by the batch-equivalence
+    // oracles and the batch twins x12c's SQL oracle / x13b / x16b,
+    // which run here).
+    val dir = java.nio.file.Files.createTempDirectory("graft_shard_").toString
+    val tables = new java.io.File(sf).list().filter(_.endsWith(".parquet"))
+    tables.foreach { t =>
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sf/$t")
+        .repartition(7) // round-robin: different sharding AND row order
+        .write.mode("overwrite").parquet(s"$dir/$t")
+    }
+    val skip = Set("o13_block_locations", "x05d_approx_quantiles",
+      // readStream/pathGlobFilter-based (see header comment):
+      "x12a_stream_tumbling", "x12b_stream_sliding", "x12c_stream_static",
+      "x12d_stream_stream", "x13a_stream_dedup", "x13c_stateful_stats",
+      "x13d_active_hours", "x13e_value_state")
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+         if !skip(name)) {
+      val a = fn(spark, sf).collect().map(_.toSeq).toSeq
+      val b = fn(spark, dir).collect().map(_.toSeq).toSeq
+      assert(a == b, s"$name differs across input sharding")
+    }
+  }
+
 }

@@ -394,6 +394,22 @@ object OraclesLlm {
         |        THEN 1 ELSE 0 END AS kept
         |      FROM documents) s
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "x09j_edit_distance" ->
+      s"""WITH $simhashCtes,
+         |hp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         CAST(bit_count(xor(a.simhash_lo, b.simhash_lo))
+         |            + bit_count(xor(a.simhash_hi, b.simhash_hi)) AS INT)
+         |           AS hamming
+         |       FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         |       WHERE bit_count(xor(a.simhash_lo, b.simhash_lo))
+         |           + bit_count(xor(a.simhash_hi, b.simhash_hi)) <= 3)
+         |SELECT hp.doc_a, hp.doc_b, hp.hamming,
+         |       CAST(levenshtein(da.text, db.text) AS INT) AS edit_dist,
+         |       CAST(levenshtein(da.text, db.text) AS DOUBLE)
+         |         / GREATEST(length(da.text), length(db.text)) AS edit_ratio
+         |FROM hp JOIN documents da ON hp.doc_a = da.doc_id
+         |        JOIN documents db ON hp.doc_b = db.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "x11h_repetition" ->
       s"""WITH $toks,
          |g AS (SELECT a.doc_id, a.tok||' '||b.tok AS gram

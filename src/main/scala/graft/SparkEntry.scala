@@ -84,6 +84,7 @@ object SparkEntry {
     "x11g_chunking"       -> ((s, d) => TextAnalysis.chunkDocs(s, d)),
     "x09h_contamination"  -> (Dedup.contamination(_, _)),
     "x09i_chunk_dedup"    -> ((s, d) => Dedup.chunkDedup(s, d)),
+    "x09j_edit_distance"  -> (Dedup.editDistancePairs(_, _)),
     "x11h_repetition"     -> (TextAnalysis.repetition(_, _)),
     "x11i_pii_redaction"  -> (TextAnalysis.piiRedaction(_, _)),
     "x10c_label_centroids" -> (Similarity.labelCentroids(_, _)),

@@ -205,6 +205,30 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Edit-distance verification of the SimHash candidate pairs — the
+    * third verification family next to set-based Jaccard and bit-based
+    * Hamming: exact Levenshtein between the two documents' texts plus a
+    * length-normalized ratio. Edit distance is O(len²) per pair, which
+    * is precisely why it only ever runs on the sketch-filtered candidate
+    * set (the cheap-filter → expensive-verify pattern this whole module
+    * is built on) — never corpus × corpus.
+    */
+  def editDistancePairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = simhashPairs(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+    pairs
+      .join(docs.select(col("doc_id").as("doc_a"), col("text").as("text_a"),
+        col("len").as("len_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("text").as("text_b"),
+        col("len").as("len_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("hamming"),
+        levenshtein(col("text_a"), col("text_b")).as("edit_dist"),
+        (levenshtein(col("text_a"), col("text_b")).cast(DoubleType)
+          / greatest(col("len_a"), col("len_b"))).as("edit_ratio"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Near-dup clusters: connected components over the n-gram-Jaccard
     * pair graph, labeled by the component's minimum doc_id — the step
     * that turns pairwise near-dup hits into "keep one per cluster"

@@ -32,6 +32,8 @@ object SparkEntry {
     "of2_incremental_append" -> (Etl.incrementalAppend(_, _)),
     "of3_jdbc_roundtrip"  -> (graft.sources.JdbcSource.jdbcRoundtrip(_, _)),
     "of4_upsert_merge"    -> (Etl.upsertMerge(_, _)),
+    "of5_cdc_apply"       -> (Etl.cdcApply(_, _)),
+    "x16c_scd2_history"   -> (Relational.scd2History(_, _)),
     "o16_row_count"       -> (Etl.rowCount(_, _)),
     // ---- relational breadth (SURVEY §2.4 X1-X8) ----
     "x01_grouped_agg"     -> (Relational.groupedAgg(_, _)),
@@ -174,6 +176,34 @@ object SparkEntry {
         |                ELSE CAST(o_totalprice AS DECIMAL(12,2)) END)
         |            AS DOUBLE) AS sum_price
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // The CDC-applied snapshot equals a CASE/UNION over the clean table.
+    "of5_cdc_apply" ->
+      """WITH applied AS (
+        |  SELECT o_orderstatus,
+        |         CASE WHEN o_orderkey % 10 = 0
+        |              THEN CAST(CAST(o_totalprice AS DECIMAL(12,2))
+        |                   + CAST(500 AS DECIMAL(12,2)) AS DOUBLE)
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 17 <> 0
+        |  UNION ALL
+        |  SELECT 'N' AS o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 23 = 0)
+        |SELECT o_orderstatus, COUNT(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+        |         AS sum_price
+        |FROM applied GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "x16c_scd2_history" ->
+      """WITH e AS (SELECT user_id, event_type, ts, event_id,
+        |             LAG(event_type) OVER (PARTITION BY user_id
+        |               ORDER BY ts, event_id) AS prev_type
+        |           FROM events),
+        |ch AS (SELECT user_id, event_type, ts, event_id FROM e
+        |       WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id, event_type AS state,
+        |       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS eff_from,
+        |       strftime(LEAD(ts) OVER (PARTITION BY user_id
+        |         ORDER BY ts, event_id), '%Y-%m-%d %H:%M:%S.%f') AS eff_to
+        |FROM ch ORDER BY user_id, eff_from""".stripMargin,
     // Per-year counts survive the overlap-append iff ingestion was
     // exactly-once by key — so the oracle is just the clean totals.
     "of2_incremental_append" ->

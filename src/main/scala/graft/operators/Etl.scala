@@ -84,6 +84,41 @@ object Etl {
       .filter(col("l_returnflag") === flag)
       .agg(Exact.avgFloorLong(col("l_extendedprice")).as("avg_price"))
 
+  /** Change-data-capture apply: one op-tagged change batch (DELETE /
+    * UPDATE / INSERT) applied to a snapshot — the generalization of the
+    * keyed upsert (`of4`) every lakehouse ingestion needs. The change
+    * batch here is key-derived so both engines construct it identically:
+    * keys ≡ 0 (mod 17) are deleted, keys ≡ 0 (mod 10) repriced +500,
+    * and each key ≡ 0 (mod 23) spawns an insert under a fresh key range.
+    * Apply is the standard copy-on-write plan: anti-join the delete+
+    * update keys out of the snapshot, union the upserted rows — ONE
+    * keyed shuffle over the snapshot regardless of batch composition.
+    * Emits per-status audit totals.
+    */
+  def cdcApply(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val deletes = base.filter(col("o_orderkey") % 17 === 0)
+      .select(col("o_orderkey"))
+    val updates = base
+      .filter(col("o_orderkey") % 10 === 0 && col("o_orderkey") % 17 =!= 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        (col("o_totalprice").cast(DecimalType(12, 2))
+          + lit(500).cast(DecimalType(12, 2)))
+          .cast("double").as("o_totalprice"))
+    val inserts = base.filter(col("o_orderkey") % 23 === 0)
+      .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+        lit("N").as("o_orderstatus"), col("o_totalprice"))
+    val touched = deletes.union(updates.select("o_orderkey"))
+    base.join(touched, Seq("o_orderkey"), "left_anti")
+      .unionByName(updates)
+      .unionByName(inserts)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        Exact.dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
   /** O14: flatten + grouped count — the `BlockLocations` host-count shape
     * (`server.py:80-86`: explode each block's hosts[], count per host),
     * applied to the `documents` token stream. Hash aggregate with

@@ -235,6 +235,31 @@ object Relational {
         ((col("pos0") + 1) * 0.25).as("quantile"), col("value"))
       .orderBy("l_returnflag", "quantile")
 
+  /** SCD Type-2 history build: compress each user's event-type timeline
+    * into state intervals — a row per state CHANGE with effective-from/
+    * effective-to bounds (open-ended for the current state). The classic
+    * warehouse dimension-history op, as two window passes over a total
+    * (ts, event_id) order: lag() finds the change points, lead() over
+    * the change rows closes each interval. Per-user partitions bound the
+    * sorts; no global stage.
+    */
+  def scd2History(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val changes = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNull
+        || col("prev_type") =!= col("event_type"))
+    val w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes
+      .withColumn("eff_to", lead("ts", 1).over(w2))
+      .select(col("user_id"), col("event_type").as("state"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("eff_from"),
+        date_format(col("eff_to"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("eff_to"))
+      .orderBy("user_id", "eff_from")
+  }
+
   /** X18: equi-width histogram of a measure — the distribution profile a
     * pipeline health check renders. Fixed bucket width in exact
     * arithmetic (integer-safe: a 2-decimal price can't round across a

@@ -466,6 +466,16 @@ object OraclesLlm {
         |       CAST(length(redacted) AS INT) AS redacted_len,
         |       sha256(redacted) AS redacted_hash
         |FROM r ORDER BY doc_id""".stripMargin,
+    "x11k_regex_tokens" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+        |       CAST(len(regexp_extract_all(text,
+        |         '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_regex_tokens,
+        |       CAST(len(regexp_extract_all(text, '[a-z]+')) AS INT)
+        |         AS n_alpha_runs,
+        |       CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT)
+        |         AS n_digit_runs
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "x11d_fingerprint" ->
       s"""WITH $toks
          |SELECT t.doc_id,

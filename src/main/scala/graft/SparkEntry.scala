@@ -89,6 +89,7 @@ object SparkEntry {
     "x09j_edit_distance"  -> (Dedup.editDistancePairs(_, _)),
     "x11h_repetition"     -> (TextAnalysis.repetition(_, _)),
     "x11i_pii_redaction"  -> (TextAnalysis.piiRedaction(_, _)),
+    "x11k_regex_tokens"   -> (TextAnalysis.regexTokens(_, _)),
     "x10c_label_centroids" -> (Similarity.labelCentroids(_, _)),
     "x10d_nearest_centroid" -> (Similarity.nearestCentroid(_, _)),
     "x10e_ivf_topk"       -> ((s, d) => Similarity.ivfTopK(s, d)),

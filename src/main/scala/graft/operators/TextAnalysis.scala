@@ -250,6 +250,27 @@ object TextAnalysis {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** BPE-style regex-class tokenization counts — the closer-to-real
+    * token accounting next to [[tokenStats]]'s whitespace + chars/4
+    * estimate: character-class runs (letter runs, digit runs, single
+    * non-alphanumerics — the GPT-2 pre-tokenizer shape, in the regex
+    * subset Java and RE2 agree on) counted per document, with the
+    * class breakdown. Pure per-row projection.
+    */
+  def regexTokens(spark: SparkSession, sfDir: String): DataFrame = {
+    val Tok = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"), lit(Tok), lit(0)))
+          .as("n_regex_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0)))
+          .as("n_alpha_runs"),
+        size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
+          .as("n_digit_runs"))
+      .orderBy("doc_id")
+  }
+
   /** Within-document repetition metrics (the Gopher-family quality
     * filter batch pipelines run before training): per document, total
     * and distinct bigram counts, the duplicated-bigram fraction, and the

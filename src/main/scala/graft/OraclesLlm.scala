@@ -406,7 +406,7 @@ object OraclesLlm {
          |SELECT hp.doc_a, hp.doc_b, hp.hamming,
          |       CAST(levenshtein(da.text, db.text) AS INT) AS edit_dist,
          |       CAST(levenshtein(da.text, db.text) AS DOUBLE)
-         |         / GREATEST(length(da.text), length(db.text)) AS edit_ratio
+         |         / GREATEST(length(da.text), length(db.text), 1) AS edit_ratio
          |FROM hp JOIN documents da ON hp.doc_a = da.doc_id
          |        JOIN documents db ON hp.doc_b = db.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,

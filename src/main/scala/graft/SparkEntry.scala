@@ -204,7 +204,7 @@ object SparkEntry {
         |       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS eff_from,
         |       strftime(LEAD(ts) OVER (PARTITION BY user_id
         |         ORDER BY ts, event_id), '%Y-%m-%d %H:%M:%S.%f') AS eff_to
-        |FROM ch ORDER BY user_id, eff_from""".stripMargin,
+        |FROM ch ORDER BY user_id, eff_from, state, eff_to""".stripMargin,
     // Per-year counts survive the overlap-append iff ingestion was
     // exactly-once by key — so the oracle is just the clean totals.
     "of2_incremental_append" ->

@@ -224,8 +224,11 @@ object Dedup {
         col("len").as("len_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"), col("hamming"),
         levenshtein(col("text_a"), col("text_b")).as("edit_dist"),
+        // the lit(1) floor guards two EMPTY duplicate docs: 0/0 is
+        // engine-divergent (Spark ANSI throws, DuckDB yields its own
+        // value); identical empties get ratio 0.0 on both engines
         (levenshtein(col("text_a"), col("text_b")).cast(DoubleType)
-          / greatest(col("len_a"), col("len_b"))).as("edit_ratio"))
+          / greatest(col("len_a"), col("len_b"), lit(1))).as("edit_ratio"))
       .orderBy("doc_a", "doc_b")
   }
 

@@ -251,13 +251,15 @@ object Relational {
       .withColumn("prev_type", lag("event_type", 1).over(w))
       .filter(col("prev_type").isNull
         || col("prev_type") =!= col("event_type"))
-    val w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
     changes
-      .withColumn("eff_to", lead("ts", 1).over(w2))
+      .withColumn("eff_to", lead("ts", 1).over(w))
       .select(col("user_id"), col("event_type").as("state"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("eff_from"),
         date_format(col("eff_to"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("eff_to"))
-      .orderBy("user_id", "eff_from")
+      // TOTAL presentation order (all output columns): two state changes
+      // in the same microsecond must still dump identically across
+      // engines and shardings
+      .orderBy("user_id", "eff_from", "state", "eff_to")
   }
 
   /** X18: equi-width histogram of a measure — the distribution profile a

@@ -74,24 +74,32 @@ class PropertySpec extends SparkSuite
     // their value determinism is covered by the batch-equivalence
     // oracles and the batch twins x12c's SQL oracle / x13b / x16b,
     // which run here).
-    val dir = java.nio.file.Files.createTempDirectory("graft_shard_").toString
-    val tables = new java.io.File(sf).list().filter(_.endsWith(".parquet"))
-    tables.foreach { t =>
+    val dirPath = java.nio.file.Files.createTempDirectory("graft_shard_")
+    val dir = dirPath.toString
+    try {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sf/$t")
-        .repartition(7) // round-robin: different sharding AND row order
-        .write.mode("overwrite").parquet(s"$dir/$t")
-    }
-    val skip = Set("o13_block_locations", "x05d_approx_quantiles",
-      // readStream/pathGlobFilter-based (see header comment):
-      "x12a_stream_tumbling", "x12b_stream_sliding", "x12c_stream_static",
-      "x12d_stream_stream", "x13a_stream_dedup", "x13c_stateful_stats",
-      "x13d_active_hours", "x13e_value_state")
-    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
-         if !skip(name)) {
-      val a = fn(spark, sf).collect().map(_.toSeq).toSeq
-      val b = fn(spark, dir).collect().map(_.toSeq).toSeq
-      assert(a == b, s"$name differs across input sharding")
+      val tables = new java.io.File(sf).list().filter(_.endsWith(".parquet"))
+      tables.foreach { t =>
+        spark.read.parquet(s"$sf/$t")
+          .repartition(7) // round-robin: different sharding AND row order
+          .write.mode("overwrite").parquet(s"$dir/$t")
+      }
+      val skip = Set("o13_block_locations", "x05d_approx_quantiles",
+        // readStream/pathGlobFilter-based (see header comment):
+        "x12a_stream_tumbling", "x12b_stream_sliding", "x12c_stream_static",
+        "x12d_stream_stream", "x13a_stream_dedup", "x13c_stateful_stats",
+        "x13d_active_hours", "x13e_value_state")
+      for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+           if !skip(name)) {
+        val a = fn(spark, sf).collect().map(_.toSeq).toSeq
+        val b = fn(spark, dir).collect().map(_.toSeq).toSeq
+        assert(a == b, s"$name differs across input sharding")
+      }
+    } finally { // don't leak a full fixture copy per run
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dirPath).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
   }
 

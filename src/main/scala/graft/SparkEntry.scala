@@ -107,6 +107,8 @@ object SparkEntry {
     "x14_typed_udaf"       -> (graft.functions.TypedAggs.l2Query(_, _)),
     "xm1_multimodal_meta"  -> (Multimodal.binaryMeta(_, _)),
     "x15_sql_api"          -> (SqlApi.tpchQ3(_, _)),
+    "x15b_sql_q6"          -> (SqlApi.tpchQ6(_, _)),
+    "x15c_sql_q10"         -> (SqlApi.tpchQ10(_, _)),
     "x16_asof_join"        -> (Relational.asofAttribution(_, _)),
     "x16b_interval_join"   -> (Relational.intervalJoin(_, _)),
     "x17_train_test_split" -> (TextAnalysis.trainTestSplit(_, _)),
@@ -516,8 +518,10 @@ object SparkEntry {
       """SELECT l_returnflag, SQRT(SUM(l_quantity*l_quantity)) AS qty_l2norm,
         |       COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-    // Identical ANSI text runs on both engines (SqlApi.q3Sql).
+    // Identical ANSI text runs on both engines (SqlApi.q3Sql etc).
     "x15_sql_api" -> graft.operators.SqlApi.q3Sql,
+    "x15b_sql_q6" -> graft.operators.SqlApi.q6Sql,
+    "x15c_sql_q10" -> graft.operators.SqlApi.q10Sql,
     "x17_train_test_split" ->
       """SELECT CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'valid'
         |            ELSE 'test' END AS split,

@@ -33,6 +33,50 @@ object SqlApi {
     spark.sql(q3Sql)
   }
 
+  /** TPC-H Q6 shape (the forecast-revenue-change scan-heavy query):
+    * single-table selective scan + decimal-exact product aggregate —
+    * the query class where pushdown + vectorized scan IS the plan.
+    * Shared ANSI text. */
+  val q6Sql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |            CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+      |       COUNT(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN CAST(0.03 AS DECIMAL(12,2))
+      |                     AND CAST(0.07 AS DECIMAL(12,2))
+      |  AND l_quantity < 24""".stripMargin
+
+  def tpchQ6(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.table(spark, sfDir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(q6Sql)
+  }
+
+  /** TPC-H Q10 shape (returned-item reporting): 4-table join, grouped
+    * decimal-exact revenue, top-20 by revenue with a total tiebreak.
+    * Shared ANSI text. */
+  val q10Sql: String =
+    """SELECT c_custkey, c_name, n_name,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |            (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  def tpchQ10(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("customer", "orders", "lineitem", "nation").foreach { t =>
+      Tables.table(spark, sfDir, t).createOrReplaceTempView(t)
+    }
+    spark.sql(q10Sql)
+  }
+
   /** Correlated scalar subquery (decorrelated by Catalyst into an
     * aggregate + join — never a per-row re-execution). Shared ANSI text. */
   val correlatedSql: String =

@@ -381,6 +381,35 @@ object OraclesLlm {
         |           ORDER BY cosine DESC, vec_id) AS rkn FROM cosv)
         |SELECT query_id, CAST(rkn AS INT) AS rnk, vec_id, cosine
         |FROM rk WHERE rkn <= 3 ORDER BY query_id, rnk""".stripMargin,
+    "x10f_class_separation" ->
+      s"""WITH exl AS (SELECT vec_id, label, unnest(range(1,65)) AS pos,
+         |               unnest(embedding) AS vf
+         |             FROM embeddings WHERE vec_id < 64),
+         |exq AS (SELECT vec_id, label, pos,
+         |          CAST(ROUND(CAST(vf AS DOUBLE)*1000000) AS BIGINT) AS q
+         |        FROM exl),
+         |norms AS (SELECT vec_id, CAST(SUM(q*q) AS BIGINT) AS n2
+         |          FROM exq GROUP BY vec_id),
+         |lbl AS (SELECT DISTINCT vec_id, label FROM exl),
+         |dots AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+         |           CAST(SUM(a.q*b.q) AS BIGINT) AS dot
+         |         FROM exq a JOIN exq b ON a.pos = b.pos AND a.vec_id < b.vec_id
+         |         GROUP BY 1, 2),
+         |pairs AS (SELECT CASE WHEN la.label = lb.label THEN 'same_label'
+         |                 ELSE 'cross_label' END AS stratum,
+         |            CAST(d.dot AS DOUBLE) /
+         |              (SQRT(CAST(na.n2 AS DOUBLE))*SQRT(CAST(nb.n2 AS DOUBLE)))
+         |              AS cosine
+         |          FROM dots d
+         |          JOIN lbl la ON d.va = la.vec_id
+         |          JOIN lbl lb ON d.vb = lb.vec_id
+         |          JOIN norms na ON d.va = na.vec_id
+         |          JOIN norms nb ON d.vb = nb.vec_id)
+         |SELECT stratum, COUNT(*) AS n_pairs,
+         |       CAST(SUM(CASE WHEN cosine >= 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_above_threshold,
+         |       MIN(cosine) AS min_cosine, MAX(cosine) AS max_cosine
+         |FROM pairs GROUP BY stratum ORDER BY stratum""".stripMargin,
     "x17b_stratified_sample" ->
       """SELECT lang, COUNT(*) AS n_total,
         |       CAST(SUM(kept) AS BIGINT) AS n_kept,

@@ -255,6 +255,38 @@ object Similarity {
     topkOf(scored, k)
   }
 
+  /** Embedding-space class-separation audit: over the bounded audit
+    * subset (vec_id < 64 — an O(k²) diagnostic, never corpus×corpus),
+    * score every pair with the fused dot and report, per same-label /
+    * cross-label stratum, the pair count, how many clear a similarity
+    * threshold, and the extreme cosines. Healthy embeddings show
+    * same-label mass above cross-label mass; drift shows up as the
+    * strata converging. Count/min/max aggregates only — no float
+    * summation, so the result is order-free and engine-exact.
+    */
+  def classSeparation(spark: SparkSession, sfDir: String,
+                      auditN: Int = 64,
+                      threshold: Double = 0.2): DataFrame = {
+    val all = quantized(spark, sfDir)
+    val sub = all.filter(col("vec_id") < auditN)
+      .join(Tables.embeddings(spark, sfDir).select(col("vec_id"), col("label")),
+        "vec_id")
+    val pairs = sub.as("x").join(broadcast(sub.as("y")),
+        col("x.vec_id") < col("y.vec_id"))
+      .select(
+        when(col("x.label") === col("y.label"), "same_label")
+          .otherwise("cross_label").as("stratum"),
+        VectorOps.cosineFromQ(expr("quantized_dot(x.embedding, y.embedding)"),
+          col("x.n2"), col("y.n2")).as("cosine"))
+    pairs.groupBy("stratum")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("cosine") >= threshold, 1L).otherwise(0L))
+          .as("n_above_threshold"),
+        min("cosine").as("min_cosine"),
+        max("cosine").as("max_cosine"))
+      .orderBy("stratum")
+  }
+
   /** LSH-banded approximate top-k (k=3): candidates share at least one
     * (band, bandkey) with the query vector; exact cosine within
     * candidates only. */

@@ -148,23 +148,36 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Per-label (count, element-wise quantized sum-vector) — ONE
+    * hash aggregate keyed on label, accumulating each vector into a
+    * `dims`-long buffer via [[graft.plans.VecSumAgg]]. Partials combine
+    * map-side, so at 100 TB the shuffle carries `labels × dims` longs
+    * total — the vectors themselves never leave their input partition.
+    * (Replaces a posexplode into `N × dims` rows + a (label, pos)
+    * shuffle: same exact integers, 3-4× less work at sf0.1.) */
+  private def centroidSums(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.plans.VecSumAgg.register(spark)
+    Tables.embeddings(spark, sfDir)
+      .select(col("label"), VectorOps.quantize(col("embedding")).as("qv"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"), expr("vec_sum(qv)").as("sums"))
+  }
+
   /** Per-class embedding centroids (class prototypes) — the embedding
     * aggregation a curation pipeline runs constantly (cluster summaries,
     * label prototypes for nearest-centroid classification, drift
-    * checks). Exact integer accumulation over the quantized vectors;
-    * the only float op is the final dequantizing division, in a pinned
-    * order so DuckDB replays it bit-for-bit. One keyed shuffle on
-    * (label, dim); at 100 TB the partial sums combine map-side so the
-    * shuffle carries `labels × dims` rows per task, not vectors.
+    * checks). Exact integer accumulation over the quantized vectors
+    * ([[centroidSums]]); the only float op is the final dequantizing
+    * division, in a pinned order so DuckDB replays it bit-for-bit. The
+    * posexplode here unrolls `labels × dims` SUMMED rows (tiny), not the
+    * corpus.
     */
   def labelCentroids(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.embeddings(spark, sfDir)
-      .select(col("label"),
-        posexplode(VectorOps.quantize(col("embedding"))).as(Seq("pos0", "qv")))
-      .select(col("label"), (col("pos0") + 1).cast(LongType).as("pos"), col("qv"))
-      .groupBy("label", "pos")
-      .agg(count(lit(1)).as("n_vecs"), sum("qv").as("sum_q"))
-      .select(col("label"), col("pos"), col("n_vecs"),
+    centroidSums(spark, sfDir)
+      .select(col("label"), col("n_vecs"),
+        posexplode(col("sums")).as(Seq("pos0", "sum_q")))
+      .select(col("label"), (col("pos0") + 1).cast(LongType).as("pos"),
+        col("n_vecs"),
         (col("sum_q").cast(DoubleType) / col("n_vecs") / 1e6).as("centroid"))
       .orderBy("label", "pos")
 
@@ -196,23 +209,25 @@ object Similarity {
   /** Mean-dot score of every vector against every coarse cell (the
     * label centroids acting as IVF cells): exact integer numerator, one
     * double division — shared by [[ivfTopK]]'s assignment and probe
-    * sides. */
+    * sides. Shape: the summed-centroid relation is `labels` rows
+    * ([[centroidSums]] — broadcast), scoring is a per-row exact long-dot
+    * against each cell's sum-vector with NO shuffle at all (the old form
+    * exploded the corpus to `N × dims` rows, joined on pos, and
+    * re-aggregated). Overflow headroom: `qv·s ≤ 1e6 · (n_vecs·1e6)`, so
+    * a 64-dim dot stays under 2^63 up to ~10^5 vectors per label —
+    * beyond that, pre-divide the centroid numerator once (the division
+    * is then no longer a single trailing op, so re-pin the oracle).
+    */
   private def cellScores(spark: SparkSession, sfDir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, sfDir)
-    val vq = emb.select(col("vec_id"),
-        posexplode(VectorOps.quantize(col("embedding"))).as(Seq("pos0", "qv")))
-      .select(col("vec_id"), (col("pos0") + 1).cast(LongType).as("pos"),
-        col("qv"))
-    val cent = emb.select(col("label"),
-        posexplode(VectorOps.quantize(col("embedding"))).as(Seq("pos0", "qv")))
-      .select(col("label"), (col("pos0") + 1).cast(LongType).as("pos"), col("qv"))
-      .groupBy("label", "pos")
-      .agg(sum("qv").as("s"), count(lit(1)).as("n"))
-    vq.join(broadcast(cent), "pos")
-      .groupBy(col("vec_id"), col("label").as("cell"), col("n"))
-      .agg(sum(col("qv") * col("s")).as("num"))
+    val cent = centroidSums(spark, sfDir)
+      .select(col("label").as("cell"), col("n_vecs").as("n"),
+        col("sums").as("s"))
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("qv"))
+      .crossJoin(broadcast(cent))
       .select(col("vec_id"), col("cell"),
-        (col("num").cast(DoubleType) / col("n")).as("cellscore"))
+        (VectorOps.dotQ(col("qv"), col("s")).cast(DoubleType) / col("n"))
+          .as("cellscore"))
   }
 
   /** IVF-style approximate top-k: the corpus is coarsely quantized into

@@ -1,0 +1,96 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Element-wise SUM of a BIGINT-array column (`TypedImperativeAggregate`)
+  * — one mutable `Array[Long]` buffer per group, merged element-wise.
+  *
+  * This is the centroid-accumulation shape for embedding analytics: a
+  * group's quantized vectors sum into `dims` longs that partial-aggregate
+  * map-side, so a 100 TB corpus shuffles `groups × dims` longs instead of
+  * exploding every vector into `dims` rows (the posexplode form this
+  * replaces shuffled `N × dims` rows and was 3-4× slower at sf0.1).
+  *
+  * Exactness: pure 64-bit integer addition — order-free, engine-exact,
+  * bit-identical to the unnest-and-SUM DuckDB oracle. Overflow headroom:
+  * 1e-6-quantized unit-vector elements are ≤ ~1e6, so a group needs
+  * ~9e12 vectors to overflow a Long element — far past any real corpus;
+  * shard the group key first if you ever approach that.
+  *
+  * Rows with NULL arrays are skipped; all inputs must share one length
+  * (enforced — a silent ragged merge would corrupt every element after
+  * the shorter prefix).
+  */
+case class VecSumAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  override def createAggregationBuffer(): Array[Long] = Array.emptyLongArray
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v == null) buf
+    else {
+      val a = v.asInstanceOf[ArrayData]
+      val n = a.numElements()
+      val out = if (buf.isEmpty) new Array[Long](n) else buf
+      require(out.length == n,
+        s"vec_sum: ragged input (${out.length} vs $n elements)")
+      var i = 0
+      while (i < n) { out(i) += a.getLong(i); i += 1 }
+      out
+    }
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] =
+    if (b1.isEmpty) b2
+    else if (b2.isEmpty) b1
+    else {
+      require(b1.length == b2.length,
+        s"vec_sum: ragged merge (${b1.length} vs ${b2.length} elements)")
+      var i = 0
+      while (i < b1.length) { b1(i) += b2(i); i += 1 }
+      b1
+    }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong)
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override def prettyName: String = VecSumAgg.name
+
+  override def withNewMutableAggBufferOffset(o: Int): VecSumAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): VecSumAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): VecSumAgg = copy(child = c.head)
+}
+
+object VecSumAgg {
+  val name = "vec_sum"
+
+  /** Idempotent per-session SQL registration (`vec_sum(bigint_array)`). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => VecSumAgg(exprs.head), "scala_udf")
+}

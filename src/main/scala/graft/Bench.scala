@@ -37,6 +37,14 @@ object Bench {
     // (SPARK_GRAFT_ONLY=x09e_ngram_jaccard,x09g_dedup_clusters).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    // A typo'd filter name would otherwise yield a silent empty run that
+    // still prints a valid-looking total — surface it as an error entry.
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    if (unknown.nonEmpty) {
+      System.err.println(
+        s"WARNING: SPARK_GRAFT_ONLY names match no query: ${unknown.mkString(",")}")
+      errors ++= unknown.map(_ -> "no such query (SPARK_GRAFT_ONLY)")
+    }
     val selected =
       if (only.isEmpty) SparkEntry.queries else SparkEntry.queries.filter(kv => only(kv._1))
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>

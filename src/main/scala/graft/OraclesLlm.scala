@@ -131,6 +131,13 @@ object OraclesLlm {
          |$ngramPairCtes
          |SELECT doc_a, doc_b, jaccard FROM npairs
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // the PrefixFilter strategy is the same logical op — one oracle
+    // certifies both physical plans produce the identical pair set
+    "x09e2_jaccard_prefix" ->
+      s"""WITH $toks,
+         |$ngramPairCtes
+         |SELECT doc_a, doc_b, jaccard FROM npairs
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "x09g_dedup_clusters" ->
       s"""WITH RECURSIVE $toks,
          |$ngramPairCtes,

@@ -73,6 +73,10 @@ object SparkEntry {
     "x09c_simhash"        -> (Dedup.simhash(_, _)),
     "x09d_simhash_pairs"  -> (Dedup.simhashPairs(_, _)),
     "x09e_ngram_jaccard"  -> (Dedup.ngramJaccard(_, _)),
+    // same logical op, the open-vocabulary physical strategy — certified
+    // against the SAME oracle so the 100 TB plan is a measured plan
+    "x09e2_jaccard_prefix" -> ((s, d) =>
+      Dedup.ngramJaccard(s, d, strategy = Dedup.PrefixFilter)),
     "x09f_embedding_dedup" -> ((s, d) => Similarity.embeddingNearDup(s, d)),
     "x09g_dedup_clusters" -> (Dedup.dedupClusters(_, _)),
     "x10a_cosine_topk"    -> ((s, d) => Similarity.cosineTopK(s, d)),

@@ -193,22 +193,21 @@ object Etl {
     * totals read back from the merged sink.
     */
   def upsertMerge(spark: SparkSession, sfDir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft_merge_").toString
+    val table = java.nio.file.Files.createTempDirectory("graft_merge_").toString
     val orders = Tables.orders(spark, sfDir)
-    orders.write.mode("overwrite").parquet(out)
+    // Both the initial load and the merge are SNAPSHOT commits
+    // ([[Snapshot]]): each writes an immutable v=N directory and then
+    // atomically swaps the head pointer, so a reader concurrent with
+    // the merge sees the pre-merge table until the single rename — not
+    // a half-merged directory (crash anatomy proven in SnapshotSpec).
+    Snapshot.commit(orders, table)
     // change batch: every 10th key gets a repriced total (+1000, exact)
     val changes = orders.filter(col("o_orderkey") % 10 === 0)
       .withColumn("o_totalprice",
         (col("o_totalprice").cast(DecimalType(12, 2)) + 1000)
           .cast("double"))
-    val base = spark.read.parquet(out)
-    val merged = changes.unionByName(
-      base.join(changes.select("o_orderkey"), Seq("o_orderkey"), "left_anti"))
-    // SIBLING of the base sink, never a subdirectory — leaf files at two
-    // directory depths corrupt partition discovery for later readers.
-    val mergedOut = s"${out}_merged"
-    merged.write.mode("overwrite").parquet(mergedOut)
-    spark.read.parquet(mergedOut)
+    Snapshot.mergeCommit(spark, table, changes, "o_orderkey")
+    Snapshot.readCurrent(spark, table)
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n"), Exact.dsum(col("o_totalprice")).as("sum_price"))
       .orderBy("o_orderstatus")

@@ -28,13 +28,23 @@ object Layout {
     * non-negative integer keys, so integer order on the result walks a
     * space-filling curve through the (a, b) plane — rows close in Z-key
     * are close in BOTH dimensions. Pure bit arithmetic, codegen-friendly,
-    * no UDF. */
+    * no UDF.
+    *
+    * ALIASING: only the low `bits` bits participate — key values
+    * ≥ 2^bits fold into the same curve cell as their low-bit twins,
+    * silently degrading the 2-D locality the key promises. Size `bits`
+    * to cover the full key range (⌈log2(max+1)⌉; [[zorderWrite]] derives
+    * it from the data by default), or rank-encode wide/sparse keys
+    * first. Max 31 per dimension (2×31 interleaved bits keep the key in
+    * a positive Long). */
   def zorderKey(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
-                bits: Int = 16): org.apache.spark.sql.Column =
+                bits: Int = 16): org.apache.spark.sql.Column = {
+    require(bits >= 1 && bits <= 31, s"zorderKey bits must be in [1,31]: $bits")
     (0 until bits).map { i =>
       (shiftright(a, i) % 2) * lit(1L << (2 * i)) +
         (shiftright(b, i) % 2) * lit(1L << (2 * i + 1))
     }.reduce(_ + _)
+  }
 
   /** Z-order clustered write: range-partition on the Morton key of two
     * filter dimensions and sort within files. Each output file then
@@ -45,14 +55,31 @@ object Layout {
     * dimension. The write costs one range shuffle; every subsequent
     * selective scan on EITHER OR BOTH dimensions prunes. LayoutSpec
     * measures the effect on real per-file statistics.
+    *
+    * `bits` ≤ 0 (the default) derives the interleave width from the
+    * observed key maxima (one tiny pre-aggregate over the write input) —
+    * every key bit participates and nothing aliases; pass an explicit
+    * width only when the key range is known a priori.
     */
   def zorderWrite(df: DataFrame, out: String, c1: String, c2: String,
-                  nFiles: Int, bits: Int = 16): Unit =
-    df.withColumn("__z", zorderKey(col(c1), col(c2), bits))
+                  nFiles: Int, bits: Int = 0): Unit = {
+    val eff =
+      if (bits > 0) bits
+      else {
+        val row = df.agg(
+          max(col(c1).cast(org.apache.spark.sql.types.LongType)),
+          max(col(c2).cast(org.apache.spark.sql.types.LongType))).head()
+        val hi = math.max(
+          if (row.isNullAt(0)) 0L else row.getLong(0),
+          if (row.isNullAt(1)) 0L else row.getLong(1))
+        math.min(31, math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(hi)))
+      }
+    df.withColumn("__z", zorderKey(col(c1), col(c2), eff))
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode("overwrite").parquet(out)
+  }
 
   /** Salted equi-join for skewed build keys: the big (skewed) side gets
     * a deterministic salt derived from its row content; the small side

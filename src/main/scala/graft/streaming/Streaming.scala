@@ -82,20 +82,35 @@ object Streaming {
     stream.sparkSession.table(name)
   }
 
-  /** X12: tumbling 1-hour event-time windows with a 1-hour watermark —
-    * count + exact sum per (window, event_type). */
-  def tumbling(spark: SparkSession, sfDir: String): DataFrame = {
-    val agg = eventsStream(spark, sfDir)
+  /** The x12a tumbling aggregate over ANY event-shaped streaming source
+    * (`ts` timestamp, `event_type` string, `value` double): 1-hour
+    * event-time windows with a 1-hour watermark — count + exact sum per
+    * (window, event_type). Source-agnostic by construction: the file
+    * source below, the MemoryStream Kafka stand-in in StreamingSpec,
+    * and a real `spark.readStream.format("kafka")` (after its
+    * value-deserialization projection) all plug in unchanged — the
+    * transform never references how the rows arrived. */
+  private[graft] def tumblingAggOf(events: DataFrame): DataFrame =
+    events
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), Exact.dsum(col("value")).as("sum_value"))
-    runToBatch(agg, "complete")
+
+  /** Drive [[tumblingAggOf]] over an arbitrary source to completion and
+    * project the stable output shape (the swappable-source entry point
+    * the spec exercises). */
+  private[graft] def tumblingFrom(events: DataFrame): DataFrame =
+    runToBatch(tumblingAggOf(events), "complete")
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
           .as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
       .orderBy("window_start", "event_type")
-  }
+
+  /** X12: tumbling 1-hour event-time windows with a 1-hour watermark —
+    * count + exact sum per (window, event_type). */
+  def tumbling(spark: SparkSession, sfDir: String): DataFrame =
+    tumblingFrom(eventsStream(spark, sfDir))
 
   /** X12 production sink path: the same tumbling aggregate written to a
     * parquet FILE sink with a checkpoint location — exactly-once and
@@ -110,10 +125,7 @@ object Streaming {
   def tumblingToFileSink(spark: SparkSession, sfDir: String): DataFrame = {
     val out = java.nio.file.Files.createTempDirectory("graft_fsink_").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_fsink_ck_").toString
-    val agg = eventsStream(spark, sfDir)
-      .withWatermark("ts", "1 hour")
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), Exact.dsum(col("value")).as("sum_value"))
+    val agg = tumblingAggOf(eventsStream(spark, sfDir))
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
           .as("window_start"),
@@ -337,12 +349,25 @@ object Streaming {
   /** X13: sessionization — 30-minute-gap session windows per user
     * (session ends 30 min after its last event; an event exactly at the
     * previous session's end starts a new one). Uses the native
-    * `session_window` operator (merging-window state, not a sort).
+    * `session_window` operator (merging-window state, not a sort),
+    * driven through the streaming engine like its x12/x13 siblings.
+    *
+    * Output mode is COMPLETE, not append: append only emits a session
+    * once the watermark passes its END, and the corpus's final sessions
+    * end AFTER the last watermark (last event + 30 min gap) — they
+    * would be held in state forever and the batch-equivalence oracle
+    * would miss them (update mode is rejected outright for streaming
+    * session aggregations). Complete re-emits the full session table
+    * each micro-batch — exact for the fixture's single batch; a
+    * continuous production run would pair append mode with a consumer
+    * that tolerates session-finalization latency.
     */
-  def sessionize(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.events(spark, sfDir)
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = eventsStream(spark, sfDir)
+      .withWatermark("ts", "1 hour")
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
       .agg(count(lit(1)).as("n_events"))
+    runToBatch(agg, "complete")
       .select(col("user_id"),
         date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
           .as("session_start"),
@@ -350,4 +375,5 @@ object Streaming {
           .as("session_end"),
         col("n_events"))
       .orderBy("user_id", "session_start")
+  }
 }

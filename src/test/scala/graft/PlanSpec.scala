@@ -69,7 +69,11 @@ class PlanSpec extends SparkSuite {
     for (df <- Seq(Dedup.simhash(spark, sf),
                    graft.operators.TextAnalysis.fingerprint(spark, sf),
                    Dedup.minhashLsh(spark, sf),
-                   Dedup.ngramJaccard(spark, sf))) {
+                   // the un-memoized builds (both strategies): the
+                   // memoized query's checkpoint scan has no plan to audit
+                   Dedup.ngramJaccardBuild(spark, sf, materialize = false),
+                   Dedup.ngramJaccardBuild(spark, sf,
+                     strategy = Dedup.PrefixFilter, materialize = false))) {
       val p = plan(df)
       assert(!p.contains("SinglePartition"),
         s"single-partition stage in plan:\n$p")
@@ -89,7 +93,9 @@ class PlanSpec extends SparkSuite {
     assert(ncPlan.contains("BroadcastExchange"),
       s"centroids should broadcast:\n$ncPlan")
     // stop-gram cut: the hot-gram list joins as a broadcast anti-join
-    val njPlan = plan(Dedup.ngramJaccard(spark, sf))
+    // (asserted on the un-memoized build — the memoized query plans as
+    // a checkpoint scan)
+    val njPlan = plan(Dedup.ngramJaccardBuild(spark, sf, materialize = false))
     assert(njPlan.contains("LeftAnti") && njPlan.contains("Broadcast"),
       s"df-ceiling anti-join should broadcast:\n$njPlan")
   }

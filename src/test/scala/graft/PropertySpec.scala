@@ -72,8 +72,8 @@ class PropertySpec extends SparkSuite
     // the events table by its exact fixture file name via
     // pathGlobFilter, which a re-sharded DIRECTORY copy cannot satisfy;
     // their value determinism is covered by the batch-equivalence
-    // oracles and the batch twins x12c's SQL oracle / x13b / x16b,
-    // which run here).
+    // oracles and the batch twins x12c's SQL oracle / x16b, which run
+    // here).
     val dirPath = java.nio.file.Files.createTempDirectory("graft_shard_")
     val dir = dirPath.toString
     try {
@@ -87,8 +87,8 @@ class PropertySpec extends SparkSuite
       val skip = Set("o13_block_locations", "x05d_approx_quantiles",
         // readStream/pathGlobFilter-based (see header comment):
         "x12a_stream_tumbling", "x12b_stream_sliding", "x12c_stream_static",
-        "x12d_stream_stream", "x13a_stream_dedup", "x13c_stateful_stats",
-        "x13d_active_hours", "x13e_value_state")
+        "x12d_stream_stream", "x13a_stream_dedup", "x13b_sessionize",
+        "x13c_stateful_stats", "x13d_active_hours", "x13e_value_state")
       for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
            if !skip(name)) {
         val a = fn(spark, sf).collect().map(_.toSeq).toSeq

@@ -68,6 +68,38 @@ class StreamingSpec extends SparkSuite {
       s"late 11:05 event should have been dropped: $rows")
   }
 
+  test("the tumbling aggregate is source-swappable (memory-stream Kafka stand-in)") {
+    // Same transform as x12a, fed from a driver-pushed MemoryStream (the
+    // test stand-in for a Kafka source: rows arrive in multiple
+    // micro-batches, not from files) — proving the aggregate never
+    // depends on the file source it normally reads from. Two batches
+    // exercise cross-micro-batch state merging, which the one-batch file
+    // fixture can't.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[(java.sql.Timestamp, String, Double)]
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val agg = Streaming.tumblingAggOf(src.toDF().toDF("ts", "event_type", "value"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("graft_swap_src").start()
+    src.addData((t("2024-03-01 10:05:00"), "click", 1.5),
+      (t("2024-03-01 10:55:00"), "click", 2.0),
+      (t("2024-03-01 11:10:00"), "view", 4.0))
+    q.processAllAvailable()
+    // micro-batch 2 lands in an ALREADY-SEEN window → state must merge
+    src.addData((t("2024-03-01 10:30:00"), "click", 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("graft_swap_src").collect()
+      .map(r => (r.getStruct(0).getTimestamp(0).toString, r.getString(1))
+        -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got == Map(
+      ("2024-03-01 10:00:00.0", "click") -> (3L, 6.5),
+      ("2024-03-01 11:00:00.0", "view") -> (1L, 4.0)))
+  }
+
   test("mapGroupsWithState per-user stats equal a batch aggregate") {
     val st = Streaming.statefulUserStats(spark, sf).collect()
     val batch = Tables.events(spark, sf).groupBy("user_id")

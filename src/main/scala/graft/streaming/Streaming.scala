@@ -62,6 +62,23 @@ object Streaming {
     try f finally spark.conf.set(key, was)
   }
 
+  /** Additionally skip trailing no-data micro-batches. Safe ONLY for
+    * queries whose OUTPUT is data-driven — every [[runToBatch]] consumer
+    * qualifies (complete mode re-emits per data batch; the append/update
+    * ops here — dedup, stream-stream join, (flat)map/transformWithState
+    * — emit as rows arrive): the no-data batch exists to advance
+    * watermark-driven work, which for these queries is state EVICTION
+    * only, a StatePartitions-wide store-commit round that changes no
+    * result. NOT safe for append-mode window aggregates, whose emission
+    * IS watermark-driven — [[tumblingToFileSink]] runs outside this
+    * scope and keeps its finalizing no-data batch. */
+  private def withDataBatchesOnly[T](spark: SparkSession)(f: => T): T = {
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val was = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try withStateWidth(spark)(f) finally spark.conf.set(key, was)
+  }
+
   /** Run a streaming DataFrame to exhaustion into a memory sink and
     * return the materialized result.
     *
@@ -73,7 +90,7 @@ object Streaming {
     * resumable, nothing driver-side). */
   private def runToBatch(stream: DataFrame, mode: String): DataFrame = {
     val name = s"graft_stream_${counter.incrementAndGet()}"
-    withStateWidth(stream.sparkSession) {
+    withDataBatchesOnly(stream.sparkSession) {
       val q = stream.writeStream.outputMode(mode)
         .format("memory").queryName(name).start()
       q.processAllAvailable()

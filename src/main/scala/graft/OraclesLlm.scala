@@ -348,6 +348,34 @@ object OraclesLlm {
         |SELECT true_label, label AS predicted_label, COUNT(*) AS n_vecs
         |FROM r WHERE rnk = 1
         |GROUP BY 1, 2 ORDER BY true_label, predicted_label""".stripMargin,
+    // Lloyd's k-means, iterations UNROLLED as CTE pairs (score+argmax →
+    // rebuild): every compare is on exact integers or on doubles formed
+    // identically from them, and the argmax tiebreak is total, so the
+    // whole trajectory replays bit-for-bit.
+    "x10g_kmeans_cells" ->
+      s"""WITH $vecCtes,
+         |c0 AS (SELECT vec_id AS cell, CAST(1 AS BIGINT) AS n, pos, q AS s
+         |       FROM exq WHERE vec_id < 8),
+         |s1 AS (SELECT e.vec_id, c.cell, c.n, CAST(SUM(e.q*c.s) AS BIGINT) AS num
+         |       FROM exq e JOIN c0 c ON e.pos = c.pos GROUP BY 1, 2, 3),
+         |a1 AS (SELECT vec_id, cell FROM
+         |         (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |            ORDER BY CAST(num AS DOUBLE)/n DESC, cell) AS rnk FROM s1)
+         |       WHERE rnk = 1),
+         |c1 AS (SELECT a.cell, e.pos, COUNT(*) AS n,
+         |         CAST(SUM(e.q) AS BIGINT) AS s
+         |       FROM exq e JOIN a1 a ON e.vec_id = a.vec_id GROUP BY 1, 2),
+         |s2 AS (SELECT e.vec_id, c.cell, c.n, CAST(SUM(e.q*c.s) AS BIGINT) AS num
+         |       FROM exq e JOIN c1 c ON e.pos = c.pos GROUP BY 1, 2, 3),
+         |a2 AS (SELECT vec_id, cell FROM
+         |         (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |            ORDER BY CAST(num AS DOUBLE)/n DESC, cell) AS rnk FROM s2)
+         |       WHERE rnk = 1),
+         |c2 AS (SELECT a.cell, e.pos, COUNT(*) AS n,
+         |         CAST(SUM(e.q) AS BIGINT) AS s
+         |       FROM exq e JOIN a2 a ON e.vec_id = a.vec_id GROUP BY 1, 2)
+         |SELECT cell, pos, n AS n_vecs, CAST(s AS DOUBLE)/n/1e6 AS centroid
+         |FROM c2 ORDER BY cell, pos""".stripMargin,
     "x10e_ivf_topk" ->
       """WITH ex AS (SELECT vec_id, label, unnest(range(1,65)) AS pos,
         |              unnest(embedding) AS vf FROM embeddings),

@@ -98,6 +98,7 @@ object SparkEntry {
     "x10d_nearest_centroid" -> (Similarity.nearestCentroid(_, _)),
     "x10e_ivf_topk"       -> ((s, d) => Similarity.ivfTopK(s, d)),
     "x10f_class_separation" -> ((s, d) => Similarity.classSeparation(s, d)),
+    "x10g_kmeans_cells"   -> ((s, d) => Similarity.kmeansCells(s, d)),
     "x17b_stratified_sample" -> (TextAnalysis.stratifiedSample(_, _)),
     // ---- streaming (SURVEY §2.4 X12-X13), typed UDAF (X14), multimodal ----
     "x12a_stream_tumbling" -> (graft.streaming.Streaming.tumbling(_, _)),

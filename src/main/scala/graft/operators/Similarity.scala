@@ -270,6 +270,64 @@ object Similarity {
     topkOf(scored, k)
   }
 
+  /** Learned IVF codebook: Lloyd's k-means over the quantized vectors,
+    * a FIXED number of iterations with deterministic, data-derived
+    * initialization (the k lowest vec_ids as singleton seeds) — the
+    * production coarse quantizer for [[ivfTopK]], replacing the label
+    * centroids stand-in. Every iteration is the same two shapes the IVF
+    * machinery already runs: score = broadcast long-dot of each vector
+    * against each cell's (count, sum-vector) with ONE trailing IEEE
+    * division, argmax by (score desc, cell asc) — then cells rebuild as
+    * one `vec_sum` aggregate. Cells that lose every member drop
+    * (deterministically) rather than being re-seeded. All arithmetic
+    * before the division is exact 64-bit integers, the division's
+    * operands convert to double identically in any IEEE engine, and the
+    * tiebreak is total — so the whole trajectory, not just the final
+    * centroids, replays bit-for-bit in the DuckDB oracle (iterations
+    * unrolled as CTEs).
+    *
+    * Scale shape per iteration: the cell relation is `k × dims` longs
+    * (broadcast); scoring is shuffle-free per-row arithmetic; the
+    * rebuild is one map-side-combined aggregate shuffling `k × dims`
+    * longs. A 100 TB corpus runs this on a sample for the codebook,
+    * then one final assignment pass — both are these exact plans.
+    * (Production k-means++ seeding slots into the init frame; the fixed
+    * low-id seed keeps the fixture oracle-replayable.)
+    */
+  def kmeansCells(spark: SparkSession, sfDir: String,
+                  k: Int = 8, iters: Int = 2): DataFrame = {
+    graft.plans.VecSumAgg.register(spark)
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("qv"))
+      .cache()
+    var cells = vecs.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cell"), lit(1L).as("n"), col("qv").as("s"))
+    for (_ <- 1 to iters) {
+      val w = Window.partitionBy("vec_id").orderBy(desc("score"), asc("cell"))
+      val assign = vecs.crossJoin(broadcast(cells))
+        .select(col("vec_id"), col("cell"),
+          (VectorOps.dotQ(col("qv"), col("s")).cast(DoubleType) / col("n"))
+            .as("score"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") === 1)
+        .select(col("vec_id"), col("cell"))
+      cells = vecs.join(assign, "vec_id")
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n"), expr("vec_sum(qv)").as("s"))
+    }
+    // k × dims summed rows — materialize the (tiny) codebook, release
+    // the corpus-sized quantized-vector cache
+    val out = cells.localCheckpoint()
+    vecs.unpersist()
+    out
+      .select(col("cell"), col("n").as("n_vecs"),
+        posexplode(col("s")).as(Seq("pos0", "sum_q")))
+      .select(col("cell"), (col("pos0") + 1).cast(LongType).as("pos"),
+        col("n_vecs"),
+        (col("sum_q").cast(DoubleType) / col("n_vecs") / 1e6).as("centroid"))
+      .orderBy("cell", "pos")
+  }
+
   /** Embedding-space class-separation audit: over the bounded audit
     * subset (vec_id < 64 — an O(k²) diagnostic, never corpus×corpus),
     * score every pair with the fused dot and report, per same-label /

@@ -147,6 +147,24 @@ class DedupSimilaritySpec extends SparkSuite {
       planes = 24, bands = 3).collect()
     nd.foreach(r => assert(r.getDouble(2) >= 0.3))
   }
+  test("k-means codebook: every vector lands in one surviving cell, and iterating moves mass") {
+    val cells = Similarity.kmeansCells(spark, sf).collect()
+    val total = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    // one (cell, pos) row per dimension; pos=1 rows carry each cell once
+    val perCell = cells.filter(_.getLong(1) == 1L)
+      .map(r => r.getLong(0) -> r.getLong(2))
+    assert(perCell.map(_._2).sum == total,
+      "cell membership must partition the corpus")
+    assert(perCell.length <= 8 && perCell.nonEmpty)
+    assert(perCell.forall(_._2 > 0), "surviving cells must be non-empty")
+    // determinism: a rerun is bit-identical (fresh memoization path)
+    val again = Similarity.kmeansCells(spark, sf).collect()
+    assert(cells.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    // the learned codebook must differ from its trivial seeds: after the
+    // reassignment rounds some cell holds more than a seed's 1 vector
+    assert(perCell.map(_._2).max > 1)
+  }
+
   test("prefix filter catches pairs exactly at the jaccard threshold (regression)") {
     // Boundary construction: two 5-token docs sharing 3 of their 4
     // bigrams, each with one globally-unique bigram -> J = 3/5 exactly,

@@ -218,10 +218,12 @@ object Similarity {
     * beyond that, pre-divide the centroid numerator once (the division
     * is then no longer a single trailing op, so re-pin the oracle).
     */
-  private def cellScores(spark: SparkSession, sfDir: String): DataFrame = {
-    val cent = centroidSums(spark, sfDir)
-      .select(col("label").as("cell"), col("n_vecs").as("n"),
-        col("sums").as("s"))
+  private def cellScores(spark: SparkSession, sfDir: String,
+                         cellsOverride: Option[DataFrame] = None): DataFrame = {
+    val cent = cellsOverride.getOrElse(
+      centroidSums(spark, sfDir)
+        .select(col("label").as("cell"), col("n_vecs").as("n"),
+          col("sums").as("s")))
     Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("qv"))
       .crossJoin(broadcast(cent))
@@ -231,8 +233,9 @@ object Similarity {
   }
 
   /** IVF-style approximate top-k: the corpus is coarsely quantized into
-    * cells (here the label centroids — a deterministic, data-derived
-    * coarse quantizer; a k-means codebook slots into the same shape),
+    * cells (default: the label centroids — deterministic and
+    * data-derived; pass `cells = Some(kmeansSums(...))` for the LEARNED
+    * codebook, which has the identical (cell, n, sum-vector) shape),
     * every vector is ASSIGNED to its best cell, and a query probes only
     * its `nprobe` best cells — so exact scoring touches `nprobe/cells`
     * of the corpus instead of all of it. This is the inverted-file
@@ -241,8 +244,9 @@ object Similarity {
     * broadcasts; the probe join is keyed on the cell id.
     */
   def ivfTopK(spark: SparkSession, sfDir: String, k: Int = 3,
-              nprobe: Int = 2): DataFrame = {
-    val cs = cellScores(spark, sfDir).cache()
+              nprobe: Int = 2,
+              cells: Option[DataFrame] = None): DataFrame = {
+    val cs = cellScores(spark, sfDir, cells).cache()
     val w = Window.partitionBy("vec_id").orderBy(desc("cellscore"), asc("cell"))
     val assign = cs.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") === 1).select(col("vec_id"), col("cell"))
@@ -294,8 +298,11 @@ object Similarity {
     * (Production k-means++ seeding slots into the init frame; the fixed
     * low-id seed keeps the fixture oracle-replayable.)
     */
-  def kmeansCells(spark: SparkSession, sfDir: String,
-                  k: Int = 8, iters: Int = 2): DataFrame = {
+  /** The k-means codebook as a (cell, n, sum-vector) relation — the
+    * same shape [[centroidSums]] produces from labels, so either slots
+    * into [[cellScores]]/[[ivfTopK]] unchanged. */
+  private[graft] def kmeansSums(spark: SparkSession, sfDir: String,
+                                k: Int = 8, iters: Int = 2): DataFrame = {
     graft.plans.VecSumAgg.register(spark)
     val vecs = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("qv"))
@@ -315,18 +322,22 @@ object Similarity {
         .groupBy("cell")
         .agg(count(lit(1)).as("n"), expr("vec_sum(qv)").as("s"))
     }
-    // k × dims summed rows — materialize the (tiny) codebook, release
+    // k × dims summed longs — materialize the (tiny) codebook, release
     // the corpus-sized quantized-vector cache
     val out = cells.localCheckpoint()
     vecs.unpersist()
     out
+  }
+
+  def kmeansCells(spark: SparkSession, sfDir: String,
+                  k: Int = 8, iters: Int = 2): DataFrame =
+    kmeansSums(spark, sfDir, k, iters)
       .select(col("cell"), col("n").as("n_vecs"),
         posexplode(col("s")).as(Seq("pos0", "sum_q")))
       .select(col("cell"), (col("pos0") + 1).cast(LongType).as("pos"),
         col("n_vecs"),
         (col("sum_q").cast(DoubleType) / col("n_vecs") / 1e6).as("centroid"))
       .orderBy("cell", "pos")
-  }
 
   /** Embedding-space class-separation audit: over the bounded audit
     * subset (vec_id < 64 — an O(k²) diagnostic, never corpus×corpus),

@@ -165,6 +165,20 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(perCell.map(_._2).max > 1)
   }
 
+  test("the learned k-means codebook slots into the IVF probe unchanged") {
+    val withKmeans = Similarity.ivfTopK(spark, sf,
+      cells = Some(Similarity.kmeansSums(spark, sf))).collect()
+    assert(withKmeans.nonEmpty)
+    // every returned cosine must be the TRUE cosine (IVF only prunes
+    // candidates, never perturbs scores): check against brute force
+    val brute = Similarity.cosineTopK(spark, sf, k = 2000).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    withKmeans.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      assert(brute(key) == r.getDouble(3), s"IVF perturbed the cosine at $key")
+    }
+  }
+
   test("prefix filter catches pairs exactly at the jaccard threshold (regression)") {
     // Boundary construction: two 5-token docs sharing 3 of their 4
     // bigrams, each with one globally-unique bigram -> J = 3/5 exactly,

@@ -445,13 +445,60 @@ object Dedup {
   sealed trait JaccardStrategy
   case object CountJoin extends JaccardStrategy
   case object PrefixFilter extends JaccardStrategy
+  /** Data-driven selection via [[chooseStrategy]]'s df probe. */
+  case object Auto extends JaccardStrategy
+
+  /** Pick the physical strategy from the corpus's gram-frequency shape,
+    * measured on a deterministic ~1/8 document sample. The signal is
+    * the RARE-GRAM MASS: the fraction of (doc, gram) occurrences whose
+    * gram appears in ≤2 sampled documents — exactly the occurrences a
+    * rarest-first prefix can prune (a rare gram in a prefix collides
+    * with almost nothing). Open Zipf vocabulary → most grams are
+    * tail-unique → mass near 1 → PrefixFilter; closed vocabulary →
+    * every gram is shared corpus-wide → mass near 0 (measured
+    * 0.001-0.14 on the fixture across scales, vs 1.0 on an open
+    * synthetic corpus) → CountJoin, whose per-row constant work wins
+    * when pruning cannot pay for its verify pass. The 0.3 boundary is
+    * scale-invariant, unlike mean document frequency, which grows with
+    * the sample under BOTH vocabularies. The probe is one gram-build +
+    * aggregate over ~1/8 of the corpus; the choice affects the plan
+    * only, never results (strategies are spec-pinned equal).
+    */
+  private[graft] def chooseStrategy(spark: SparkSession, sfDir: String)
+      : JaccardStrategy = {
+    graft.plans.PolyHash.register(spark)
+    val sample = Tables.documents(spark, sfDir)
+      .filter(pmod(col("doc_id") * 2654435761L, lit(P)) % 8 === 0)
+    val dfq = tokArr(sample).filter(size(col("arr")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(shingleArrOf(col("arr"), 2),
+          s => TextAnalysis.polyHash(s))).as("gid"))
+      .distinct()
+      .groupBy("gid").agg(count(lit(1)).as("df"))
+    val row = dfq.agg(
+        coalesce(sum("df"), lit(0L)).as("occ"),
+        coalesce(sum(when(col("df") <= 2, col("df")).otherwise(0L)), lit(0L))
+          .as("rare"))
+      .head()
+    val (occ, rare) = (row.getLong(0), row.getLong(1))
+    if (occ == 0L) CountJoin // empty/degenerate corpus
+    else if (rare.toDouble / occ > 0.3) PrefixFilter
+    else CountJoin
+  }
 
   def ngramJaccard(spark: SparkSession, sfDir: String,
                    maxDf: Long = 300L,
-                   strategy: JaccardStrategy = CountJoin): DataFrame =
-    memoized(spark, s"ngramJaccard|$sfDir|$maxDf|$strategy") {
-      ngramJaccardBuild(spark, sfDir, maxDf, strategy)
+                   strategy: JaccardStrategy = CountJoin): DataFrame = {
+    // resolve Auto BEFORE the memo key so an Auto call and an explicit
+    // call to the same resolved strategy share one entry
+    val resolved = strategy match {
+      case Auto => chooseStrategy(spark, sfDir)
+      case s    => s
+    }
+    memoized(spark, s"ngramJaccard|$sfDir|$maxDf|$resolved") {
+      ngramJaccardBuild(spark, sfDir, maxDf, resolved)
     }.orderBy("doc_a", "doc_b")
+  }
 
   /** The un-memoized pipeline. `materialize = false` (plan inspection
     * only — PlanSpec) returns the raw un-checkpointed pipeline, whose
@@ -477,6 +524,8 @@ object Dedup {
 
     var strategyCache: Option[DataFrame] = None
     val scored = strategy match {
+      case Auto => throw new IllegalStateException(
+        "Auto must be resolved before the build (ngramJaccard does this)")
       case CountJoin =>
         val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
         // The pair-count aggregate is the hot stage (Σ df² rows into up

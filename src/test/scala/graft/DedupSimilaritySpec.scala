@@ -165,6 +165,38 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(perCell.map(_._2).max > 1)
   }
 
+  test("auto strategy probe: count-join on closed vocab, prefix-filter on open vocab") {
+    import spark.implicits._
+    // the synthetic fixture is a closed ~1k-gram vocabulary: every gram
+    // is shared widely, pruning can't pay → CountJoin
+    assert(Dedup.chooseStrategy(spark, sf) == Dedup.CountJoin)
+    // an open vocabulary: each doc's bigrams are (almost) unique to it
+    val dir = java.nio.file.Files.createTempDirectory("graft_openvocab_")
+    try {
+      (0L until 400L).map { i =>
+        val text = (0 until 30).map(j => s"w${i}_$j").mkString(" ")
+        (i, text, "en", "synthetic", text.length.toLong)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      assert(Dedup.chooseStrategy(spark, dir.toString) == Dedup.PrefixFilter)
+      // and the auto-dispatched result equals the explicit strategies
+      // (identical-by-construction on the open corpus: no near-dups)
+      assert(Dedup.ngramJaccard(spark, dir.toString,
+        strategy = Dedup.Auto).count() == 0L)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+    // auto on the fixture dispatches to CountJoin and shares its memo:
+    // results must be row-identical to the explicit CountJoin query
+    val auto = Dedup.ngramJaccard(spark, sf, strategy = Dedup.Auto)
+      .collect().map(_.toSeq).toSeq
+    val explicit = Dedup.ngramJaccard(spark, sf).collect().map(_.toSeq).toSeq
+    assert(auto == explicit)
+  }
+
   test("the learned k-means codebook slots into the IVF probe unchanged") {
     val withKmeans = Similarity.ivfTopK(spark, sf,
       cells = Some(Similarity.kmeansSums(spark, sf))).collect()

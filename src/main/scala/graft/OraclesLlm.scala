@@ -549,5 +549,41 @@ object OraclesLlm {
          |       COUNT(*) AS n_tokens
          |FROM toks t
          |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+    "x17c_source_quota" ->
+      """WITH r AS (SELECT doc_id, source, n_chars,
+        |             ROW_NUMBER() OVER (PARTITION BY source
+        |               ORDER BY (doc_id * 2654435761) % 2147483647, doc_id)
+        |               AS rn
+        |           FROM documents),
+        |k AS (SELECT source, COUNT(*) AS n_kept,
+        |             CAST(SUM(n_chars) AS BIGINT) AS kept_chars,
+        |             MIN(doc_id) AS first_kept
+        |      FROM r WHERE rn <= 10 GROUP BY source),
+        |t AS (SELECT source, COUNT(*) AS n_total FROM documents
+        |      GROUP BY source)
+        |SELECT t.source, t.n_total, k.n_kept, k.kept_chars, k.first_kept
+        |FROM t JOIN k ON t.source = k.source
+        |ORDER BY t.source""".stripMargin,
+    "x19_seq_packing" ->
+      """WITH d AS (SELECT doc_id,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT)
+        |               AS n_tokens,
+        |             ((doc_id * 2654435761) % 2147483647) % 4 AS shard,
+        |             (doc_id * 1540483477) % 2147483647 AS ord
+        |           FROM documents),
+        |c AS (SELECT doc_id, n_tokens, shard,
+        |             -- DuckDB SUM(BIGINT) is HUGEINT; pin back to BIGINT
+        |             -- so pack_id's type matches Spark's LongType
+        |             CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
+        |               ORDER BY ord, doc_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |               0) AS BIGINT) AS cum_before
+        |      FROM d)
+        |SELECT shard, cum_before >> 9 AS pack_id, COUNT(*) AS n_docs,
+        |       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+        |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+        |       CAST(SUM(n_tokens) AS DOUBLE) / 512 AS fill
+        |FROM c GROUP BY shard, pack_id
+        |ORDER BY shard, pack_id""".stripMargin,
   )
 }

@@ -100,6 +100,8 @@ object SparkEntry {
     "x10f_class_separation" -> ((s, d) => Similarity.classSeparation(s, d)),
     "x10g_kmeans_cells"   -> ((s, d) => Similarity.kmeansCells(s, d)),
     "x17b_stratified_sample" -> (TextAnalysis.stratifiedSample(_, _)),
+    "x17c_source_quota"   -> ((s, d) => TextAnalysis.sourceQuota(s, d)),
+    "x19_seq_packing"     -> ((s, d) => TextAnalysis.seqPacking(s, d)),
     // ---- streaming (SURVEY §2.4 X12-X13), typed UDAF (X14), multimodal ----
     "x12a_stream_tumbling" -> (graft.streaming.Streaming.tumbling(_, _)),
     "x12b_stream_sliding"  -> (graft.streaming.Streaming.sliding(_, _)),

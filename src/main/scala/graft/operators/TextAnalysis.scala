@@ -358,4 +358,82 @@ object TextAnalysis {
         count(lit(1)).as("n_tokens"))
       .orderBy("doc_id")
   }
+
+  /** Training-sequence packing accounting — assign every document to a
+    * fixed-token-budget training sequence ("pack") and emit per-pack
+    * audit rows. The batch-assembly step between corpus prep and the
+    * training loader: docs are dealt into `shards` independent lanes by
+    * a deterministic hash, shuffled WITHIN each lane by a second hash
+    * (the training-order randomization), and a running token total
+    * assigns pack boundaries: a doc belongs to the pack where its
+    * cumulative count started, so packs can overflow the budget by at
+    * most one document (greedy whole-doc packing — the loader truncates
+    * or pads; nothing here splits a document).
+    *
+    * 100 TB shape: ONE shuffle (hash-partition by shard) + an
+    * in-partition sort; the cumulative sum never crosses shard
+    * boundaries, so there is no global coordination and `shards` scales
+    * with the cluster (thousands in production — 4 here only so the
+    * sf0.001 fixture still yields multi-doc packs). Pack ids are
+    * (shard, local ordinal): globally unique without a global sequence.
+    * The budget is a power of two so the boundary is an exact bit shift
+    * on both engines. Production note: the linear-hash lane/order keys
+    * assume bounded non-negative ids (like every split hash here —
+    * content-hash ids get pre-folded into [0, 2^31)).
+    */
+  def seqPacking(spark: SparkSession, sfDir: String,
+                 budgetBits: Int = 9, shards: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lane = ((col("doc_id") * lit(2654435761L)) % lit(P)) % shards
+    val ord = (col("doc_id") * lit(1540483477L)) % lit(P)
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tokens"),
+        lane.as("shard"), ord.as("ord"))
+    val w = Window.partitionBy("shard").orderBy(col("ord"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .withColumn("pack_id", shiftright(col("cum_before"), budgetBits))
+      .groupBy("shard", "pack_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("pack_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .withColumn("fill", // exact: division by a power of two
+        col("pack_tokens") / lit((1L << budgetBits).toDouble))
+      .orderBy("shard", "pack_id")
+  }
+
+  /** Per-source quota sampling — cap every source's contribution to the
+    * training mix at `quota` documents, chosen by deterministic hash
+    * rank (not arrival order, so the sample is stable under re-ingest
+    * and unbiased w.r.t. position). The data-mixing primitive for
+    * over-represented sources (one crawl dominating the corpus).
+    *
+    * 100 TB shape: the rank filter is `row_number() <= k` over
+    * (source), which Spark's WindowGroupLimit rewrites into partial
+    * per-partition top-k BEFORE the shuffle (plan-asserted in
+    * PlanSpec) — a dominant source never materializes its full row set
+    * on one reducer; each map task forwards at most k rows per source.
+    */
+  def sourceQuota(spark: SparkSession, sfDir: String,
+                  quota: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        ((col("doc_id") * lit(2654435761L)) % lit(P)).as("h"))
+    val kept = docs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy(col("h"), col("doc_id"))))
+      .filter(col("rn") <= quota)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"),
+        sum("n_chars").as("kept_chars"),
+        min("doc_id").as("first_kept"))
+    val totals = docs.groupBy("source").agg(count(lit(1)).as("n_total"))
+    totals.join(kept, "source")
+      .select(col("source"), col("n_total"), col("n_kept"),
+        col("kept_chars"), col("first_kept"))
+      .orderBy("source")
+  }
 }

@@ -147,7 +147,8 @@ class PlanSpec extends SparkSuite {
     import graft.operators.TextAnalysis
     for (df <- Seq(Relational.windowRank(spark, sf),
                    TextAnalysis.tfidfTop(spark, sf),
-                   Similarity.cosineTopK(spark, sf))) {
+                   Similarity.cosineTopK(spark, sf),
+                   TextAnalysis.sourceQuota(spark, sf))) {
       val p = plan(df)
       assert(p.contains("WindowGroupLimit"),
         s"rank-limit pushdown missing from plan:\n$p")

@@ -191,4 +191,50 @@ class TextMultimodalSpec extends SparkSuite {
     assert(rows.map(_.getLong(1)).sum == expected)
   }
 
+  test("sequence packing is a partition of the corpus into budget-bounded packs") {
+    import org.apache.spark.sql.functions._
+    val packs = TextAnalysis.seqPacking(spark, sf).collect()
+    // every document lands in exactly one pack, no token lost
+    assert(packs.map(_.getLong(2)).sum == nDocs)
+    val totalToks = spark.read.parquet(s"$sf/documents.parquet")
+      .select(sum(size(split(col("text"), " ")).cast("long"))).head.getLong(0)
+    assert(packs.map(_.getLong(3)).sum == totalToks)
+    // greedy whole-doc boundary: a pack overflows 512 only by its last
+    // doc, so pack_tokens < 512 + max single-doc tokens; and every pack
+    // except possibly the last in its shard reaches the budget boundary
+    val maxDoc = spark.read.parquet(s"$sf/documents.parquet")
+      .select(max(size(split(col("text"), " ")).cast("long"))).head.getLong(0)
+    packs.foreach { p =>
+      assert(p.getLong(3) > 0 && p.getLong(3) < 512 + maxDoc,
+        s"pack ${p.getLong(0)}/${p.getLong(1)} tokens out of range: $p")
+      assert(math.abs(p.getDouble(6) - p.getLong(3) / 512.0) == 0.0)
+    }
+    packs.groupBy(_.getLong(0)).foreach { case (shard, ps) =>
+      val last = ps.map(_.getLong(1)).max
+      ps.filter(_.getLong(1) < last).foreach { p =>
+        // a non-final pack must have crossed its boundary: the NEXT
+        // pack exists, so this pack's cumulative range is full
+        assert(ps.exists(_.getLong(1) > p.getLong(1)),
+          s"shard $shard pack ${p.getLong(1)} followed by a gap")
+      }
+      // pack ids within a shard are dense from 0 (shiftright of a
+      // contiguous cumulative range)
+      assert(ps.map(_.getLong(1)).sorted.sameElements(0L to last))
+    }
+  }
+
+  test("source quota caps every source deterministically") {
+    val rows = TextAnalysis.sourceQuota(spark, sf).collect()
+    val perSource = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.length == perSource.size)
+    rows.foreach { r =>
+      val (src, total, kept) = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(total == perSource(src))
+      assert(kept == math.min(10L, total), s"$src kept $kept of $total")
+      assert(r.getLong(3) > 0) // kept_chars
+    }
+  }
+
 }

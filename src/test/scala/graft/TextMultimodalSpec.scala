@@ -211,15 +211,18 @@ class TextMultimodalSpec extends SparkSuite {
     }
     packs.groupBy(_.getLong(0)).foreach { case (shard, ps) =>
       val last = ps.map(_.getLong(1)).max
-      ps.filter(_.getLong(1) < last).foreach { p =>
-        // a non-final pack must have crossed its boundary: the NEXT
-        // pack exists, so this pack's cumulative range is full
-        assert(ps.exists(_.getLong(1) > p.getLong(1)),
-          s"shard $shard pack ${p.getLong(1)} followed by a gap")
-      }
       // pack ids within a shard are dense from 0 (shiftright of a
       // contiguous cumulative range)
       assert(ps.map(_.getLong(1)).sorted.sameElements(0L to last))
+      // every non-final pack is full: the cumulative token count
+      // through pack k must reach boundary (k+1)*512, else pack k+1
+      // could not have started
+      val ordered = ps.sortBy(_.getLong(1))
+      ordered.scanLeft(0L)(_ + _.getLong(3)).drop(1)
+        .zip(ordered).dropRight(1).foreach { case (cum, p) =>
+          assert(cum >= (p.getLong(1) + 1) * 512,
+            s"shard $shard pack ${p.getLong(1)} closed before its boundary")
+        }
     }
   }
 

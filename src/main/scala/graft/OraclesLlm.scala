@@ -30,12 +30,18 @@ object OraclesLlm {
        |                    JOIN toks c ON a.doc_id=c.doc_id AND c.ord=a.ord+2),
        |ds AS (SELECT DISTINCT doc_id, ${polyHash("shingle")} AS sid FROM sh0)""".stripMargin
 
-  /** Bigram-Jaccard near-dup pairs `npairs(doc_a, doc_b, jaccard)`
+  /** Width-n-gram Jaccard near-dup pairs `npairs(doc_a, doc_b, jaccard)`
     * (mirrors Dedup.ngramJaccard incl. the df ≤ 300 stop-gram ceiling;
-    * requires the `toks` CTE). */
-  private val ngramPairCtes =
-    s"""g0 AS (SELECT a.doc_id, a.tok||' '||b.tok AS gram
-       |       FROM toks a JOIN toks b ON a.doc_id=b.doc_id AND b.ord=a.ord+1),
+    * requires the `toks` CTE). The gram is `width` consecutive tokens
+    * joined with single spaces — identical to the Spark side's
+    * `shingleArrOf(arr, width)` string before hashing. */
+  private def ngramPairCtesOf(width: Int): String = {
+    val als = ('a' to 'z').take(width).map(_.toString)
+    val concat = als.map(_ + ".tok").mkString("||' '||")
+    val joins = als.tail.zipWithIndex.map { case (al, i) =>
+      s"JOIN toks $al ON a.doc_id=$al.doc_id AND $al.ord=a.ord+${i + 1}"
+    }.mkString(" ")
+    s"""g0 AS (SELECT a.doc_id, $concat AS gram FROM toks a $joins),
        |grams0 AS (SELECT DISTINCT doc_id, ${polyHash("gram")} AS gid FROM g0),
        |hot AS (SELECT gid FROM grams0 GROUP BY gid HAVING COUNT(*) > 300),
        |grams AS (SELECT * FROM grams0 g
@@ -49,6 +55,8 @@ object OraclesLlm {
        |           FROM inters i JOIN sizes sa ON i.doc_a=sa.doc_id
        |                         JOIN sizes sb ON i.doc_b=sb.doc_id
        |           WHERE CAST(i.inter AS DOUBLE)/(sa.n + sb.n - i.inter) >= 0.6)""".stripMargin
+  }
+  private val ngramPairCtes = ngramPairCtesOf(2)
 
   /** SimHash per-doc 64-bit fingerprints, two 32-bit halves
     * (mirrors Dedup.simhash). */
@@ -78,6 +86,32 @@ object OraclesLlm {
       |          CAST(ROUND(CAST(vf AS DOUBLE)*1000000) AS BIGINT) AS q FROM ex),
       |norms AS (SELECT vec_id, CAST(SUM(q*q) AS BIGINT) AS n2
       |          FROM exq GROUP BY vec_id)""".stripMargin
+
+  /** Lloyd's k-means trajectory (k=8 low-id singleton seeds, 2
+    * iterations) as unrolled CTE pairs over `exq` from [[vecCtes]] —
+    * ends at `c2(cell, pos, n, s)`, the learned codebook. Shared by the
+    * x10g certification and the x10e2 learned-IVF probe. */
+  private val kmeansCtes =
+    """c0 AS (SELECT vec_id AS cell, CAST(1 AS BIGINT) AS n, pos, q AS s
+      |       FROM exq WHERE vec_id < 8),
+      |s1 AS (SELECT e.vec_id, c.cell, c.n, CAST(SUM(e.q*c.s) AS BIGINT) AS num
+      |       FROM exq e JOIN c0 c ON e.pos = c.pos GROUP BY 1, 2, 3),
+      |a1 AS (SELECT vec_id, cell FROM
+      |         (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+      |            ORDER BY CAST(num AS DOUBLE)/n DESC, cell) AS rnk FROM s1)
+      |       WHERE rnk = 1),
+      |c1 AS (SELECT a.cell, e.pos, COUNT(*) AS n,
+      |         CAST(SUM(e.q) AS BIGINT) AS s
+      |       FROM exq e JOIN a1 a ON e.vec_id = a.vec_id GROUP BY 1, 2),
+      |s2 AS (SELECT e.vec_id, c.cell, c.n, CAST(SUM(e.q*c.s) AS BIGINT) AS num
+      |       FROM exq e JOIN c1 c ON e.pos = c.pos GROUP BY 1, 2, 3),
+      |a2 AS (SELECT vec_id, cell FROM
+      |         (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+      |            ORDER BY CAST(num AS DOUBLE)/n DESC, cell) AS rnk FROM s2)
+      |       WHERE rnk = 1),
+      |c2 AS (SELECT a.cell, e.pos, COUNT(*) AS n,
+      |         CAST(SUM(e.q) AS BIGINT) AS s
+      |       FROM exq e JOIN a2 a ON e.vec_id = a.vec_id GROUP BY 1, 2)""".stripMargin
 
   val sql: Map[String, String] = Map(
     "x09a_exact_dedup" ->
@@ -131,11 +165,14 @@ object OraclesLlm {
          |$ngramPairCtes
          |SELECT doc_a, doc_b, jaccard FROM npairs
          |ORDER BY doc_a, doc_b""".stripMargin,
-    // the PrefixFilter strategy is the same logical op — one oracle
-    // certifies both physical plans produce the identical pair set
+    // the PrefixFilter strategy certified on its OPEN-VOCABULARY venue:
+    // width-4 shingles (31-token fixture vocabulary → ~924k possible
+    // grams, rare-gram mass 0.93) — the corpus shape where the prefix
+    // prune pays, i.e. the 100 TB Zipf-text case. Same logical op and
+    // threshold; only the shingle width differs from x09e.
     "x09e2_jaccard_prefix" ->
       s"""WITH $toks,
-         |$ngramPairCtes
+         |${ngramPairCtesOf(4)}
          |SELECT doc_a, doc_b, jaccard FROM npairs
          |ORDER BY doc_a, doc_b""".stripMargin,
     "x09g_dedup_clusters" ->
@@ -354,28 +391,45 @@ object OraclesLlm {
     // whole trajectory replays bit-for-bit.
     "x10g_kmeans_cells" ->
       s"""WITH $vecCtes,
-         |c0 AS (SELECT vec_id AS cell, CAST(1 AS BIGINT) AS n, pos, q AS s
-         |       FROM exq WHERE vec_id < 8),
-         |s1 AS (SELECT e.vec_id, c.cell, c.n, CAST(SUM(e.q*c.s) AS BIGINT) AS num
-         |       FROM exq e JOIN c0 c ON e.pos = c.pos GROUP BY 1, 2, 3),
-         |a1 AS (SELECT vec_id, cell FROM
-         |         (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-         |            ORDER BY CAST(num AS DOUBLE)/n DESC, cell) AS rnk FROM s1)
-         |       WHERE rnk = 1),
-         |c1 AS (SELECT a.cell, e.pos, COUNT(*) AS n,
-         |         CAST(SUM(e.q) AS BIGINT) AS s
-         |       FROM exq e JOIN a1 a ON e.vec_id = a.vec_id GROUP BY 1, 2),
-         |s2 AS (SELECT e.vec_id, c.cell, c.n, CAST(SUM(e.q*c.s) AS BIGINT) AS num
-         |       FROM exq e JOIN c1 c ON e.pos = c.pos GROUP BY 1, 2, 3),
-         |a2 AS (SELECT vec_id, cell FROM
-         |         (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-         |            ORDER BY CAST(num AS DOUBLE)/n DESC, cell) AS rnk FROM s2)
-         |       WHERE rnk = 1),
-         |c2 AS (SELECT a.cell, e.pos, COUNT(*) AS n,
-         |         CAST(SUM(e.q) AS BIGINT) AS s
-         |       FROM exq e JOIN a2 a ON e.vec_id = a.vec_id GROUP BY 1, 2)
+         |$kmeansCtes
          |SELECT cell, pos, n AS n_vecs, CAST(s AS DOUBLE)/n/1e6 AS centroid
          |FROM c2 ORDER BY cell, pos""".stripMargin,
+    // IVF probing over the LEARNED codebook: the x10g k-means trajectory
+    // (CTEs above) produces the cells; assignment/probe/score replay
+    // x10e's pipeline against c2 instead of the label centroids.
+    "x10e2_ivf_learned" ->
+      s"""WITH $vecCtes,
+         |$kmeansCtes,
+         |sc AS (SELECT e.vec_id, c.cell, c.n, CAST(SUM(e.q*c.s) AS BIGINT) AS num
+         |       FROM exq e JOIN c2 c ON e.pos = c.pos GROUP BY 1, 2, 3),
+         |cs AS (SELECT vec_id, cell, CAST(num AS DOUBLE)/n AS cellscore FROM sc),
+         |assign AS (SELECT vec_id, cell FROM
+         |             (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                ORDER BY cellscore DESC, cell) AS rnk FROM cs)
+         |           WHERE rnk = 1),
+         |probes AS (SELECT vec_id AS query_id, cell FROM
+         |             (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                ORDER BY cellscore DESC, cell) AS rnk
+         |              FROM cs WHERE vec_id < 8)
+         |           WHERE rnk <= 2),
+         |cand AS (SELECT DISTINCT p.query_id, a.vec_id
+         |         FROM probes p JOIN assign a
+         |           ON p.cell = a.cell AND a.vec_id <> p.query_id),
+         |dots AS (SELECT c.query_id, c.vec_id, CAST(SUM(qd.q*ed.q) AS BIGINT) AS dot
+         |         FROM cand c
+         |         JOIN exq qd ON qd.vec_id = c.query_id
+         |         JOIN exq ed ON ed.vec_id = c.vec_id AND ed.pos = qd.pos
+         |         GROUP BY 1, 2),
+         |cosv AS (SELECT d.query_id, d.vec_id,
+         |           CAST(d.dot AS DOUBLE) /
+         |             (SQRT(CAST(nq.n2 AS DOUBLE))*SQRT(CAST(ne.n2 AS DOUBLE))) AS cosine
+         |         FROM dots d JOIN norms nq ON d.query_id = nq.vec_id
+         |                     JOIN norms ne ON d.vec_id = ne.vec_id),
+         |rk AS (SELECT query_id, vec_id, cosine,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id
+         |           ORDER BY cosine DESC, vec_id) AS rkn FROM cosv)
+         |SELECT query_id, CAST(rkn AS INT) AS rnk, vec_id, cosine
+         |FROM rk WHERE rkn <= 3 ORDER BY query_id, rnk""".stripMargin,
     "x10e_ivf_topk" ->
       """WITH ex AS (SELECT vec_id, label, unnest(range(1,65)) AS pos,
         |              unnest(embedding) AS vf FROM embeddings),

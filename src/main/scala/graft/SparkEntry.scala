@@ -72,11 +72,18 @@ object SparkEntry {
     "x09b_minhash_lsh"    -> (Dedup.minhashLsh(_, _)),
     "x09c_simhash"        -> (Dedup.simhash(_, _)),
     "x09d_simhash_pairs"  -> (Dedup.simhashPairs(_, _)),
-    "x09e_ngram_jaccard"  -> (Dedup.ngramJaccard(_, _)),
-    // same logical op, the open-vocabulary physical strategy — certified
-    // against the SAME oracle so the 100 TB plan is a measured plan
+    // data-driven physical-strategy selection (the rare-gram-mass probe
+    // resolves to CountJoin on this closed-vocab fixture) — Auto is the
+    // certified default, not just a spec-pinned option
+    "x09e_ngram_jaccard"  -> ((s, d) =>
+      Dedup.ngramJaccard(s, d, strategy = Dedup.Auto)),
+    // same logical op, the open-vocabulary PrefixFilter plan, certified
+    // ON an open-vocabulary venue: width-4 shingles open the fixture's
+    // 31-token gram space to ~924k possible grams (rare-gram mass 0.93),
+    // so the prefix prune actually pays — this measures the 100 TB plan
+    // where it wins, instead of on its pessimal closed-vocab input
     "x09e2_jaccard_prefix" -> ((s, d) =>
-      Dedup.ngramJaccard(s, d, strategy = Dedup.PrefixFilter)),
+      Dedup.ngramJaccard(s, d, strategy = Dedup.PrefixFilter, width = 4)),
     "x09f_embedding_dedup" -> ((s, d) => Similarity.embeddingNearDup(s, d)),
     "x09g_dedup_clusters" -> (Dedup.dedupClusters(_, _)),
     "x10a_cosine_topk"    -> ((s, d) => Similarity.cosineTopK(s, d)),
@@ -97,6 +104,10 @@ object SparkEntry {
     "x10c_label_centroids" -> (Similarity.labelCentroids(_, _)),
     "x10d_nearest_centroid" -> (Similarity.nearestCentroid(_, _)),
     "x10e_ivf_topk"       -> ((s, d) => Similarity.ivfTopK(s, d)),
+    // the production quantizer as the measured path: IVF probing over
+    // the LEARNED k-means codebook (x10g's trajectory feeds the cells)
+    "x10e2_ivf_learned"   -> ((s, d) =>
+      Similarity.ivfTopK(s, d, cells = Some(Similarity.kmeansSums(s, d)))),
     "x10f_class_separation" -> ((s, d) => Similarity.classSeparation(s, d)),
     "x10g_kmeans_cells"   -> ((s, d) => Similarity.kmeansCells(s, d)),
     "x17b_stratified_sample" -> (TextAnalysis.stratifiedSample(_, _)),

@@ -64,9 +64,11 @@ object Snapshot {
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = fsOf(spark, rootPath)
     fs.mkdirs(rootPath)
+    // strict v=\d+ match: a stray non-numeric entry (editor artifact,
+    // leftover v=tmp) must not NumberFormatException every future commit
     val dirMax = fs.listStatus(rootPath).toSeq
       .map(_.getPath.getName)
-      .collect { case n if n.startsWith("v=") => n.drop(2).toLong }
+      .collect { case n if n.matches("v=\\d+") => n.drop(2).toLong }
       .maxOption.getOrElse(0L)
     val next = math.max(currentVersion(spark, root).getOrElse(0L), dirMax) + 1
     df.write.mode("overwrite").parquet(s"$root/v=$next")

@@ -60,6 +60,15 @@ class DedupSimilaritySpec extends SparkSuite {
       .collect().map(_.toSeq)
     assert(count.nonEmpty, "fixture plants near-duplicates; none found")
     assert(count.toSeq == prefix.toSeq)
+    // ... and at width 4 (the x09e2 open-vocabulary certification
+    // venue): same losslessness on the corpus shape where the prefix
+    // prune actually pays
+    val count4 = Dedup.ngramJaccard(spark, sf, strategy = Dedup.CountJoin,
+      width = 4).collect().map(_.toSeq)
+    val prefix4 = Dedup.ngramJaccard(spark, sf, strategy = Dedup.PrefixFilter,
+      width = 4).collect().map(_.toSeq)
+    assert(count4.nonEmpty, "planted near-dups must survive width-4 shingles")
+    assert(count4.toSeq == prefix4.toSeq)
   }
 
   test("contamination cells partition the near-dup pair set") {
@@ -170,6 +179,11 @@ class DedupSimilaritySpec extends SparkSuite {
     // the synthetic fixture is a closed ~1k-gram vocabulary: every gram
     // is shared widely, pruning can't pay → CountJoin
     assert(Dedup.chooseStrategy(spark, sf) == Dedup.CountJoin)
+    // widening the shingle to 4 tokens opens the SAME corpus's gram
+    // space (31^4 possible grams, most df ≤ 2) → PrefixFilter: the
+    // probe sees corpus shape, not corpus identity — this is the
+    // x09e2 certification venue's selection
+    assert(Dedup.chooseStrategy(spark, sf, width = 4) == Dedup.PrefixFilter)
     // an open vocabulary: each doc's bigrams are (almost) unique to it
     val dir = java.nio.file.Files.createTempDirectory("graft_openvocab_")
     try {

@@ -51,15 +51,36 @@ object Streaming {
     * either way. */
   private val StatePartitions = 8
 
-  /** Start-time scope for the state width: the partition count binds
-    * when the streaming query is planned (`start()`), not when the
-    * transformations are built, so wrapping start/drain is sufficient —
-    * and the batch session conf is restored after. */
+  /** Start-time scope for the state width AND the state-store provider:
+    * both bind when the streaming query is planned (`start()`), not when
+    * the transformations are built, so wrapping start/drain is
+    * sufficient — and the batch session conf is restored after. The
+    * width is overridable per deployment (state volume is a property of
+    * the workload, not the code) via `graft.streaming.statePartitions`.
+    *
+    * Every stateful query here runs on the RocksDB provider — the one
+    * production state volumes require (state spills to native memory /
+    * disk instead of the JVM heap, snapshots are incremental), and the
+    * only provider `transformWithState` supports at all. One shared
+    * scope also means the provider's one-off JVM setup (~0.5 s native
+    * init, measured) is paid by the FIRST stateful query of a session
+    * rather than ambushing whichever query would otherwise be the lone
+    * RocksDB user (round 4's x13e drift was exactly that concentration).
+    */
   private def withStateWidth[T](spark: SparkSession)(f: => T): T = {
     val key = "spark.sql.shuffle.partitions"
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
     val was = spark.conf.get(key)
-    spark.conf.set(key, StatePartitions.toString)
-    try f finally spark.conf.set(key, was)
+    val provWas = spark.conf.get(provKey)
+    val width = spark.conf.getOption("graft.streaming.statePartitions")
+      .getOrElse(StatePartitions.toString)
+    spark.conf.set(key, width)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try f finally {
+      spark.conf.set(key, was)
+      spark.conf.set(provKey, provWas)
+    }
   }
 
   /** Additionally skip trailing no-data micro-batches. Safe ONLY for
@@ -154,6 +175,36 @@ object Streaming {
       q.stop()
     }
     spark.read.parquet(out).orderBy("window_start", "event_type")
+  }
+
+  /** X13 production sink path: the streaming dedup landed in a parquet
+    * FILE sink with a checkpoint — the STATEFUL twin of
+    * [[tumblingToFileSink]] (exactly-once, resumable, nothing
+    * driver-side). Append mode is exact here with no finalization lag:
+    * dedup emits each first-seen key the moment it arrives (output is
+    * data-driven, unlike window aggregates whose append emission waits
+    * on the watermark), so the sink holds the complete deduplicated
+    * stream as soon as the data is processed; the watermark's only job
+    * is bounding the key state. Returns the sink re-read as a batch
+    * DataFrame (StreamingSpec pins it equal to the memory-sink x13a).
+    */
+  def dedupToFileSink(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_dsink_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_dsink_ck_").toString
+    val dd = eventsStream(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .withColumn("minute_ts", date_trunc("minute", col("ts")))
+      .select(col("ts"), col("user_id"), col("event_type"), col("minute_ts"))
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "minute_ts")
+      .select(col("user_id"), col("event_type"),
+        date_format(col("minute_ts"), "yyyy-MM-dd HH:mm:ss").as("minute"))
+    withStateWidth(spark) {
+      val q = dd.writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt).start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    spark.read.parquet(out).orderBy("user_id", "event_type", "minute")
   }
 
   /** X12: sliding windows (10 min length, 5 min slide) — each event
@@ -315,8 +366,9 @@ object Streaming {
     * `(flat)mapGroupsWithState`: named typed state slots in a RocksDB
     * state store (plus timers/TTL, unused here), per-user running count
     * and EXACT value sum (integer cents in a `ValueState`). The state
-    * API a new stateful operator should target going forward; requires
-    * the RocksDB state-store provider, scoped around the run.
+    * API a new stateful operator should target going forward; runs on
+    * the RocksDB provider like every stateful query here (the shared
+    * [[withStateWidth]] scope — transformWithState supports no other).
     */
   private class UserSumProcessor
     extends org.apache.spark.sql.streaming.StatefulProcessor[
@@ -351,14 +403,10 @@ object Streaming {
     val out = evs.groupByKey(_._1)
       .transformWithState(new UserSumProcessor, TimeMode.None(),
         OutputMode.Update())
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val was = spark.conf.get(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val res =
-      try runToBatch(out.toDF(), "update")
-      finally spark.conf.set(key, was)
-    res.select(col("user_id"), col("n_events"),
+    // the RocksDB provider transformWithState requires is the library-
+    // wide streaming scope (withStateWidth) — no per-query swap needed
+    runToBatch(out.toDF(), "update")
+      .select(col("user_id"), col("n_events"),
         (col("sum_cents") / 100.0).as("sum_value"))
       .orderBy("user_id")
   }

@@ -130,6 +130,55 @@ class StreamingSpec extends SparkSuite {
       s"too few finalized windows (${fileRows.length} of ${complete.size}; " +
         s"file-sink max $lastFinalized, complete max $lastComplete)")
   }
+  test("stateful file sink: deduplicated stream on disk equals the memory-sink dedup") {
+    // The production landing path for a STATEFUL op: append-mode
+    // dropDuplicatesWithinWatermark into a parquet sink with a
+    // checkpoint. Dedup emission is data-driven (no watermark
+    // finalization lag), so the file must hold the complete
+    // deduplicated stream — byte-equal to the memory-sink x13a result.
+    val file = Streaming.dedupToFileSink(spark, sf).collect().map(_.toSeq)
+    val mem = Streaming.streamDedup(spark, sf).collect().map(_.toSeq)
+    assert(file.nonEmpty)
+    assert(file.toSeq == mem.toSeq)
+  }
+
+  test("the tumbling aggregate runs from a rate source (third source shape)") {
+    // x12a's transform over format("rate-micro-batch") — a generator
+    // source with none of the file source's schema/layout — proving the
+    // aggregate is source-agnostic beyond files and MemoryStream. The
+    // rate source never exhausts, so the query is stopped after a few
+    // micro-batches and the assertions are conservation laws over
+    // whatever N batches landed: complete-mode counts must sum to the
+    // rows generated (50/batch), and the exact-decimal value sum must
+    // equal the sum of the global row indices 0..total-1.
+    val rate = spark.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", "50")
+      .option("startTimestamp", "1735689600000") // 2025-01-01 00:00:00 UTC
+      .option("advanceMillisPerBatch", "60000")
+      .load()
+      .select(col("timestamp").as("ts"),
+        concat(lit("t"), col("value") % 3).as("event_type"),
+        col("value").cast("double").as("value"))
+    val agg = Streaming.tumblingAggOf(rate)
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("graft_rate_src").start()
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (spark.table("graft_rate_src").agg(sum("n")).collect()
+             .headOption.flatMap(r => Option(r.get(0))).map(_.toString.toLong)
+             .getOrElse(0L) < 100L && System.nanoTime() < deadline) {
+      Thread.sleep(200)
+    }
+    q.stop()
+    val rows = spark.table("graft_rate_src").collect()
+    val total = rows.map(_.getLong(2)).sum
+    assert(total >= 100L && total % 50L == 0L,
+      s"expected whole 50-row batches, got $total rows")
+    val sumValue = rows.map(_.getDouble(3)).sum
+    assert(sumValue == (total.toDouble * (total - 1) / 2),
+      s"value conservation failed: $sumValue for $total rows")
+    assert(rows.map(_.getString(1)).toSet.subsetOf(Set("t0", "t1", "t2")))
+  }
+
   test("batch bucketed interval join equals the stream-stream interval join") {
     // Same logical query, two physical engines: the time-bucketed batch
     // equi-join (x16b) and the watermarked stream-stream join (x12d)

@@ -8,9 +8,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * mutable object and it changes via an atomic rename, so a reader
   * either sees the old snapshot or the new one — never a half-written
   * merge. (The same pointer-swap commit protocol Delta/Iceberg build
-  * their logs on, reduced to a single head pointer: no time travel, one
-  * writer at a time — the missing piece vs a real table format is a
-  * compare-and-swap for concurrent writers.)
+  * their logs on, reduced to a single head pointer: no time travel.)
+  *
+  * Concurrent writers serialize through a VERSION CLAIM: before writing
+  * `v=N`, a committer must win `_claims/N` via rename-WITHOUT-overwrite
+  * (the atomic create-exclusive primitive on HDFS and the local FS) —
+  * exactly one racing writer's rename succeeds, every loser observes
+  * the conflict and retries against the new state instead of silently
+  * overwriting the winner's data directory and pointer (the pre-claim
+  * protocol's failure mode). Read-modify-write commits ([[mergeCommit]])
+  * claim exactly `pointer+1`, which makes them serializable: winning
+  * that claim proves no other committer can finalize `pointer+1`, so
+  * the base the merge read from is the true predecessor snapshot.
   *
   * Crash anatomy (proven in SnapshotSpec):
   *  - crash while writing `v=N+1` → pointer still names `v=N`; the
@@ -55,25 +64,92 @@ object Snapshot {
     spark.read.parquet(s"$root/v=$v")
   }
 
-  /** Commit `df` as the next snapshot: write `v=N+1` fully, then swap
-    * the pointer atomically. Returns the committed version. The next
-    * version is 1 + max(pointer value, any existing `v=*` dir), so a
-    * crashed writer's orphan directory is never re-pointed at. */
-  def commit(df: DataFrame, root: String): Long = {
-    val spark = df.sparkSession
+  private val ClaimsDir = "_claims"
+
+  /** Highest version any artifact names: pointer, `v=*` data dirs
+    * (orphans included), and claims (in-flight or dead writers). The
+    * next blind commit goes strictly above ALL of them, so no name is
+    * ever reused for different content. Strict `\d+` matches: a stray
+    * non-numeric entry (editor artifact, leftover `v=tmp`) must not
+    * NumberFormatException every future commit. */
+  private def observedMax(spark: SparkSession, root: String): Long = {
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = fsOf(spark, rootPath)
     fs.mkdirs(rootPath)
-    // strict v=\d+ match: a stray non-numeric entry (editor artifact,
-    // leftover v=tmp) must not NumberFormatException every future commit
     val dirMax = fs.listStatus(rootPath).toSeq
       .map(_.getPath.getName)
       .collect { case n if n.matches("v=\\d+") => n.drop(2).toLong }
       .maxOption.getOrElse(0L)
-    val next = math.max(currentVersion(spark, root).getOrElse(0L), dirMax) + 1
-    df.write.mode("overwrite").parquet(s"$root/v=$next")
-    setPointer(spark, root, next)
-    next
+    val claims = new org.apache.hadoop.fs.Path(root, ClaimsDir)
+    val claimMax =
+      if (!fs.exists(claims)) 0L
+      else fs.listStatus(claims).toSeq.map(_.getPath.getName)
+        .collect { case n if n.matches("\\d+") => n.toLong }
+        .maxOption.getOrElse(0L)
+    math.max(math.max(currentVersion(spark, root).getOrElse(0L), dirMax),
+      claimMax)
+  }
+
+  /** Claim exclusive right to commit version `v`: write a uniquely-named
+    * temp file, then rename WITHOUT overwrite into `_claims/v`. Exactly
+    * one racing writer's rename lands; everyone else gets false. This is
+    * the election primitive the pointer swap can't provide (its rename
+    * must overwrite). */
+  private[graft] def claimVersion(spark: SparkSession, root: String,
+                                  v: Long): Boolean = {
+    val claims = new org.apache.hadoop.fs.Path(root, ClaimsDir)
+    val fs = fsOf(spark, claims)
+    fs.mkdirs(claims)
+    val tmp = new org.apache.hadoop.fs.Path(claims,
+      s"$v.${java.util.UUID.randomUUID()}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"$v\n".getBytes("UTF-8")) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      claims.toUri, spark.sparkContext.hadoopConfiguration)
+    try {
+      fc.rename(tmp, new org.apache.hadoop.fs.Path(claims, v.toString),
+        org.apache.hadoop.fs.Options.Rename.NONE)
+      true
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+           _: java.nio.file.FileAlreadyExistsException |
+           _: java.io.IOException =>
+        fs.delete(tmp, false)
+        false
+    }
+  }
+
+  /** Monotonic pointer swap: advance `_CURRENT` to `v` unless it already
+    * names something ≥ v (a concurrent committer of a HIGHER version may
+    * have swapped first; regressing the pointer would un-commit it).
+    * Returns whether the pointer now names `v`. */
+  private def pointerAdvance(spark: SparkSession, root: String,
+                             v: Long): Boolean = {
+    val cur = currentVersion(spark, root).getOrElse(0L)
+    if (cur >= v) false
+    else { setPointer(spark, root, v); true }
+  }
+
+  /** Commit `df` as the next snapshot: claim a fresh version, write
+    * `v=N` fully, then swap the pointer atomically. Returns the
+    * committed version. Racing blind commits serialize through the
+    * claim: each gets its own version directory and the pointer ends on
+    * the highest (monotonic advance) — nobody overwrites anybody. */
+  def commit(df: DataFrame, root: String): Long = {
+    val spark = df.sparkSession
+    var attempts = 0
+    while (true) {
+      val next = observedMax(spark, root) + 1
+      if (claimVersion(spark, root, next)) {
+        df.write.mode("overwrite").parquet(s"$root/v=$next")
+        pointerAdvance(spark, root, next)
+        return next
+      }
+      attempts += 1
+      if (attempts > 64) throw new IllegalStateException(
+        s"snapshot commit to $root lost the version claim 64 times")
+    }
+    -1L // unreachable
   }
 
   /** Atomic pointer swap: write `_CURRENT.tmp`, then rename over the
@@ -96,13 +172,85 @@ object Snapshot {
     * keys with the change batch, keep the rest, commit the result as a
     * new version. Readers concurrent with the merge see the old
     * snapshot until the single pointer swap. One keyed shuffle over the
-    * base (the change side is typically small and broadcasts). */
+    * base (the change side is typically small and broadcasts).
+    *
+    * Serializable under concurrent merges: the claim target is exactly
+    * `pointer+1`, so winning it proves the base snapshot read below is
+    * the true predecessor — no other committer can finalize that
+    * version. A loser waits for the winner's pointer swap and RETRIES
+    * the whole merge against the new head (its change batch is never
+    * silently dropped); if a concurrent blind [[commit]] out-versions
+    * the merge before its swap, the merge also retries. A claim held by
+    * a CRASHED writer stalls merges by design (nobody can prove the
+    * version won't appear) — the retry limit surfaces it and
+    * [[vacuum]] `clearStaleClaims=true` is the admin recovery. */
   def mergeCommit(spark: SparkSession, root: String, changes: DataFrame,
-                  key: String): Long = {
-    val base = readCurrent(spark, root)
-    val merged = changes.unionByName(
-      base.join(changes.select(key), Seq(key), "left_anti"))
-    commit(merged, root)
+                  key: String, maxRetries: Int = 16): Long = {
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val base = currentVersion(spark, root).getOrElse(
+        throw new java.util.NoSuchElementException(
+          s"snapshot table $root has no committed version to merge into"))
+      if (claimVersion(spark, root, base + 1)) {
+        val baseDf = spark.read.parquet(s"$root/v=$base")
+        val merged = changes.unionByName(
+          baseDf.join(changes.select(key), Seq(key), "left_anti"))
+        merged.write.mode("overwrite").parquet(s"$root/v=${base + 1}")
+        if (pointerAdvance(spark, root, base + 1)) return base + 1
+        // a concurrent blind commit claimed a higher version and swapped
+        // first — this merge never became current; recompute on the head
+      } else {
+        // lost the claim: the winner's swap is in flight — wait for the
+        // pointer to move past our base before recomputing
+        val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+        while (currentVersion(spark, root).getOrElse(0L) <= base
+               && System.nanoTime() < deadline) Thread.sleep(20)
+      }
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"mergeCommit to $root did not win a claim in $maxRetries attempts " +
+        "(live contention, or a crashed writer's stale claim — see vacuum)")
+  }
+
+  /** Orphan GC: delete every unreferenced `v=*` snapshot directory (old
+    * superseded versions AND crashed writers' never-pointed orphans —
+    * readers only ever follow the pointer, so everything except its
+    * target is garbage) plus decided claims (≤ pointer). The pointer
+    * and its target are never touched. Claims ABOVE the pointer are
+    * kept by default — they may be a live writer's in-flight commit;
+    * `clearStaleClaims = true` removes them too (admin asserts no live
+    * writers; unblocks merges stalled on a crashed writer's
+    * `pointer+1` claim). Blind commits never reuse a vacuumed version
+    * number (they go above the pointer); a vacuumed stale CLAIM's
+    * number may be reclaimed by a later merge — it never named
+    * committed content. Like any GC, vacuum assumes no reader is still
+    * walking an unreferenced snapshot's files. Returns deleted names. */
+  def vacuum(spark: SparkSession, root: String,
+             clearStaleClaims: Boolean = false): Seq[String] = {
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new java.util.NoSuchElementException(
+        s"snapshot table $root has no committed version; nothing to vacuum"))
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = fsOf(spark, rootPath)
+    val deadDirs = fs.listStatus(rootPath).toSeq.map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        n.matches("v=\\d+") && n.drop(2).toLong != cur
+      }
+    val claims = new org.apache.hadoop.fs.Path(root, ClaimsDir)
+    val deadClaims =
+      if (!fs.exists(claims)) Seq.empty
+      else fs.listStatus(claims).toSeq.map(_.getPath).filter { p =>
+        p.getName match {
+          case n if n.matches("\\d+") =>
+            n.toLong <= cur || clearStaleClaims
+          case _ => true // abandoned .tmp claim staging
+        }
+      }
+    (deadDirs ++ deadClaims).map { p =>
+      fs.delete(p, true); p.getName
+    }
   }
 
   /** Write a snapshot directory WITHOUT swapping the pointer — the

@@ -31,17 +31,25 @@ class SnapshotSpec extends SparkSuite {
     import spark.implicits._
     val root = freshTable()
     Snapshot.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root)
-    // the crashed merge: v=2 fully written, pointer never swapped
+    // the crashed merge under the claim protocol: claim won, v=2 fully
+    // written, writer died before the pointer swap
+    assert(Snapshot.claimVersion(spark, root, 2L))
     Snapshot.writeOrphan(
       Seq((1L, "HALF"), (2L, "MERGE")).toDF("k", "v"), root, 2L)
     assert(Snapshot.currentVersion(spark, root).contains(1L))
     assert(rows(root) == Set((1L, "a"), (2L, "b")),
       "reader saw a committed-but-unreferenced snapshot")
-    // recovery: the next real commit must NOT re-point at the orphan's
-    // name with different content — it claims a strictly higher version
-    val v = Snapshot.mergeCommit(spark, root,
-      Seq((2L, "B")).toDF("k", "v"), "k")
+    // a blind commit recovers immediately: it claims a strictly higher
+    // version, never re-pointing at the orphan's name while it exists
+    val v = Snapshot.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root)
     assert(v == 3L, s"recovered commit reused orphan version: $v")
+    // the blind recovery moved the head past the dead claim, so merges
+    // flow again (they claim pointer+1 = 4); vacuum then clears the
+    // orphan dir and the decided claims
+    Snapshot.vacuum(spark, root, clearStaleClaims = true)
+    val v2 = Snapshot.mergeCommit(spark, root,
+      Seq((2L, "B")).toDF("k", "v"), "k")
+    assert(v2 == 4L)
     assert(rows(root) == Set((1L, "a"), (2L, "B")))
   }
 
@@ -57,6 +65,78 @@ class SnapshotSpec extends SparkSuite {
     Snapshot.setPointer(spark, root, 9L)
     assert(Snapshot.currentVersion(spark, root).contains(9L))
     assert(rows(root) == Set((9L, "r9")))
+  }
+
+  test("racing merge commits serialize: one claim winner, loser retries, no lost update") {
+    import spark.implicits._
+    val root = freshTable()
+    Snapshot.commit(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), root)
+    // two concurrent read-modify-write committers with DISJOINT changes:
+    // under the old protocol both compute next=2 and the second silently
+    // overwrites the first's data dir and pointer; under the claim
+    // protocol exactly one wins v2, the other observes the conflict,
+    // re-reads, and commits v3 ON TOP of the winner's merge.
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ts = Seq(Seq((2L, "X")), Seq((9L, "Y"))).map { change =>
+      new Thread(() =>
+        try results.add(
+          Snapshot.mergeCommit(spark, root, change.toDF("k", "v"), "k"))
+        catch { case t: Throwable => errs.add(t) })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join(120000))
+    assert(errs.isEmpty, s"merge commit failed: ${errs.peek()}")
+    import scala.jdk.CollectionConverters._
+    assert(results.asScala.toSet == Set(2L, 3L),
+      s"expected serialized versions 2 and 3, got ${results.asScala.toSeq}")
+    assert(Snapshot.currentVersion(spark, root).contains(3L))
+    // BOTH changes present — the retry recomputed on the winner's head
+    assert(rows(root) == Set((1L, "a"), (2L, "X"), (3L, "c"), (9L, "Y")))
+    // and the intermediate v2 holds exactly one of the two changes
+    val v2 = spark.read.parquet(s"$root/v=2").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(v2 == Set((1L, "a"), (2L, "X"), (3L, "c"))
+      || v2 == Set((1L, "a"), (2L, "b"), (3L, "c"), (9L, "Y")))
+  }
+
+  test("a held claim blocks its version: blind commits skip it, vacuum recovers it") {
+    import spark.implicits._
+    val root = freshTable()
+    Snapshot.commit(Seq((1L, "a")).toDF("k", "v"), root)
+    // simulate an in-flight/crashed writer holding v2
+    assert(Snapshot.claimVersion(spark, root, 2L))
+    assert(!Snapshot.claimVersion(spark, root, 2L), "claim must be exclusive")
+    // a blind commit never reuses the claimed name — it goes above it
+    val v = Snapshot.commit(Seq((1L, "b")).toDF("k", "v"), root)
+    assert(v == 3L, s"blind commit must skip the held claim, got $v")
+    assert(rows(root) == Set((1L, "b")))
+    // a merge against head 3 claims 4 — unaffected by the stale v2 claim
+    assert(Snapshot.mergeCommit(spark, root,
+      Seq((5L, "e")).toDF("k", "v"), "k") == 4L)
+    // admin recovery: clearStaleClaims drops the dead claim; the pointer
+    // target survives and the table keeps working
+    val deleted = Snapshot.vacuum(spark, root, clearStaleClaims = true)
+    assert(deleted.contains("2"), s"stale claim not vacuumed: $deleted")
+    assert(rows(root) == Set((1L, "b"), (5L, "e")))
+  }
+
+  test("vacuum deletes unreferenced snapshots and decided claims, never the live one") {
+    import spark.implicits._
+    val root = freshTable()
+    (1 to 3).foreach { i =>
+      Snapshot.commit(Seq((i.toLong, s"r$i")).toDF("k", "v"), root)
+    }
+    // a crashed writer's orphan above the pointer is garbage too
+    Snapshot.writeOrphan(Seq((99L, "orphan")).toDF("k", "v"), root, 5L)
+    val before = rows(root)
+    val deleted = Snapshot.vacuum(spark, root)
+    assert(deleted.toSet.intersect(Set("v=1", "v=2", "v=5")) == Set("v=1", "v=2", "v=5"),
+      s"expected old + orphan dirs deleted, got $deleted")
+    assert(!deleted.contains("v=3"), "vacuum must leave the pointer target")
+    assert(Snapshot.currentVersion(spark, root).contains(3L))
+    assert(rows(root) == before, "live snapshot must survive vacuum intact")
+    // version numbers are not reused after GC
+    assert(Snapshot.commit(Seq((7L, "g")).toDF("k", "v"), root) == 4L)
   }
 
   test("of4 upsert-merge through snapshots equals the logical merge") {

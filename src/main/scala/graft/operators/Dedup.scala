@@ -20,46 +20,12 @@ import org.apache.spark.sql.types._
 object Dedup {
   private val P = 2147483647L // 2^31-1, Mersenne prime for linear hashes
 
-  /** Session-scoped memo for the SMALL, expensive-to-build pair sets
-    * that several operators share (SimHash pairs feed the edit-distance
-    * verifier; the Jaccard pair graph feeds clustering and the
-    * contamination audit). Each entry is an eagerly-materialized
-    * `localCheckpoint` of a thresholded pair set — a few hundred rows —
-    * so a repeated build costs a table lookup instead of replaying the
-    * corpus-scale candidate join. Keyed by session + fixture dir +
-    * parameters, so every query stays independently callable and
-    * results never leak across sessions or scales; corpus-sized
-    * INTERMEDIATES are still unpersisted inside each builder (only the
-    * tiny result is retained). Relying on CacheManager's plan-matching
-    * for this cross-query reuse worked only when plans canonicalized
-    * identically AND nothing had unpersisted the shared frame — this
-    * makes the reuse deliberate.
-    *
-    * Eviction is EXPLICIT, not weak: a cached Dataset strongly
-    * references its SparkSession, so a weak session key could never be
-    * collected while its values live (a WeakHashMap here would pin every
-    * entry forever). Instead each entry remembers its owning session and
-    * is dropped on the next memo access after that session's context
-    * stops — a stopped session's checkpointed RDDs are unreachable
-    * anyway, so releasing the frames then is both safe and the earliest
-    * useful moment.
-    */
-  private val pairMemo =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession,
-      scala.collection.mutable.Map[String, DataFrame]]()
-  /** `build` must return an already-materialized frame (an eager
-    * `localCheckpoint`) so it can unpersist its own corpus-sized
-    * intermediates before handing the result over. */
+  /** Shared-pair-set memo (see [[graft.util.SessionMemo]]): SimHash
+    * pairs feed the edit-distance verifier; the Jaccard pair graph
+    * feeds clustering and the contamination audit. */
   private def memoized(spark: SparkSession, key: String)
-                      (build: => DataFrame): DataFrame = {
-    val it = pairMemo.keySet().iterator()
-    while (it.hasNext) {
-      if (it.next().sparkContext.isStopped) it.remove()
-    }
-    val perSession = pairMemo.computeIfAbsent(spark,
-      _ => scala.collection.mutable.Map.empty[String, DataFrame])
-    perSession.synchronized(perSession.getOrElseUpdate(key, build))
-  }
+                      (build: => DataFrame): DataFrame =
+    graft.util.SessionMemo.memoized(spark, key)(build)
 
   /** Exact dedup by full content: one shuffle on the text (in practice
     * on its hash — we also emit sha256 as the content key a 100 TB

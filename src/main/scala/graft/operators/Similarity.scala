@@ -300,9 +300,19 @@ object Similarity {
     */
   /** The k-means codebook as a (cell, n, sum-vector) relation — the
     * same shape [[centroidSums]] produces from labels, so either slots
-    * into [[cellScores]]/[[ivfTopK]] unchanged. */
+    * into [[cellScores]]/[[ivfTopK]] unchanged. Memoized per (session,
+    * fixture, params): the certification query (x10g) and the learned
+    * IVF probe (x10e2) share one trained codebook — k × dims longs —
+    * instead of each replaying the Lloyd's iterations. */
   private[graft] def kmeansSums(spark: SparkSession, sfDir: String,
-                                k: Int = 8, iters: Int = 2): DataFrame = {
+                                k: Int = 8, iters: Int = 2): DataFrame =
+    graft.util.SessionMemo.memoized(spark, s"kmeansSums|$sfDir|$k|$iters") {
+      kmeansSumsBuild(spark, sfDir, k, iters)
+    }
+
+  /** The un-memoized trainer (the determinism spec replays it). */
+  private[graft] def kmeansSumsBuild(spark: SparkSession, sfDir: String,
+                                     k: Int = 8, iters: Int = 2): DataFrame = {
     graft.plans.VecSumAgg.register(spark)
     val vecs = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("qv"))

@@ -1,0 +1,46 @@
+package graft.util
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session-scoped memo for SMALL, expensive-to-build frames that several
+  * operators share (dedup pair sets feed clustering, the contamination
+  * audit, and the edit-distance verifier; the k-means codebook feeds
+  * both its certification query and the learned-IVF probe). Each entry
+  * must be an eagerly-materialized `localCheckpoint` of a tiny result —
+  * a few hundred rows — so a repeated build costs a table lookup
+  * instead of replaying a corpus-scale pipeline. Keys include the
+  * fixture dir and every parameter, so every query stays independently
+  * callable and results never leak across sessions or scales;
+  * corpus-sized INTERMEDIATES are still unpersisted inside each builder
+  * (only the tiny result is retained). Relying on CacheManager's
+  * plan-matching for this cross-query reuse worked only when plans
+  * canonicalized identically AND nothing had unpersisted the shared
+  * frame — this makes the reuse deliberate.
+  *
+  * Eviction is EXPLICIT, not weak: a cached Dataset strongly references
+  * its SparkSession, so a weak session key could never be collected
+  * while its values live (a WeakHashMap here would pin every entry
+  * forever). Instead each entry is dropped on the next memo access
+  * after its session's context stops — a stopped session's checkpointed
+  * RDDs are unreachable anyway, so releasing the frames then is both
+  * safe and the earliest useful moment.
+  */
+object SessionMemo {
+  private val entries =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession,
+      scala.collection.mutable.Map[String, DataFrame]]()
+
+  /** `build` must return an already-materialized frame (an eager
+    * `localCheckpoint`) so it can unpersist its own corpus-sized
+    * intermediates before handing the result over. */
+  def memoized(spark: SparkSession, key: String)
+              (build: => DataFrame): DataFrame = {
+    val it = entries.keySet().iterator()
+    while (it.hasNext) {
+      if (it.next().sparkContext.isStopped) it.remove()
+    }
+    val perSession = entries.computeIfAbsent(spark,
+      _ => scala.collection.mutable.Map.empty[String, DataFrame])
+    perSession.synchronized(perSession.getOrElseUpdate(key, build))
+  }
+}

@@ -166,9 +166,13 @@ class DedupSimilaritySpec extends SparkSuite {
       "cell membership must partition the corpus")
     assert(perCell.length <= 8 && perCell.nonEmpty)
     assert(perCell.forall(_._2 > 0), "surviving cells must be non-empty")
-    // determinism: a rerun is bit-identical (fresh memoization path)
-    val again = Similarity.kmeansCells(spark, sf).collect()
-    assert(cells.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    // determinism: a genuine RE-TRAIN (memo bypassed) is bit-identical
+    // to the memoized codebook the query used
+    def sums(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toList))
+      .sortBy(_._1).toList
+    assert(sums(Similarity.kmeansSums(spark, sf))
+      == sums(Similarity.kmeansSumsBuild(spark, sf)))
     // the learned codebook must differ from its trivial seeds: after the
     // reassignment rounds some cell holds more than a seed's 1 vector
     assert(perCell.map(_._2).max > 1)

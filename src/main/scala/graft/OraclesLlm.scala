@@ -320,6 +320,25 @@ object OraclesLlm {
          |        ORDER BY score DESC, tok) AS rnk FROM s)
          |SELECT doc_id, CAST(rnk AS INT) AS rnk, tok, tf, df, score
          |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    // BM25 with k1=1.2, b=0.75 multiplied out to exact integers (see
+    // TextAnalysis.bm25Top): one IEEE division per row, log deferred.
+    "x11l_bm25" ->
+      s"""WITH $toks,
+         |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+         |dln AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+         |dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+         |g AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+         |             (SELECT COUNT(*) FROM toks) AS t_total),
+         |s AS (SELECT tf.tok, tf.doc_id, tf.tf, dln.dl, dfq.df,
+         |        CAST(44*tf.tf*g.t_total*(2*g.n_docs - 2*dfq.df + 1) AS DOUBLE)
+         |        / CAST((20*tf.tf*g.t_total + 6*g.t_total
+         |                + 18*dln.dl*g.n_docs)*(2*dfq.df + 1) AS DOUBLE)
+         |          AS score
+         |      FROM tf JOIN dln USING (doc_id) JOIN dfq USING (tok), g),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY tok
+         |        ORDER BY score DESC, doc_id) AS rnk FROM s)
+         |SELECT tok, CAST(rnk AS INT) AS rnk, doc_id, tf, dl, df, score
+         |FROM r WHERE rnk <= 3 ORDER BY tok, rnk""".stripMargin,
     "x10c_label_centroids" ->
       """WITH ex AS (SELECT label, unnest(range(1,65)) AS pos,
         |              unnest(embedding) AS vf FROM embeddings),

@@ -99,6 +99,7 @@ object SparkEntry {
     "x09i_chunk_dedup"    -> ((s, d) => Dedup.chunkDedup(s, d)),
     "x09j_edit_distance"  -> (Dedup.editDistancePairs(_, _)),
     "x11h_repetition"     -> (TextAnalysis.repetition(_, _)),
+    "x11l_bm25"           -> ((s, d) => TextAnalysis.bm25Top(s, d)),
     "x11i_pii_redaction"  -> (TextAnalysis.piiRedaction(_, _)),
     "x11k_regex_tokens"   -> (TextAnalysis.regexTokens(_, _)),
     "x10c_label_centroids" -> (Similarity.labelCentroids(_, _)),

@@ -223,6 +223,57 @@ object TextAnalysis {
       .orderBy("doc_id", "rnk")
   }
 
+  /** BM25 relevance ranking — the inverted-index scoring primitive a
+    * retrieval/contamination pipeline runs per query term, with the
+    * Okapi parameters k1 = 1.2, b = 0.75 multiplied out into ONE exact
+    * integer numerator and denominator:
+    *
+    * {{{
+    *   tf-part = tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))   avgdl = T/N
+    *   idf-core = (N − df + ½) / (df + ½)        (the log's argument)
+    *   score = 44·tf·T·(2N − 2df + 1)
+    *           ────────────────────────────────────
+    *           (20·tf·T + 6·T + 18·dl·N) · (2df + 1)
+    * }}}
+    *
+    * Both sides are BIGINT-exact (the ×20 and ×2 clear the 1.2/0.75/½
+    * fractions), so the only IEEE operation is the final division —
+    * engine-exact the same way [[tfidfTop]]'s rational idf is. The
+    * logarithm of the true BM25 idf is monotone in `idf-core`, so the
+    * per-term document ranking this certifies is identical to textbook
+    * BM25's; the emitted score is the rational core (log deferred to
+    * display). At 100 TB the corpus constants T and N would saturate
+    * the int product — there they join as the double constants they
+    * are (per-corpus scalars known before planning); tf/df/dl stay
+    * integer. Plan shape: tf and dl are one keyed shuffle each over
+    * the token stream, df one over the tf table, the corpus totals a
+    * broadcast scalar, and the final top-k is a window partitioned by
+    * term — the inverted-index shard key, bounded per posting list.
+    */
+  def bm25Top(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+    val t = tokens(docs)
+    val tf = t.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dl = t.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val totals = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(t.agg(count(lit(1)).as("t_total")))
+    val num = lit(44L) * col("tf") * col("t_total") *
+      (lit(2L) * col("n_docs") - lit(2L) * col("df") + lit(1L))
+    val den = (lit(20L) * col("tf") * col("t_total") +
+      lit(6L) * col("t_total") + lit(18L) * col("dl") * col("n_docs")) *
+      (lit(2L) * col("df") + lit(1L))
+    val scored = tf.join(dl, "doc_id").join(df, "tok")
+      .crossJoin(broadcast(totals))
+      .withColumn("score", num.cast(DoubleType) / den.cast(DoubleType))
+    val w = Window.partitionBy("tok").orderBy(desc("score"), asc("doc_id"))
+    scored.withColumn("rnk", row_number().over(w).cast(IntegerType))
+      .filter(col("rnk") <= k)
+      .select("tok", "rnk", "doc_id", "tf", "dl", "df", "score")
+      .orderBy("tok", "rnk")
+  }
+
   /** Fixed-size token chunking with overlap — the document→training-
     * sequence transform every LLM pipeline runs (context-window-sized
     * chunks, strided so boundaries overlap). Pure columnar: the token

@@ -87,6 +87,49 @@ object OraclesLlm {
       |norms AS (SELECT vec_id, CAST(SUM(q*q) AS BIGINT) AS n2
       |          FROM exq GROUP BY vec_id)""".stripMargin
 
+  /** Per-subspace PQ trajectory for x10h (mirrors
+    * Similarity.pqCodebooksBuild/pqAssign): subspace slice, k = 4
+    * singleton seeds, two Lloyd's iterations with integer-FLOORED
+    * centroids, then codes (argmin over the final codebook), the
+    * per-query LUT, and the per-subspace ADC partials — all exact
+    * BIGINT so the trajectory replays bit-for-bit. */
+  private def pqSubCtes(j: Int): String = {
+    val off = j * 16
+    def distCte(name: String, cbName: String) =
+      s"""$name AS (SELECT s.vec_id, c.cell,
+         |            CAST(SUM((s.q - c.cq)*(s.q - c.cq)) AS BIGINT) AS dist
+         |          FROM sub$j s JOIN $cbName c ON s.p = c.p GROUP BY 1, 2)"""
+        .stripMargin
+    def argminCte(name: String, dName: String) =
+      s"""$name AS (SELECT vec_id, cell FROM
+         |            (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |               ORDER BY dist, cell) AS rnk FROM $dName)
+         |          WHERE rnk = 1)""".stripMargin
+    def rebuildCte(name: String, aName: String) =
+      s"""$name AS (SELECT a.cell, s.p,
+         |            CAST(FLOOR(CAST(SUM(s.q) AS DOUBLE)/COUNT(*)) AS BIGINT) AS cq
+         |          FROM sub$j s JOIN $aName a ON s.vec_id = a.vec_id
+         |          GROUP BY 1, 2)""".stripMargin
+    Seq(
+      s"""sub$j AS (SELECT vec_id, pos - $off AS p, q FROM exq
+         |          WHERE pos BETWEEN ${off + 1} AND ${off + 16})""".stripMargin,
+      s"cb0_$j AS (SELECT vec_id AS cell, p, q AS cq FROM sub$j WHERE vec_id < 4)",
+      distCte(s"d1_$j", s"cb0_$j"),
+      argminCte(s"a1_$j", s"d1_$j"),
+      rebuildCte(s"cb1_$j", s"a1_$j"),
+      distCte(s"d2_$j", s"cb1_$j"),
+      argminCte(s"a2_$j", s"d2_$j"),
+      rebuildCte(s"cb2_$j", s"a2_$j"),
+      distCte(s"d3_$j", s"cb2_$j"),
+      argminCte(s"code_$j", s"d3_$j"),
+      s"lut_$j AS (SELECT vec_id AS query_id, cell, dist AS d FROM d3_$j WHERE vec_id < 8)",
+      s"""adc_$j AS (SELECT l.query_id, k.vec_id, l.d
+         |           FROM code_$j k JOIN lut_$j l ON l.cell = k.cell)""".stripMargin
+    ).mkString(",\n")
+  }
+
+  private val pqCtes = (0 until 4).map(pqSubCtes).mkString(",\n")
+
   /** Lloyd's k-means trajectory (k=8 low-id singleton seeds, 2
     * iterations) as unrolled CTE pairs over `exq` from [[vecCtes]] —
     * ends at `c2(cell, pos, n, s)`, the learned codebook. Shared by the
@@ -449,6 +492,19 @@ object OraclesLlm {
          |           ORDER BY cosine DESC, vec_id) AS rkn FROM cosv)
          |SELECT query_id, CAST(rkn AS INT) AS rnk, vec_id, cosine
          |FROM rk WHERE rkn <= 3 ORDER BY query_id, rnk""".stripMargin,
+    // PQ + asymmetric distance: four independent subspace trajectories
+    // (pqSubCtes) union their ADC partials; all-integer output.
+    "x10h_pq_adc" ->
+      s"""WITH $vecCtes,
+         |$pqCtes,
+         |adcu AS (SELECT * FROM adc_0 UNION ALL SELECT * FROM adc_1
+         |         UNION ALL SELECT * FROM adc_2 UNION ALL SELECT * FROM adc_3),
+         |adc AS (SELECT query_id, vec_id, CAST(SUM(d) AS BIGINT) AS adc_dist
+         |        FROM adcu WHERE vec_id <> query_id GROUP BY 1, 2),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY adc_dist, vec_id) AS rnk FROM adc)
+         |SELECT query_id, CAST(rnk AS INT) AS rnk, vec_id, adc_dist
+         |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
     "x10e_ivf_topk" ->
       """WITH ex AS (SELECT vec_id, label, unnest(range(1,65)) AS pos,
         |              unnest(embedding) AS vf FROM embeddings),

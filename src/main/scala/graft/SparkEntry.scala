@@ -110,6 +110,8 @@ object SparkEntry {
     "x10e2_ivf_learned"   -> ((s, d) =>
       Similarity.ivfTopK(s, d, cells = Some(Similarity.kmeansSums(s, d)))),
     "x10f_class_separation" -> ((s, d) => Similarity.classSeparation(s, d)),
+    // PQ-compressed ANN: asymmetric distance over 4x16-dim codebooks
+    "x10h_pq_adc"         -> ((s, d) => Similarity.pqAdcTopK(s, d)),
     "x10g_kmeans_cells"   -> ((s, d) => Similarity.kmeansCells(s, d)),
     "x17b_stratified_sample" -> (TextAnalysis.stratifiedSample(_, _)),
     "x17c_source_quota"   -> ((s, d) => TextAnalysis.sourceQuota(s, d)),

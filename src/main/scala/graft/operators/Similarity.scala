@@ -404,4 +404,128 @@ object Similarity {
           col("q_n2"), col("n2")).as("cosine"))
     topkOf(scored, k)
   }
+
+  // ---- Product quantization (PQ) + asymmetric-distance top-k ----
+
+  private val PqM = 4            // subspaces
+  private val PqSubDims = Dims / PqM
+  private val PqKsub = 4         // codewords per subspace
+  private val PqIters = 2
+
+  /** Exact integer squared L2 distance between two quantized arrays. */
+  private def l2Q(a: org.apache.spark.sql.Column,
+                  b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** One row per (vector, subspace): the quantized 16-dim slice.
+    * Pure per-row projection — no shuffle; at 100 TB this is the map
+    * stage that feeds both training (sampled) and encoding (full). */
+  private[graft] def pqSubVectors(spark: SparkSession, sfDir: String): DataFrame = {
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("qv"))
+    vecs.select(col("vec_id"),
+      posexplode(array((0 until PqM).map(j =>
+        slice(col("qv"), j * PqSubDims + 1, PqSubDims)): _*))
+        .as(Seq("sub", "sq")))
+  }
+
+  /** Nearest codeword per (vector, subspace) under exact integer L2
+    * with a total (dist, cell) tiebreak. */
+  private[graft] def pqAssign(subs: DataFrame, cb: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id", "sub").orderBy(asc("dist"), asc("cell"))
+    subs.join(broadcast(cb), "sub")
+      .select(col("vec_id"), col("sub"), col("cell"),
+        l2Q(col("sq"), col("cq")).as("dist"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select("vec_id", "sub", "cell")
+  }
+
+  /** Product-quantization codebooks: per subspace, Lloyd's k-means
+    * (k = 4, 2 fixed iterations, low-id singleton seeds) over the
+    * quantized slices, with each rebuilt centroid FLOORED back to
+    * integers (`floor(sum/count)` elementwise). The floor is the
+    * determinism device: every assignment compares exact BIGINT L2
+    * distances, so the whole trajectory — and therefore the codebook —
+    * replays bit-for-bit in the oracle's unrolled CTEs. (The quotient
+    * can never sit within one double ulp below an integer: the gap to
+    * the nearest non-equal integer is ≥ 1/n, astronomically larger, so
+    * `floor(castDouble(s)/n)` is exact in both engines.) Rounding a
+    * centroid to the 1e-6 quantization grid costs nothing at float32
+    * embedding precision. Result is m·k tiny rows — a broadcast
+    * constant at any corpus scale; at 100 TB the trainer would run on
+    * a sample (the codebook is a model, not a per-row artifact), which
+    * this plan shape already permits: training input and encode input
+    * are the same projection. All four subspace trainers run in ONE
+    * set of jobs (sub is just a grouping column), not m sequential
+    * loops.
+    */
+  private[graft] def pqCodebooks(spark: SparkSession, sfDir: String): DataFrame =
+    graft.util.SessionMemo.memoized(spark, s"pqCodebooks|$sfDir") {
+      pqCodebooksBuild(spark, sfDir)
+    }
+
+  /** The un-memoized trainer (the determinism spec replays it). */
+  private[graft] def pqCodebooksBuild(spark: SparkSession,
+                                      sfDir: String): DataFrame = {
+    graft.plans.VecSumAgg.register(spark)
+    val subs = pqSubVectors(spark, sfDir).cache()
+    var cb = subs.filter(col("vec_id") < PqKsub)
+      .select(col("sub"), col("vec_id").as("cell"), col("sq").as("cq"))
+    for (_ <- 1 to PqIters) {
+      val assign = pqAssign(subs, cb)
+      cb = subs.join(assign, Seq("vec_id", "sub"))
+        .groupBy("sub", "cell")
+        .agg(count(lit(1)).as("n"), expr("vec_sum(sq)").as("s"))
+        .select(col("sub"), col("cell"),
+          transform(col("s"),
+            x => floor(x.cast(DoubleType) / col("n"))).as("cq"))
+    }
+    val out = cb.localCheckpoint()
+    subs.unpersist()
+    out
+  }
+
+  /** PQ-compressed ANN: encode every vector as m = 4 codeword ids
+    * (the 100 TB memory story — m small ints per vector instead of
+    * 4·64 float bytes), then answer top-k per query by ASYMMETRIC
+    * distance: the query stays uncompressed, and its distance to a
+    * database vector is the sum over subspaces of the query-slice →
+    * codeword distance, read from a per-query lookup table of m·k
+    * entries. Everything is exact BIGINT arithmetic end to end — the
+    * output distance is an integer — so the DuckDB oracle replays the
+    * training, encoding, LUT, and ranking bit-for-bit. Plan shape: the
+    * codebook and the LUT (|Q|·m·k rows) broadcast; encoding is a
+    * per-row argmin against the broadcast codebook; the ADC sum is one
+    * keyed shuffle of (query, vec) partials. In a production layout
+    * the codes are written once as an array column and ADC becomes a
+    * zero-shuffle scan with the LUT sum fused per row — the groupBy
+    * here stands in for that scan without changing the arithmetic.
+    */
+  def pqAdcTopK(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    graft.plans.VecSumAgg.register(spark)
+    // No cache: the slice projection is cheaper than a memory pin —
+    // codes and LUT each re-scan it once.
+    val subs = pqSubVectors(spark, sfDir)
+    val cb = pqCodebooks(spark, sfDir)
+    val codes = pqAssign(subs, cb)
+      .select(col("vec_id"), col("sub"), col("cell").as("code"))
+    val lut = subs.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("sub"), col("sq"))
+      .join(broadcast(cb), "sub")
+      .select(col("query_id"), col("sub"), col("cell"),
+        l2Q(col("sq"), col("cq")).as("d"))
+    val adc = codes
+      .join(broadcast(lut),
+        codes("sub") === lut("sub") && codes("code") === lut("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum("d").as("adc_dist"))
+    val w = Window.partitionBy("query_id").orderBy(asc("adc_dist"), asc("vec_id"))
+    adc.withColumn("rnk", row_number().over(w).cast(IntegerType))
+      .filter(col("rnk") <= k)
+      .select("query_id", "rnk", "vec_id", "adc_dist")
+      .orderBy("query_id", "rnk")
+  }
 }

@@ -248,4 +248,43 @@ class DedupSimilaritySpec extends SparkSuite {
     }
   }
 
+  test("PQ: codebook retrains bit-identically, codes partition, ADC sums the LUT") {
+    import operators.Similarity
+    def cb(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2).toList))
+      .sortBy(t => (t._1, t._2)).toList
+    // a genuine RE-TRAIN (memo bypassed) equals the memoized codebook
+    val book = cb(Similarity.pqCodebooks(spark, sf))
+    assert(book == cb(Similarity.pqCodebooksBuild(spark, sf)))
+    // 4 subspaces, ≤4 surviving codewords each, 16-dim integer centroids
+    assert(book.map(_._1).distinct == List(0, 1, 2, 3))
+    book.groupBy(_._1).foreach { case (_, cells) =>
+      assert(cells.nonEmpty && cells.size <= 4)
+      cells.foreach(c => assert(c._3.size == 16))
+    }
+    // every vector gets exactly one code per subspace
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    val codes = Similarity.pqAssign(
+        Similarity.pqSubVectors(spark, sf),
+        Similarity.pqCodebooks(spark, sf)).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(codes.size == n * 4)
+    assert(codes.values.forall(c => c >= 0 && c < 4))
+    // ADC re-derivation: the reported distance for each top-k row equals
+    // the driver-side sum of this query's LUT entries at the hit's codes
+    val cbMap = book.map(t => (t._1, t._2) -> t._3).toMap
+    val qSubs = Similarity.pqSubVectors(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("vec_id") < 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getSeq[Long](2)).toMap
+    Similarity.pqAdcTopK(spark, sf).collect().foreach { r =>
+      val (q, hit, adc) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      val expected = (0 until 4).map { j =>
+        val slice = qSubs((q, j))
+        val word = cbMap((j, codes((hit, j))))
+        slice.zip(word).map { case (a, b) => (a - b) * (a - b) }.sum
+      }.sum
+      assert(adc == expected, s"ADC mismatch for query $q hit $hit")
+    }
+  }
+
 }

@@ -130,6 +130,27 @@ object OraclesLlm {
 
   private val pqCtes = (0 until 4).map(pqSubCtes).mkString(",\n")
 
+  /** IVF assignment / probe / candidate chain over the learned
+    * codebook `c2` (mirrors Similarity.ivfTopK with kmeans cells):
+    * ends at `cand(query_id, vec_id)`. Shared by x10e2 (exact rescore)
+    * and x10i (ADC rescore). */
+  private val ivfCandCtes =
+    """sc AS (SELECT e.vec_id, c.cell, c.n, CAST(SUM(e.q*c.s) AS BIGINT) AS num
+      |       FROM exq e JOIN c2 c ON e.pos = c.pos GROUP BY 1, 2, 3),
+      |cs AS (SELECT vec_id, cell, CAST(num AS DOUBLE)/n AS cellscore FROM sc),
+      |assign AS (SELECT vec_id, cell FROM
+      |             (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+      |                ORDER BY cellscore DESC, cell) AS rnk FROM cs)
+      |           WHERE rnk = 1),
+      |probes AS (SELECT vec_id AS query_id, cell FROM
+      |             (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+      |                ORDER BY cellscore DESC, cell) AS rnk
+      |              FROM cs WHERE vec_id < 8)
+      |           WHERE rnk <= 2),
+      |cand AS (SELECT DISTINCT p.query_id, a.vec_id
+      |         FROM probes p JOIN assign a
+      |           ON p.cell = a.cell AND a.vec_id <> p.query_id)""".stripMargin
+
   /** Lloyd's k-means trajectory (k=8 low-id singleton seeds, 2
     * iterations) as unrolled CTE pairs over `exq` from [[vecCtes]] —
     * ends at `c2(cell, pos, n, s)`, the learned codebook. Shared by the
@@ -462,21 +483,7 @@ object OraclesLlm {
     "x10e2_ivf_learned" ->
       s"""WITH $vecCtes,
          |$kmeansCtes,
-         |sc AS (SELECT e.vec_id, c.cell, c.n, CAST(SUM(e.q*c.s) AS BIGINT) AS num
-         |       FROM exq e JOIN c2 c ON e.pos = c.pos GROUP BY 1, 2, 3),
-         |cs AS (SELECT vec_id, cell, CAST(num AS DOUBLE)/n AS cellscore FROM sc),
-         |assign AS (SELECT vec_id, cell FROM
-         |             (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-         |                ORDER BY cellscore DESC, cell) AS rnk FROM cs)
-         |           WHERE rnk = 1),
-         |probes AS (SELECT vec_id AS query_id, cell FROM
-         |             (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-         |                ORDER BY cellscore DESC, cell) AS rnk
-         |              FROM cs WHERE vec_id < 8)
-         |           WHERE rnk <= 2),
-         |cand AS (SELECT DISTINCT p.query_id, a.vec_id
-         |         FROM probes p JOIN assign a
-         |           ON p.cell = a.cell AND a.vec_id <> p.query_id),
+         |$ivfCandCtes,
          |dots AS (SELECT c.query_id, c.vec_id, CAST(SUM(qd.q*ed.q) AS BIGINT) AS dot
          |         FROM cand c
          |         JOIN exq qd ON qd.vec_id = c.query_id
@@ -492,6 +499,23 @@ object OraclesLlm {
          |           ORDER BY cosine DESC, vec_id) AS rkn FROM cosv)
          |SELECT query_id, CAST(rkn AS INT) AS rnk, vec_id, cosine
          |FROM rk WHERE rkn <= 3 ORDER BY query_id, rnk""".stripMargin,
+    // IVF-PQ: candidates from the learned-codebook IVF chain, scored by
+    // the PQ ADC partials — the composition of the two trajectories.
+    "x10i_ivfpq" ->
+      s"""WITH $vecCtes,
+         |$kmeansCtes,
+         |$ivfCandCtes,
+         |$pqCtes,
+         |adcu AS (SELECT * FROM adc_0 UNION ALL SELECT * FROM adc_1
+         |         UNION ALL SELECT * FROM adc_2 UNION ALL SELECT * FROM adc_3),
+         |adc AS (SELECT a.query_id, a.vec_id, CAST(SUM(a.d) AS BIGINT) AS adc_dist
+         |        FROM adcu a JOIN cand c
+         |          ON a.query_id = c.query_id AND a.vec_id = c.vec_id
+         |        GROUP BY 1, 2),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY adc_dist, vec_id) AS rnk FROM adc)
+         |SELECT query_id, CAST(rnk AS INT) AS rnk, vec_id, adc_dist
+         |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
     // PQ + asymmetric distance: four independent subspace trajectories
     // (pqSubCtes) union their ADC partials; all-integer output.
     "x10h_pq_adc" ->

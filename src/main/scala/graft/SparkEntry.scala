@@ -112,6 +112,9 @@ object SparkEntry {
     "x10f_class_separation" -> ((s, d) => Similarity.classSeparation(s, d)),
     // PQ-compressed ANN: asymmetric distance over 4x16-dim codebooks
     "x10h_pq_adc"         -> ((s, d) => Similarity.pqAdcTopK(s, d)),
+    // IVF-PQ: learned coarse cells prune, PQ codes score (billion-scale
+    // ANN layout — the composition of x10e2's and x10h's halves)
+    "x10i_ivfpq"          -> ((s, d) => Similarity.ivfPqTopK(s, d)),
     "x10g_kmeans_cells"   -> ((s, d) => Similarity.kmeansCells(s, d)),
     "x17b_stratified_sample" -> (TextAnalysis.stratifiedSample(_, _)),
     "x17c_source_quota"   -> ((s, d) => TextAnalysis.sourceQuota(s, d)),

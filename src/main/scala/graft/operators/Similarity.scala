@@ -487,6 +487,30 @@ object Similarity {
     out
   }
 
+  /** `(vec_id, sub, code)` — the m-codes-per-vector compressed
+    * representation (argmin against the broadcast codebook). */
+  private def pqCodes(spark: SparkSession, sfDir: String): DataFrame =
+    pqAssign(pqSubVectors(spark, sfDir), pqCodebooks(spark, sfDir))
+      .select(col("vec_id"), col("sub"), col("cell").as("code"))
+
+  /** Per-query ADC lookup table: `(query_id, sub, code, d)` — the
+    * query slice's exact L2 to every codeword; |Q|·m·k rows,
+    * broadcast. */
+  private def pqLut(spark: SparkSession, sfDir: String): DataFrame =
+    pqSubVectors(spark, sfDir).filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("sub"), col("sq"))
+      .join(broadcast(pqCodebooks(spark, sfDir)), "sub")
+      .select(col("query_id"), col("sub"), col("cell").as("code"),
+        l2Q(col("sq"), col("cq")).as("d"))
+
+  private def adcRank(adc: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(asc("adc_dist"), asc("vec_id"))
+    adc.withColumn("rnk", row_number().over(w).cast(IntegerType))
+      .filter(col("rnk") <= k)
+      .select("query_id", "rnk", "vec_id", "adc_dist")
+      .orderBy("query_id", "rnk")
+  }
+
   /** PQ-compressed ANN: encode every vector as m = 4 codeword ids
     * (the 100 TB memory story — m small ints per vector instead of
     * 4·64 float bytes), then answer top-k per query by ASYMMETRIC
@@ -505,27 +529,48 @@ object Similarity {
     */
   def pqAdcTopK(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
     graft.plans.VecSumAgg.register(spark)
-    // No cache: the slice projection is cheaper than a memory pin —
-    // codes and LUT each re-scan it once.
-    val subs = pqSubVectors(spark, sfDir)
-    val cb = pqCodebooks(spark, sfDir)
-    val codes = pqAssign(subs, cb)
-      .select(col("vec_id"), col("sub"), col("cell").as("code"))
-    val lut = subs.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("query_id"), col("sub"), col("sq"))
-      .join(broadcast(cb), "sub")
-      .select(col("query_id"), col("sub"), col("cell"),
-        l2Q(col("sq"), col("cq")).as("d"))
-    val adc = codes
-      .join(broadcast(lut),
-        codes("sub") === lut("sub") && codes("code") === lut("cell"))
+    val adc = pqCodes(spark, sfDir)
+      .join(broadcast(pqLut(spark, sfDir)), Seq("sub", "code"))
       .filter(col("query_id") =!= col("vec_id"))
       .groupBy("query_id", "vec_id")
       .agg(sum("d").as("adc_dist"))
-    val w = Window.partitionBy("query_id").orderBy(asc("adc_dist"), asc("vec_id"))
-    adc.withColumn("rnk", row_number().over(w).cast(IntegerType))
-      .filter(col("rnk") <= k)
-      .select("query_id", "rnk", "vec_id", "adc_dist")
-      .orderBy("query_id", "rnk")
+    adcRank(adc, k)
+  }
+
+  /** IVF-PQ: the billion-scale ANN layout — the learned coarse
+    * quantizer ([[kmeansSums]]) prunes the corpus to the query's
+    * `nprobe` best inverted lists, and the survivors are scored by
+    * PQ asymmetric distance instead of the exact dot. This composes
+    * the two independently-certified halves exactly as a production
+    * index stores them: per cell, a posting list of (vec_id, m codes) —
+    * a few bytes per vector — so a probe reads `nprobe/cells` of the
+    * corpus at PQ compression and touches no raw vector at all; the
+    * uncompressed embedding is only ever read for the query itself.
+    * Every intermediate stays exact BIGINT (candidates from the IVF
+    * chain, distances from the ADC chain), so the oracle replays both
+    * trajectories and their composition bit-for-bit.
+    */
+  def ivfPqTopK(spark: SparkSession, sfDir: String, k: Int = 3,
+                nprobe: Int = 2): DataFrame = {
+    graft.plans.VecSumAgg.register(spark)
+    val cs = cellScores(spark, sfDir, Some(kmeansSums(spark, sfDir))).cache()
+    val w = Window.partitionBy("vec_id").orderBy(desc("cellscore"), asc("cell"))
+    val assign = cs.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1).select(col("vec_id"), col("cell"))
+    val probes = cs.filter(col("vec_id") < NQueries)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("cell"))
+    val cand = broadcast(probes).join(assign, "cell")
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id")).distinct()
+      .localCheckpoint()
+    cs.unpersist()
+    val adc = cand
+      .join(pqCodes(spark, sfDir), "vec_id")
+      .join(broadcast(pqLut(spark, sfDir)), Seq("query_id", "sub", "code"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum("d").as("adc_dist"))
+    adcRank(adc, k)
   }
 }

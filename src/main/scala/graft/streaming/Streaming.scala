@@ -207,6 +207,39 @@ object Streaming {
     spark.read.parquet(out).orderBy("user_id", "event_type", "minute")
   }
 
+  /** Continuous CDC ingestion into an ACID snapshot table: each
+    * micro-batch collapses to its LATEST change per key (`seqCol`
+    * orders changes within the batch) and is merge-committed
+    * atomically via [[graft.operators.Snapshot.mergeCommit]] — the
+    * streaming twin of the batch MERGE/CDC queries (of4/of5) and the
+    * production landing shape for a change feed: readers following the
+    * table pointer always see a complete point-in-time version, the
+    * claim protocol serializes this writer against any concurrent
+    * committer, and a replayed micro-batch (restart between sink
+    * commit and checkpoint advance) re-merges as a content no-op
+    * because upserting the same changes twice is idempotent. Per-batch
+    * work is mergeCommit's one anti-join against the current version —
+    * broadcast-able while the batch is small, keyed-shuffle otherwise.
+    */
+  def cdcUpsertToSnapshot(changes: DataFrame, root: String, key: String,
+      seqCol: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdc_ck_").toString
+    changes.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(key).orderBy(desc(seqCol))
+        val latest = batch.withColumn("__rnk", row_number().over(w))
+          .filter(col("__rnk") === 1).drop("__rnk")
+        if (!latest.isEmpty) {
+          graft.operators.Snapshot.mergeCommit(
+            batch.sparkSession, root, latest, key)
+          ()
+        }
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+  }
+
   /** X12: sliding windows (10 min length, 5 min slide) — each event
     * lands in exactly two windows. */
   def sliding(spark: SparkSession, sfDir: String): DataFrame = {

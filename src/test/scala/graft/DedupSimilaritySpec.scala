@@ -276,14 +276,28 @@ class DedupSimilaritySpec extends SparkSuite {
     val qSubs = Similarity.pqSubVectors(spark, sf)
       .filter(org.apache.spark.sql.functions.col("vec_id") < 8).collect()
       .map(r => (r.getLong(0), r.getInt(1)) -> r.getSeq[Long](2)).toMap
+    def adcOf(q: Long, hit: Long): Long = (0 until 4).map { j =>
+      val slice = qSubs((q, j))
+      val word = cbMap((j, codes((hit, j))))
+      slice.zip(word).map { case (a, b) => (a - b) * (a - b) }.sum
+    }.sum
     Similarity.pqAdcTopK(spark, sf).collect().foreach { r =>
-      val (q, hit, adc) = (r.getLong(0), r.getLong(2), r.getLong(3))
-      val expected = (0 until 4).map { j =>
-        val slice = qSubs((q, j))
-        val word = cbMap((j, codes((hit, j))))
-        slice.zip(word).map { case (a, b) => (a - b) * (a - b) }.sum
-      }.sum
-      assert(adc == expected, s"ADC mismatch for query $q hit $hit")
+      assert(r.getLong(3) == adcOf(r.getLong(0), r.getLong(2)),
+        s"ADC mismatch for query ${r.getLong(0)} hit ${r.getLong(2)}")
+    }
+    // IVF-PQ composition: distances are the same ADC (pruning never
+    // perturbs scores), and the prune can only SHRINK the result —
+    // every hit's ADC is >= the full-corpus ADC at the same rank
+    val full = Similarity.pqAdcTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(3)).toMap
+    val pruned = Similarity.ivfPqTopK(spark, sf).collect()
+    assert(pruned.nonEmpty)
+    pruned.foreach { r =>
+      val (q, rnk, hit, adc) = (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3))
+      assert(adc == adcOf(q, hit), s"IVF-PQ perturbed ADC at ($q, $hit)")
+      assert(adc >= full((q, rnk)),
+        s"pruned rank-$rnk for query $q beat the full-corpus scan")
     }
   }
 

@@ -10,7 +10,9 @@ import org.apache.spark.sql.SparkSession
   *   sbt "runMain graft.PlanAudit <sfDir> [name,name,...]"
   *
   * Counts only — PlanSpec pins the load-bearing assertions; this is the
-  * exploratory view over ALL queries.
+  * exploratory view over ALL queries. Caveat: plans print BEFORE
+  * execution, so under AQE the codegen stars (`*(n)`) are not yet
+  * annotated — codegen=0 here means "not finalized", not "interpreted".
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
@@ -36,7 +38,7 @@ object PlanAudit {
             f"bcast=${count(p, "BroadcastExchange")}%2d " +
             f"smj=${count(p, "SortMergeJoin")}%2d " +
             f"bhj=${count(p, "BroadcastHashJoin")}%2d " +
-            f"codegen=${count(p, "WholeStageCodegen")}%2d")
+            f"codegen=${count(p, "*(")}%2d")
         } catch {
           case e: Throwable =>
             println(f"$name%-26s PLAN FAILED: ${e.getMessage}")

@@ -566,7 +566,9 @@ object Similarity {
       .select(col("query_id"), col("vec_id")).distinct()
       .localCheckpoint()
     cs.unpersist()
-    val adc = cand
+    // cand is |Q|·(corpus/cells)·nprobe rows of two longs — broadcast it
+    // so the (big) code relation is never shuffled for the join
+    val adc = broadcast(cand)
       .join(pqCodes(spark, sfDir), "vec_id")
       .join(broadcast(pqLut(spark, sfDir)), Seq("query_id", "sub", "code"))
       .groupBy("query_id", "vec_id")

@@ -218,6 +218,31 @@ object Similarity {
     * beyond that, pre-divide the centroid numerator once (the division
     * is then no longer a single trailing op, so re-pin the oracle).
     */
+  /** The IVF prune: assign every vector to its best cell, probe each
+    * query's `nprobe` best cells, and return the `(query_id, vec_id)`
+    * candidate pairs — materialized (tiny) with lineage cut so the
+    * N-vectors × N-cells score relation is released immediately
+    * instead of staying cached for the session lifetime. Shared by the
+    * exact-rescore [[ivfTopK]] and the ADC-rescore [[ivfPqTopK]]. */
+  private def ivfCandidates(spark: SparkSession, sfDir: String,
+                            nprobe: Int,
+                            cells: Option[DataFrame]): DataFrame = {
+    val cs = cellScores(spark, sfDir, cells).cache()
+    val w = Window.partitionBy("vec_id").orderBy(desc("cellscore"), asc("cell"))
+    val assign = cs.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1).select(col("vec_id"), col("cell"))
+    val probes = cs.filter(col("vec_id") < NQueries)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("cell"))
+    val cand = broadcast(probes).join(assign, "cell")
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id")).distinct()
+      .localCheckpoint()
+    cs.unpersist()
+    cand
+  }
+
   private def cellScores(spark: SparkSession, sfDir: String,
                          cellsOverride: Option[DataFrame] = None): DataFrame = {
     val cent = cellsOverride.getOrElse(
@@ -246,22 +271,7 @@ object Similarity {
   def ivfTopK(spark: SparkSession, sfDir: String, k: Int = 3,
               nprobe: Int = 2,
               cells: Option[DataFrame] = None): DataFrame = {
-    val cs = cellScores(spark, sfDir, cells).cache()
-    val w = Window.partitionBy("vec_id").orderBy(desc("cellscore"), asc("cell"))
-    val assign = cs.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") === 1).select(col("vec_id"), col("cell"))
-    val probes = cs.filter(col("vec_id") < NQueries)
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= nprobe)
-      .select(col("vec_id").as("query_id"), col("cell"))
-    // Materialize the (tiny) candidate list and cut its lineage so the
-    // N-vectors × N-cells score relation can be released immediately
-    // instead of staying cached for the session lifetime.
-    val cand = broadcast(probes).join(assign, "cell")
-      .filter(col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id")).distinct()
-      .localCheckpoint()
-    cs.unpersist()
+    val cand = ivfCandidates(spark, sfDir, nprobe, cells)
     val all = quantized(spark, sfDir)
     val scored = cand
       .join(broadcast(all.filter(col("vec_id") < NQueries)
@@ -553,19 +563,8 @@ object Similarity {
   def ivfPqTopK(spark: SparkSession, sfDir: String, k: Int = 3,
                 nprobe: Int = 2): DataFrame = {
     graft.plans.VecSumAgg.register(spark)
-    val cs = cellScores(spark, sfDir, Some(kmeansSums(spark, sfDir))).cache()
-    val w = Window.partitionBy("vec_id").orderBy(desc("cellscore"), asc("cell"))
-    val assign = cs.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") === 1).select(col("vec_id"), col("cell"))
-    val probes = cs.filter(col("vec_id") < NQueries)
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= nprobe)
-      .select(col("vec_id").as("query_id"), col("cell"))
-    val cand = broadcast(probes).join(assign, "cell")
-      .filter(col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id")).distinct()
-      .localCheckpoint()
-    cs.unpersist()
+    val cand = ivfCandidates(spark, sfDir, nprobe,
+      Some(kmeansSums(spark, sfDir)))
     // cand is |Q|·(corpus/cells)·nprobe rows of two longs — broadcast it
     // so the (big) code relation is never shuffled for the join
     val adc = broadcast(cand)

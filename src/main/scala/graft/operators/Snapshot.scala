@@ -11,15 +11,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * their logs on, reduced to a single head pointer: no time travel.)
   *
   * Concurrent writers serialize through a VERSION CLAIM: before writing
-  * `v=N`, a committer must win `_claims/N` via rename-WITHOUT-overwrite
-  * (the atomic create-exclusive primitive on HDFS and the local FS) —
-  * exactly one racing writer's rename succeeds, every loser observes
-  * the conflict and retries against the new state instead of silently
-  * overwriting the winner's data directory and pointer (the pre-claim
-  * protocol's failure mode). Read-modify-write commits ([[mergeCommit]])
+  * `v=N`, a committer must win `_claims/N` via an atomic
+  * create-exclusive (NameNode-atomic rename-WITHOUT-overwrite on HDFS;
+  * kernel-atomic O_EXCL create on `file:` URIs, where Hadoop's rename
+  * is only check-then-act) — exactly one racing writer succeeds, every
+  * loser observes the conflict and retries against the new state
+  * instead of silently overwriting the winner's data directory and
+  * pointer (the pre-claim protocol's failure mode). A won claim is
+  * additionally REFUSED if the version was already decided (data dir
+  * present or pointer ≥ it), so claim-file GC can never re-open a
+  * committed version. Read-modify-write commits ([[mergeCommit]])
   * claim exactly `pointer+1`, which makes them serializable: winning
   * that claim proves no other committer can finalize `pointer+1`, so
-  * the base the merge read from is the true predecessor snapshot.
+  * the base the merge read from is the true predecessor snapshot. The
+  * pointer swap itself runs under a leased `_ptrlock` critical section
+  * so committers of DIFFERENT versions cannot interleave their
+  * read-compare-rename and regress the pointer.
   *
   * Crash anatomy (proven in SnapshotSpec):
   *  - crash while writing `v=N+1` → pointer still names `v=N`; the
@@ -90,44 +97,112 @@ object Snapshot {
       claimMax)
   }
 
-  /** Claim exclusive right to commit version `v`: write a uniquely-named
-    * temp file, then rename WITHOUT overwrite into `_claims/v`. Exactly
-    * one racing writer's rename lands; everyone else gets false. This is
-    * the election primitive the pointer swap can't provide (its rename
-    * must overwrite). */
+  /** The atomic create-exclusive election primitive: exactly one racing
+    * creator of `p` succeeds. On HDFS, rename-WITHOUT-overwrite is
+    * atomic at the NameNode; on the local FS that rename is a
+    * check-then-act (POSIX rename replaces silently), so `file:` URIs
+    * use NIO `Files.createFile` (O_CREAT|O_EXCL — kernel-atomic)
+    * instead. Only the exists-conflict means "lost the race"; any other
+    * FS error propagates (swallowing it would misdiagnose a permission
+    * or connectivity fault as contention and spin the caller's retry
+    * loop). */
+  private def createExclusive(spark: SparkSession,
+                              p: org.apache.hadoop.fs.Path,
+                              body: String): Boolean = {
+    if ("file" == Option(p.toUri.getScheme).getOrElse("file")) {
+      try {
+        java.nio.file.Files.createFile(
+          java.nio.file.Paths.get(p.toUri.getPath))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(p.toUri.getPath),
+          body.getBytes("UTF-8"))
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else {
+      val fs = fsOf(spark, p)
+      val tmp = new org.apache.hadoop.fs.Path(p.getParent,
+        s"${p.getName}.${java.util.UUID.randomUUID()}.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        p.toUri, spark.sparkContext.hadoopConfiguration)
+      try {
+        fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.NONE)
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+             _: java.nio.file.FileAlreadyExistsException =>
+          fs.delete(tmp, false)
+          false
+      }
+    }
+  }
+
+  /** Claim exclusive right to commit version `v` via create-exclusive
+    * on `_claims/v`. Winning the file race is necessary but not
+    * sufficient: if `v` was ALREADY decided — its data directory exists,
+    * or the pointer has reached it — the claim is released and refused,
+    * so a delayed writer whose claim file was vacuumed away can never
+    * reclaim a committed version number and overwrite live data. */
   private[graft] def claimVersion(spark: SparkSession, root: String,
                                   v: Long): Boolean = {
     val claims = new org.apache.hadoop.fs.Path(root, ClaimsDir)
     val fs = fsOf(spark, claims)
     fs.mkdirs(claims)
-    val tmp = new org.apache.hadoop.fs.Path(claims,
-      s"$v.${java.util.UUID.randomUUID()}.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(s"$v\n".getBytes("UTF-8")) finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      claims.toUri, spark.sparkContext.hadoopConfiguration)
-    try {
-      fc.rename(tmp, new org.apache.hadoop.fs.Path(claims, v.toString),
-        org.apache.hadoop.fs.Options.Rename.NONE)
-      true
-    } catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-           _: java.nio.file.FileAlreadyExistsException |
-           _: java.io.IOException =>
-        fs.delete(tmp, false)
-        false
-    }
+    val claim = new org.apache.hadoop.fs.Path(claims, v.toString)
+    if (!createExclusive(spark, claim, s"$v\n")) return false
+    val decided =
+      fs.exists(new org.apache.hadoop.fs.Path(root, s"v=$v")) ||
+        currentVersion(spark, root).getOrElse(0L) >= v
+    if (decided) { fs.delete(claim, false); return false }
+    true
   }
 
   /** Monotonic pointer swap: advance `_CURRENT` to `v` unless it already
     * names something ≥ v (a concurrent committer of a HIGHER version may
     * have swapped first; regressing the pointer would un-commit it).
-    * Returns whether the pointer now names `v`. */
+    * Returns whether the pointer now names `v`.
+    *
+    * The read-compare-rename must be a critical section: two committers
+    * of DIFFERENT versions interleaving (both read cur, higher renames
+    * first, lower renames second) would regress the pointer and
+    * un-commit a commit that already returned success. A create-
+    * exclusive `_ptrlock` serializes the swap; a holder that dies is
+    * recovered by breaking locks older than [[PtrLockTimeoutMs]] (the
+    * swap is two metadata ops — any live holder is long gone by then).
+    */
+  private val PtrLockTimeoutMs = 60000L
+
   private def pointerAdvance(spark: SparkSession, root: String,
                              v: Long): Boolean = {
-    val cur = currentVersion(spark, root).getOrElse(0L)
-    if (cur >= v) false
-    else { setPointer(spark, root, v); true }
+    val lock = new org.apache.hadoop.fs.Path(root, "_ptrlock")
+    val fs = fsOf(spark, lock)
+    var held = false
+    while (!held) {
+      if (createExclusive(spark, lock, s"$v\n")) held = true
+      else {
+        val age = try {
+          System.currentTimeMillis() -
+            fs.getFileStatus(lock).getModificationTime
+        } catch {
+          case _: java.io.FileNotFoundException => 0L // freed; retry now
+        }
+        // Lease semantics: a holder past the timeout has forfeited the
+        // lock (the critical section is two metadata ops; 60 s means a
+        // dead JVM). The break itself can race a forfeit-age holder's
+        // release — acceptable exactly because such a holder already
+        // broke the lease contract.
+        if (age > PtrLockTimeoutMs) fs.delete(lock, false)
+        else Thread.sleep(20)
+      }
+    }
+    try {
+      val cur = currentVersion(spark, root).getOrElse(0L)
+      if (cur >= v) false
+      else { setPointer(spark, root, v); true }
+    } finally fs.delete(lock, false)
   }
 
   /** Commit `df` as the next snapshot: claim a fresh version, write
@@ -218,14 +293,17 @@ object Snapshot {
     * readers only ever follow the pointer, so everything except its
     * target is garbage) plus decided claims (≤ pointer). The pointer
     * and its target are never touched. Claims ABOVE the pointer are
-    * kept by default — they may be a live writer's in-flight commit;
-    * `clearStaleClaims = true` removes them too (admin asserts no live
-    * writers; unblocks merges stalled on a crashed writer's
-    * `pointer+1` claim). Blind commits never reuse a vacuumed version
-    * number (they go above the pointer); a vacuumed stale CLAIM's
-    * number may be reclaimed by a later merge — it never named
-    * committed content. Like any GC, vacuum assumes no reader is still
-    * walking an unreferenced snapshot's files. Returns deleted names. */
+    * kept by default — they may be a live writer's in-flight commit —
+    * and so are THEIR data directories (the writer's pointer swap must
+    * not publish a deleted path); `clearStaleClaims = true` removes
+    * both (admin asserts no live writers; unblocks merges stalled on a
+    * crashed writer's `pointer+1` claim). Deleting a DECIDED claim is
+    * safe even against a delayed writer still racing for that version:
+    * [[claimVersion]] refuses any version whose data directory exists
+    * or that the pointer has reached, so a vacuumed claim number can
+    * never be re-won for committed content. Like any GC, vacuum
+    * assumes no reader is still walking an unreferenced snapshot's
+    * files. Returns deleted names. */
   def vacuum(spark: SparkSession, root: String,
              clearStaleClaims: Boolean = false): Seq[String] = {
     val cur = currentVersion(spark, root).getOrElse(
@@ -233,12 +311,25 @@ object Snapshot {
         s"snapshot table $root has no committed version; nothing to vacuum"))
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = fsOf(spark, rootPath)
+    val claims = new org.apache.hadoop.fs.Path(root, ClaimsDir)
+    // A claim above the pointer may be a LIVE writer mid-commit: its
+    // fully-written-but-not-yet-pointed v=N directory must survive the
+    // sweep, or the writer's imminent pointer swap would publish a
+    // deleted directory. clearStaleClaims (admin asserts no live
+    // writers) sweeps both the claim and its data directory.
+    val inFlight: Set[Long] =
+      if (clearStaleClaims || !fs.exists(claims)) Set.empty
+      else fs.listStatus(claims).toSeq.map(_.getPath.getName)
+        .collect { case n if n.matches("\\d+") => n.toLong }
+        .filter(_ > cur).toSet
     val deadDirs = fs.listStatus(rootPath).toSeq.map(_.getPath)
       .filter { p =>
         val n = p.getName
-        n.matches("v=\\d+") && n.drop(2).toLong != cur
+        n.matches("v=\\d+") && {
+          val v = n.drop(2).toLong
+          v != cur && !inFlight.contains(v)
+        }
       }
-    val claims = new org.apache.hadoop.fs.Path(root, ClaimsDir)
     val deadClaims =
       if (!fs.exists(claims)) Seq.empty
       else fs.listStatus(claims).toSeq.map(_.getPath).filter { p =>

@@ -238,11 +238,15 @@ object TextAnalysis {
     *
     * Both sides are BIGINT-exact (the ×20 and ×2 clear the 1.2/0.75/½
     * fractions), so the only IEEE operation is the final division —
-    * engine-exact the same way [[tfidfTop]]'s rational idf is. The
-    * logarithm of the true BM25 idf is monotone in `idf-core`, so the
-    * per-term document ranking this certifies is identical to textbook
-    * BM25's; the emitted score is the rational core (log deferred to
-    * display). At 100 TB the corpus constants T and N would saturate
+    * engine-exact the same way [[tfidfTop]]'s rational idf is. Within
+    * one term df (hence idf) is constant across documents, so the
+    * per-term document ranking certified here — descending tf-part
+    * scaled by the positive core — is identical to BM25 under the
+    * standard positive idf `ln(1 + idf-core)` (the Lucene/ATIRE form)
+    * for every df, and to the raw Robertson `ln(idf-core)` whenever
+    * df ≤ N/2 (beyond that the Robertson log is negative and reverses
+    * its own per-term order — the pathology the +1 form exists to
+    * remove). The emitted score is the rational core, log deferred. At 100 TB the corpus constants T and N would saturate
     * the int product — there they join as the double constants they
     * are (per-corpus scalars known before planning); tf/df/dl stay
     * integer. Plan shape: tf and dl are one keyed shuffle each over

@@ -217,22 +217,38 @@ object Streaming {
     * claim protocol serializes this writer against any concurrent
     * committer, and a replayed micro-batch (restart between sink
     * commit and checkpoint advance) re-merges as a content no-op
-    * because upserting the same changes twice is idempotent. Per-batch
-    * work is mergeCommit's one anti-join against the current version —
-    * broadcast-able while the batch is small, keyed-shuffle otherwise.
+    * because upserting the same changes twice is idempotent. A
+    * never-committed table bootstraps from the first non-empty batch
+    * (seeded as version 1). Per-batch work is mergeCommit's one
+    * anti-join against the current version — broadcast-able while the
+    * batch is small, keyed-shuffle otherwise.
     */
   def cdcUpsertToSnapshot(changes: DataFrame, root: String, key: String,
       seqCol: String): org.apache.spark.sql.streaming.StreamingQuery = {
     val ckpt = java.nio.file.Files.createTempDirectory("graft_cdc_ck_").toString
     changes.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // Latest change per key; ties on seqCol break on the full
+        // remaining row so the pick — and therefore a checkpoint
+        // REPLAY's pick — is deterministic, keeping the re-merge a
+        // true content no-op (at-least-once sources can emit distinct
+        // payloads under one coarse sequence value).
+        val rest = batch.columns.filter(c => c != key && c != seqCol)
+          .map(col)
+        val order = desc(seqCol) +:
+          (if (rest.isEmpty) Nil else Seq(struct(rest: _*).desc))
         val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(key).orderBy(desc(seqCol))
+          .partitionBy(key).orderBy(order: _*)
         val latest = batch.withColumn("__rnk", row_number().over(w))
           .filter(col("__rnk") === 1).drop("__rnk")
         if (!latest.isEmpty) {
-          graft.operators.Snapshot.mergeCommit(
-            batch.sparkSession, root, latest, key)
+          // Bootstrap: the first change batch against a never-committed
+          // table seeds version 1; merges take over from there.
+          val sp = batch.sparkSession
+          if (graft.operators.Snapshot.currentVersion(sp, root).isEmpty)
+            graft.operators.Snapshot.commit(latest, root)
+          else
+            graft.operators.Snapshot.mergeCommit(sp, root, latest, key)
           ()
         }
       }

@@ -28,19 +28,32 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SessionMemo {
   private val entries =
     new java.util.concurrent.ConcurrentHashMap[SparkSession,
-      scala.collection.mutable.Map[String, DataFrame]]()
+      scala.collection.mutable.Map[String, Any]]()
+
+  private def perSessionMap(spark: SparkSession)
+      : scala.collection.mutable.Map[String, Any] = {
+    val it = entries.keySet().iterator()
+    while (it.hasNext) {
+      if (it.next().sparkContext.isStopped) it.remove()
+    }
+    entries.computeIfAbsent(spark,
+      _ => scala.collection.mutable.Map.empty[String, Any])
+  }
 
   /** `build` must return an already-materialized frame (an eager
     * `localCheckpoint`) so it can unpersist its own corpus-sized
     * intermediates before handing the result over. */
   def memoized(spark: SparkSession, key: String)
               (build: => DataFrame): DataFrame = {
-    val it = entries.keySet().iterator()
-    while (it.hasNext) {
-      if (it.next().sparkContext.isStopped) it.remove()
-    }
-    val perSession = entries.computeIfAbsent(spark,
-      _ => scala.collection.mutable.Map.empty[String, DataFrame])
-    perSession.synchronized(perSession.getOrElseUpdate(key, build))
+    val m = perSessionMap(spark)
+    m.synchronized(m.getOrElseUpdate(key, build)).asInstanceOf[DataFrame]
+  }
+
+  /** Same lifecycle for a small plain VALUE derived from the data (a
+    * probe decision, a measured constant): computed by a Spark job once
+    * per (session, key), then a map lookup. */
+  def memoizedValue[T](spark: SparkSession, key: String)(build: => T): T = {
+    val m = perSessionMap(spark)
+    m.synchronized(m.getOrElseUpdate(key, build)).asInstanceOf[T]
   }
 }

@@ -139,6 +139,60 @@ class SnapshotSpec extends SparkSuite {
     assert(Snapshot.commit(Seq((7L, "g")).toDF("k", "v"), root) == 4L)
   }
 
+  test("a vacuumed decided claim cannot be re-won (no committed-version reuse)") {
+    import spark.implicits._
+    val root = freshTable()
+    Snapshot.commit(Seq((1L, "a")).toDF("k", "v"), root)
+    Snapshot.commit(Seq((2L, "b")).toDF("k", "v"), root)
+    // vacuum removes the decided claim files for v1 and v2
+    Snapshot.vacuum(spark, root)
+    // a delayed writer racing for an already-committed version must be
+    // refused even though the claim FILE is gone: v=2 is the live
+    // pointer target, v=1 is decided by pointer position
+    assert(!Snapshot.claimVersion(spark, root, 2L),
+      "reclaimed the live version — would overwrite committed data")
+    assert(!Snapshot.claimVersion(spark, root, 1L),
+      "reclaimed a superseded version below the pointer")
+    assert(rows(root) == Set((2L, "b")))
+    // fresh versions are still claimable
+    assert(Snapshot.claimVersion(spark, root, 3L))
+  }
+
+  test("vacuum spares an in-flight writer's fully-written data directory") {
+    import spark.implicits._
+    val root = freshTable()
+    Snapshot.commit(Seq((1L, "a")).toDF("k", "v"), root)
+    // a live writer mid-commit: claim held, v=2 written, pointer not yet
+    // swapped — default vacuum must not delete the directory its
+    // imminent pointer swap will publish
+    assert(Snapshot.claimVersion(spark, root, 2L))
+    Snapshot.writeOrphan(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root, 2L)
+    val deleted = Snapshot.vacuum(spark, root)
+    assert(!deleted.contains("v=2"),
+      s"vacuum deleted an in-flight writer's data dir: $deleted")
+    assert(!deleted.contains("2"), "vacuum deleted a live claim")
+    // admin recovery sweeps both the stale claim and its directory
+    val swept = Snapshot.vacuum(spark, root, clearStaleClaims = true)
+    assert(swept.contains("v=2") && swept.contains("2"), s"got $swept")
+    assert(rows(root) == Set((1L, "a")))
+  }
+
+  test("a stale pointer lock is broken by lease age, not waited on forever") {
+    import spark.implicits._
+    val root = freshTable()
+    Snapshot.commit(Seq((1L, "a")).toDF("k", "v"), root)
+    // a dead writer's abandoned _ptrlock, older than the lease
+    val lock = new org.apache.hadoop.fs.Path(root, "_ptrlock")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(lock, true)
+    try out.write("9\n".getBytes("UTF-8")) finally out.close()
+    fs.setTimes(lock, System.currentTimeMillis() - 120000L, -1L)
+    // the next commit must break the lease and land, not hang
+    assert(Snapshot.commit(Seq((2L, "b")).toDF("k", "v"), root) == 2L)
+    assert(rows(root) == Set((2L, "b")))
+    assert(!fs.exists(lock), "lock must be released after the swap")
+  }
+
   test("of4 upsert-merge through snapshots equals the logical merge") {
     val got = graft.operators.Etl.upsertMerge(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1))).toMap

@@ -214,23 +214,22 @@ class StreamingSpec extends SparkSuite {
     def cur(): Set[(Long, String)] =
       graft.operators.Snapshot.readCurrent(spark, root).collect()
         .map(r => (r.getLong(0), r.getString(1))).toSet
-    graft.operators.Snapshot.commit(
-      Seq((1L, "a", 0L), (2L, "b", 0L)).toDF("k", "v", "seq"), root)
     val src = MemoryStream[(Long, String, Long)]
     val q = Streaming.cdcUpsertToSnapshot(
       src.toDF().toDF("k", "v", "seq"), root, "k", "seq")
     try {
-      // batch 1: two changes to k=2 (seq must pick the later) + an insert
-      src.addData((2L, "B1", 1L), (2L, "B2", 2L), (3L, "c", 3L))
+      // batch 1 against a NEVER-committed table: bootstrap seeds v1;
+      // two changes to k=2 in one batch — seq picks the later
+      src.addData((1L, "a", 0L), (2L, "B1", 1L), (2L, "B2", 2L))
       q.processAllAvailable()
-      assert(cur() == Set((1L, "a"), (2L, "B2"), (3L, "c")))
-      // batch 2: cross-batch upsert of a key from the seed version
-      src.addData((1L, "A", 4L))
+      assert(cur() == Set((1L, "a"), (2L, "B2")))
+      // batch 2: cross-batch upsert of a seeded key + an insert
+      src.addData((1L, "A", 4L), (3L, "c", 5L))
       q.processAllAvailable()
       assert(cur() == Set((1L, "A"), (2L, "B2"), (3L, "c")))
       // exactly one snapshot version per non-empty micro-batch
       assert(graft.operators.Snapshot.currentVersion(spark, root)
-        .contains(3L))
+        .contains(2L))
     } finally q.stop()
   }
 

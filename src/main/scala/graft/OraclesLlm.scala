@@ -130,6 +130,21 @@ object OraclesLlm {
 
   private val pqCtes = (0 until 4).map(pqSubCtes).mkString(",\n")
 
+  /** Connected-components cluster chain over the near-dup pair graph
+    * (requires WITH RECURSIVE and `$toks` + `$ngramPairCtes` upstream):
+    * ends at `clus(doc_id, cluster_id)`. Shared by x09g and x09k. */
+  private lazy val clusterCtes =
+    s"""$ngramPairCtes,
+       |e AS (SELECT doc_a AS s, doc_b AS d FROM npairs
+       |      UNION ALL SELECT doc_b, doc_a FROM npairs),
+       |reach(s, d) AS (SELECT s, d FROM e
+       |                UNION
+       |                SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s),
+       |verts AS (SELECT DISTINCT s FROM e),
+       |clus AS (SELECT v.s AS doc_id, LEAST(v.s, MIN(r.d)) AS cluster_id
+       |         FROM verts v JOIN reach r ON r.s = v.s
+       |         GROUP BY v.s)""".stripMargin
+
   /** IVF assignment / probe / candidate chain over the learned
     * codebook `c2` (mirrors Similarity.ivfTopK with kmeans cells):
     * ends at `cand(query_id, vec_id)`. Shared by x10e2 (exact rescore)
@@ -241,16 +256,27 @@ object OraclesLlm {
          |ORDER BY doc_a, doc_b""".stripMargin,
     "x09g_dedup_clusters" ->
       s"""WITH RECURSIVE $toks,
-         |$ngramPairCtes,
-         |e AS (SELECT doc_a AS s, doc_b AS d FROM npairs
-         |      UNION ALL SELECT doc_b, doc_a FROM npairs),
-         |reach(s, d) AS (SELECT s, d FROM e
-         |                UNION
-         |                SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s),
-         |verts AS (SELECT DISTINCT s FROM e)
-         |SELECT v.s AS doc_id, LEAST(v.s, MIN(r.d)) AS cluster_id
-         |FROM verts v JOIN reach r ON r.s = v.s
-         |GROUP BY v.s ORDER BY doc_id""".stripMargin,
+         |$clusterCtes
+         |SELECT doc_id, cluster_id FROM clus ORDER BY doc_id""".stripMargin,
+    // Canonical survivor per cluster: all-integer argmax (distinct
+    // tokens desc, length desc, id asc) — mirrors Dedup.canonicalDocs.
+    "x09k_canonical" ->
+      s"""WITH RECURSIVE $toks,
+         |$clusterCtes,
+         |feats AS (SELECT doc_id,
+         |            CAST(len(list_distinct(string_split(text,' '))) AS INT)
+         |              AS n_distinct,
+         |            CAST(length(text) AS INT) AS len_chars
+         |          FROM documents),
+         |m AS (SELECT c.cluster_id, c.doc_id, f.n_distinct, f.len_chars,
+         |        ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+         |          ORDER BY f.n_distinct DESC, f.len_chars DESC, c.doc_id)
+         |          AS rnk,
+         |        COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members
+         |      FROM clus c JOIN feats f USING (doc_id))
+         |SELECT cluster_id, doc_id AS keep_id,
+         |       CAST(n_members AS BIGINT) AS n_members, n_distinct, len_chars
+         |FROM m WHERE rnk = 1 ORDER BY cluster_id""".stripMargin,
     "x09f_embedding_dedup" ->
       s"""WITH $vecCtes,
          |hyp AS (SELECT j, pos,

@@ -100,6 +100,8 @@ object SparkEntry {
     "x09j_edit_distance"  -> (Dedup.editDistancePairs(_, _)),
     "x11h_repetition"     -> (TextAnalysis.repetition(_, _)),
     "x11l_bm25"           -> ((s, d) => TextAnalysis.bm25Top(s, d)),
+    // which copy survives dedup: per-cluster canonical representative
+    "x09k_canonical"      -> (Dedup.canonicalDocs(_, _)),
     "x11i_pii_redaction"  -> (TextAnalysis.piiRedaction(_, _)),
     "x11k_regex_tokens"   -> (TextAnalysis.regexTokens(_, _)),
     "x10c_label_centroids" -> (Similarity.labelCentroids(_, _)),

@@ -311,6 +311,39 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Canonical-representative selection — the step after clustering
+    * that decides WHICH copy survives dedup: per near-dup cluster, keep
+    * the document with the most distinct tokens (richest content),
+    * tiebreak by raw length then lowest id — a total, all-integer
+    * order, so the survivor set is deterministic and oracle-exact
+    * (float quality scores would tie-break on engine ulps). Emits one
+    * row per cluster: the keeper, the member count, and the keeper's
+    * features. Plan shape: the cluster relation is near-dup-pairs-sized
+    * (tiny next to the corpus), features are a pure projection joined
+    * on the cluster members only, and the argmax is a window
+    * partitioned by cluster — bounded by cluster size, never corpus-
+    * wide. Singletons (docs in no cluster) trivially keep themselves
+    * and are not re-listed.
+    */
+  def canonicalDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = dedupClusters(spark, sfDir)
+    val toks = split(col("text"), " ")
+    val feats = Tables.documents(spark, sfDir).select(col("doc_id"),
+      size(array_distinct(toks)).as("n_distinct"),
+      length(col("text")).as("len_chars"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(desc("n_distinct"), desc("len_chars"), asc("doc_id"))
+    clusters.join(feats, "doc_id")
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .filter(col("rnk") === 1)
+      .select(col("cluster_id"), col("doc_id").as("keep_id"),
+        col("n_members"), col("n_distinct"), col("len_chars"))
+      .orderBy("cluster_id")
+  }
+
   /** Block-level exact dedup (the paragraph/line-dedup pass of a CCNet-
     * style pipeline, at aligned token-block granularity): documents are
     * cut into aligned 16-token blocks, block content hashes are counted

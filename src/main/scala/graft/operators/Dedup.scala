@@ -253,9 +253,17 @@ object Dedup {
     * backbone of large-scale CC): each round is one keyed join +
     * aggregate; component diameters of near-dup graphs are tiny, so it
     * converges in a few rounds. Oracle: recursive-CTE transitive
-    * closure in DuckDB.
+    * closure in DuckDB. The converged label relation is tiny (clustered
+    * docs only) and memoized: the cluster query and the canonical-
+    * survivor query share one CC run.
     */
-  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame =
+    graft.util.SessionMemo.memoized(spark, s"dedupClusters|$sfDir") {
+      dedupClustersBuild(spark, sfDir)
+    }.orderBy("doc_id")
+
+  private def dedupClustersBuild(spark: SparkSession,
+                                 sfDir: String): DataFrame = {
     val pairs = ngramJaccard(spark, sfDir)
       .select(col("doc_a"), col("doc_b")).cache()
     val verts = pairs.select(col("doc_a").as("doc_id"))
@@ -307,8 +315,10 @@ object Dedup {
         if (s == prevSum) iter = 20 else prevSum = s
       }
     } finally spark.conf.set(aqeKey, aqeWas)
-    labels.select(col("doc_id"), col("label").as("cluster_id"))
-      .orderBy("doc_id")
+    val out = labels.select(col("doc_id"), col("label").as("cluster_id"))
+      .localCheckpoint()
+    pairs.unpersist(); edges.unpersist(); labels.unpersist()
+    out
   }
 
   /** Canonical-representative selection — the step after clustering

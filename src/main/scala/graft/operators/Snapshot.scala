@@ -234,13 +234,30 @@ object Snapshot {
   private[graft] def setPointer(spark: SparkSession, root: String,
                                     v: Long): Unit = {
     val ptr = new org.apache.hadoop.fs.Path(root, Pointer)
-    val tmp = new org.apache.hadoop.fs.Path(root, Pointer + ".tmp")
-    val fs = fsOf(spark, ptr)
-    val out = fs.create(tmp, true)
-    try out.write(s"$v\n".getBytes("UTF-8")) finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      ptr.toUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    if ("file" == Option(ptr.toUri.getScheme).getOrElse("file")) {
+      // Local FS: Hadoop's ChecksumFs renames the data file and its
+      // .crc sidecar as TWO operations, so a concurrent pointer read
+      // between them dies with ChecksumException (seen in the racing-
+      // merge spec). NIO ATOMIC_MOVE with no sidecar at all is the
+      // actually-atomic local swap; any historical sidecar is removed
+      // so stale checksums can never shadow the moved content.
+      val dir = java.nio.file.Paths.get(
+        new org.apache.hadoop.fs.Path(root).toUri.getPath)
+      val tmp = dir.resolve(Pointer + ".tmp")
+      java.nio.file.Files.write(tmp, s"$v\n".getBytes("UTF-8"))
+      java.nio.file.Files.deleteIfExists(dir.resolve("." + Pointer + ".crc"))
+      java.nio.file.Files.move(tmp, dir.resolve(Pointer),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      val tmp = new org.apache.hadoop.fs.Path(root, Pointer + ".tmp")
+      val fs = fsOf(spark, ptr)
+      val out = fs.create(tmp, true)
+      try out.write(s"$v\n".getBytes("UTF-8")) finally out.close()
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        ptr.toUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
   }
 
   /** Copy-on-write keyed MERGE as a snapshot commit: replace matching

@@ -71,6 +71,55 @@ object Snapshot {
     spark.read.parquet(s"$root/v=$v")
   }
 
+  /** Time travel: read a specific retained version. Versions survive
+    * until [[vacuum]] collects them (`retain` controls how many stay
+    * readable); reading a collected version fails fast with the
+    * version inventory rather than a bare path error. */
+  def readVersion(spark: SparkSession, root: String, v: Long): DataFrame = {
+    val fs = fsOf(spark, new org.apache.hadoop.fs.Path(root))
+    if (!fs.exists(new org.apache.hadoop.fs.Path(root, s"v=$v"))) {
+      val have = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+        .map(_.getPath.getName).filter(_.matches("v=\\d+")).sorted
+      throw new java.util.NoSuchElementException(
+        s"snapshot $root has no version $v (vacuumed?); " +
+          s"retained: ${have.mkString(", ")}")
+    }
+    spark.read.parquet(s"$root/v=$v")
+  }
+
+  /** Compaction: rewrite the CURRENT version's files into `numFiles`
+    * and commit the result as a new version — the small-file
+    * maintenance pass every incrementally-ingested table needs (a CDC
+    * stream of small merge batches leaves one file per shuffle
+    * partition per commit; scan cost grows with file count, not data).
+    * Runs under the same claim protocol as any commit, so it is safe
+    * against concurrent writers — if a merge lands first, the claim is
+    * lost and the compaction retries on the new head. Readers are
+    * never disturbed: content is byte-identical by construction
+    * (repartition only moves rows between files), and the old version
+    * remains until vacuumed. */
+  def compact(spark: SparkSession, root: String, numFiles: Int = 1,
+              maxRetries: Int = 16): Long = {
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val base = currentVersion(spark, root).getOrElse(
+        throw new java.util.NoSuchElementException(
+          s"snapshot table $root has no committed version to compact"))
+      if (claimVersion(spark, root, base + 1)) {
+        spark.read.parquet(s"$root/v=$base").repartition(numFiles)
+          .write.mode("overwrite").parquet(s"$root/v=${base + 1}")
+        if (pointerAdvance(spark, root, base + 1)) return base + 1
+      } else {
+        val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+        while (currentVersion(spark, root).getOrElse(0L) <= base
+               && System.nanoTime() < deadline) Thread.sleep(20)
+      }
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"compact of $root did not win a claim in $maxRetries attempts")
+  }
+
   private val ClaimsDir = "_claims"
 
   /** Highest version any artifact names: pointer, `v=*` data dirs
@@ -305,10 +354,10 @@ object Snapshot {
         "(live contention, or a crashed writer's stale claim — see vacuum)")
   }
 
-  /** Orphan GC: delete every unreferenced `v=*` snapshot directory (old
-    * superseded versions AND crashed writers' never-pointed orphans —
-    * readers only ever follow the pointer, so everything except its
-    * target is garbage) plus decided claims (≤ pointer). The pointer
+  /** Orphan GC: delete unreferenced `v=*` snapshot directories (old
+    * superseded versions beyond the `retain` newest — the time-travel
+    * window — AND crashed writers' never-pointed orphans) plus decided
+    * claims (≤ pointer). The pointer
     * and its target are never touched. Claims ABOVE the pointer are
     * kept by default — they may be a live writer's in-flight commit —
     * and so are THEIR data directories (the writer's pointer swap must
@@ -322,7 +371,9 @@ object Snapshot {
     * assumes no reader is still walking an unreferenced snapshot's
     * files. Returns deleted names. */
   def vacuum(spark: SparkSession, root: String,
-             clearStaleClaims: Boolean = false): Seq[String] = {
+             clearStaleClaims: Boolean = false,
+             retain: Int = 1): Seq[String] = {
+    require(retain >= 1, "retain must keep at least the live version")
     val cur = currentVersion(spark, root).getOrElse(
       throw new java.util.NoSuchElementException(
         s"snapshot table $root has no committed version; nothing to vacuum"))
@@ -339,12 +390,18 @@ object Snapshot {
       else fs.listStatus(claims).toSeq.map(_.getPath.getName)
         .collect { case n if n.matches("\\d+") => n.toLong }
         .filter(_ > cur).toSet
+    val onDisk = fs.listStatus(rootPath).toSeq.map(_.getPath.getName)
+      .collect { case n if n.matches("v=\\d+") => n.drop(2).toLong }
+    // Retention window for time travel: the newest `retain` committed
+    // versions (the pointer target always among them) stay readable
+    // via [[readVersion]].
+    val retained = onDisk.filter(_ <= cur).sorted.takeRight(retain).toSet
     val deadDirs = fs.listStatus(rootPath).toSeq.map(_.getPath)
       .filter { p =>
         val n = p.getName
         n.matches("v=\\d+") && {
           val v = n.drop(2).toLong
-          v != cur && !inFlight.contains(v)
+          !retained.contains(v) && !inFlight.contains(v)
         }
       }
     val deadClaims =

@@ -193,6 +193,50 @@ class SnapshotSpec extends SparkSuite {
     assert(!fs.exists(lock), "lock must be released after the swap")
   }
 
+  test("compaction rewrites files without changing content, under the claim protocol") {
+    import spark.implicits._
+    val root = freshTable()
+    // an incrementally-ingested table: several small merge batches,
+    // each leaving its own files
+    Snapshot.commit(Seq((1L, "a")).toDF("k", "v").repartition(4), root)
+    (2 to 4).foreach { i =>
+      Snapshot.mergeCommit(spark, root,
+        Seq((i.toLong, s"r$i")).toDF("k", "v").repartition(3), "k")
+    }
+    val before = rows(root)
+    def fileCount(v: Long): Int = {
+      val p = new org.apache.hadoop.fs.Path(s"$root/v=$v")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
+    }
+    assert(fileCount(4L) > 1, "precondition: fragmented current version")
+    val v = Snapshot.compact(spark, root, numFiles = 1)
+    assert(v == 5L && Snapshot.currentVersion(spark, root).contains(5L))
+    assert(fileCount(5L) == 1, "compaction must coalesce the files")
+    assert(rows(root) == before, "compaction must not change content")
+  }
+
+  test("time travel: retained versions stay readable, vacuumed ones fail fast") {
+    import spark.implicits._
+    val root = freshTable()
+    Snapshot.commit(Seq((1L, "a")).toDF("k", "v"), root)
+    Snapshot.mergeCommit(spark, root, Seq((2L, "b")).toDF("k", "v"), "k")
+    Snapshot.mergeCommit(spark, root, Seq((1L, "A")).toDF("k", "v"), "k")
+    def at(v: Long): Set[(Long, String)] =
+      Snapshot.readVersion(spark, root, v).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(at(1L) == Set((1L, "a")))
+    assert(at(2L) == Set((1L, "a"), (2L, "b")))
+    assert(at(3L) == Set((1L, "A"), (2L, "b")))
+    // keep a 2-version time-travel window: v1 goes, v2 and v3 stay
+    val deleted = Snapshot.vacuum(spark, root, retain = 2)
+    assert(deleted.contains("v=1") && !deleted.contains("v=2"),
+      s"retain=2 must keep the two newest versions, deleted $deleted")
+    assert(at(2L) == Set((1L, "a"), (2L, "b")), "retained version readable")
+    val e = intercept[java.util.NoSuchElementException](at(1L))
+    assert(e.getMessage.contains("retained: v=2, v=3"), e.getMessage)
+  }
+
   test("of4 upsert-merge through snapshots equals the logical merge") {
     val got = graft.operators.Etl.upsertMerge(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1))).toMap

@@ -497,6 +497,39 @@ object OraclesLlm {
     // Lloyd's k-means, iterations UNROLLED as CTE pairs (score+argmax →
     // rebuild): every compare is on exact integers or on doubles formed
     // identically from them, and the argmax tiebreak is total, so the
+    // SemDeDup: k-means cells (trajectory CTEs above), assignment with
+    // retained centroid score, per-cell centrality rank, and the
+    // upper-triangular within-cell cosine drop rule — integer dots,
+    // trailing IEEE divisions only, so kept flags replay exactly.
+    "x09l_semantic_dedup" ->
+      s"""WITH $vecCtes,
+         |$kmeansCtes,
+         |sc3 AS (SELECT e.vec_id, c.cell, c.n, CAST(SUM(e.q*c.s) AS BIGINT) AS num
+         |        FROM exq e JOIN c2 c ON e.pos = c.pos GROUP BY 1, 2, 3),
+         |a3 AS (SELECT vec_id, cell, cs FROM
+         |         (SELECT vec_id, cell, CAST(num AS DOUBLE)/n AS cs,
+         |            ROW_NUMBER() OVER (PARTITION BY vec_id
+         |              ORDER BY CAST(num AS DOUBLE)/n DESC, cell) AS rnk FROM sc3)
+         |       WHERE rnk = 1),
+         |ranked AS (SELECT vec_id, cell,
+         |             ROW_NUMBER() OVER (PARTITION BY cell
+         |               ORDER BY cs DESC, vec_id) AS crnk FROM a3),
+         |pairs AS (SELECT x.vec_id AS va, y.vec_id AS vb
+         |          FROM ranked x JOIN ranked y
+         |            ON x.cell = y.cell AND x.crnk < y.crnk),
+         |pdots AS (SELECT p.va, p.vb, CAST(SUM(ea.q*eb.q) AS BIGINT) AS dot
+         |          FROM pairs p JOIN exq ea ON ea.vec_id = p.va
+         |                       JOIN exq eb ON eb.vec_id = p.vb AND eb.pos = ea.pos
+         |          GROUP BY 1, 2),
+         |dup AS (SELECT DISTINCT d.vb AS vec_id
+         |        FROM pdots d JOIN norms na ON d.va = na.vec_id
+         |                     JOIN norms nb ON d.vb = nb.vec_id
+         |        WHERE CAST(d.dot AS DOUBLE) /
+         |          (SQRT(CAST(na.n2 AS DOUBLE))*SQRT(CAST(nb.n2 AS DOUBLE))) >= 0.45)
+         |SELECT r.vec_id, r.cell,
+         |       CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+         |FROM ranked r LEFT JOIN dup d ON r.vec_id = d.vec_id
+         |ORDER BY r.vec_id""".stripMargin,
     // whole trajectory replays bit-for-bit.
     "x10g_kmeans_cells" ->
       s"""WITH $vecCtes,

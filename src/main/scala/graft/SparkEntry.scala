@@ -85,6 +85,9 @@ object SparkEntry {
     "x09e2_jaccard_prefix" -> ((s, d) =>
       Dedup.ngramJaccard(s, d, strategy = Dedup.PrefixFilter, width = 4)),
     "x09f_embedding_dedup" -> ((s, d) => Similarity.embeddingNearDup(s, d)),
+    // SemDeDup: cluster-scoped exact semantic dedup over the learned
+    // k-means cells (x10g's codebook via the session memo)
+    "x09l_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(s, d)),
     "x09g_dedup_clusters" -> (Dedup.dedupClusters(_, _)),
     "x10a_cosine_topk"    -> ((s, d) => Similarity.cosineTopK(s, d)),
     "x10b_ann_lsh"        -> ((s, d) => Similarity.annLsh(s, d)),

@@ -148,6 +148,56 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** X9 semantic dedup (SemDeDup, Abbas et al. 2023): cluster the
+    * corpus with the learned k-means codebook, then mark as duplicates
+    * the members of each cluster whose cosine to a MORE CENTRAL member
+    * (higher centroid score; ties to lower vec_id) clears the
+    * threshold. Exact pairwise similarity runs only WITHIN a cell, so
+    * the join is keyed on the cell id and each task scores one cell's
+    * O(m²) pairs — never corpus×corpus. At 100 TB the codebook size k
+    * grows with the corpus (the paper uses √N-ish k), holding m = N/k
+    * bounded, and the codebook itself stays a broadcast-sized k×dims
+    * relation trained on a sample — both plans are exactly the shapes
+    * below. The drop rule is declarative (a member is dropped iff ANY
+    * more-central member is within τ — the upper-triangular max of the
+    * paper), so there is no sequential greedy state and the result is
+    * independent of partitioning.
+    *
+    * All similarity arithmetic is the exact quantized-integer core
+    * ([[graft.functions.VectorOps]]); the only floats are the trailing
+    * IEEE cosine divisions, so the full trajectory — k-means cells,
+    * assignment, centrality ranks, pair cosines, kept flags — replays
+    * bit-for-bit in the DuckDB oracle (k-means iterations unrolled as
+    * CTEs). Returns (vec_id, cell, kept 1/0) for every vector.
+    */
+  def semanticDedup(spark: SparkSession, sfDir: String,
+                    threshold: Double = 0.45,
+                    k: Int = 8, iters: Int = 2): DataFrame = {
+    val cells = kmeansSums(spark, sfDir, k, iters)
+    // assignment with the winning score retained: the score doubles as
+    // the centrality measure (higher = closer to its centroid)
+    val w = Window.partitionBy("vec_id").orderBy(desc("cellscore"), asc("cell"))
+    val assign = cellScores(spark, sfDir, Some(cells))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("vec_id"), col("cell"), col("cellscore"))
+    val wc = Window.partitionBy("cell").orderBy(desc("cellscore"), asc("vec_id"))
+    val ranked = assign.withColumn("crnk", row_number().over(wc))
+    val members = ranked.join(quantized(spark, sfDir), "vec_id")
+    // within-cell upper-triangular pair scoring: shuffle keyed on cell
+    val dropped = members.as("x").join(members.as("y"),
+        col("x.cell") === col("y.cell") && col("x.crnk") < col("y.crnk"))
+      .select(col("y.vec_id").as("vec_id"),
+        VectorOps.cosineFromQ(expr("quantized_dot(x.embedding, y.embedding)"),
+          col("x.n2"), col("y.n2")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .select("vec_id").distinct()
+    ranked.join(dropped.withColumn("isdup", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        when(col("isdup").isNull, 1).otherwise(0).as("kept"))
+      .orderBy("vec_id")
+  }
+
   /** Per-label (count, element-wise quantized sum-vector) — ONE
     * hash aggregate keyed on label, accumulating each vector into a
     * `dims`-long buffer via [[graft.plans.VecSumAgg]]. Partials combine

@@ -33,6 +33,8 @@ object SparkEntry {
     "of3_jdbc_roundtrip"  -> (graft.sources.JdbcSource.jdbcRoundtrip(_, _)),
     "of4_upsert_merge"    -> (Etl.upsertMerge(_, _)),
     "of5_cdc_apply"       -> (Etl.cdcApply(_, _)),
+    // manifest min/max data skipping through the snapshot read path
+    "of6_snapshot_prune"  -> (Etl.snapshotPrune(_, _)),
     "x16c_scd2_history"   -> (Relational.scd2History(_, _)),
     "o16_row_count"       -> (Etl.rowCount(_, _)),
     // ---- relational breadth (SURVEY §2.4 X1-X8) ----
@@ -209,6 +211,17 @@ object SparkEntry {
         |                ELSE CAST(o_totalprice AS DECIMAL(12,2)) END)
         |            AS DOUBLE) AS sum_price
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // The pruned snapshot read must equal a plain filtered aggregate
+    // over the source table — file skipping is a scan optimization,
+    // never a semantic one.
+    "of6_snapshot_prune" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+        |         AS sum_price
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate <= TIMESTAMP '1996-12-31'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // The CDC-applied snapshot equals a CASE/UNION over the clean table.
     "of5_cdc_apply" ->
       """WITH applied AS (

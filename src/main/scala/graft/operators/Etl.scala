@@ -213,6 +213,32 @@ object Etl {
       .orderBy("o_orderstatus")
   }
 
+  /** OF6: manifest-level data skipping. Commit a range-laid-out orders
+    * snapshot WITH per-file min/max stats ([[Snapshot.commitWithStats]]),
+    * then answer a one-year date-range aggregate through the pruned read
+    * path ([[Snapshot.readCurrentPruned]]): the stats manifest — not the
+    * data — decides which files the scan opens, so on the 8-file range
+    * layout only the ~files covering 1994 are read (pruning factor
+    * asserted in SnapshotSpec; at 100 TB this is the difference between
+    * scanning the table and scanning the selected year). The residual
+    * BETWEEN filter still applies inside the surviving files and pushes
+    * into the parquet scan. */
+  def snapshotPrune(spark: SparkSession, sfDir: String): DataFrame = {
+    val table =
+      java.nio.file.Files.createTempDirectory("graft_skip_").toString + "/orders"
+    val orders = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+    Snapshot.commitWithStats(
+      orders.repartitionByRange(8, col("o_orderdate"))
+        .sortWithinPartitions("o_orderdate"),
+      table, Seq("o_orderdate"))
+    Snapshot.readCurrentPruned(spark, table, "o_orderdate",
+        expr("TIMESTAMP '1996-01-01'"), expr("TIMESTAMP '1996-12-31'"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), Exact.dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
   /** Small-file compaction — the lake-maintenance pass that follows any
     * incremental sink: appends accumulate one file per batch per task,
     * and a directory of tiny files turns every downstream scan into a

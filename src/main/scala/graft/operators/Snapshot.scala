@@ -259,13 +259,35 @@ object Snapshot {
     * committed version. Racing blind commits serialize through the
     * claim: each gets its own version directory and the pointer ends on
     * the highest (monotonic advance) — nobody overwrites anybody. */
-  def commit(df: DataFrame, root: String): Long = {
+  def commit(df: DataFrame, root: String): Long =
+    commitInternal(df, root, Nil)
+
+  /** [[commit]] plus a per-file min/max/count stats manifest over
+    * `statsCols` — the data-skipping index every table format keeps
+    * (Delta's per-file stats, Iceberg's manifest column bounds). The
+    * manifest is written BEFORE the pointer swap, so any version the
+    * pointer names has its stats in place, and it is derived by
+    * re-scanning only the files just written (grouped on
+    * `input_file_name`, one map-side-combined aggregate — at 100 TB
+    * this reads back one commit's files, not the table). Pair with a
+    * range layout on the stats column (`repartitionByRange` +
+    * `sortWithinPartitions`) so file bounds are disjoint and
+    * [[readCurrentPruned]] skips all but the overlapping files. */
+  def commitWithStats(df: DataFrame, root: String,
+                      statsCols: Seq[String]): Long = {
+    require(statsCols.nonEmpty, "commitWithStats needs at least one column")
+    commitInternal(df, root, statsCols)
+  }
+
+  private def commitInternal(df: DataFrame, root: String,
+                             statsCols: Seq[String]): Long = {
     val spark = df.sparkSession
     var attempts = 0
     while (true) {
       val next = observedMax(spark, root) + 1
       if (claimVersion(spark, root, next)) {
         df.write.mode("overwrite").parquet(s"$root/v=$next")
+        if (statsCols.nonEmpty) writeStats(spark, root, next, statsCols)
         pointerAdvance(spark, root, next)
         return next
       }
@@ -274,6 +296,63 @@ object Snapshot {
         s"snapshot commit to $root lost the version claim 64 times")
     }
     -1L // unreachable
+  }
+
+  private val StatsDir = "_stats"
+
+  private def writeStats(spark: SparkSession, root: String, v: Long,
+                         statsCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    val aggs = statsCols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
+      count(lit(1)).as("n_rows")
+    spark.read.parquet(s"$root/v=$v")
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/$StatsDir/v=$v")
+  }
+
+  /** The file paths of version `v` whose `[min,max]` interval on
+    * `statsCol` overlaps `[lo, hi]` — a driver-side scan of the stats
+    * MANIFEST (O(files) metadata rows, the same listing every table
+    * format's planner does), never of the data. */
+  private[graft] def prunedFiles(spark: SparkSession, root: String, v: Long,
+                                 statsCol: String,
+                                 lo: org.apache.spark.sql.Column,
+                                 hi: org.apache.spark.sql.Column): Seq[String] = {
+    import org.apache.spark.sql.functions.col
+    spark.read.parquet(s"$root/$StatsDir/v=$v")
+      .filter(col(s"max_$statsCol") >= lo && col(s"min_$statsCol") <= hi)
+      .select("file").collect().map(_.getString(0)).toSeq
+  }
+
+  /** Range read with manifest-level data skipping: consult the current
+    * version's per-file stats and scan ONLY the files whose bounds
+    * overlap `[lo, hi]`, with the residual `BETWEEN` filter still
+    * applied (file granularity is coarse) and pushed into the parquet
+    * scan. On a range-laid-out table this turns a full-table scan into
+    * an O(selectivity) one BEFORE any file is opened — at 100 TB,
+    * skipping a file this way saves even the footer round-trip that
+    * row-group pruning would still pay. Falls back to a plain filtered
+    * scan when the version predates stats collection. */
+  def readCurrentPruned(spark: SparkSession, root: String, statsCol: String,
+                        lo: org.apache.spark.sql.Column,
+                        hi: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val v = currentVersion(spark, root).getOrElse(
+      throw new java.util.NoSuchElementException(
+        s"snapshot table $root has no committed version"))
+    val between = col(statsCol) >= lo && col(statsCol) <= hi
+    val statsPath = new org.apache.hadoop.fs.Path(root, s"$StatsDir/v=$v")
+    if (!fsOf(spark, statsPath).exists(statsPath))
+      spark.read.parquet(s"$root/v=$v").filter(between)
+    else {
+      val files = prunedFiles(spark, root, v, statsCol, lo, hi)
+      if (files.isEmpty) // no overlap: empty result, correct schema, no scan
+        spark.read.parquet(s"$root/v=$v").filter(between).filter(lit(false))
+      else spark.read.parquet(files: _*).filter(between)
+    }
   }
 
   /** Atomic pointer swap: write `_CURRENT.tmp`, then rename over the
@@ -413,7 +492,19 @@ object Snapshot {
           case _ => true // abandoned .tmp claim staging
         }
       }
-    (deadDirs ++ deadClaims).map { p =>
+    // stats manifests follow their data directory's fate
+    val statsRoot = new org.apache.hadoop.fs.Path(root, StatsDir)
+    val deadStats =
+      if (!fs.exists(statsRoot)) Seq.empty
+      else fs.listStatus(statsRoot).toSeq.map(_.getPath).filter { p =>
+        p.getName match {
+          case n if n.matches("v=\\d+") =>
+            val v = n.drop(2).toLong
+            !retained.contains(v) && !inFlight.contains(v)
+          case _ => true
+        }
+      }
+    (deadDirs ++ deadClaims ++ deadStats).map { p =>
       fs.delete(p, true); p.getName
     }
   }

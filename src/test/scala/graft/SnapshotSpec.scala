@@ -237,6 +237,51 @@ class SnapshotSpec extends SparkSuite {
     assert(e.getMessage.contains("retained: v=2, v=3"), e.getMessage)
   }
 
+  test("stats manifest prunes files by range, never changes results, and vacuums with its version") {
+    import spark.implicits._
+    val root = freshTable()
+    // 0..799 range-laid-out over 8 files: each file covers a ~100-key band
+    val df = spark.range(0, 800).select(col("id").as("k"),
+        (col("id") % 7).as("v"))
+      .repartitionByRange(8, col("k")).sortWithinPartitions("k")
+    Snapshot.commitWithStats(df, root, Seq("k"))
+    // one manifest row per data file
+    val nFiles = spark.read.parquet(s"$root/v=1")
+      .select(input_file_name()).distinct().count()
+    val manifest = spark.read.parquet(s"$root/_stats/v=1").collect()
+    assert(manifest.length == nFiles)
+    assert(manifest.map(r => r.getAs[Long]("n_rows")).sum == 800L)
+    // a narrow range touches a strict subset of files...
+    val sel = Snapshot.prunedFiles(spark, root, 1L, "k", lit(100L), lit(150L))
+    assert(sel.nonEmpty && sel.length < nFiles,
+      s"expected pruning: ${sel.length} of $nFiles files")
+    // ...and the pruned read equals the logical filter exactly
+    val pruned = Snapshot.readCurrentPruned(spark, root, "k",
+      lit(100L), lit(150L)).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Snapshot.readCurrent(spark, root)
+      .filter(col("k") >= 100L && col("k") <= 150L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pruned == full && pruned.size == 51)
+    // a range beyond every file bound: empty result, correct schema
+    val none = Snapshot.readCurrentPruned(spark, root, "k",
+      lit(5000L), lit(6000L))
+    assert(none.count() == 0L && none.columns.toSeq == Seq("k", "v"))
+    // a stats-less table falls back to the plain filtered scan
+    val plain = freshTable()
+    Snapshot.commit(df, plain)
+    assert(Snapshot.readCurrentPruned(spark, plain, "k",
+      lit(100L), lit(150L)).count() == 51L)
+    // superseding commit + vacuum sweeps the old version's manifest too
+    Snapshot.commitWithStats(df.filter(col("k") < 100), root, Seq("k"))
+    val deleted = Snapshot.vacuum(spark, root)
+    assert(deleted.contains("v=1"))
+    val statsLeft = new java.io.File(s"$root/_stats").list().toSeq
+    assert(statsLeft == Seq("v=2"), s"stale manifests: $statsLeft")
+    // the surviving version still prunes
+    assert(Snapshot.readCurrentPruned(spark, root, "k",
+      lit(0L), lit(10L)).count() == 11L)
+  }
+
   test("of4 upsert-merge through snapshots equals the logical merge") {
     val got = graft.operators.Etl.upsertMerge(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1))).toMap

@@ -776,6 +776,28 @@ object OraclesLlm {
         |SELECT t.source, t.n_total, k.n_kept, k.kept_chars, k.first_kept
         |FROM t JOIN k ON t.source = k.source
         |ORDER BY t.source""".stripMargin,
+    // Temperature mixture: isqrt weights, exact-integer thresholds,
+    // hash membership — note HUGEINT intermediates (DuckDB SUM/products)
+    // never reach the output, so types still line up with Spark.
+    "x17d_mixture_sample" ->
+      """WITH d AS (SELECT doc_id,
+        |             CASE WHEN CAST(SUBSTR(source, 4) AS INT) < 14 THEN 'web'
+        |                  WHEN CAST(SUBSTR(source, 4) AS INT) < 18 THEN 'books'
+        |                  ELSE 'code' END AS tier
+        |           FROM documents),
+        |counts AS (SELECT tier, COUNT(*) AS n_docs FROM d GROUP BY tier),
+        |c2 AS (SELECT tier, n_docs,
+        |         CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE))) AS BIGINT) AS isq
+        |       FROM counts),
+        |tot AS (SELECT CAST(SUM(isq) AS BIGINT) AS tot_isq FROM c2),
+        |th AS (SELECT tier,
+        |         LEAST(2147483647, (200 * isq * 2147483647)
+        |           // (tot_isq * n_docs)) AS threshold
+        |       FROM c2, tot)
+        |SELECT d.tier, d.doc_id
+        |FROM d JOIN th ON d.tier = th.tier
+        |WHERE (d.doc_id * 2654435761) % 2147483647 < th.threshold
+        |ORDER BY d.tier, d.doc_id""".stripMargin,
     "x19_seq_packing" ->
       """WITH d AS (SELECT doc_id,
         |             CAST(len(string_split(text, ' ')) AS BIGINT)

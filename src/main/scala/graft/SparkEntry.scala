@@ -125,6 +125,9 @@ object SparkEntry {
     "x10g_kmeans_cells"   -> ((s, d) => Similarity.kmeansCells(s, d)),
     "x17b_stratified_sample" -> (TextAnalysis.stratifiedSample(_, _)),
     "x17c_source_quota"   -> ((s, d) => TextAnalysis.sourceQuota(s, d)),
+    // temperature-weighted (α=1/2) training-mix sampling over skewed
+    // source tiers — all-integer thresholds, shuffle-free membership
+    "x17d_mixture_sample" -> ((s, d) => TextAnalysis.mixtureSample(s, d)),
     "x19_seq_packing"     -> ((s, d) => TextAnalysis.seqPacking(s, d)),
     // ---- streaming (SURVEY §2.4 X12-X13), typed UDAF (X14), multimodal ----
     "x12a_stream_tumbling" -> (graft.streaming.Streaming.tumbling(_, _)),

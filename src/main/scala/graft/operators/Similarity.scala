@@ -174,13 +174,20 @@ object Similarity {
                     threshold: Double = 0.45,
                     k: Int = 8, iters: Int = 2): DataFrame = {
     val cells = kmeansSums(spark, sfDir, k, iters)
-    // assignment with the winning score retained: the score doubles as
-    // the centrality measure (higher = closer to its centroid)
-    val w = Window.partitionBy("vec_id").orderBy(desc("cellscore"), asc("cell"))
+    // assignment with the winning score retained (the score doubles as
+    // the centrality measure — higher = closer to its centroid), as ONE
+    // map-side-combined max_by aggregate: a row_number window here
+    // would shuffle all N×k scored rows on vec_id; the aggregate
+    // combines the k candidates per vector before the exchange, so the
+    // shuffle carries one row per vector. The (score desc, cell asc)
+    // tiebreak is total, so the argmax is exactly the oracle's
+    // ROW_NUMBER() = 1 row.
     val assign = cellScores(spark, sfDir, Some(cells))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") === 1)
-      .select(col("vec_id"), col("cell"), col("cellscore"))
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("cell"), col("cellscore")),
+        struct(col("cellscore"), (-col("cell")).as("nc"))).as("w"))
+      .select(col("vec_id"), col("w.cell").as("cell"),
+        col("w.cellscore").as("cellscore"))
     val wc = Window.partitionBy("cell").orderBy(desc("cellscore"), asc("vec_id"))
     val ranked = assign.withColumn("crnk", row_number().over(wc))
     val members = ranked.join(quantized(spark, sfDir), "vec_id")

@@ -471,6 +471,51 @@ object TextAnalysis {
     * PlanSpec) — a dominant source never materializes its full row set
     * on one reducer; each map task forwards at most k rows per source.
     */
+  /** Temperature-weighted mixture sampling — the training-mix primitive
+    * that sets per-source sampling rates by `w_s ∝ c_s^α` (α = 1/2
+    * here, the multilingual-training upweighting of rare sources) and
+    * materializes the mix with a deterministic per-row hash test. The
+    * fixture's 20 uniform sources are folded into three skewed tiers
+    * (web/books/code) so the temperature actually re-weights: a rare
+    * tier's keep-RATE comes out higher than proportional sampling
+    * would give it, a dominant tier's lower.
+    *
+    * Exactness: c^(1/2) is taken as ISQRT (floor of the IEEE sqrt of an
+    * exact integer — identical in any IEEE engine), so the weight
+    * normalizer Σ isqrt is an exact BIGINT sum and each tier's keep
+    * threshold `min(P, T·isqrt·P div (Σisqrt·c))` is pure integer
+    * arithmetic: no float accumulation anywhere, the oracle replays
+    * bit-for-bit.
+    *
+    * 100 TB shape: per-tier counts are one map-side-combined aggregate;
+    * the thresholds are a broadcast relation of one row per tier; and
+    * membership is a shuffle-free per-row integer predicate — the mix
+    * materializes in a single pass with no repartition of the corpus
+    * (contrast [[sourceQuota]]'s top-k, which needs per-source ranking).
+    */
+  def mixtureSample(spark: SparkSession, sfDir: String,
+                    target: Long = 200L): DataFrame = {
+    val tier = {
+      val sfx = substring(col("source"), 4, 10).cast(IntegerType)
+      when(sfx < 14, "web").when(sfx < 18, "books").otherwise("code")
+    }
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), tier.as("tier"))
+    val counts = docs.groupBy("tier")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("isq",
+        floor(sqrt(col("n_docs").cast(DoubleType))).cast(LongType))
+    val tot = counts.agg(sum(col("isq")).as("tot_isq"))
+    val thresholds = counts.crossJoin(broadcast(tot))
+      .select(col("tier"),
+        expr(s"least(CAST($P AS BIGINT), ($target * isq * $P) div (tot_isq * n_docs))")
+          .as("threshold"))
+    docs.join(broadcast(thresholds), "tier")
+      .filter((col("doc_id") * lit(2654435761L)) % lit(P) < col("threshold"))
+      .select(col("tier"), col("doc_id"))
+      .orderBy("tier", "doc_id")
+  }
+
   def sourceQuota(spark: SparkSession, sfDir: String,
                   quota: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window

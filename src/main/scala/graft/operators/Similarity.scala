@@ -285,9 +285,17 @@ object Similarity {
                             nprobe: Int,
                             cells: Option[DataFrame]): DataFrame = {
     val cs = cellScores(spark, sfDir, cells).cache()
+    // corpus assignment: ONE map-side-combined max_by aggregate — a
+    // row_number window here would shuffle all N×k scored rows on
+    // vec_id; the aggregate combines each vector's k candidates before
+    // the exchange. The (score desc, cell asc) tiebreak is total, so
+    // the argmax equals the oracle's ROW_NUMBER() = 1 row exactly.
+    val assign = cs.groupBy("vec_id")
+      .agg(max_by(col("cell"),
+        struct(col("cellscore"), (-col("cell")).as("nc"))).as("cell"))
+    // probe ranking needs top-NPROBE (not just the argmax) but only for
+    // the bounded query set — the window's shuffle is queries × k rows
     val w = Window.partitionBy("vec_id").orderBy(desc("cellscore"), asc("cell"))
-    val assign = cs.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") === 1).select(col("vec_id"), col("cell"))
     val probes = cs.filter(col("vec_id") < NQueries)
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= nprobe)
@@ -387,14 +395,16 @@ object Similarity {
     var cells = vecs.filter(col("vec_id") < k)
       .select(col("vec_id").as("cell"), lit(1L).as("n"), col("qv").as("s"))
     for (_ <- 1 to iters) {
-      val w = Window.partitionBy("vec_id").orderBy(desc("score"), asc("cell"))
+      // argmax as a map-side-combined max_by (not a row_number window,
+      // which would shuffle N×k scored rows per iteration); the
+      // (score desc, cell asc) tiebreak is total → same assignment
       val assign = vecs.crossJoin(broadcast(cells))
         .select(col("vec_id"), col("cell"),
           (VectorOps.dotQ(col("qv"), col("s")).cast(DoubleType) / col("n"))
             .as("score"))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") === 1)
-        .select(col("vec_id"), col("cell"))
+        .groupBy("vec_id")
+        .agg(max_by(col("cell"),
+          struct(col("score"), (-col("cell")).as("nc"))).as("cell"))
       cells = vecs.join(assign, "vec_id")
         .groupBy("cell")
         .agg(count(lit(1)).as("n"), expr("vec_sum(qv)").as("s"))
@@ -499,15 +509,16 @@ object Similarity {
 
   /** Nearest codeword per (vector, subspace) under exact integer L2
     * with a total (dist, cell) tiebreak. */
-  private[graft] def pqAssign(subs: DataFrame, cb: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id", "sub").orderBy(asc("dist"), asc("cell"))
+  private[graft] def pqAssign(subs: DataFrame, cb: DataFrame): DataFrame =
+    // argmin as a map-side-combined min_by on exact BIGINT distances —
+    // a row_number window here would shuffle N×m×k scored rows; the
+    // (dist asc, cell asc) tiebreak is total → same codes
     subs.join(broadcast(cb), "sub")
       .select(col("vec_id"), col("sub"), col("cell"),
         l2Q(col("sq"), col("cq")).as("dist"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") === 1)
+      .groupBy("vec_id", "sub")
+      .agg(min_by(col("cell"), struct(col("dist"), col("cell"))).as("cell"))
       .select("vec_id", "sub", "cell")
-  }
 
   /** Product-quantization codebooks: per subspace, Lloyd's k-means
     * (k = 4, 2 fixed iterations, low-id singleton seeds) over the

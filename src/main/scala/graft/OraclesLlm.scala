@@ -35,14 +35,20 @@ object OraclesLlm {
     * requires the `toks` CTE). The gram is `width` consecutive tokens
     * joined with single spaces — identical to the Spark side's
     * `shingleArrOf(arr, width)` string before hashing. */
-  private def ngramPairCtesOf(width: Int): String = {
+  /** Distinct width-n gram-id CTEs `g0`/`grams0` (mirrors the Spark
+    * side's `shingleArrOf(arr, width)` string before hashing). */
+  private def gramCtesOf(width: Int): String = {
     val als = ('a' to 'z').take(width).map(_.toString)
     val concat = als.map(_ + ".tok").mkString("||' '||")
     val joins = als.tail.zipWithIndex.map { case (al, i) =>
       s"JOIN toks $al ON a.doc_id=$al.doc_id AND $al.ord=a.ord+${i + 1}"
     }.mkString(" ")
     s"""g0 AS (SELECT a.doc_id, $concat AS gram FROM toks a $joins),
-       |grams0 AS (SELECT DISTINCT doc_id, ${polyHash("gram")} AS gid FROM g0),
+       |grams0 AS (SELECT DISTINCT doc_id, ${polyHash("gram")} AS gid FROM g0)""".stripMargin
+  }
+
+  private def ngramPairCtesOf(width: Int): String = {
+    s"""${gramCtesOf(width)},
        |hot AS (SELECT gid FROM grams0 GROUP BY gid HAVING COUNT(*) > 300),
        |grams AS (SELECT * FROM grams0 g
        |          WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.gid = g.gid)),
@@ -465,6 +471,29 @@ object OraclesLlm {
          |FROM npairs p JOIN sp sa ON p.doc_a = sa.doc_id
          |              JOIN sp sb ON p.doc_b = sb.doc_id
          |GROUP BY 1, 2 ORDER BY split_a, split_b""".stripMargin,
+    // Decontamination: width-8 gram ids, test-split gram set, per-train-
+    // doc hit counts (HUGEINT sums pinned back to BIGINT for Spark).
+    "x09m_benchmark_decontam" ->
+      s"""WITH $toks,
+         |${gramCtesOf(8)},
+         |sp AS (SELECT doc_id,
+         |         CASE WHEN ((doc_id * 2654435761) % 2147483647) % 10 < 8
+         |                THEN 'train'
+         |              WHEN ((doc_id * 2654435761) % 2147483647) % 10 = 8
+         |                THEN 'valid'
+         |              ELSE 'test' END AS split
+         |       FROM documents),
+         |bench AS (SELECT DISTINCT gid FROM grams0 g
+         |          JOIN sp ON g.doc_id = sp.doc_id WHERE sp.split = 'test'),
+         |tr AS (SELECT g.doc_id, g.gid FROM grams0 g
+         |       JOIN sp ON g.doc_id = sp.doc_id WHERE sp.split = 'train')
+         |SELECT t.doc_id, COUNT(*) AS n_grams,
+         |       CAST(SUM(CASE WHEN b.gid IS NOT NULL THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_hit_grams
+         |FROM tr t LEFT JOIN bench b ON t.gid = b.gid
+         |GROUP BY t.doc_id
+         |HAVING SUM(CASE WHEN b.gid IS NOT NULL THEN 1 ELSE 0 END) > 0
+         |ORDER BY t.doc_id""".stripMargin,
     "x11f_clean_text" ->
       """SELECT doc_id,
         |       CAST(length(clean) AS INT) AS clean_len,

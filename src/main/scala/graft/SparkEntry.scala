@@ -101,6 +101,9 @@ object SparkEntry {
     "x11f_clean_text"     -> (TextAnalysis.cleanText(_, _)),
     "x11g_chunking"       -> ((s, d) => TextAnalysis.chunkDocs(s, d)),
     "x09h_contamination"  -> (Dedup.contamination(_, _)),
+    // eval-set scrub: train docs sharing any width-8 shingle with the
+    // held-out split; benchmark gram set broadcasts, corpus never shuffles
+    "x09m_benchmark_decontam" -> (Dedup.benchmarkDecontam(_, _)),
     "x09i_chunk_dedup"    -> ((s, d) => Dedup.chunkDedup(s, d)),
     "x09j_edit_distance"  -> (Dedup.editDistancePairs(_, _)),
     "x11h_repetition"     -> (TextAnalysis.repetition(_, _)),

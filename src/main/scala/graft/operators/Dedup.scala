@@ -418,6 +418,45 @@ object Dedup {
       .orderBy("split_a", "split_b")
   }
 
+  /** Benchmark decontamination — the eval-set n-gram scrub every
+    * training corpus runs before release: flag TRAIN documents sharing
+    * any width-8 token shingle with the held-out TEST split (standing
+    * in for a benchmark suite; same [[TextAnalysis.splitOf]] hash the
+    * split and the x09h audit use). Wide shingles are the industry
+    * norm (8-13 tokens) because a shared span that long is vanishingly
+    * unlikely by chance — a hit means real leakage.
+    *
+    * 100 TB shape: the benchmark gram set is tiny relative to the
+    * corpus (eval suites are fixed-size; here distinct test-split
+    * grams), so it BROADCASTS and the corpus-side gram stream is
+    * probed in place — no shuffle of corpus data at all; the only
+    * exchange is the per-doc count aggregate, map-side combined.
+    * Grams travel as content-hash BIGINT ids, never strings. Emits
+    * (doc_id, n_grams, n_hit_grams) for contaminated train docs.
+    */
+  def benchmarkDecontam(spark: SparkSession, sfDir: String,
+                        width: Int = 8): DataFrame = {
+    // per-doc gram dedup happens INSIDE the array (array_distinct before
+    // the explode), so the corpus-side gram stream needs no distinct
+    // exchange at all — a global `.distinct()` here would shuffle every
+    // (doc_id, gid) row just to dedup within documents
+    val grams = tokArr(Tables.documents(spark, sfDir))
+      .filter(size(col("arr")) >= width)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(shingleArrOf(col("arr"), width),
+          s => TextAnalysis.polyHash(s)))).as("gid"))
+      .withColumn("split", TextAnalysis.splitOf(col("doc_id")))
+    val benchGrams = grams.filter(col("split") === "test")
+      .select("gid").distinct()
+    grams.filter(col("split") === "train")
+      .join(broadcast(benchGrams.withColumn("hit", lit(1))), Seq("gid"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0))).cast(LongType).as("n_hit_grams"))
+      .filter(col("n_hit_grams") > 0)
+      .orderBy("doc_id")
+  }
+
   /** N-gram (bigram) Jaccard similarity via inverted-index candidate
     * generation: docs sharing at least one bigram are joined through the
     * bigram (an equi-join — the classic scalable near-dup plan), then

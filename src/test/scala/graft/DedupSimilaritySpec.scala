@@ -280,6 +280,29 @@ class DedupSimilaritySpec extends SparkSuite {
       .collect().forall(_.getInt(2) == 1))
   }
 
+  test("benchmark decontamination flags exactly the train docs sharing an 8-gram with test") {
+    val out = Dedup.benchmarkDecontam(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    def split(id: Long): String = {
+      val b = ((id * 2654435761L) % 2147483647L) % 10
+      if (b < 8) "train" else if (b == 8) "valid" else "test"
+    }
+    def grams(toks: Seq[String]): Set[String] =
+      toks.sliding(8).filter(_.size == 8).map(_.mkString(" ")).toSet
+    val bench = docs.collect { case (id, t) if split(id) == "test" => grams(t) }
+      .foldLeft(Set.empty[String])(_ ++ _)
+    val expected = docs.toSeq.collect {
+      case (id, t) if split(id) == "train" && t.size >= 8 =>
+        val g = grams(t)
+        (id, g.size.toLong, g.count(bench.contains).toLong)
+    }.filter(_._3 > 0).sortBy(_._1)
+    assert(out.toSeq.sortBy(_._1) == expected)
+    assert(expected.nonEmpty, "fixture plants cross-split near-dups; none hit")
+  }
+
   test("prefix filter catches pairs exactly at the jaccard threshold (regression)") {
     // Boundary construction: two 5-token docs sharing 3 of their 4
     // bigrams, each with one globally-unique bigram -> J = 3/5 exactly,

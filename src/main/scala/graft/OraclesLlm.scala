@@ -523,9 +523,6 @@ object OraclesLlm {
         |SELECT true_label, label AS predicted_label, COUNT(*) AS n_vecs
         |FROM r WHERE rnk = 1
         |GROUP BY 1, 2 ORDER BY true_label, predicted_label""".stripMargin,
-    // Lloyd's k-means, iterations UNROLLED as CTE pairs (score+argmax →
-    // rebuild): every compare is on exact integers or on doubles formed
-    // identically from them, and the argmax tiebreak is total, so the
     // SemDeDup: k-means cells (trajectory CTEs above), assignment with
     // retained centroid score, per-cell centrality rank, and the
     // upper-triangular within-cell cosine drop rule — integer dots,
@@ -559,6 +556,9 @@ object OraclesLlm {
          |       CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept
          |FROM ranked r LEFT JOIN dup d ON r.vec_id = d.vec_id
          |ORDER BY r.vec_id""".stripMargin,
+    // Lloyd's k-means, iterations UNROLLED as CTE pairs (score+argmax →
+    // rebuild): every compare is on exact integers or on doubles formed
+    // identically from them, and the argmax tiebreak is total, so the
     // whole trajectory replays bit-for-bit.
     "x10g_kmeans_cells" ->
       s"""WITH $vecCtes,

@@ -218,7 +218,7 @@ object Etl {
     * then answer a one-year date-range aggregate through the pruned read
     * path ([[Snapshot.readCurrentPruned]]): the stats manifest — not the
     * data — decides which files the scan opens, so on the 8-file range
-    * layout only the ~files covering 1994 are read (pruning factor
+    * layout only the ~files covering 1996 are read (pruning factor
     * asserted in SnapshotSpec; at 100 TB this is the difference between
     * scanning the table and scanning the selected year). The residual
     * BETWEEN filter still applies inside the surviving files and pushes

@@ -108,6 +108,10 @@ object Snapshot {
       if (claimVersion(spark, root, base + 1)) {
         spark.read.parquet(s"$root/v=$base").repartition(numFiles)
           .write.mode("overwrite").parquet(s"$root/v=${base + 1}")
+        // a stats-carrying table keeps its data-skipping index across
+        // maintenance passes: re-derive the manifest for the new files
+        val sc = statsColsOf(spark, root, base)
+        if (sc.nonEmpty) writeStats(spark, root, base + 1, sc)
         if (pointerAdvance(spark, root, base + 1)) return base + 1
       } else {
         val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
@@ -300,6 +304,16 @@ object Snapshot {
 
   private val StatsDir = "_stats"
 
+  /** The stats columns version `v`'s manifest covers (recovered from
+    * its schema's `min_*` fields), or Nil for a stats-less version. */
+  private def statsColsOf(spark: SparkSession, root: String,
+                          v: Long): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(root, s"$StatsDir/v=$v")
+    if (!fsOf(spark, p).exists(p)) Nil
+    else spark.read.parquet(p.toString).schema.fieldNames.toSeq
+      .collect { case n if n.startsWith("min_") => n.stripPrefix("min_") }
+  }
+
   private def writeStats(spark: SparkSession, root: String, v: Long,
                          statsCols: Seq[String]): Unit = {
     import org.apache.spark.sql.functions._
@@ -416,6 +430,10 @@ object Snapshot {
         val merged = changes.unionByName(
           baseDf.join(changes.select(key), Seq(key), "left_anti"))
         merged.write.mode("overwrite").parquet(s"$root/v=${base + 1}")
+        // carry the base's stats manifest forward (same contract as
+        // compact: maintenance must not silently kill data skipping)
+        val sc = statsColsOf(spark, root, base)
+        if (sc.nonEmpty) writeStats(spark, root, base + 1, sc)
         if (pointerAdvance(spark, root, base + 1)) return base + 1
         // a concurrent blind commit claimed a higher version and swapped
         // first — this merge never became current; recompute on the head
@@ -504,8 +522,10 @@ object Snapshot {
           case _ => true
         }
       }
-    (deadDirs ++ deadClaims ++ deadStats).map { p =>
+    (deadDirs ++ deadClaims).map { p =>
       fs.delete(p, true); p.getName
+    } ++ deadStats.map { p => // disambiguate from the data dir's "v=N"
+      fs.delete(p, true); s"$StatsDir/${p.getName}"
     }
   }
 

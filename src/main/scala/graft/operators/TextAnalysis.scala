@@ -134,12 +134,24 @@ object TextAnalysis {
     * can drive a partitioned write). Emits per-split counts + exact
     * content totals as the auditable summary.
     */
+  /** The shared membership/ordering hash `(key · a) mod P`, computed
+    * `((key mod P) · a) mod P`: identical to the raw form for every
+    * key < 2^31 (all fixtures — the oracles keep the unreduced
+    * expression, and DuckDB's overflow-checked BIGINT would error
+    * rather than wrap anyway), and overflow-safe for full 64-bit ids
+    * at corpus scale — `(key mod P) < 2^31` and `a < 2^32` keep the
+    * product under 2^63, where the raw `key · a` wraps negative past
+    * key ≈ 3.47e9 and would silently pass every `< threshold` test. */
+  private[operators] def keyHash(key: Column,
+                                 a: Long = 2654435761L): Column =
+    ((key % lit(P)) * lit(a)) % lit(P)
+
   /** The split-assignment hash shared by [[trainTestSplit]] and
     * `Dedup.contamination` (ONE definition — the contamination audit
     * must agree with the split it audits) and mirrored in the DuckDB
     * oracles. */
   def splitOf(key: Column): Column = {
-    val bucket = ((key * lit(2654435761L)) % lit(2147483647L)) % 10
+    val bucket = keyHash(key) % 10
     when(bucket < 8, "train").when(bucket === 8, "valid").otherwise("test")
   }
 
@@ -187,7 +199,7 @@ object TextAnalysis {
       case (acc, (l, r)) => acc.when(col("lang") === l, r)
     }.otherwise(0)
     Tables.documents(spark, sfDir)
-      .withColumn("h", ((col("doc_id") * lit(2654435761L)) % lit(2147483647L)) % 1000)
+      .withColumn("h", keyHash(col("doc_id")) % 1000)
       .withColumn("kept", (col("h") < rate).cast("int"))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_total"),
@@ -439,8 +451,8 @@ object TextAnalysis {
   def seqPacking(spark: SparkSession, sfDir: String,
                  budgetBits: Int = 9, shards: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val lane = ((col("doc_id") * lit(2654435761L)) % lit(P)) % shards
-    val ord = (col("doc_id") * lit(1540483477L)) % lit(P)
+    val lane = keyHash(col("doc_id")) % shards
+    val ord = keyHash(col("doc_id"), a = 1540483477L)
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast(LongType).as("n_tokens"),
@@ -511,7 +523,7 @@ object TextAnalysis {
         expr(s"least(CAST($P AS BIGINT), ($target * isq * $P) div (tot_isq * n_docs))")
           .as("threshold"))
     docs.join(broadcast(thresholds), "tier")
-      .filter((col("doc_id") * lit(2654435761L)) % lit(P) < col("threshold"))
+      .filter(keyHash(col("doc_id")) < col("threshold"))
       .select(col("tier"), col("doc_id"))
       .orderBy("tier", "doc_id")
   }
@@ -521,7 +533,7 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"), col("n_chars"),
-        ((col("doc_id") * lit(2654435761L)) % lit(P)).as("h"))
+        (keyHash(col("doc_id"))).as("h"))
     val kept = docs
       .withColumn("rn", row_number().over(
         Window.partitionBy("source").orderBy(col("h"), col("doc_id"))))

@@ -280,6 +280,20 @@ class SnapshotSpec extends SparkSuite {
     // the surviving version still prunes
     assert(Snapshot.readCurrentPruned(spark, root, "k",
       lit(0L), lit(10L)).count() == 11L)
+    // maintenance must not kill the data-skipping index: compaction and
+    // merge both re-derive the manifest for the version they write
+    val cv = Snapshot.compact(spark, root, numFiles = 4)
+    assert(new java.io.File(s"$root/_stats/v=$cv").exists(),
+      "compact dropped the stats manifest")
+    assert(Snapshot.readCurrentPruned(spark, root, "k",
+      lit(0L), lit(10L)).count() == 11L)
+    Snapshot.mergeCommit(spark, root, Seq((5L, 99L)).toDF("k", "v"), "k")
+    val mv = Snapshot.currentVersion(spark, root).get
+    assert(new java.io.File(s"$root/_stats/v=$mv").exists(),
+      "mergeCommit dropped the stats manifest")
+    val after = Snapshot.readCurrentPruned(spark, root, "k",
+      lit(5L), lit(5L)).collect()
+    assert(after.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((5L, 99L)))
   }
 
   test("of4 upsert-merge through snapshots equals the logical merge") {

@@ -790,6 +790,25 @@ object OraclesLlm {
          |       COUNT(*) AS n_tokens
          |FROM toks t
          |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+    // Vocab coverage: all-integer cum·100 ≥ pct·total probe (HUGEINT
+    // window sums / MIN pinned back to BIGINT to match Spark's longs).
+    "x11m_vocab_coverage" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok
+        |           FROM documents),
+        |c AS (SELECT tok, COUNT(*) AS n FROM t GROUP BY tok),
+        |r AS (SELECT tok, n,
+        |        ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rnk,
+        |        CAST(SUM(n) OVER (ORDER BY n DESC, tok
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |      FROM c),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total_tokens FROM c),
+        |p(pct) AS (VALUES (50), (90), (95), (99))
+        |SELECT p.pct, CAST(MIN(r.rnk) AS BIGINT) AS vocab_size,
+        |       CAST(MIN_BY(r.cum, r.rnk) AS BIGINT) AS covered_tokens,
+        |       MIN(tot.total_tokens) AS total_tokens
+        |FROM r, tot, p
+        |WHERE r.cum * 100 >= p.pct * tot.total_tokens
+        |GROUP BY p.pct ORDER BY p.pct""".stripMargin,
     "x17c_source_quota" ->
       """WITH r AS (SELECT doc_id, source, n_chars,
         |             ROW_NUMBER() OVER (PARTITION BY source

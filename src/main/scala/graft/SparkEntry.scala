@@ -108,6 +108,8 @@ object SparkEntry {
     "x09j_edit_distance"  -> (Dedup.editDistancePairs(_, _)),
     "x11h_repetition"     -> (TextAnalysis.repetition(_, _)),
     "x11l_bm25"           -> ((s, d) => TextAnalysis.bm25Top(s, d)),
+    // tokenizer-prep: smallest vocab prefix covering p% of occurrences
+    "x11m_vocab_coverage" -> ((s, d) => TextAnalysis.vocabCoverage(s, d)),
     // which copy survives dedup: per-cluster canonical representative
     "x09k_canonical"      -> (Dedup.canonicalDocs(_, _)),
     "x11i_pii_redaction"  -> (TextAnalysis.piiRedaction(_, _)),

@@ -483,6 +483,44 @@ object TextAnalysis {
     * PlanSpec) — a dominant source never materializes its full row set
     * on one reducer; each map task forwards at most k rows per source.
     */
+  /** Vocabulary coverage curve — the tokenizer-prep question "how many
+    * vocabulary entries cover p% of all token occurrences": token
+    * counts ranked by (count desc, token asc), running coverage, and
+    * for each requested percentile the smallest vocabulary prefix that
+    * clears it. All integer arithmetic (`cum·100 ≥ pct·total` instead
+    * of a float ratio), so the curve replays exactly.
+    *
+    * 100 TB shape: the corpus collapses to the VOCAB relation in one
+    * map-side-combined count aggregate (the only corpus-sized
+    * exchange); the ranking window and cumulative sum then run over
+    * distinct tokens — orders of magnitude smaller than the corpus,
+    * and the standard single-sort step of every real vocab build (BPE
+    * training does the same global frequency sort). The percentile
+    * probe is a broadcast of a literal handful of rows.
+    */
+  def vocabCoverage(spark: SparkSession, sfDir: String,
+                    pcts: Seq[Int] = Seq(50, 90, 95, 99)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val c = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(desc("n"), asc("tok"))
+    val ranked = c
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .withColumn("cum", sum("n").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = c.agg(sum("n").as("total_tokens"))
+    val probes = pcts.toDF("pct")
+    ranked.crossJoin(broadcast(tot)).crossJoin(broadcast(probes))
+      .filter(col("cum") * 100 >= col("pct") * col("total_tokens"))
+      .groupBy("pct")
+      .agg(min("rnk").as("vocab_size"),
+        min_by(col("cum"), col("rnk")).as("covered_tokens"),
+        min("total_tokens").as("total_tokens"))
+      .orderBy("pct")
+  }
+
   /** Temperature-weighted mixture sampling — the training-mix primitive
     * that sets per-source sampling rates by `w_s ∝ c_s^α` (α = 1/2
     * here, the multilingual-training upweighting of rare sources) and

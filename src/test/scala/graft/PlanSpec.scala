@@ -100,6 +100,29 @@ class PlanSpec extends SparkSuite {
       s"df-ceiling anti-join should broadcast:\n$njPlan")
   }
 
+  test("round-5 ops keep their scale-shape plans") {
+    import graft.operators.{Dedup, TextAnalysis}
+    // decontamination: the benchmark gram set is the BUILD side of a
+    // broadcast join — the corpus-side gram stream must never sort-merge
+    val dcPlan = plan(Dedup.benchmarkDecontam(spark, sf))
+    assert(dcPlan.contains("BroadcastHashJoin") && !dcPlan.contains("SortMergeJoin"),
+      s"benchmark grams should broadcast:\n$dcPlan")
+    // mixture sampling: thresholds broadcast; membership is a per-row
+    // filter — the docs relation must not hash-shuffle (the only
+    // exchanges are the tiny tier-count aggregate and the output sort)
+    val mxPlan = plan(TextAnalysis.mixtureSample(spark, sf))
+    assert(mxPlan.contains("BroadcastHashJoin") && !mxPlan.contains("SortMergeJoin"),
+      s"mixture thresholds should broadcast:\n$mxPlan")
+    // vocab coverage: the global window runs over the vocab relation
+    // AFTER the count aggregate collapsed the corpus — assert the
+    // single-partition stage consumes an aggregate, not raw tokens
+    val vcPlan = plan(TextAnalysis.vocabCoverage(spark, sf))
+    assert(vcPlan.contains("Exchange SinglePartition"),
+      s"vocab ranking is a deliberate vocab-sized sort:\n$vcPlan")
+    assert(vcPlan.contains("HashAggregate"),
+      s"corpus must collapse to counts before the window:\n$vcPlan")
+  }
+
   test("interval join plans as an equi-join on (user, bucket), not a cross product") {
     val p = plan(Relational.intervalJoin(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -72,6 +72,24 @@ class EdgeCaseSpec extends SparkSuite {
     assert(conf.length == 1 && conf.head.getLong(2) == 1L)
   }
 
+  test("round-5 ops are empty- and single-row-safe") {
+    // empty corpus: every pipeline flows to zero rows, no NULL crashes
+    assert(Similarity.semanticDedup(spark, emptySf).count() == 0)
+    assert(Dedup.benchmarkDecontam(spark, emptySf).count() == 0)
+    assert(TextAnalysis.mixtureSample(spark, emptySf).count() == 0)
+    assert(TextAnalysis.vocabCoverage(spark, emptySf).count() == 0)
+    // one document / one vector
+    val sd = Similarity.semanticDedup(spark, oneSf).collect()
+    assert(sd.length == 1 && sd.head.getInt(2) == 1,
+      "a lone vector must keep itself")
+    assert(Dedup.benchmarkDecontam(spark, oneSf).count() == 0,
+      "no test split → nothing can be contaminated")
+    val mx = TextAnalysis.mixtureSample(spark, oneSf).collect()
+    assert(mx.length == 1, "a lone doc saturates its tier's rate at 1")
+    val vc = TextAnalysis.vocabCoverage(spark, oneSf).collect()
+    assert(vc.length == 4 && vc.forall(_.getLong(1) >= 1))
+  }
+
   test("partition cache defines empty-key AVG as 0 (reference crashes)") {
     val cacheDir = java.nio.file.Files.createTempDirectory("graft_ec_").toString
     val (avg, src) = PartitionCache.calcAvg(spark, sf, cacheDir, "ZZZ")

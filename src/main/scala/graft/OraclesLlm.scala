@@ -846,6 +846,61 @@ object OraclesLlm {
         |FROM d JOIN th ON d.tier = th.tier
         |WHERE (d.doc_id * 2654435761) % 2147483647 < th.threshold
         |ORDER BY d.tier, d.doc_id""".stripMargin,
+    // Repeated-substring spans: stride-1 width-8 gram ids, cross-doc
+    // repeated grams (min<>max doc), islands interval merge (mirrors
+    // Dedup.repeatedSpans).
+    "x09n_repeated_spans" -> {
+      val als = ('a' to 'h').map(_.toString)
+      val cat = als.map(_ + ".tok").mkString("||' '||")
+      val joins = als.tail.zipWithIndex.map { case (al, i) =>
+        s"JOIN toks $al ON a.doc_id=$al.doc_id AND $al.ord=a.ord+${i + 1}"
+      }.mkString(" ")
+      s"""WITH $toks,
+         |g AS (SELECT a.doc_id, a.ord AS start, ${polyHash(cat)} AS gid
+         |      FROM toks a $joins),
+         |rep AS (SELECT gid FROM g GROUP BY gid
+         |        HAVING MIN(doc_id) <> MAX(doc_id)),
+         |sp AS (SELECT g.doc_id, g.start, g.start + 7 AS e
+         |       FROM g JOIN rep USING (gid)),
+         |wm AS (SELECT doc_id, start, e,
+         |         MAX(e) OVER (PARTITION BY doc_id ORDER BY start
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+         |       FROM sp),
+         |f AS (SELECT doc_id, start, e,
+         |        CASE WHEN pm IS NULL OR start > pm THEN 1 ELSE 0 END AS news
+         |      FROM wm),
+         |i AS (SELECT doc_id, start, e,
+         |        CAST(SUM(news) OVER (PARTITION BY doc_id ORDER BY start
+         |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS isl FROM f)
+         |SELECT doc_id, MIN(start) AS span_start, MAX(e) AS span_end,
+         |       MAX(e) - MIN(start) + 1 AS span_tokens,
+         |       COUNT(*) AS n_grams
+         |FROM i GROUP BY doc_id, isl ORDER BY doc_id, span_start""".stripMargin
+    },
+    // Bigram-LM surprisal: exact BIGINT numerator/denominator sums, one
+    // IEEE division per doc, integer-compare buckets (mirrors
+    // TextAnalysis.lmScore; DuckDB HUGEINT sums pinned back to BIGINT).
+    "x11n_lm_score" ->
+      s"""WITH $toks,
+         |h AS (SELECT doc_id, ord, ${polyHash("tok")} AS h FROM toks),
+         |bg AS (SELECT a.doc_id, a.h AS h1, a.h*2147483648 + b.h AS bid
+         |       FROM h a JOIN h b ON a.doc_id=b.doc_id AND b.ord=a.ord+1),
+         |c1 AS (SELECT h, COUNT(*) AS c1 FROM h GROUP BY h),
+         |v AS (SELECT COUNT(*) AS v FROM c1),
+         |c12 AS (SELECT bid, COUNT(*) AS c12 FROM bg GROUP BY bid),
+         |s AS (SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+         |        CAST(SUM(CASE WHEN c12.c12 = 1 THEN 1 ELSE 0 END)
+         |          AS BIGINT) AS n_hapax,
+         |        CAST(SUM(c1.c1 + v.v) AS BIGINT) AS sden,
+         |        CAST(SUM(c12.c12 + 1) AS BIGINT) AS snum
+         |      FROM bg JOIN c12 USING (bid) JOIN c1 ON bg.h1 = c1.h, v
+         |      GROUP BY 1)
+         |SELECT doc_id, n_bigrams, n_hapax,
+         |       CAST(sden AS DOUBLE)/CAST(snum AS DOUBLE) AS surprisal,
+         |       CASE WHEN sden < snum*30 THEN 'head'
+         |            WHEN sden < snum*31 THEN 'middle'
+         |            ELSE 'tail' END AS bucket
+         |FROM s ORDER BY doc_id""".stripMargin,
     "x19_seq_packing" ->
       """WITH d AS (SELECT doc_id,
         |             CAST(len(string_split(text, ' ')) AS BIGINT)

@@ -110,6 +110,12 @@ object SparkEntry {
     "x11l_bm25"           -> ((s, d) => TextAnalysis.bm25Top(s, d)),
     // tokenizer-prep: smallest vocab prefix covering p% of occurrences
     "x11m_vocab_coverage" -> ((s, d) => TextAnalysis.vocabCoverage(s, d)),
+    // Lee-et-al exact repeated-substring spans: stride-1 gram
+    // fingerprints, cross-doc repeats, per-doc interval merge
+    "x09n_repeated_spans" -> (Dedup.repeatedSpans(_, _)),
+    // CCNet-style corpus-trained bigram-LM fluency scoring: exact
+    // ratio-of-sums surprisal, head/middle/tail perplexity buckets
+    "x11n_lm_score"       -> (TextAnalysis.lmScore(_, _)),
     // which copy survives dedup: per-cluster canonical representative
     "x09k_canonical"      -> (Dedup.canonicalDocs(_, _)),
     "x11i_pii_redaction"  -> (TextAnalysis.piiRedaction(_, _)),

@@ -461,6 +461,67 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Exact repeated-substring spans — the "Deduplicating Training Data
+    * Makes Language Models Better" (Lee et al., 2022) primitive: find
+    * every maximal token span that occurs verbatim in more than one
+    * document, as the per-doc intervals a substring-dedup pass would
+    * cut. The paper builds a suffix array; the Spark-native shape is
+    * stride-1 width-`w` gram fingerprints (every length-≥w repeat is a
+    * union of overlapping width-w repeats, so merged gram intervals
+    * recover exactly the maximal repeated spans down to resolution w).
+    *
+    * Plan: (1) stride-1 width-8 gram ids are a pure per-row projection
+    * (the chunking machinery's [[shingleArrOf]] + content hash — no
+    * self-join, no window over the token stream); (2) "occurs in ≥2
+    * docs" is `min(doc_id) <> max(doc_id)` per gram — ONE map-side-
+    * combined aggregate, no countDistinct; (3) span rows join back to
+    * the repeated-gram set by BIGINT key (keyed equi-join, sharded by
+    * gram — never corpus×corpus; the repeated set is the duplicated
+    * mass only, tiny on a deduped corpus); (4) interval merge is a
+    * window PARTITIONED BY doc — bounded per document, the same
+    * per-entity islands shape as sessionization. At 100 TB every stage
+    * shards; nothing global anywhere.
+    *
+    * Emits (doc_id, span_start, span_end, span_tokens, n_grams) per
+    * merged span, 1-based inclusive token coordinates.
+    */
+  def repeatedSpans(spark: SparkSession, sfDir: String,
+                    width: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.plans.PolyHash.register(spark)
+    val spans = tokArr(Tables.documents(spark, sfDir))
+      .filter(size(col("arr")) >= width)
+      .select(col("doc_id"),
+        posexplode(transform(shingleArrOf(col("arr"), width),
+          s => TextAnalysis.polyHash(s))).as(Seq("pos0", "gid")))
+      .select(col("doc_id"), (col("pos0") + 1).cast(LongType).as("start"),
+        col("gid"))
+    val rep = spans.groupBy("gid")
+      .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+      .filter(col("mn") =!= col("mx"))
+      .select("gid")
+    val hit = spans.join(rep, "gid")
+      .select(col("doc_id"), col("start"),
+        (col("start") + (width - 1)).as("e"))
+    // islands: a span opens a new interval iff it starts past the
+    // running max end of everything before it (overlap-merge semantics;
+    // adjacent-but-disjoint spans stay separate)
+    val w = Window.partitionBy("doc_id").orderBy("start")
+    val flagged = hit
+      .withColumn("pm", max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("news",
+        when(col("pm").isNull || col("start") > col("pm"), 1L).otherwise(0L))
+      .withColumn("isl", sum("news").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged.groupBy("doc_id", "isl")
+      .agg(min("start").as("span_start"), max("e").as("span_end"),
+        (max("e") - min("start") + 1).as("span_tokens"),
+        count(lit(1)).as("n_grams"))
+      .select("doc_id", "span_start", "span_end", "span_tokens", "n_grams")
+      .orderBy("doc_id", "span_start")
+  }
+
   /** N-gram (bigram) Jaccard similarity via inverted-index candidate
     * generation: docs sharing at least one bigram are joined through the
     * bigram (an equi-join — the classic scalable near-dup plan), then

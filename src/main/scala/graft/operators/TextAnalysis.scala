@@ -566,6 +566,76 @@ object TextAnalysis {
       .orderBy("tier", "doc_id")
   }
 
+  /** Corpus-trained bigram-LM fluency scoring — the CCNet-style
+    * perplexity filter every LLM-data pipeline runs before training,
+    * re-expressed without transcendental functions so the oracle can
+    * replay it bit-for-bit (the BM25 discipline: sum exact integers,
+    * divide once, defer the log).
+    *
+    * Model: add-one (Laplace) bigram LM trained on the corpus itself,
+    * `P(w2|w1) = (c(w1,w2)+1) / (c(w1)+V)`. Instead of the mean log of
+    * those probabilities (perplexity — a transcendental per engine),
+    * each document is scored by the ratio-of-sums surprisal
+    *
+    * {{{ surprisal = Σ (c(w1)+V)  /  Σ (c(w1w2)+1) }}}
+    *
+    * over its bigrams — both sides exact BIGINT sums, ONE IEEE division
+    * per document. The ratio orders documents the same way the mean
+    * inverse conditional probability does (high = rare transitions =
+    * disfluent/novel text), which is exactly what the CCNet head/
+    * middle/tail split consumes. Buckets are decided by the integer
+    * comparisons `Σden < 30·Σnum` / `< 31·Σnum` — fixed cutoffs the way
+    * CCNet's per-language perplexity cutoffs are fixed pipeline
+    * constants, chosen here where the fixture's distribution (ratio
+    * 26–35, median ~30 at every SF — the closed 31-token vocabulary
+    * pins V) splits into three non-degenerate bands. `n_hapax` (bigrams
+    * seen exactly once in the corpus) rides along as the exact novelty
+    * count.
+    *
+    * 100 TB shape: bigram extraction is a pure per-row projection
+    * (token-hash array zipped with its own tail — no self-join, no
+    * window); the model is two map-side-combined counting aggregates
+    * (unigram and packed-bigram ids, both BIGINT keys); V is a
+    * one-row broadcast; scoring joins each doc-bigram to the two count
+    * relations by integer key — all keyed equi-joins that shard by
+    * hash, never corpus×corpus — and the per-doc score is one more
+    * keyed aggregate. Nothing funnels through a single task.
+    */
+  def lmScore(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.plans.PolyHash.register(spark)
+    val docs = Tables.documents(spark, sfDir)
+    val harr = docs.select(col("doc_id"),
+      transform(split(col("text"), " "), t => polyHash(t)).as("hs"))
+    val occ = harr.select(explode(col("hs")).as("h"))
+    val uni = occ.groupBy("h").agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    // Packed bigram id: h1·2^31 + h2 (each hash < 2^31-1) — one BIGINT
+    // join key, no string concat on the wire.
+    val bi = harr.filter(size(col("hs")) >= 2)
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("hs"), lit(1), size(col("hs")) - 1),
+        slice(col("hs"), lit(2), size(col("hs")) - 1),
+        (a, b) => struct(a.as("h1"),
+          (a * lit(2147483648L) + b).as("bid")))).as("bg"))
+      .select(col("doc_id"), col("bg.h1").as("h1"), col("bg.bid").as("bid"))
+    val c12 = bi.groupBy("bid").agg(count(lit(1)).as("c12"))
+    val scored = bi.join(c12, "bid")
+      .join(uni.withColumnRenamed("h", "h1"), "h1")
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("c12") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        sum(col("c1") + col("v")).as("sden"),
+        sum(col("c12") + lit(1L)).as("snum"))
+    scored.select(col("doc_id"), col("n_bigrams"), col("n_hapax"),
+        (col("sden").cast(DoubleType) / col("snum").cast(DoubleType))
+          .as("surprisal"),
+        when(col("sden") < col("snum") * 30, "head")
+          .when(col("sden") < col("snum") * 31, "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy("doc_id")
+  }
+
   def sourceQuota(spark: SparkSession, sfDir: String,
                   quota: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -303,6 +303,37 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(expected.nonEmpty, "fixture plants cross-split near-dups; none hit")
   }
 
+  test("repeated spans replay exactly under an in-JVM reimplementation") {
+    val out = Dedup.repeatedSpans(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq)
+    // semantic truth over STRING grams (the operator keys on hashes;
+    // equality here also certifies the fixture is collision-free)
+    val gramDocs = scala.collection.mutable.Map.empty[Seq[String], Set[Long]]
+    for ((id, toks) <- docs; g <- toks.sliding(8) if g.size == 8)
+      gramDocs(g) = gramDocs.getOrElse(g, Set.empty) + id
+    val repeated = gramDocs.collect {
+      case (g, ids) if ids.size >= 2 => g
+    }.toSet
+    val expected = docs.toSeq.flatMap { case (id, toks) =>
+      val starts = toks.sliding(8).zipWithIndex.collect {
+        case (g, i) if g.size == 8 && repeated(g) => (i + 1).toLong
+      }.toSeq
+      // overlap-merge islands, mirroring the operator's window logic
+      val islands = starts.foldLeft(List.empty[(Long, Long, Long)]) {
+        case ((s0, e0, n0) :: rest, s) if s <= e0 =>
+          (s0, math.max(e0, s + 7), n0 + 1) :: rest
+        case (acc, s) => (s, s + 7, 1L) :: acc
+      }.reverse
+      islands.map { case (s, e, n) => (id, s, e, e - s + 1, n) }
+    }.sortBy(t => (t._1, t._2))
+    assert(out == expected)
+    assert(expected.nonEmpty, "fixture plants cross-doc duplicate text; none found")
+  }
+
   test("prefix filter catches pairs exactly at the jaccard threshold (regression)") {
     // Boundary construction: two 5-token docs sharing 3 of their 4
     // bigrams, each with one globally-unique bigram -> J = 3/5 exactly,

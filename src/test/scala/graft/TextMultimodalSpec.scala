@@ -226,6 +226,29 @@ class TextMultimodalSpec extends SparkSuite {
     }
   }
 
+  test("bigram-LM surprisal covers the corpus with monotone buckets") {
+    val rows = TextAnalysis.lmScore(spark, sf).collect()
+    // every fixture doc has >= 2 tokens, so every doc is scored
+    assert(rows.length == nDocs)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "n_hapax bounded by n_bigrams")
+      assert(r.getDouble(3) > 1.0, "add-one surprisal is > 1 by construction")
+    }
+    // buckets partition the surprisal axis monotonically: every head
+    // score below every middle score below every tail score
+    val byBucket = rows.groupBy(_.getString(4))
+      .view.mapValues(_.map(_.getDouble(3))).toMap
+    assert(byBucket.keySet.subsetOf(Set("head", "middle", "tail")))
+    for {
+      lo <- byBucket.get("head"); hi <- byBucket.get("middle")
+    } assert(lo.max <= hi.min)
+    for {
+      lo <- byBucket.get("middle"); hi <- byBucket.get("tail")
+    } assert(lo.max <= hi.min)
+    val again = TextAnalysis.lmScore(spark, sf).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("source quota caps every source deterministically") {
     val rows = TextAnalysis.sourceQuota(spark, sf).collect()
     val perSource = spark.read.parquet(s"$sf/documents.parquet")

@@ -123,6 +123,26 @@ class PlanSpec extends SparkSuite {
       s"corpus must collapse to counts before the window:\n$vcPlan")
   }
 
+  test("repeated spans and LM scoring keep their scale-shape plans") {
+    import graft.operators.{Dedup, TextAnalysis}
+    // repeated spans: gram extraction is a projection (no self-join of
+    // the token stream), every window partitions by doc_id — no global
+    // single-partition stage anywhere
+    val rsPlan = plan(Dedup.repeatedSpans(spark, sf))
+    assert(!rsPlan.contains("SinglePartition"),
+      s"single-partition stage in repeated-spans plan:\n$rsPlan")
+    assert(rsPlan.contains("hashpartitioning(doc_id"),
+      s"island windows must shard by doc:\n$rsPlan")
+    // LM scoring: the vocab size is a one-row broadcast; the count
+    // relations join by integer key; no window at all in the plan
+    val lmPlan = plan(TextAnalysis.lmScore(spark, sf))
+    assert(!lmPlan.contains("Window"),
+      s"LM scoring must be join+aggregate only:\n$lmPlan")
+    assert(lmPlan.contains("BroadcastNestedLoopJoin") ||
+      lmPlan.contains("BroadcastExchange"),
+      s"the |V| scalar should broadcast:\n$lmPlan")
+  }
+
   test("interval join plans as an equi-join on (user, bucket), not a cross product") {
     val p = plan(Relational.intervalJoin(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -846,8 +846,9 @@ object OraclesLlm {
         |FROM d JOIN th ON d.tier = th.tier
         |WHERE (d.doc_id * 2654435761) % 2147483647 < th.threshold
         |ORDER BY d.tier, d.doc_id""".stripMargin,
-    // Repeated-substring spans: stride-1 width-8 gram ids, cross-doc
-    // repeated grams (min<>max doc), islands interval merge (mirrors
+    // Repeated-substring spans: stride-1 width-8 gram ids (char-level
+    // content hash of the gram string), cross-doc repeated grams
+    // (min<>max doc), islands interval merge (mirrors
     // Dedup.repeatedSpans).
     "x09n_repeated_spans" -> {
       val als = ('a' to 'h').map(_.toString)

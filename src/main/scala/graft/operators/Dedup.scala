@@ -489,6 +489,14 @@ object Dedup {
                     width: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.plans.PolyHash.register(spark)
+    // Gram ids are the char-level content hash of the gram STRING (the
+    // same id the decontam/jaccard family uses). A cheaper rolling fold
+    // over per-token hashes was tried and rejected: it collides on the
+    // closed-vocab fixture (33·Δh1 + Δh2 ≡ 0 mod P has in-range
+    // solutions when token hashes repeat), and end-to-end it measured
+    // no faster — the scan+tokenize dominates the projection at sf0.1.
+    // Cached: the stream feeds BOTH the repeated-set aggregate and the
+    // join-back side (same treatment as minhashLsh's shingle relation).
     val spans = tokArr(Tables.documents(spark, sfDir))
       .filter(size(col("arr")) >= width)
       .select(col("doc_id"),
@@ -496,6 +504,7 @@ object Dedup {
           s => TextAnalysis.polyHash(s))).as(Seq("pos0", "gid")))
       .select(col("doc_id"), (col("pos0") + 1).cast(LongType).as("start"),
         col("gid"))
+      .cache()
     val rep = spans.groupBy("gid")
       .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
       .filter(col("mn") =!= col("mx"))

@@ -160,6 +160,9 @@ object SparkEntry {
     "x17_train_test_split" -> (TextAnalysis.trainTestSplit(_, _)),
     "x18_profile"          -> (Relational.profileMeasures(_, _)),
     "x18b_histogram"       -> (Relational.histogram(_, _)),
+    // per-group |x−μ| > 3σ outlier flagging with the z-test squared out
+    // to exact integers (no sqrt, no float stats)
+    "x18c_outlier_events"  -> ((s, d) => Relational.outlierEvents(s, d)),
   )
 
   // DuckDB decimal-exact fragments mirrored from graft.functions.Exact.
@@ -604,6 +607,22 @@ object SparkEntry {
         |       COUNT(*) AS n, MIN(l_extendedprice) AS lo,
         |       MAX(l_extendedprice) AS hi
         |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // Integer z²-test (mirrors Relational.outlierEvents): HUGEINT casts
+    // keep the squared sides exact where BIGINT would overflow.
+    "x18c_outlier_events" ->
+      """WITH q AS (SELECT event_id, event_type, value,
+        |             CAST(ROUND(value*100) AS BIGINT) AS q FROM events),
+        |s AS (SELECT event_type, COUNT(*) AS n,
+        |        CAST(SUM(q) AS BIGINT) AS sq,
+        |        CAST(SUM(q*q) AS BIGINT) AS sq2
+        |      FROM q GROUP BY 1)
+        |SELECT q.event_id, q.event_type, q.value
+        |FROM q JOIN s USING (event_type)
+        |WHERE CAST(q.q*s.n - s.sq AS HUGEINT)
+        |      * CAST(q.q*s.n - s.sq AS HUGEINT)
+        |      > 9 * (CAST(s.n AS HUGEINT)*s.sq2
+        |             - CAST(s.sq AS HUGEINT)*s.sq)
+        |ORDER BY q.event_id""".stripMargin,
     "x16_asof_join" ->
       """WITH ev AS (SELECT event_id, user_id, event_type, ts FROM events
         |            WHERE event_type IN ('click', 'purchase')),

@@ -279,6 +279,43 @@ object Relational {
         max("l_extendedprice").as("hi"))
       .orderBy("bucket")
 
+  /** X18: statistical outlier flagging — the data-quality filter that
+    * drops anomalous measurements before training (|x − μ| > k·σ per
+    * group), re-expressed with NO floating-point statistics: values
+    * quantize to exact integer centi-units, per-group (n, Σq, Σq²) are
+    * exact integer sums, and the z-test compares SQUARES —
+    *
+    * {{{ (q·n − Σq)² > k² · (n·Σq² − (Σq)²) }}}
+    *
+    * — which is |q−μ| > k·σ_pop multiplied out by n², so no sqrt, no
+    * division, no float accumulation anywhere; the oracle replays the
+    * integer comparison bit-for-bit. The squared sides can exceed 2^63
+    * at corpus scale, so the comparison runs in DECIMAL(38,0)
+    * (HUGEINT in the oracle) — exact integers either way.
+    *
+    * 100 TB shape: one map-side-combined stats aggregate (groups =
+    * event types, a handful), stats broadcast back, and membership is a
+    * shuffle-free per-row integer predicate — the mixture-sampling
+    * shape: the corpus is never repartitioned.
+    */
+  def outlierEvents(spark: SparkSession, sfDir: String,
+                    k: Int = 3): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("value") * 100).cast(LongType).as("q"))
+    val stats = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("q").as("sq"),
+        sum(col("q") * col("q")).as("sq2"))
+    val lhs = col("q").cast(dec) * col("n").cast(dec) - col("sq").cast(dec)
+    val rhs = col("n").cast(dec) * col("sq2").cast(dec) -
+      col("sq").cast(dec) * col("sq").cast(dec)
+    ev.join(broadcast(stats), "event_type")
+      .filter(lhs * lhs > lit(k.toLong * k).cast(dec) * rhs)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .orderBy("event_id")
+  }
+
   /** X4: window distribution functions — ntile bucketing, percent_rank,
     * cume_dist over a TOTAL per-partition order (unique tiebreak), so
     * every rank is tie-free and the rational rank arithmetic

@@ -11,22 +11,21 @@ class EdgeCaseSpec extends SparkSuite {
 
   /** Fixture dir containing EMPTY documents/embeddings with the real
     * schemas. */
-  private lazy val emptySf: String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_empty_").toString
-    for (t <- Seq("documents", "embeddings"))
-      spark.read.parquet(s"$sf/$t.parquet").limit(0)
+  private def sliced(n: Int, label: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(label).toString
+    // events.ts is ns-precision: read raw (nanosAsLong, the Tables
+    // convention) so the slice round-trips through the same code path
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    for (t <- Seq("documents", "embeddings", "events"))
+      spark.read.parquet(s"$sf/$t.parquet").limit(n)
         .write.mode("overwrite").parquet(s"$dir/$t.parquet")
     dir
   }
 
-  /** Fixture dir with exactly one document / one vector. */
-  private lazy val oneSf: String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_one_").toString
-    for (t <- Seq("documents", "embeddings"))
-      spark.read.parquet(s"$sf/$t.parquet").limit(1)
-        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
-    dir
-  }
+  private lazy val emptySf: String = sliced(0, "graft_empty_")
+
+  /** Fixture dir with exactly one document / one vector / one event. */
+  private lazy val oneSf: String = sliced(1, "graft_one_")
 
   test("dedup family is empty-safe (clean corpus → zero pairs, no crash)") {
     assert(Dedup.exactDedup(spark, emptySf).count() == 0)
@@ -88,6 +87,22 @@ class EdgeCaseSpec extends SparkSuite {
     assert(mx.length == 1, "a lone doc saturates its tier's rate at 1")
     val vc = TextAnalysis.vocabCoverage(spark, oneSf).collect()
     assert(vc.length == 4 && vc.forall(_.getLong(1) >= 1))
+  }
+
+  test("repeated spans, LM scoring, and outlier flagging are edge-safe") {
+    import graft.operators.Relational
+    // empty corpus / empty events: zero rows, no crash
+    assert(Dedup.repeatedSpans(spark, emptySf).count() == 0)
+    assert(TextAnalysis.lmScore(spark, emptySf).count() == 0)
+    assert(Relational.outlierEvents(spark, emptySf).count() == 0)
+    // one document: no cross-doc repeats, but the doc still scores
+    assert(Dedup.repeatedSpans(spark, oneSf).count() == 0,
+      "a lone doc has no cross-document spans")
+    val lm = TextAnalysis.lmScore(spark, oneSf).collect()
+    assert(lm.length == 1 && lm.head.getLong(2) >= 0)
+    // a singleton group has zero variance AND zero deviation: 0 > 0 is
+    // false, so it can never flag itself
+    assert(Relational.outlierEvents(spark, oneSf).count() == 0)
   }
 
   test("partition cache defines empty-key AVG as 0 (reference crashes)") {

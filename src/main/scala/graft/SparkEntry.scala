@@ -145,6 +145,9 @@ object SparkEntry {
     "x12b_stream_sliding"  -> (graft.streaming.Streaming.sliding(_, _)),
     "x12c_stream_static"   -> (graft.streaming.Streaming.streamStaticJoin(_, _)),
     "x12d_stream_stream"   -> (graft.streaming.Streaming.streamStreamJoin(_, _)),
+    // stream-stream LEFT OUTER with watermark-eviction emission of
+    // unmatched rows; the oracle replays the eviction bound exactly
+    "x12e_stream_outer"    -> (graft.streaming.Streaming.streamStreamOuterJoin(_, _)),
     "x13a_stream_dedup"    -> (graft.streaming.Streaming.streamDedup(_, _)),
     "x13b_sessionize"      -> (graft.streaming.Streaming.sessionize(_, _)),
     "x13c_stateful_stats"  -> (graft.streaming.Streaming.statefulUserStats(_, _)),
@@ -541,6 +544,31 @@ object SparkEntry {
         |  ON p.event_type = 'purchase' AND c.event_type = 'click'
         | AND p.user_id = c.user_id
         | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+        |ORDER BY purchase_id, click_id""".stripMargin,
+    // Left-outer twin of x12d: matched pairs plus null-extended
+    // purchases whose state the watermark evicted before the query
+    // stopped — exactly those with purchase_ts below
+    // min(max click_ts, max purchase_ts) − 2h (the global watermark;
+    // purchases above it are still in state at stop in BOTH engines'
+    // view of the semantics, so they are absent here by design).
+    "x12e_stream_outer" ->
+      """WITH c AS (SELECT user_id, ts AS click_ts, event_id AS click_id
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts AS purchase_ts, event_id AS purchase_id
+        |      FROM events WHERE event_type = 'purchase'),
+        |m AS (SELECT p.purchase_id, c.click_id, p.user_id
+        |      FROM p JOIN c ON p.user_id = c.user_id
+        |       AND c.click_ts <= p.purchase_ts
+        |       AND c.click_ts >= p.purchase_ts - INTERVAL 1 HOUR),
+        |wm AS (SELECT LEAST((SELECT MAX(click_ts) FROM c),
+        |                    (SELECT MAX(purchase_ts) FROM p))
+        |         - INTERVAL 2 HOUR AS w)
+        |SELECT purchase_id, click_id, user_id FROM m
+        |UNION ALL
+        |SELECT p.purchase_id, CAST(NULL AS BIGINT) AS click_id, p.user_id
+        |FROM p, wm
+        |WHERE p.purchase_ts < wm.w
+        |  AND NOT EXISTS (SELECT 1 FROM m WHERE m.purchase_id = p.purchase_id)
         |ORDER BY purchase_id, click_id""".stripMargin,
     "x13a_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type,

@@ -109,14 +109,29 @@ object Streaming {
     * production pipeline lands in a file/Kafka sink with a checkpoint
     * instead — that path is [[tumblingToFileSink]] (exactly-once,
     * resumable, nothing driver-side). */
-  private def runToBatch(stream: DataFrame, mode: String): DataFrame = {
+  private def runToBatch(stream: DataFrame, mode: String,
+                         noDataBatches: Boolean = false): DataFrame = {
     val name = s"graft_stream_${counter.incrementAndGet()}"
-    withDataBatchesOnly(stream.sparkSession) {
+    def drain(): Unit = {
       val q = stream.writeStream.outputMode(mode)
         .format("memory").queryName(name).start()
       q.processAllAvailable()
+      // processAllAvailable only covers DATA batches; when the trailing
+      // no-data batch is the flush mechanism (watermark eviction), wait
+      // until it has actually run — otherwise stop() races it and the
+      // final rows are lost nondeterministically
+      if (noDataBatches && q.recentProgress.exists(_.numInputRows > 0)) {
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        while (!q.recentProgress.exists(_.numInputRows == 0) &&
+               System.nanoTime() < deadline) Thread.sleep(50)
+      }
       q.stop()
     }
+    // Most queries here are data-driven (skip the trailing no-data
+    // batch); watermark-EVICTION outputs (outer joins) need it — it is
+    // what flushes their final rows after the last file.
+    if (noDataBatches) withStateWidth(stream.sparkSession)(drain())
+    else withDataBatchesOnly(stream.sparkSession)(drain())
     stream.sparkSession.table(name)
   }
 
@@ -331,6 +346,42 @@ object Streaming {
         col("click_ts") <= col("purchase_ts") &&
         col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
     runToBatch(joined, "append")
+      .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"))
+      .orderBy("purchase_id", "click_id")
+  }
+
+  /** X12: stream-stream LEFT OUTER join — the attribution shape where
+    * every purchase must surface even when no click preceded it.
+    * Unmatched left rows are emitted by WATERMARK EVICTION: a purchase
+    * emits its null-extended row only once the global watermark proves
+    * no future click can satisfy the time-range condition (click_ts ∈
+    * [purchase_ts − 1h, purchase_ts] and any future click has event
+    * time above the watermark). With the fixture's single-source replay
+    * the final watermark is min(max click_ts, max purchase_ts) − 2h, so
+    * the oracle replays eviction EXACTLY: matched pairs UNION
+    * null-extended purchases below that bound — purchases above it are
+    * still in state when the query stops, and both engines agree they
+    * are not in the result. No-data micro-batches stay ENABLED here
+    * (unlike the data-driven x13 queries): they are what advances the
+    * watermark after the last file and flushes the eviction output.
+    */
+  def streamStreamOuterJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val clicks = eventsStream(spark, sfDir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = eventsStream(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", "2 hours")
+    val joined = purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"),
+      "leftOuter")
+    runToBatch(joined, "append", noDataBatches = true)
       .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"))
       .orderBy("purchase_id", "click_id")
   }

@@ -141,6 +141,12 @@ class PlanSpec extends SparkSuite {
     assert(lmPlan.contains("BroadcastNestedLoopJoin") ||
       lmPlan.contains("BroadcastExchange"),
       s"the |V| scalar should broadcast:\n$lmPlan")
+    // outlier flagging: group stats broadcast back, membership is a
+    // per-row predicate — the events relation must not sort-merge
+    val oePlan = plan(graft.operators.Relational.outlierEvents(spark, sf))
+    assert(oePlan.contains("BroadcastHashJoin") &&
+      !oePlan.contains("SortMergeJoin"),
+      s"outlier stats should broadcast:\n$oePlan")
   }
 
   test("interval join plans as an equi-join on (user, bucket), not a cross product") {

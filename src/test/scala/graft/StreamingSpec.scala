@@ -191,6 +191,34 @@ class StreamingSpec extends SparkSuite {
     assert(batch.toSeq == streamed.toSeq)
   }
 
+  test("stream-stream left outer: matched pairs + watermark-evicted unmatched, deterministically") {
+    val out = Streaming.streamStreamOuterJoin(spark, sf).collect()
+    val matched = out.filter(!_.isNullAt(1)).map(_.toSeq)
+    val inner = Streaming.streamStreamJoin(spark, sf).collect().map(_.toSeq)
+    assert(matched.toSeq == inner.toSeq,
+      "outer join's matched rows must equal the inner join")
+    // null-extended rows are exactly the unmatched purchases whose state
+    // the global watermark (min stream max − 2h) evicted before stop
+    val ev = Tables.events(spark, sf)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("ts"), col("user_id"))
+    val maxC = ev.filter(col("event_type") === "click")
+      .agg(max("ts")).head().getTimestamp(0).getTime
+    val maxP = p.agg(max("ts")).head().getTimestamp(0).getTime
+    val wmMillis = math.min(maxC, maxP) - 2L * 3600 * 1000
+    val matchedIds = inner.map(_.head.asInstanceOf[Long]).toSet
+    val expectNull = p.collect()
+      .filter(r => !matchedIds(r.getLong(0)) &&
+        r.getTimestamp(1).getTime < wmMillis)
+      .map(_.getLong(0)).sorted.toSeq
+    val gotNull = out.filter(_.isNullAt(1)).map(_.getLong(0)).sorted.toSeq
+    assert(gotNull == expectNull)
+    assert(gotNull.nonEmpty, "fixture must exercise the eviction path")
+    // rerun: the no-data-batch flush must be deterministic, not racy
+    val again = Streaming.streamStreamOuterJoin(spark, sf).collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("transformWithState value-state stats equal the batch aggregate") {
     val got = Streaming.valueStateStats(spark, sf).collect()
     val want = Tables.events(spark, sf)

@@ -103,6 +103,9 @@ class EdgeCaseSpec extends SparkSuite {
     // a singleton group has zero variance AND zero deviation: 0 > 0 is
     // false, so it can never flag itself
     assert(Relational.outlierEvents(spark, oneSf).count() == 0)
+    // an empty stream must not hang the outer join's eviction-flush wait
+    assert(graft.streaming.Streaming
+      .streamStreamOuterJoin(spark, emptySf).count() == 0)
   }
 
   test("partition cache defines empty-key AVG as 0 (reference crashes)") {

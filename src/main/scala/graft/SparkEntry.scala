@@ -148,6 +148,10 @@ object SparkEntry {
     // stream-stream LEFT OUTER with watermark-eviction emission of
     // unmatched rows; the oracle replays the eviction bound exactly
     "x12e_stream_outer"    -> (graft.streaming.Streaming.streamStreamOuterJoin(_, _)),
+    // chained stateful operators: stream-stream join -> tumbling agg in
+    // ONE streaming query (two state stores); append windows close at
+    // the same eviction bound the outer join uses
+    "x12f_chained_stateful" -> (graft.streaming.Streaming.attributedRate(_, _)),
     "x13a_stream_dedup"    -> (graft.streaming.Streaming.streamDedup(_, _)),
     "x13b_sessionize"      -> (graft.streaming.Streaming.sessionize(_, _)),
     "x13c_stateful_stats"  -> (graft.streaming.Streaming.statefulUserStats(_, _)),
@@ -570,6 +574,32 @@ object SparkEntry {
         |WHERE p.purchase_ts < wm.w
         |  AND NOT EXISTS (SELECT 1 FROM m WHERE m.purchase_id = p.purchase_id)
         |ORDER BY purchase_id, click_id""".stripMargin,
+    // Chained stateful: the joined pairs grouped by purchase hour, cut
+    // at the PROPAGATED watermark — the downstream aggregate sees the
+    // join's OUTPUT watermark, which lags the global one by the join's
+    // 1h interval span (clicks are held in state 1h past their event
+    // time, so join output event times can trail the input watermark by
+    // up to 1h; Spark's multi-stateful watermark propagation models
+    // exactly this). Windows close at end <= wm − 1h, verified against
+    // the engine at all three scales.
+    "x12f_chained_stateful" ->
+      """WITH c AS (SELECT user_id, ts AS click_ts
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts AS purchase_ts
+        |      FROM events WHERE event_type = 'purchase'),
+        |m AS (SELECT p.purchase_ts FROM p JOIN c ON p.user_id = c.user_id
+        |       AND c.click_ts <= p.purchase_ts
+        |       AND c.click_ts >= p.purchase_ts - INTERVAL 1 HOUR),
+        |wm AS (SELECT LEAST((SELECT MAX(click_ts) FROM c),
+        |                    (SELECT MAX(purchase_ts) FROM p))
+        |         - INTERVAL 2 HOUR AS w)
+        |SELECT strftime(date_trunc('hour', purchase_ts),
+        |         '%Y-%m-%d %H:%M:%S') AS window_start,
+        |       COUNT(*) AS n_attributed
+        |FROM m, wm
+        |WHERE date_trunc('hour', purchase_ts) + INTERVAL 1 HOUR
+        |        <= wm.w - INTERVAL 1 HOUR
+        |GROUP BY 1 ORDER BY window_start""".stripMargin,
     "x13a_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type,
         |       strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS minute

@@ -386,6 +386,48 @@ object Streaming {
       .orderBy("purchase_id", "click_id")
   }
 
+  /** X12: CHAINED stateful operators in one streaming query — a
+    * watermarked stream-stream join feeding a tumbling event-time
+    * aggregate (attributed-purchase rate per hour). Two state stores in
+    * one pipeline, the Spark 3.4+ multi-stateful-operator capability;
+    * before it this required two queries bridged by a sink.
+    *
+    * Emission: append-mode windows close at the PROPAGATED watermark,
+    * not the global one — the aggregate's input watermark is the join's
+    * output watermark, which trails by the join's 1h interval span
+    * (a click held in state up to 1h past its event time can still
+    * emit a pair whose purchase_ts is that much behind the global
+    * watermark; Spark's multi-stateful watermark propagation models
+    * exactly this). The oracle replays the cut exactly: windows with
+    * `end <= (min stream max − 2h) − 1h`, verified against the engine
+    * at every fixture scale — the off-by-one-window class of bug this
+    * propagation exists to prevent, demonstrated rather than assumed.
+    */
+  def attributedRate(spark: SparkSession, sfDir: String): DataFrame = {
+    val clicks = eventsStream(spark, sfDir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = eventsStream(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", "2 hours")
+    val joined = purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+    val agg = joined
+      .groupBy(window(col("purchase_ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_attributed"))
+    runToBatch(agg, "append", noDataBatches = true)
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"),
+        col("n_attributed"))
+      .orderBy("window_start")
+  }
+
   /** Typed rows for the custom-state operator. */
   case class Ev(user_id: Long, tsMicros: Long)
   case class UserStats(user_id: Long, n_events: Long,

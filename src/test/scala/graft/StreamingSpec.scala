@@ -219,6 +219,35 @@ class StreamingSpec extends SparkSuite {
     assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("chained stateful (join -> window agg) closes windows at the propagated watermark") {
+    val got = Streaming.attributedRate(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // batch replay: joined pairs per hour, cut at wm − 1h (the join's
+    // output watermark trails the global one by its interval span)
+    val ev = Tables.events(spark, sf)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+    val maxC = c.agg(max("click_ts")).head().getTimestamp(0).getTime
+    val maxP = p.agg(max("purchase_ts")).head().getTimestamp(0).getTime
+    val cutMillis = math.min(maxC, maxP) - 3L * 3600 * 1000 // 2h wm + 1h span
+    val want = p.join(c, col("p_user") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+      .groupBy(window(col("purchase_ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .filter(unix_millis(col("window.end")) <= lit(cutMillis))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss"), col("n"))
+      .orderBy("window.start").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == want.toSeq)
+    assert(got.nonEmpty)
+    val again = Streaming.attributedRate(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == again.toSeq)
+  }
+
   test("transformWithState value-state stats equal the batch aggregate") {
     val got = Streaming.valueStateStats(spark, sf).collect()
     val want = Tables.events(spark, sf)

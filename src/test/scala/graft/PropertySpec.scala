@@ -87,7 +87,8 @@ class PropertySpec extends SparkSuite
       val skip = Set("o13_block_locations", "x05d_approx_quantiles",
         // readStream/pathGlobFilter-based (see header comment):
         "x12a_stream_tumbling", "x12b_stream_sliding", "x12c_stream_static",
-        "x12d_stream_stream", "x13a_stream_dedup", "x13b_sessionize",
+        "x12d_stream_stream", "x12e_stream_outer", "x12f_chained_stateful",
+        "x13a_stream_dedup", "x13b_sessionize",
         "x13c_stateful_stats", "x13d_active_hours", "x13e_value_state")
       for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
            if !skip(name)) {

@@ -37,12 +37,20 @@ object OraclesLlm {
     * `shingleArrOf(arr, width)` string before hashing. */
   /** Distinct width-n gram-id CTEs `g0`/`grams0` (mirrors the Spark
     * side's `shingleArrOf(arr, width)` string before hashing). */
-  private def gramCtesOf(width: Int): String = {
+  /** Width-n gram via self-join of `toks`: the concat expression and
+    * the join chain, shared by every gram-building oracle so the toks
+    * convention lives in one place. */
+  private def gramJoin(width: Int): (String, String) = {
     val als = ('a' to 'z').take(width).map(_.toString)
     val concat = als.map(_ + ".tok").mkString("||' '||")
     val joins = als.tail.zipWithIndex.map { case (al, i) =>
       s"JOIN toks $al ON a.doc_id=$al.doc_id AND $al.ord=a.ord+${i + 1}"
     }.mkString(" ")
+    (concat, joins)
+  }
+
+  private def gramCtesOf(width: Int): String = {
+    val (concat, joins) = gramJoin(width)
     s"""g0 AS (SELECT a.doc_id, $concat AS gram FROM toks a $joins),
        |grams0 AS (SELECT DISTINCT doc_id, ${polyHash("gram")} AS gid FROM g0)""".stripMargin
   }
@@ -851,11 +859,7 @@ object OraclesLlm {
     // (min<>max doc), islands interval merge (mirrors
     // Dedup.repeatedSpans).
     "x09n_repeated_spans" -> {
-      val als = ('a' to 'h').map(_.toString)
-      val cat = als.map(_ + ".tok").mkString("||' '||")
-      val joins = als.tail.zipWithIndex.map { case (al, i) =>
-        s"JOIN toks $al ON a.doc_id=$al.doc_id AND $al.ord=a.ord+${i + 1}"
-      }.mkString(" ")
+      val (cat, joins) = gramJoin(8)
       s"""WITH $toks,
          |g AS (SELECT a.doc_id, a.ord AS start, ${polyHash(cat)} AS gid
          |      FROM toks a $joins),

@@ -672,7 +672,7 @@ object SparkEntry {
         |             CAST(ROUND(value*100) AS BIGINT) AS q FROM events),
         |s AS (SELECT event_type, COUNT(*) AS n,
         |        CAST(SUM(q) AS BIGINT) AS sq,
-        |        CAST(SUM(q*q) AS BIGINT) AS sq2
+        |        SUM(CAST(q AS HUGEINT)*q) AS sq2
         |      FROM q GROUP BY 1)
         |SELECT q.event_id, q.event_type, q.value
         |FROM q JOIN s USING (event_type)

@@ -486,7 +486,10 @@ object Dedup {
     * merged span, 1-based inclusive token coordinates.
     */
   def repeatedSpans(spark: SparkSession, sfDir: String,
-                    width: Int = 8): DataFrame = {
+                    width: Int = 8,
+                    // false = skip cache+checkpoint so PlanSpec can
+                    // audit the live plan (the ngramJaccardBuild pattern)
+                    materialize: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.plans.PolyHash.register(spark)
     // Gram ids are the char-level content hash of the gram STRING (the
@@ -497,14 +500,14 @@ object Dedup {
     // no faster — the scan+tokenize dominates the projection at sf0.1.
     // Cached: the stream feeds BOTH the repeated-set aggregate and the
     // join-back side (same treatment as minhashLsh's shingle relation).
-    val spans = tokArr(Tables.documents(spark, sfDir))
+    val spansBare = tokArr(Tables.documents(spark, sfDir))
       .filter(size(col("arr")) >= width)
       .select(col("doc_id"),
         posexplode(transform(shingleArrOf(col("arr"), width),
           s => TextAnalysis.polyHash(s))).as(Seq("pos0", "gid")))
       .select(col("doc_id"), (col("pos0") + 1).cast(LongType).as("start"),
         col("gid"))
-      .cache()
+    val spans = if (materialize) spansBare.cache() else spansBare
     val rep = spans.groupBy("gid")
       .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
       .filter(col("mn") =!= col("mx"))
@@ -523,12 +526,19 @@ object Dedup {
         when(col("pm").isNull || col("start") > col("pm"), 1L).otherwise(0L))
       .withColumn("isl", sum("news").over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    flagged.groupBy("doc_id", "isl")
+    val merged = flagged.groupBy("doc_id", "isl")
       .agg(min("start").as("span_start"), max("e").as("span_end"),
         (max("e") - min("start") + 1).as("span_tokens"),
         count(lit(1)).as("n_grams"))
       .select("doc_id", "span_start", "span_end", "span_tokens", "n_grams")
-      .orderBy("doc_id", "span_start")
+    // materialize the (duplicated-mass-only) span set, then release the
+    // corpus-sized gram cache — same discipline as minhashLsh
+    if (!materialize) merged.orderBy("doc_id", "span_start")
+    else {
+      val out = merged.localCheckpoint()
+      spans.unpersist()
+      out.orderBy("doc_id", "span_start")
+    }
   }
 
   /** N-gram (bigram) Jaccard similarity via inverted-index candidate

@@ -304,9 +304,12 @@ object Relational {
     val ev = Tables.events(spark, sfDir)
       .select(col("event_id"), col("event_type"), col("value"),
         round(col("value") * 100).cast(LongType).as("q"))
+    // Σq² aggregates in DECIMAL from the start: the per-row q·q product
+    // would wrap in Long arithmetic (non-ANSI) before any later cast
+    // could save it once |value| reaches ~1e8
     val stats = ev.groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum("q").as("sq"),
-        sum(col("q") * col("q")).as("sq2"))
+        sum(col("q").cast(dec) * col("q").cast(dec)).as("sq2"))
     val lhs = col("q").cast(dec) * col("n").cast(dec) - col("sq").cast(dec)
     val rhs = col("n").cast(dec) * col("sq2").cast(dec) -
       col("sq").cast(dec) * col("sq").cast(dec)

@@ -118,12 +118,18 @@ object Streaming {
       q.processAllAvailable()
       // processAllAvailable only covers DATA batches; when the trailing
       // no-data batch is the flush mechanism (watermark eviction), wait
-      // until it has actually run — otherwise stop() races it and the
-      // final rows are lost nondeterministically
+      // until one has run AFTER the last data batch — an interleaved
+      // mid-stream no-data batch must not satisfy the wait, or stop()
+      // races the real flush and the final rows are lost
       if (noDataBatches && q.recentProgress.exists(_.numInputRows > 0)) {
+        val lastData = q.recentProgress
+          .filter(_.numInputRows > 0).map(_.batchId).max
+        def flushed = q.recentProgress
+          .exists(p => p.batchId > lastData && p.numInputRows == 0)
         val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-        while (!q.recentProgress.exists(_.numInputRows == 0) &&
-               System.nanoTime() < deadline) Thread.sleep(50)
+        while (!flushed && System.nanoTime() < deadline) Thread.sleep(50)
+        if (!flushed) throw new IllegalStateException(
+          s"$name: eviction-flush no-data batch did not run within 30s")
       }
       q.stop()
     }
@@ -408,10 +414,11 @@ object Streaming {
       .filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
       .withWatermark("click_ts", "2 hours")
+    // NOTE: only the columns the aggregate needs are projected into the
+    // join — every extra column would ride in join state and shuffle
     val purchases = eventsStream(spark, sfDir)
       .filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
-        col("event_id").as("purchase_id"))
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"))
       .withWatermark("purchase_ts", "2 hours")
     val joined = purchases.join(clicks,
       col("p_user") === col("c_user") &&

@@ -127,8 +127,9 @@ class PlanSpec extends SparkSuite {
     import graft.operators.{Dedup, TextAnalysis}
     // repeated spans: gram extraction is a projection (no self-join of
     // the token stream), every window partitions by doc_id — no global
-    // single-partition stage anywhere
-    val rsPlan = plan(Dedup.repeatedSpans(spark, sf))
+    // single-partition stage anywhere (un-materialized build: the
+    // checkpointed query plans as a checkpoint scan)
+    val rsPlan = plan(Dedup.repeatedSpans(spark, sf, materialize = false))
     assert(!rsPlan.contains("SinglePartition"),
       s"single-partition stage in repeated-spans plan:\n$rsPlan")
     assert(rsPlan.contains("hashpartitioning(doc_id"),

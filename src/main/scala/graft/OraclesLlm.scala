@@ -206,7 +206,66 @@ object OraclesLlm {
       |         CAST(SUM(e.q) AS BIGINT) AS s
       |       FROM exq e JOIN a2 a ON e.vec_id = a.vec_id GROUP BY 1, 2)""".stripMargin
 
+  /** BPE merge trajectory (mirrors TextAnalysis.bpeMerges), rounds
+    * UNROLLED like the k-means CTEs: each round re-derives adjacent
+    * pair counts over the evolving symbol rows, picks the argmax pair
+    * under the same total order (freq DESC, symbols ASC), realizes the
+    * greedy non-overlapping merge via the identical island/parity
+    * window arithmetic, and renumbers positions. All counts are exact
+    * integers; requires `$toks` upstream. Ends at one `b_r` CTE per
+    * round holding that round's learned pair. */
+  private def bpeRoundCtes(r: Int): String = {
+    val p = r - 1
+    s"""pr_$r AS (SELECT word, freq, pos, sym,
+       |                 LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+       |          FROM s_$p),
+       |b_$r AS (SELECT sym AS l, nxt AS r, CAST(SUM(freq) AS BIGINT) AS pf
+       |         FROM pr_$r WHERE nxt IS NOT NULL
+       |         GROUP BY 1, 2 ORDER BY pf DESC, l, r LIMIT 1),
+       |m_$r AS (SELECT p.word, p.freq, p.pos, p.sym, p.nxt,
+       |                (p.sym = b.l AND p.nxt = b.r) AS mt
+       |         FROM pr_$r p CROSS JOIN b_$r b),
+       |sel_$r AS (SELECT word, pos, TRUE AS s1 FROM
+       |             (SELECT word, pos, ROW_NUMBER() OVER
+       |                (PARTITION BY word, grp ORDER BY pos) AS k
+       |              FROM (SELECT word, pos, pos - ROW_NUMBER() OVER
+       |                      (PARTITION BY word ORDER BY pos) AS grp
+       |                    FROM m_$r WHERE mt))
+       |           WHERE k % 2 = 1),
+       |s_$r AS (SELECT word, freq,
+       |                CAST(ROW_NUMBER() OVER
+       |                  (PARTITION BY word ORDER BY pos) AS BIGINT) AS pos,
+       |                CASE WHEN s1 THEN sym || nxt ELSE sym END AS sym
+       |         FROM (SELECT m.word, m.freq, m.pos, m.sym, m.nxt,
+       |                      COALESCE(s.s1, FALSE) AS s1,
+       |                      LAG(COALESCE(s.s1, FALSE), 1, FALSE) OVER
+       |                        (PARTITION BY m.word ORDER BY m.pos) AS consumed
+       |               FROM m_$r m LEFT JOIN sel_$r s
+       |                 ON s.word = m.word AND s.pos = m.pos)
+       |         WHERE NOT consumed)""".stripMargin
+  }
+
+  private val bpeRounds = 6
+
+  private val bpeCtes =
+    s"""words AS (SELECT tok AS word, COUNT(*) AS freq FROM toks GROUP BY tok),
+       |s_0 AS (SELECT word, freq,
+       |               CAST(unnest(range(1, length(word)+1)) AS BIGINT) AS pos,
+       |               unnest(string_split(word, '')) AS sym
+       |        FROM words),
+       |${(1 to bpeRounds).map(bpeRoundCtes).mkString(",\n")}""".stripMargin
+
+  private val bpeFinal =
+    (1 to bpeRounds).map(r =>
+      s"SELECT $r AS merge_rank, l AS left_sym, r AS right_sym, pf AS pair_freq FROM b_$r")
+      .mkString("\nUNION ALL ")
+
   val sql: Map[String, String] = Map(
+    "x11o_bpe_merges" ->
+      s"""WITH $toks,
+         |$bpeCtes
+         |$bpeFinal
+         |ORDER BY merge_rank""".stripMargin,
     "x09a_exact_dedup" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies,
         |       sha256(text) AS content_hash

@@ -116,6 +116,10 @@ object SparkEntry {
     // CCNet-style corpus-trained bigram-LM fluency scoring: exact
     // ratio-of-sums surprisal, head/middle/tail perplexity buckets
     "x11n_lm_score"       -> (TextAnalysis.lmScore(_, _)),
+    // tokenizer TRAINING: character-BPE merge-rule learning — corpus
+    // touched once (word-frequency aggregate), merge rounds run on the
+    // vocab-sized symbol relation with a one-row broadcast pair/round
+    "x11o_bpe_merges"     -> ((s, d) => TextAnalysis.bpeMerges(s, d)),
     // which copy survives dedup: per-cluster canonical representative
     "x09k_canonical"      -> (Dedup.canonicalDocs(_, _)),
     "x11i_pii_redaction"  -> (TextAnalysis.piiRedaction(_, _)),

@@ -636,6 +636,84 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** BPE merge-rule learning — the tokenizer-TRAINING primitive
+    * ([[vocabCoverage]] sizes a word vocabulary; this LEARNS the
+    * subword merges an actual BPE tokenizer ships with). Classic
+    * Sennrich-style character BPE: start from single characters, and
+    * each round (a) count adjacent symbol pairs weighted by word
+    * frequency, (b) pick the most frequent pair (ties broken by the
+    * pair's symbols ascending — the deterministic total order the
+    * oracle replays), (c) merge every non-overlapping occurrence
+    * greedily left-to-right. Emits the learned merge table
+    * `(merge_rank, left_sym, right_sym, pair_freq)` — the artifact a
+    * tokenizer consumes.
+    *
+    * 100 TB shape: the ONLY corpus-scale stage is the word-frequency
+    * aggregate (one map-side-combined shuffle — the same relation every
+    * real BPE trainer starts from, since merge decisions depend on the
+    * corpus only through word counts). All `rounds` iterations run on
+    * the distinct-WORD relation: symbol rows shard by word, each round
+    * is per-word windows (bounded by word length) plus one tiny pair
+    * aggregate, and the chosen pair is a one-row broadcast — nothing
+    * corpus-sized ever re-enters the loop, and nothing ever funnels
+    * through the driver. Greedy non-overlap is resolved relationally:
+    * islands of consecutive match positions take every ODD offset
+    * (for a run like `aaaa` with pair (a,a), positions 1 and 3 merge —
+    * exact greedy semantics), so a round is pure window arithmetic.
+    * Lineage is cut per round (the k-means/CC loop discipline).
+    */
+  def bpeMerges(spark: SparkSession, sfDir: String,
+                rounds: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = tokens(Tables.documents(spark, sfDir))
+      .groupBy(col("tok").as("word")).agg(count(lit(1)).as("freq"))
+    val wWin = Window.partitionBy("word").orderBy("pos")
+    var cur = words
+      .select(col("word"), col("freq"),
+        posexplode(transform(sequence(lit(1), length(col("word"))),
+          i => col("word").substr(i, lit(1)))).as(Seq("pos0", "sym")))
+      .select(col("word"), col("freq"),
+        (col("pos0") + 1).cast(LongType).as("pos"), col("sym"))
+      .localCheckpoint()
+    val merges = collection.mutable.Buffer.empty[DataFrame]
+    var r = 1
+    while (r <= rounds) {
+      val pr = cur.withColumn("nxt", lead("sym", 1).over(wWin))
+      val best = pr.filter(col("nxt").isNotNull)
+        .groupBy(col("sym").as("l"), col("nxt").as("r"))
+        .agg(sum("freq").as("pf"))
+        .orderBy(desc("pf"), asc("l"), asc("r")).limit(1)
+        .localCheckpoint() // one-row relation: reused by the merge table
+                           // AND the rebuild below; never collect()ed
+      merges += best.select(lit(r).as("merge_rank"), col("l").as("left_sym"),
+        col("r").as("right_sym"), col("pf").as("pair_freq"))
+      // Greedy merge realization: match positions → islands of
+      // CONSECUTIVE matches (pos − row_number is constant within a run)
+      // → odd offsets merge; a row is consumed iff its predecessor
+      // merged (lag over the dense positions).
+      val m = pr.crossJoin(
+        broadcast(best.select(col("l").as("bl"), col("r").as("br"))))
+        .withColumn("mt", col("sym") === col("bl") && col("nxt") === col("br"))
+      val sel = m.filter(col("mt"))
+        .withColumn("grp", col("pos") - row_number().over(wWin))
+        .withColumn("k", row_number().over(
+          Window.partitionBy("word", "grp").orderBy("pos")))
+        .filter(col("k") % 2 === 1)
+        .select(col("word"), col("pos"), lit(true).as("selret"))
+      cur = m.join(sel, Seq("word", "pos"), "left")
+        .withColumn("s1", coalesce(col("selret"), lit(false)))
+        .withColumn("consumed", lag(col("s1"), 1, false).over(wWin))
+        .filter(!col("consumed"))
+        .select(col("word"), col("freq"),
+          row_number().over(wWin).cast(LongType).as("pos"),
+          when(col("s1"), concat(col("sym"), col("nxt")))
+            .otherwise(col("sym")).as("sym"))
+        .localCheckpoint()
+      r += 1
+    }
+    merges.reduce(_ union _).orderBy("merge_rank")
+  }
+
   def sourceQuota(spark: SparkSession, sfDir: String,
                   quota: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -45,6 +45,9 @@ class EdgeCaseSpec extends SparkSuite {
     assert(TextAnalysis.repetition(spark, emptySf).count() == 0)
     assert(TextAnalysis.piiRedaction(spark, emptySf).count() == 0)
     assert(Dedup.chunkDedup(spark, emptySf).count() == 0)
+    // BPE on an empty corpus: no words → no pairs → an empty merge
+    // table (each round's LIMIT-1 argmax is empty, not an error)
+    assert(TextAnalysis.bpeMerges(spark, emptySf).count() == 0)
   }
 
   test("similarity search is empty-safe") {

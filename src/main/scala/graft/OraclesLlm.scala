@@ -261,6 +261,18 @@ object OraclesLlm {
       .mkString("\nUNION ALL ")
 
   val sql: Map[String, String] = Map(
+    // The sketch query's final output is EXACT by construction (the MG
+    // candidates are a guaranteed superset, then re-counted exactly),
+    // so the oracle is the closed-form frequency threshold.
+    "x11p_heavy_hitters" ->
+      s"""WITH $toks,
+         |tot AS (SELECT COUNT(*) AS total FROM toks)
+         |SELECT tok AS token, COUNT(*) AS n_occurrences,
+         |       CAST(COUNT(*) AS DOUBLE) / MIN(t.total) AS share
+         |FROM toks, tot t
+         |GROUP BY tok
+         |HAVING COUNT(*) * 30 > MIN(t.total)
+         |ORDER BY n_occurrences DESC, token""".stripMargin,
     "x11o_bpe_merges" ->
       s"""WITH $toks,
          |$bpeCtes

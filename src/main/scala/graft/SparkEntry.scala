@@ -120,6 +120,9 @@ object SparkEntry {
     // touched once (word-frequency aggregate), merge rounds run on the
     // vocab-sized symbol relation with a one-row broadcast pair/round
     "x11o_bpe_merges"     -> ((s, d) => TextAnalysis.bpeMerges(s, d)),
+    // exact heavy hitters via Misra-Gries sketch + exact re-count of
+    // the ≤capacity candidates: no vocabulary-sized shuffle anywhere
+    "x11p_heavy_hitters"  -> ((s, d) => TextAnalysis.heavyHitters(s, d)),
     // which copy survives dedup: per-cluster canonical representative
     "x09k_canonical"      -> (Dedup.canonicalDocs(_, _)),
     "x11i_pii_redaction"  -> (TextAnalysis.piiRedaction(_, _)),

@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Misra-Gries frequent-items sketch as a typed `Aggregator` — the
+  * streaming-algorithms workhorse Spark has no builtin for (its
+  * `approx_count_distinct`/percentile sketches answer different
+  * questions). The buffer is a capacity-bounded counter map:
+  *
+  *  - `reduce`: increment a tracked key; admit an untracked key while
+  *    below capacity; otherwise decrement ALL counters and drop zeros
+  *    (the classic MG step — each decrement "spends" capacity+1
+  *    occurrences, which is where the error bound comes from);
+  *  - `merge`: sum counters, then if over capacity subtract the
+  *    (capacity+1)-th largest value from every counter and drop the
+  *    non-positive ones (Agarwal et al.'s mergeable-summaries rule —
+  *    the same guarantee survives arbitrary merge trees, which is
+  *    exactly what map-side partial aggregation produces).
+  *
+  * Guarantee: every item with true frequency > N/(capacity+1) is
+  * present in the final buffer, for ANY partitioning and merge order.
+  * The candidate SET itself may vary with merge order below that
+  * threshold — which is why the exact heavy-hitters query treats it
+  * as a candidate generator and re-counts exactly (see
+  * [[graft.operators.TextAnalysis.heavyHitters]]); the sketch never
+  * decides membership on its own.
+  *
+  * 100 TB shape: the corpus shuffles ONE bounded map per partition
+  * (≤ capacity entries), never rows — the whole point vs a full
+  * groupBy whose shuffle is vocabulary-sized.
+  */
+class MisraGries(capacity: Int)
+  extends Aggregator[String, Map[String, Long], Array[String]] {
+  require(capacity > 0, "MisraGries capacity must be positive")
+
+  override def zero: Map[String, Long] = Map.empty
+
+  override def reduce(b: Map[String, Long], tok: String): Map[String, Long] =
+    b.get(tok) match {
+      case Some(c) => b.updated(tok, c + 1L)
+      case None if b.size < capacity => b.updated(tok, 1L)
+      case None => b.flatMap { case (k, v) =>
+        if (v > 1L) Some(k -> (v - 1L)) else None
+      }
+    }
+
+  override def merge(a: Map[String, Long],
+                     b: Map[String, Long]): Map[String, Long] = {
+    val s = b.foldLeft(a) { case (m, (k, v)) =>
+      m.updated(k, m.getOrElse(k, 0L) + v)
+    }
+    if (s.size <= capacity) s
+    else {
+      // subtract the (capacity+1)-th largest count from everything;
+      // at most `capacity` strictly-larger counters can survive
+      val cut = s.values.toIndexedSeq
+        .sorted(Ordering[Long].reverse).apply(capacity)
+      s.collect { case (k, v) if v > cut => k -> (v - cut) }
+    }
+  }
+
+  /** Sorted for a deterministic array given a buffer; the downstream
+    * exact re-count makes the QUERY deterministic regardless. */
+  override def finish(b: Map[String, Long]): Array[String] =
+    b.keys.toArray.sorted
+
+  override def bufferEncoder: Encoder[Map[String, Long]] =
+    ExpressionEncoder()
+  override def outputEncoder: Encoder[Array[String]] =
+    ExpressionEncoder()
+}

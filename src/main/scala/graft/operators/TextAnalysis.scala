@@ -714,6 +714,43 @@ object TextAnalysis {
     merges.reduce(_ union _).orderBy("merge_rank")
   }
 
+  /** Exact heavy hitters by the two-pass sketch-then-verify pattern:
+    * pass 1 runs the [[graft.functions.MisraGries]] frequent-items
+    * sketch (capacity-bounded counter maps, merged map-side — the
+    * shuffle carries ONE ≤capacity-entry map per partition, never
+    * rows) plus the exact token total in the same scan; pass 2
+    * re-counts ONLY the candidate tokens (a broadcast semi-join — the
+    * candidate relation is ≤capacity rows by construction) and keeps
+    * those above the φ = 1/`phiDen` frequency threshold with their
+    * EXACT counts.
+    *
+    * Correctness: MG with capacity c guarantees every token of true
+    * frequency > N/(c+1) survives in the candidate set under any merge
+    * order; with c+1 > `phiDen` the candidates are a guaranteed
+    * SUPERSET of the answer, and the exact re-count + threshold makes
+    * the final result deterministic and partitioning-invariant — which
+    * is what lets a closed-form SQL oracle certify a sketch query at
+    * all. 100 TB shape: two corpus scans, no vocabulary-sized shuffle
+    * anywhere (contrast [[vocabCoverage]], which deliberately pays the
+    * vocab sort because its answer needs the full distribution).
+    */
+  def heavyHitters(spark: SparkSession, sfDir: String,
+                   phiDen: Long = 30L, capacity: Int = 48): DataFrame = {
+    require(capacity + 1 > phiDen,
+      "MG capacity must exceed phiDen-1 for the superset guarantee")
+    val t = tokens(Tables.documents(spark, sfDir)).select("tok")
+    val mgSketch = udaf(new graft.functions.MisraGries(capacity))
+    val pass1 = t.agg(mgSketch(col("tok")).as("cand"),
+      count(lit(1)).as("total"))
+    val cands = pass1.select(explode(col("cand")).as("tok"), col("total"))
+    t.join(broadcast(cands), "tok")
+      .groupBy("tok", "total").agg(count(lit(1)).as("n_occurrences"))
+      .filter(col("n_occurrences") * phiDen > col("total"))
+      .select(col("tok").as("token"), col("n_occurrences"),
+        (col("n_occurrences").cast(DoubleType) / col("total")).as("share"))
+      .orderBy(desc("n_occurrences"), asc("token"))
+  }
+
   def sourceQuota(spark: SparkSession, sfDir: String,
                   quota: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -291,6 +291,52 @@ class TextMultimodalSpec extends SparkSuite {
     // rounds stay single-char at this scale)
   }
 
+  test("Misra-Gries heavy hitters are exact under undersized capacity") {
+    // capacity 3 on a stream with >3 distinct tokens forces BOTH
+    // overflow paths (reduce's decrement-all and merge's cut-subtract);
+    // the two-pass query must still return exactly the tokens above
+    // the threshold with exact counts, for any input layout.
+    val dir = java.nio.file.Files.createTempDirectory("graft_hh_")
+    try {
+      import spark.implicits._
+      // 40×a, 25×b, 12×c, singletons d..k: with φ = 1/4 over N=85,
+      // the answer is {a (40), b (25)}; c and the tail must be pruned
+      val text = (Seq.fill(40)("a") ++ Seq.fill(25)("b") ++
+        Seq.fill(12)("c") ++ Seq("d", "e", "f", "g", "h", "i", "j", "k"))
+      val docs = text.grouped(5).zipWithIndex
+        .map { case (g, i) => (i.toLong, g.mkString(" "), "en", "s", 1L) }
+        .toSeq.toDF("doc_id", "text", "lang", "source", "n_chars")
+      docs.repartition(7).write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+      val got = TextAnalysis.heavyHitters(spark, dir.toString,
+        phiDen = 4L, capacity = 4).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(got == Seq(("a", 40L), ("b", 25L)), s"got $got")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("MG buffer honors the superset guarantee across merge trees") {
+    // pure unit exercise of the Aggregator's algebra: feed three
+    // partitions through reduce, merge in both associations, and the
+    // guaranteed-heavy item must be tracked in every outcome
+    val mg = new graft.functions.MisraGries(2)
+    val parts = Seq(
+      Seq("x", "y", "x", "z", "x"), // x=3 of 5
+      Seq("x", "w", "x", "y", "x"),
+      Seq("x", "z", "x", "w", "x"))
+    val bufs = parts.map(_.foldLeft(mg.zero)(mg.reduce))
+    val left = mg.merge(mg.merge(bufs(0), bufs(1)), bufs(2))
+    val right = mg.merge(bufs(0), mg.merge(bufs(1), bufs(2)))
+    // x has frequency 9/15 > N/(capacity+1) = 5 → must survive any tree
+    assert(left.contains("x") && right.contains("x"))
+    assert(left.size <= 2 && right.size <= 2, "capacity bound violated")
+  }
+
   test("source quota caps every source deterministically") {
     val rows = TextAnalysis.sourceQuota(spark, sf).collect()
     val perSource = spark.read.parquet(s"$sf/documents.parquet")

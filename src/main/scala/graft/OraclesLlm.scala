@@ -273,6 +273,58 @@ object OraclesLlm {
          |GROUP BY tok
          |HAVING COUNT(*) * 30 > MIN(t.total)
          |ORDER BY n_occurrences DESC, token""".stripMargin,
+    // Composed corpus-build funnel: each stage's predicate is the
+    // already-certified operator's oracle fragment applied to the
+    // previous stage's survivors; near-dedup reuses the recursive CC
+    // cluster chain. HAVING drops empty stages exactly like the
+    // engine's filter-then-group.
+    "x20_corpus_funnel" ->
+      s"""WITH RECURSIVE $toks,
+         |$clusterCtes,
+         |feat AS (SELECT doc_id, text,
+         |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+         |    len(list_distinct(string_split(text,' '))) AS n_distinct,
+         |    len(list_filter(string_split(text,' '), t -> t='the'))
+         |      + len(list_filter(string_split(text,' '), t -> t='a')) AS en,
+         |    len(list_filter(string_split(text,' '), t -> t='data'))
+         |      + len(list_filter(string_split(text,' '), t -> t='table')) AS es,
+         |    len(list_filter(string_split(text,' '), t -> t='window'))
+         |      + len(list_filter(string_split(text,' '), t -> t='row')) AS de,
+         |    len(list_filter(string_split(text,' '), t -> t='filter'))
+         |      + len(list_filter(string_split(text,' '), t -> t='stream')) AS fr,
+         |    len(list_filter(string_split(text,' '), t -> t='spark'))
+         |      + len(list_filter(string_split(text,' '), t -> t='query')) AS zh
+         |  FROM documents),
+         |f3 AS (SELECT *,
+         |    (en>=es AND en>=de AND en>=fr AND en>=zh) AS s2,
+         |    (en>=es AND en>=de AND en>=fr AND en>=zh
+         |      AND n_tokens >= 20 AND n_distinct/n_tokens >= 0.25) AS s3
+         |  FROM feat),
+         |f4 AS (SELECT *, (s3 AND doc_id = MIN(CASE WHEN s3 THEN doc_id END)
+         |    OVER (PARTITION BY text)) AS s4 FROM f3),
+         |f6 AS (SELECT f.*, (f.s4 AND (c.cluster_id IS NULL OR
+         |      f.doc_id = MIN(CASE WHEN f.s4 THEN f.doc_id END)
+         |        OVER (PARTITION BY c.cluster_id))) AS s5,
+         |    (f.s4 AND (c.cluster_id IS NULL OR
+         |      f.doc_id = MIN(CASE WHEN f.s4 THEN f.doc_id END)
+         |        OVER (PARTITION BY c.cluster_id))
+         |      AND ((f.doc_id * 2654435761) % 2147483647) % 10 < 8) AS s6
+         |  FROM f4 f LEFT JOIN clus c ON f.doc_id = c.doc_id)
+         |SELECT 1 AS stage_ord, 'raw' AS stage,
+         |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+         |FROM f6 HAVING COUNT(*) > 0
+         |UNION ALL SELECT 2, 'lang_en', COUNT(*), CAST(SUM(n_tokens) AS BIGINT)
+         |FROM f6 WHERE s2 HAVING COUNT(*) > 0
+         |UNION ALL SELECT 3, 'quality', COUNT(*), CAST(SUM(n_tokens) AS BIGINT)
+         |FROM f6 WHERE s3 HAVING COUNT(*) > 0
+         |UNION ALL SELECT 4, 'exact_dedup', COUNT(*), CAST(SUM(n_tokens) AS BIGINT)
+         |FROM f6 WHERE s4 HAVING COUNT(*) > 0
+         |UNION ALL SELECT 5, 'near_dedup', COUNT(*), CAST(SUM(n_tokens) AS BIGINT)
+         |FROM f6 WHERE s5 HAVING COUNT(*) > 0
+         |UNION ALL SELECT 6, 'train_split', COUNT(*), CAST(SUM(n_tokens) AS BIGINT)
+         |FROM f6 WHERE s6 HAVING COUNT(*) > 0
+         |ORDER BY stage_ord""".stripMargin,
     "x11o_bpe_merges" ->
       s"""WITH $toks,
          |$bpeCtes

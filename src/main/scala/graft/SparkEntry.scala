@@ -123,6 +123,9 @@ object SparkEntry {
     // exact heavy hitters via Misra-Gries sketch + exact re-count of
     // the ≤capacity candidates: no vocabulary-sized shuffle anywhere
     "x11p_heavy_hitters"  -> ((s, d) => TextAnalysis.heavyHitters(s, d)),
+    // the composed corpus-build pipeline as ONE query: lang → quality
+    // → exact dedup → near-dedup survivor → split, per-stage yields
+    "x20_corpus_funnel"   -> (TextAnalysis.corpusFunnel(_, _)),
     // which copy survives dedup: per-cluster canonical representative
     "x09k_canonical"      -> (Dedup.canonicalDocs(_, _)),
     "x11i_pii_redaction"  -> (TextAnalysis.piiRedaction(_, _)),

@@ -751,6 +751,72 @@ object TextAnalysis {
       .orderBy(desc("n_occurrences"), asc("token"))
   }
 
+  /** End-to-end corpus-build funnel — the composed pipeline a training
+    * run actually executes, as ONE query: raw → language filter →
+    * quality filter → exact dedup → near-dedup (cluster survivor) →
+    * train split, emitting per-stage document and token counts (the
+    * yield report every corpus release ships with). The point is
+    * COMPOSITION: each stage is the already-certified operator's
+    * predicate applied to the previous stage's survivors, so the
+    * funnel proves the library's pieces snap together without glue.
+    *
+    * Stage semantics on survivors (not the raw corpus): exact dedup
+    * keeps the minimum surviving doc_id per identical text; near-dedup
+    * keeps the minimum SURVIVING member per near-dup cluster (the
+    * cluster relation is the memoized [[Dedup.dedupClusters]] output —
+    * tiny, so the join broadcasts), so a cluster whose canonical was
+    * already dropped by quality still keeps one representative.
+    *
+    * 100 TB shape: one corpus scan computes every per-doc predicate;
+    * the only corpus-wide exchanges are the exact-dedup window (the
+    * same one shuffle-by-content [[Dedup.exactDedup]] pays) and the
+    * final tiny stage aggregate; the cluster relation joins as a
+    * broadcast. Stages multiply the scan by 6 row-copies of ONE long
+    * column, not of the text.
+    */
+  def corpusFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toksArr = split(col("text"), " ")
+    def score(ws: Seq[String]) = markerCount(toksArr, ws)
+    val feat = Tables.documents(spark, sfDir).select(
+      col("doc_id"), col("text"),
+      size(toksArr).cast(LongType).as("n_tokens"),
+      size(array_distinct(toksArr)).as("n_distinct"),
+      score(Seq("the", "a")).as("en"), score(Seq("data", "table")).as("es"),
+      score(Seq("window", "row")).as("de"),
+      score(Seq("filter", "stream")).as("fr"),
+      score(Seq("spark", "query")).as("zh"))
+    val flag3 = feat
+      .withColumn("s2", col("en") >= col("es") && col("en") >= col("de")
+        && col("en") >= col("fr") && col("en") >= col("zh"))
+      .withColumn("s3", col("s2") && col("n_tokens") >= 20
+        && col("n_distinct") / col("n_tokens") >= 0.25)
+    val flag4 = flag3.withColumn("s4",
+      col("s3") && col("doc_id") ===
+        min(when(col("s3"), col("doc_id"))).over(Window.partitionBy("text")))
+    val clus = Dedup.dedupClusters(spark, sfDir)
+      .select(col("doc_id"), col("cluster_id"))
+    val flag6 = flag4.join(broadcast(clus), Seq("doc_id"), "left")
+      .withColumn("s5", col("s4") && (col("cluster_id").isNull ||
+        col("doc_id") === min(when(col("s4"), col("doc_id")))
+          .over(Window.partitionBy("cluster_id"))))
+      .withColumn("s6", col("s5") && splitOf(col("doc_id")) === "train")
+    flag6.select(col("n_tokens"), explode(array(
+        struct(lit(1).as("o"), lit("raw").as("st"), lit(true).as("kept")),
+        struct(lit(2).as("o"), lit("lang_en").as("st"), col("s2").as("kept")),
+        struct(lit(3).as("o"), lit("quality").as("st"), col("s3").as("kept")),
+        struct(lit(4).as("o"), lit("exact_dedup").as("st"),
+          col("s4").as("kept")),
+        struct(lit(5).as("o"), lit("near_dedup").as("st"),
+          col("s5").as("kept")),
+        struct(lit(6).as("o"), lit("train_split").as("st"),
+          col("s6").as("kept")))).as("stg"))
+      .filter(col("stg.kept"))
+      .groupBy(col("stg.o").as("stage_ord"), col("stg.st").as("stage"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+      .orderBy("stage_ord")
+  }
+
   def sourceQuota(spark: SparkSession, sfDir: String,
                   quota: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -337,6 +337,21 @@ class TextMultimodalSpec extends SparkSuite {
     assert(left.size <= 2 && right.size <= 2, "capacity bound violated")
   }
 
+  test("corpus funnel stages are monotone and agree with the operators") {
+    val rows = TextAnalysis.corpusFunnel(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 6))
+    // survivors can only shrink stage to stage (docs AND tokens)
+    val docs = rows.map(_.getLong(2)).toSeq
+    val toks = rows.map(_.getLong(3)).toSeq
+    assert(docs == docs.sorted.reverse && toks == toks.sorted.reverse)
+    // stage 1 is the raw corpus; stage 2 equals the certified langId op
+    assert(docs.head == nDocs)
+    val enDocs = TextAnalysis.langId(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("predicted") === "en")
+      .count()
+    assert(docs(1) == enDocs, "funnel lang stage diverged from langId")
+  }
+
   test("source quota caps every source deterministically") {
     val rows = TextAnalysis.sourceQuota(spark, sf).collect()
     val perSource = spark.read.parquet(s"$sf/documents.parquet")

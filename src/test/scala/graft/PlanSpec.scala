@@ -150,6 +150,29 @@ class PlanSpec extends SparkSuite {
       s"outlier stats should broadcast:\n$oePlan")
   }
 
+  test("heavy hitters and the corpus funnel keep their scale-shape plans") {
+    import graft.operators.TextAnalysis
+    // heavy hitters: the MG sketch must aggregate in partial/final
+    // object-hash stages (the shuffle carries ≤capacity-entry buffers,
+    // never token rows), and the candidate re-count join must broadcast
+    // — a sort-merge join would mean the corpus shuffled by token
+    val hhPlan = plan(TextAnalysis.heavyHitters(spark, sf))
+    assert("ObjectHashAggregate".r.findAllIn(hhPlan).length >= 2,
+      s"MG buffer must combine map-side:\n$hhPlan")
+    assert(hhPlan.contains("BroadcastHashJoin") &&
+      !hhPlan.contains("SortMergeJoin"),
+      s"candidate re-count should broadcast:\n$hhPlan")
+    // funnel: the cluster relation joins as a broadcast; the only hash
+    // exchanges partition by text (exact dedup) and cluster_id (the
+    // survivor window) — never a corpus sort-merge join
+    val cfPlan = plan(TextAnalysis.corpusFunnel(spark, sf))
+    assert(cfPlan.contains("BroadcastHashJoin") &&
+      !cfPlan.contains("SortMergeJoin"),
+      s"cluster relation should broadcast:\n$cfPlan")
+    assert(cfPlan.contains("hashpartitioning(text"),
+      s"exact dedup must shard by content:\n$cfPlan")
+  }
+
   test("interval join plans as an equi-join on (user, bucket), not a cross product") {
     val p = plan(Relational.intervalJoin(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

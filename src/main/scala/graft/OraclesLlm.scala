@@ -225,23 +225,19 @@ object OraclesLlm {
        |m_$r AS (SELECT p.word, p.freq, p.pos, p.sym, p.nxt,
        |                (p.sym = b.l AND p.nxt = b.r) AS mt
        |         FROM pr_$r p CROSS JOIN b_$r b),
-       |sel_$r AS (SELECT word, pos, TRUE AS s1 FROM
-       |             (SELECT word, pos, ROW_NUMBER() OVER
-       |                (PARTITION BY word, grp ORDER BY pos) AS k
-       |              FROM (SELECT word, pos, pos - ROW_NUMBER() OVER
-       |                      (PARTITION BY word ORDER BY pos) AS grp
-       |                    FROM m_$r WHERE mt))
-       |           WHERE k % 2 = 1),
        |s_$r AS (SELECT word, freq,
        |                CAST(ROW_NUMBER() OVER
        |                  (PARTITION BY word ORDER BY pos) AS BIGINT) AS pos,
        |                CASE WHEN s1 THEN sym || nxt ELSE sym END AS sym
-       |         FROM (SELECT m.word, m.freq, m.pos, m.sym, m.nxt,
-       |                      COALESCE(s.s1, FALSE) AS s1,
-       |                      LAG(COALESCE(s.s1, FALSE), 1, FALSE) OVER
-       |                        (PARTITION BY m.word ORDER BY m.pos) AS consumed
-       |               FROM m_$r m LEFT JOIN sel_$r s
-       |                 ON s.word = m.word AND s.pos = m.pos)
+       |         FROM (SELECT *, LAG(s1, 1, FALSE) OVER
+       |                 (PARTITION BY word ORDER BY pos) AS consumed
+       |               FROM (SELECT *,
+       |                       (mt AND (pos - COALESCE(
+       |                          MAX(CASE WHEN NOT mt THEN pos END) OVER
+       |                            (PARTITION BY word ORDER BY pos
+       |                             ROWS BETWEEN UNBOUNDED PRECEDING
+       |                               AND CURRENT ROW), 0)) % 2 = 1) AS s1
+       |                     FROM m_$r))
        |         WHERE NOT consumed)""".stripMargin
   }
 

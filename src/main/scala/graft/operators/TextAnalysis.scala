@@ -656,11 +656,13 @@ object TextAnalysis {
     * is per-word windows (bounded by word length) plus one tiny pair
     * aggregate, and the chosen pair is a one-row broadcast — nothing
     * corpus-sized ever re-enters the loop, and nothing ever funnels
-    * through the driver. Greedy non-overlap is resolved relationally:
-    * islands of consecutive match positions take every ODD offset
-    * (for a run like `aaaa` with pair (a,a), positions 1 and 3 merge —
-    * exact greedy semantics), so a round is pure window arithmetic.
-    * Lineage is cut per round (the k-means/CC loop discipline).
+    * through the driver. Greedy non-overlap is resolved relationally
+    * in ONE running window: a position's offset inside its run of
+    * consecutive matches is `pos − last non-match pos`, and exactly
+    * the odd offsets merge (for a run like `aaaa` with pair (a,a),
+    * positions 1 and 3 merge — exact greedy semantics) — no
+    * island-id self-join, just window arithmetic. Lineage is cut per
+    * round (the k-means/CC loop discipline).
     */
   def bpeMerges(spark: SparkSession, sfDir: String,
                 rounds: Int = 6): DataFrame = {
@@ -687,21 +689,21 @@ object TextAnalysis {
                            // AND the rebuild below; never collect()ed
       merges += best.select(lit(r).as("merge_rank"), col("l").as("left_sym"),
         col("r").as("right_sym"), col("pf").as("pair_freq"))
-      // Greedy merge realization: match positions → islands of
-      // CONSECUTIVE matches (pos − row_number is constant within a run)
-      // → odd offsets merge; a row is consumed iff its predecessor
-      // merged (lag over the dense positions).
+      // Greedy merge realization, all in running windows over the
+      // dense positions: a match merges iff its OFFSET inside the run
+      // of consecutive matches (pos − last non-match pos, 0 when the
+      // run opens the word) is odd; a row is consumed iff its
+      // predecessor merged.
       val m = pr.crossJoin(
         broadcast(best.select(col("l").as("bl"), col("r").as("br"))))
         .withColumn("mt", col("sym") === col("bl") && col("nxt") === col("br"))
-      val sel = m.filter(col("mt"))
-        .withColumn("grp", col("pos") - row_number().over(wWin))
-        .withColumn("k", row_number().over(
-          Window.partitionBy("word", "grp").orderBy("pos")))
-        .filter(col("k") % 2 === 1)
-        .select(col("word"), col("pos"), lit(true).as("selret"))
-      cur = m.join(sel, Seq("word", "pos"), "left")
-        .withColumn("s1", coalesce(col("selret"), lit(false)))
+      val runWin = wWin.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      cur = m
+        .withColumn("s1", col("mt") &&
+          ((col("pos") - coalesce(
+            max(when(!col("mt"), col("pos"))).over(runWin), lit(0L)))
+            % 2 === 1))
         .withColumn("consumed", lag(col("s1"), 1, false).over(wWin))
         .filter(!col("consumed"))
         .select(col("word"), col("freq"),

@@ -1001,6 +1001,48 @@ object OraclesLlm {
          |       COUNT(*) AS n_grams
          |FROM i GROUP BY doc_id, isl ORDER BY doc_id, span_start""".stripMargin
     },
+    // Span-scrub application: the x09n span chain, then NOT EXISTS
+    // against the merged spans drops covered tokens and the survivors
+    // reassemble in position order; docs scrubbed to nothing surface
+    // with kept=0 and a NULL hash (mirrors Dedup.spanScrub).
+    "x09o_span_scrub" -> {
+      val (cat, joins) = gramJoin(8)
+      s"""WITH $toks,
+         |g AS (SELECT a.doc_id, a.ord AS start, ${polyHash(cat)} AS gid
+         |      FROM toks a $joins),
+         |rep AS (SELECT gid FROM g GROUP BY gid
+         |        HAVING MIN(doc_id) <> MAX(doc_id)),
+         |sp AS (SELECT g.doc_id, g.start, g.start + 7 AS e
+         |       FROM g JOIN rep USING (gid)),
+         |wm AS (SELECT doc_id, start, e,
+         |         MAX(e) OVER (PARTITION BY doc_id ORDER BY start
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+         |       FROM sp),
+         |f AS (SELECT doc_id, start, e,
+         |        CASE WHEN pm IS NULL OR start > pm THEN 1 ELSE 0 END AS news
+         |      FROM wm),
+         |i AS (SELECT doc_id, start, e,
+         |        CAST(SUM(news) OVER (PARTITION BY doc_id ORDER BY start
+         |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS isl FROM f),
+         |ms AS (SELECT doc_id, MIN(start) AS span_start, MAX(e) AS span_end
+         |       FROM i GROUP BY doc_id, isl),
+         |keptt AS (SELECT t.doc_id, t.ord, t.tok FROM toks t
+         |          WHERE NOT EXISTS (SELECT 1 FROM ms m
+         |            WHERE m.doc_id = t.doc_id
+         |              AND t.ord BETWEEN m.span_start AND m.span_end)),
+         |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens_kept,
+         |               sha256(string_agg(tok, ' ' ORDER BY ord)) AS cleaned_hash
+         |        FROM keptt GROUP BY doc_id),
+         |bef AS (SELECT doc_id,
+         |          CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
+         |        FROM documents)
+         |SELECT b.doc_id, b.n_tokens,
+         |       COALESCE(a.n_tokens_kept, 0) AS n_tokens_kept,
+         |       a.cleaned_hash
+         |FROM bef b LEFT JOIN agg a USING (doc_id)
+         |WHERE COALESCE(a.n_tokens_kept, 0) < b.n_tokens
+         |ORDER BY doc_id""".stripMargin
+    },
     // Bigram-LM surprisal: exact BIGINT numerator/denominator sums, one
     // IEEE division per doc, integer-compare buckets (mirrors
     // TextAnalysis.lmScore; DuckDB HUGEINT sums pinned back to BIGINT).

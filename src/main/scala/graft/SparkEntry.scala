@@ -113,6 +113,9 @@ object SparkEntry {
     // Lee-et-al exact repeated-substring spans: stride-1 gram
     // fingerprints, cross-doc repeats, per-doc interval merge
     "x09n_repeated_spans" -> (Dedup.repeatedSpans(_, _)),
+    // ...and the scrub APPLICATION: cut the spans, reassemble the
+    // survivors, report before/after counts + rewritten-content hash
+    "x09o_span_scrub"     -> ((s, d) => Dedup.spanScrub(s, d)),
     // CCNet-style corpus-trained bigram-LM fluency scoring: exact
     // ratio-of-sums surprisal, head/middle/tail perplexity buckets
     "x11n_lm_score"       -> (TextAnalysis.lmScore(_, _)),

@@ -489,7 +489,21 @@ object Dedup {
                     width: Int = 8,
                     // false = skip cache+checkpoint so PlanSpec can
                     // audit the live plan (the ngramJaccardBuild pattern)
-                    materialize: Boolean = true): DataFrame = {
+                    materialize: Boolean = true): DataFrame =
+    if (!materialize)
+      repeatedSpansBuild(spark, sfDir, width, materialize = false)
+        .orderBy("doc_id", "span_start")
+    else
+      // memoized: the span relation feeds BOTH the x09n report and the
+      // x09o scrub application — same shared-pair-set discipline as
+      // the jaccard/simhash memos
+      memoized(spark, s"repeatedSpans|$sfDir|$width") {
+        repeatedSpansBuild(spark, sfDir, width, materialize = true)
+      }.orderBy("doc_id", "span_start")
+
+  private def repeatedSpansBuild(spark: SparkSession, sfDir: String,
+                                 width: Int,
+                                 materialize: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.plans.PolyHash.register(spark)
     // Gram ids are the char-level content hash of the gram STRING (the
@@ -533,12 +547,54 @@ object Dedup {
       .select("doc_id", "span_start", "span_end", "span_tokens", "n_grams")
     // materialize the (duplicated-mass-only) span set, then release the
     // corpus-sized gram cache — same discipline as minhashLsh
-    if (!materialize) merged.orderBy("doc_id", "span_start")
+    if (!materialize) merged
     else {
       val out = merged.localCheckpoint()
       spans.unpersist()
-      out.orderBy("doc_id", "span_start")
+      out
     }
+  }
+
+  /** Span-scrub application — the step that actually CUTS the
+    * [[repeatedSpans]] intervals out of the corpus (Lee et al. report
+    * the spans; a dedup run must then rewrite the documents). Tokens
+    * inside any merged span are dropped via a keyed anti-join (equi on
+    * doc_id, range residual on the position — the span relation is the
+    * duplicated mass only, and each document's check is local to its
+    * own spans), and the surviving tokens reassemble in order. Emits
+    * one row per SCRUBBED document (kept < before) with before/after
+    * token counts and the sha256 of the rewritten text — the content
+    * hash makes the rewrite oracle-checkable without shipping the
+    * full cleaned corpus through the result set.
+    *
+    * 100 TB shape: the span relation shards by doc_id alongside the
+    * token stream (keyed join, never corpus×corpus); reassembly is one
+    * per-doc aggregate (collect_list bounded by document length — the
+    * same per-entity bound every per-doc array op here relies on);
+    * the span build itself is shared with x09n via the session memo.
+    */
+  def spanScrub(spark: SparkSession, sfDir: String,
+                width: Int = 8): DataFrame = {
+    val t = TextAnalysis.tokens(Tables.documents(spark, sfDir))
+    val sp = repeatedSpans(spark, sfDir, width)
+      .select(col("doc_id").as("sdoc"), col("span_start"), col("span_end"))
+    val kept = t.join(sp, col("doc_id") === col("sdoc") &&
+        col("ord") >= col("span_start") && col("ord") <= col("span_end"),
+      "left_anti")
+    val agg = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_tokens_kept"),
+      sha2(concat_ws(" ",
+        transform(sort_array(collect_list(struct(col("ord"), col("tok")))),
+          s => s.getField("tok"))), 256).as("cleaned_hash"))
+    val before = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+    before.join(agg, Seq("doc_id"), "left")
+      .filter(coalesce(col("n_tokens_kept"), lit(0L)) < col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"),
+        col("cleaned_hash"))
+      .orderBy("doc_id")
   }
 
   /** N-gram (bigram) Jaccard similarity via inverted-index candidate

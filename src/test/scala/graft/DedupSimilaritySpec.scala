@@ -334,6 +334,42 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(expected.nonEmpty, "fixture plants cross-doc duplicate text; none found")
   }
 
+  test("span scrub removes exactly the merged-span token mass") {
+    // removed tokens per doc must equal the sum of that doc's merged
+    // span lengths (spans never overlap after the merge), and only
+    // docs that actually lost tokens may appear
+    val spans = Dedup.repeatedSpans(spark, sf).collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(3)).sum).toMap
+    val rows = Dedup.spanScrub(spark, sf).collect()
+    assert(rows.nonEmpty, "fixture plants cross-doc repeats; none scrubbed")
+    rows.foreach { r =>
+      val (id, before, kept) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(kept < before)
+      assert(before - kept == spans(id),
+        s"doc $id removed ${before - kept}, spans say ${spans(id)}")
+      // fully-scrubbed docs have no text to hash; others carry sha256
+      assert((kept == 0L) == r.isNullAt(3))
+    }
+    // and docs with no spans must not appear
+    assert(rows.map(_.getLong(0)).toSet.subsetOf(spans.keySet))
+  }
+
+  test("identical documents scrub each other to nothing") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_scrub_").toString
+    // A and B are verbatim copies (12 tokens); C shares no 8-gram
+    Seq((1L, "q w e r t y u i o p a s"),
+        (2L, "q w e r t y u i o p a s"),
+        (3L, "z z z z z z z z z z z z"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Dedup.spanScrub(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.isNullAt(3))).toSeq
+    assert(rows == Seq((1L, 0L, true), (2L, 0L, true)),
+      s"copies must fully scrub, the unique doc must survive: $rows")
+  }
+
   test("prefix filter catches pairs exactly at the jaccard threshold (regression)") {
     // Boundary construction: two 5-token docs sharing 3 of their 4
     // bigrams, each with one globally-unique bigram -> J = 3/5 exactly,

@@ -300,10 +300,10 @@ object OraclesLlm {
          |    OVER (PARTITION BY text)) AS s4 FROM f3),
          |f6 AS (SELECT f.*, (f.s4 AND (c.cluster_id IS NULL OR
          |      f.doc_id = MIN(CASE WHEN f.s4 THEN f.doc_id END)
-         |        OVER (PARTITION BY c.cluster_id))) AS s5,
+         |        OVER (PARTITION BY COALESCE(c.cluster_id, f.doc_id)))) AS s5,
          |    (f.s4 AND (c.cluster_id IS NULL OR
          |      f.doc_id = MIN(CASE WHEN f.s4 THEN f.doc_id END)
-         |        OVER (PARTITION BY c.cluster_id))
+         |        OVER (PARTITION BY COALESCE(c.cluster_id, f.doc_id)))
          |      AND ((f.doc_id * 2654435761) % 2147483647) % 10 < 8) AS s6
          |  FROM f4 f LEFT JOIN clus c ON f.doc_id = c.doc_id)
          |SELECT 1 AS stage_ord, 'raw' AS stage,

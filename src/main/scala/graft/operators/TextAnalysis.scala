@@ -798,10 +798,18 @@ object TextAnalysis {
         min(when(col("s3"), col("doc_id"))).over(Window.partitionBy("text")))
     val clus = Dedup.dedupClusters(spark, sfDir)
       .select(col("doc_id"), col("cluster_id"))
+    // The survivor window partitions by coalesce(cluster_id, doc_id),
+    // NOT cluster_id: unclustered docs (NULL cluster — most of the
+    // corpus) would otherwise share ONE window partition and funnel
+    // the whole corpus through a single task at scale. With the
+    // coalesce key each unclustered doc is its own singleton partition
+    // (its min-surviving member is itself, so the predicate reduces to
+    // s4 — same result, sharded plan).
     val flag6 = flag4.join(broadcast(clus), Seq("doc_id"), "left")
       .withColumn("s5", col("s4") && (col("cluster_id").isNull ||
         col("doc_id") === min(when(col("s4"), col("doc_id")))
-          .over(Window.partitionBy("cluster_id"))))
+          .over(Window.partitionBy(
+            coalesce(col("cluster_id"), col("doc_id"))))))
       .withColumn("s6", col("s5") && splitOf(col("doc_id")) === "train")
     flag6.select(col("n_tokens"), explode(array(
         struct(lit(1).as("o"), lit("raw").as("st"), lit(true).as("kept")),

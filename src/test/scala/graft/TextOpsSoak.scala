@@ -27,7 +27,9 @@ object TextOpsSoak {
       "x11p_heavy_hitters" ->
         (() => graft.operators.TextAnalysis.heavyHitters(spark, dir).count()),
       "x20_corpus_funnel" ->
-        (() => graft.operators.TextAnalysis.corpusFunnel(spark, dir).count()))
+        (() => graft.operators.TextAnalysis.corpusFunnel(spark, dir).count()),
+      "x09o_span_scrub" ->
+        (() => graft.operators.Dedup.spanScrub(spark, dir).count()))
     for (i <- 1 to reps; (name, run) <- ops) {
       val t0 = System.nanoTime()
       val n = run()

@@ -223,8 +223,8 @@ object OraclesLlm {
        |         FROM pr_$r WHERE nxt IS NOT NULL
        |         GROUP BY 1, 2 ORDER BY pf DESC, l, r LIMIT 1),
        |m_$r AS (SELECT p.word, p.freq, p.pos, p.sym, p.nxt,
-       |                (p.sym = b.l AND p.nxt = b.r) AS mt
-       |         FROM pr_$r p CROSS JOIN b_$r b),
+       |                COALESCE(p.sym = b.l AND p.nxt = b.r, FALSE) AS mt
+       |         FROM pr_$r p LEFT JOIN b_$r b ON TRUE),
        |s_$r AS (SELECT word, freq,
        |                CAST(ROW_NUMBER() OVER
        |                  (PARTITION BY word ORDER BY pos) AS BIGINT) AS pos,
@@ -326,6 +326,22 @@ object OraclesLlm {
          |$bpeCtes
          |$bpeFinal
          |ORDER BY merge_rank""".stripMargin,
+    // Encode = the trajectory's FINAL word-symbol state (s_N) aggregated
+    // per word, joined back to the token stream; the sha256 pins the
+    // byte-exact encoded sequence.
+    "x11q_bpe_encode" ->
+      s"""WITH $toks,
+         |$bpeCtes,
+         |enc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n_subwords,
+         |               STRING_AGG(sym, ' ' ORDER BY pos) AS subtoks
+         |        FROM s_$bpeRounds GROUP BY word)
+         |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |       CAST(SUM(e.n_subwords) AS BIGINT) AS n_subwords,
+         |       CAST(SUM(e.n_subwords) AS DOUBLE)/COUNT(*) AS fertility,
+         |       sha256(STRING_AGG(e.subtoks, ' ' ORDER BY t.ord))
+         |         AS encoded_hash
+         |FROM toks t JOIN enc e ON t.tok = e.word
+         |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
     "x09a_exact_dedup" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies,
         |       sha256(text) AS content_hash

@@ -123,6 +123,10 @@ object SparkEntry {
     // touched once (word-frequency aggregate), merge rounds run on the
     // vocab-sized symbol relation with a one-row broadcast pair/round
     "x11o_bpe_merges"     -> ((s, d) => TextAnalysis.bpeMerges(s, d)),
+    // ...and tokenizer APPLICATION: encode the corpus with the learned
+    // merges (each distinct word encoded once, docs join by token);
+    // per-doc fertility + sha256 of the full encoded sequence
+    "x11q_bpe_encode"     -> ((s, d) => TextAnalysis.bpeEncode(s, d)),
     // exact heavy hitters via Misra-Gries sketch + exact re-count of
     // the ≤capacity candidates: no vocabulary-sized shuffle anywhere
     "x11p_heavy_hitters"  -> ((s, d) => TextAnalysis.heavyHitters(s, d)),

@@ -665,7 +665,18 @@ object TextAnalysis {
     * round (the k-means/CC loop discipline).
     */
   def bpeMerges(spark: SparkSession, sfDir: String,
-                rounds: Int = 6): DataFrame = {
+                rounds: Int = 6): DataFrame =
+    bpeTrained(spark, sfDir, rounds)._1.orderBy("merge_rank")
+
+  /** One training run shared by [[bpeMerges]] (the merge table) and
+    * [[bpeEncode]] (the final word→symbol state — which IS the encoded
+    * form of every distinct word, since each round applies its merge to
+    * the whole word relation). Memoized per (dir, rounds) so the
+    * certification query and the encoder never train twice. */
+  private def bpeTrained(spark: SparkSession, sfDir: String,
+                         rounds: Int): (DataFrame, DataFrame) =
+    graft.util.SessionMemo.memoizedValue(
+      spark, s"bpeTrained|$sfDir|$rounds") {
     import org.apache.spark.sql.expressions.Window
     val words = tokens(Tables.documents(spark, sfDir))
       .groupBy(col("tok").as("word")).agg(count(lit(1)).as("freq"))
@@ -694,9 +705,17 @@ object TextAnalysis {
       // of consecutive matches (pos − last non-match pos, 0 when the
       // run opens the word) is odd; a row is consumed iff its
       // predecessor merged.
-      val m = pr.crossJoin(
-        broadcast(best.select(col("l").as("bl"), col("r").as("br"))))
-        .withColumn("mt", col("sym") === col("bl") && col("nxt") === col("br"))
+      // LEFT join (not cross): an EXHAUSTED round (no pairs left →
+      // empty best) must leave the symbol state intact — a cross join
+      // against the empty one-row relation would collapse the state to
+      // zero rows, which the merge table survives but [[bpeEncode]]'s
+      // final-state read would not. coalesce pins mt to false both for
+      // the exhausted round and for each word's last symbol (nxt null).
+      val m = pr.join(
+        broadcast(best.select(col("l").as("bl"), col("r").as("br"))),
+        lit(true), "left")
+        .withColumn("mt", coalesce(
+          col("sym") === col("bl") && col("nxt") === col("br"), lit(false)))
       val runWin = wWin.rowsBetween(Window.unboundedPreceding,
         Window.currentRow)
       cur = m
@@ -713,7 +732,49 @@ object TextAnalysis {
         .localCheckpoint()
       r += 1
     }
-    merges.reduce(_ union _).orderBy("merge_rank")
+    (merges.reduce(_ union _), cur)
+  }
+
+  /** BPE ENCODING — the application half of the tokenizer story
+    * ([[bpeMerges]] learns the rules; this runs them over the corpus,
+    * which at production scale is the single biggest job a training
+    * pipeline executes). Each distinct WORD is encoded exactly once —
+    * the learned loop's final symbol state already is the per-word
+    * subword sequence — and documents pick their words up by equi-join.
+    * Emits one row per document: word/subword counts, fertility
+    * (subwords per word — THE tokenizer-quality number), and the
+    * sha256 of the full encoded sequence in token order, which pins the
+    * byte-exact encoding in the oracle without shipping the encoded
+    * corpus through the result set (the [[graft.operators.Dedup
+    * .spanScrub]] certification trick).
+    *
+    * 100 TB shape: tokenize-and-count touches the corpus twice (the
+    * training word-frequency aggregate, then this keyed join) — never
+    * per merge round; the encode state is VOCAB-sized and joins by
+    * token hash (sharded equi-join; broadcastable when the vocab fits,
+    * but nothing requires it); per-doc reassembly is one aggregate
+    * whose collect_list is bounded by document length, the same
+    * per-entity bound every per-doc array op here relies on.
+    */
+  def bpeEncode(spark: SparkSession, sfDir: String,
+                rounds: Int = 6): DataFrame = {
+    val state = bpeTrained(spark, sfDir, rounds)._2
+    val enc = state.groupBy("word").agg(
+      count(lit(1)).as("n_subwords"),
+      concat_ws(" ", transform(
+        sort_array(collect_list(struct(col("pos"), col("sym")))),
+        s => s.getField("sym"))).as("subtoks"))
+    tokens(Tables.documents(spark, sfDir))
+      .join(enc, col("tok") === col("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum("n_subwords").as("n_subwords"),
+        (sum("n_subwords").cast(DoubleType) / count(lit(1)))
+          .as("fertility"),
+        sha2(concat_ws(" ", transform(
+          sort_array(collect_list(struct(col("ord"), col("subtoks")))),
+          s => s.getField("subtoks"))), 256).as("encoded_hash"))
+      .orderBy("doc_id")
   }
 
   /** Exact heavy hitters by the two-pass sketch-then-verify pattern:

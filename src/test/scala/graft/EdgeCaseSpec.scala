@@ -48,6 +48,7 @@ class EdgeCaseSpec extends SparkSuite {
     // BPE on an empty corpus: no words → no pairs → an empty merge
     // table (each round's LIMIT-1 argmax is empty, not an error)
     assert(TextAnalysis.bpeMerges(spark, emptySf).count() == 0)
+    assert(TextAnalysis.bpeEncode(spark, emptySf).count() == 0)
     // funnel: empty corpus → every stage empty → zero stage rows
     assert(TextAnalysis.corpusFunnel(spark, emptySf).count() == 0)
     assert(TextAnalysis.heavyHitters(spark, emptySf).count() == 0)

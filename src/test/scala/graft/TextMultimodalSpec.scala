@@ -276,6 +276,46 @@ class TextMultimodalSpec extends SparkSuite {
     }
   }
 
+  test("BPE encode applies learned merges; exhausted rounds keep state") {
+    // Same corpus as the greedy test, trained PAST exhaustion
+    // (rounds=4, only 2 merges exist): the encoder must still see the
+    // round-2 state — 'aaaa'→[aaaa], 'b'→[b] — so the doc re-encodes
+    // as "aaaa aaaa b" (3 words, 3 subwords, fertility 1). The hash
+    // pins the byte-exact sequence.
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_enc_")
+    try {
+      import spark.implicits._
+      Seq((0L, "aaaa aaaa b", "en", "synthetic", 11L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+      val e = TextAnalysis.bpeEncode(spark, dir.toString, rounds = 4)
+        .collect()
+      assert(e.length == 1)
+      val r = e.head
+      assert((r.getLong(1), r.getLong(2), r.getDouble(3)) == (3L, 3L, 1.0))
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val want = md.digest("aaaa aaaa b".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(r.getString(4) == want, "encoded sequence hash must match")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("BPE encode on the fixture: subword mass bounded by chars/words") {
+    val e = TextAnalysis.bpeEncode(spark, sf).collect()
+    assert(e.nonEmpty)
+    // per doc: words ≤ subwords (merging never splits past one symbol
+    // per char) and fertility ≥ 1; encoded hashes are 64-hex
+    assert(e.forall(r => r.getLong(2) >= r.getLong(1)))
+    assert(e.forall(r => r.getDouble(3) >= 1.0))
+    assert(e.forall(r => r.getString(4).matches("[0-9a-f]{64}")))
+  }
+
   test("BPE merge table on the fixture is well-formed") {
     val m = TextAnalysis.bpeMerges(spark, sf).collect()
     assert(m.map(_.getInt(0)).toSeq == (1 to 6), "ranks must be 1..6")

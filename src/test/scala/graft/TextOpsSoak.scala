@@ -29,7 +29,9 @@ object TextOpsSoak {
       "x20_corpus_funnel" ->
         (() => graft.operators.TextAnalysis.corpusFunnel(spark, dir).count()),
       "x09o_span_scrub" ->
-        (() => graft.operators.Dedup.spanScrub(spark, dir).count()))
+        (() => graft.operators.Dedup.spanScrub(spark, dir).count()),
+      "x11q_bpe_encode" ->
+        (() => graft.operators.TextAnalysis.bpeEncode(spark, dir).count()))
     for (i <- 1 to reps; (name, run) <- ops) {
       val t0 = System.nanoTime()
       val n = run()

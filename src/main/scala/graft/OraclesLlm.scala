@@ -244,7 +244,8 @@ object OraclesLlm {
   private val bpeRounds = 6
 
   private val bpeCtes =
-    s"""words AS (SELECT tok AS word, COUNT(*) AS freq FROM toks GROUP BY tok),
+    s"""words AS (SELECT tok AS word, COUNT(*) AS freq FROM toks
+       |          WHERE tok <> '' GROUP BY tok),
        |s_0 AS (SELECT word, freq,
        |               CAST(unnest(range(1, length(word)+1)) AS BIGINT) AS pos,
        |               unnest(string_split(word, '')) AS sym

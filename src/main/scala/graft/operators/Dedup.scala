@@ -583,9 +583,8 @@ object Dedup {
       "left_anti")
     val agg = kept.groupBy("doc_id").agg(
       count(lit(1)).as("n_tokens_kept"),
-      sha2(concat_ws(" ",
-        transform(sort_array(collect_list(struct(col("ord"), col("tok")))),
-          s => s.getField("tok"))), 256).as("cleaned_hash"))
+      sha2(TextAnalysis.orderedConcat(col("ord"), col("tok")), 256)
+        .as("cleaned_hash"))
     val before = Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast(LongType).as("n_tokens"))

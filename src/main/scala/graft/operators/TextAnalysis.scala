@@ -22,6 +22,17 @@ object TextAnalysis {
       .select(col("doc_id"), (col("ord0") + 1).cast(LongType).as("ord"),
         col("tok"))
 
+  /** Per-entity ordered reassembly: the aggregated `value`s space-joined
+    * in `key` order. Bounded by the entity's own row count (document /
+    * word length) — the shared idiom behind every byte-exact
+    * certification hash ([[graft.operators.Dedup.spanScrub]],
+    * [[bpeEncode]]); keep the three sites on THIS helper so the
+    * ordering/null semantics can never silently diverge. */
+  private[operators] def orderedConcat(key: Column, value: Column): Column =
+    concat_ws(" ", transform(
+      sort_array(collect_list(struct(key.as("k"), value.as("v")))),
+      s => s.getField("v")))
+
   private val P = 2147483647L // 2^31-1, Mersenne prime
 
   /** Token/shingle id as a data-derived polynomial hash over character
@@ -678,7 +689,15 @@ object TextAnalysis {
     graft.util.SessionMemo.memoizedValue(
       spark, s"bpeTrained|$sfDir|$rounds") {
     import org.apache.spark.sql.expressions.Window
+    // Empty tokens (split() keeps them for doubled/trailing spaces) are
+    // excluded from the word relation: BPE over a zero-char word is
+    // meaningless, and the engines disagree on its explosion — Spark's
+    // sequence(1, 0) is the DESCENDING [1,0] (two phantom '' symbol
+    // rows) while DuckDB's range(1, 1) is empty. With the filter both
+    // sides agree an empty token contributes nothing (and the encode
+    // join drops it from the sequence on both engines identically).
     val words = tokens(Tables.documents(spark, sfDir))
+      .filter(col("tok") =!= "")
       .groupBy(col("tok").as("word")).agg(count(lit(1)).as("freq"))
     val wWin = Window.partitionBy("word").orderBy("pos")
     var cur = words
@@ -761,19 +780,18 @@ object TextAnalysis {
     val state = bpeTrained(spark, sfDir, rounds)._2
     val enc = state.groupBy("word").agg(
       count(lit(1)).as("n_subwords"),
-      concat_ws(" ", transform(
-        sort_array(collect_list(struct(col("pos"), col("sym")))),
-        s => s.getField("sym"))).as("subtoks"))
+      orderedConcat(col("pos"), col("sym")).as("subtoks"))
     tokens(Tables.documents(spark, sfDir))
       .join(enc, col("tok") === col("word"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"),
         sum("n_subwords").as("n_subwords"),
-        (sum("n_subwords").cast(DoubleType) / count(lit(1)))
-          .as("fertility"),
-        sha2(concat_ws(" ", transform(
-          sort_array(collect_list(struct(col("ord"), col("subtoks")))),
-          s => s.getField("subtoks"))), 256).as("encoded_hash"))
+        sha2(orderedConcat(col("ord"), col("subtoks")), 256)
+          .as("encoded_hash"))
+      .withColumn("fertility",
+        col("n_subwords").cast(DoubleType) / col("n_words"))
+      .select("doc_id", "n_words", "n_subwords", "fertility",
+        "encoded_hash")
       .orderBy("doc_id")
   }
 

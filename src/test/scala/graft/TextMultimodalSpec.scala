@@ -276,6 +276,41 @@ class TextMultimodalSpec extends SparkSuite {
     }
   }
 
+  test("BPE ignores empty tokens (doubled/trailing spaces)") {
+    // split() keeps empty tokens; the engines DISAGREE on exploding a
+    // zero-char word (Spark sequence(1,0) = [1,0] descending — two
+    // phantom rows — vs DuckDB's empty range), so the word relation
+    // excludes them and the encode join drops them from the sequence
+    // identically on both sides. 'aa aa  b ' has two empties (double
+    // space + trailing): training must see words {aa, b} only and
+    // encode must reassemble "aa aa b".
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_sp_")
+    try {
+      import spark.implicits._
+      Seq((0L, "aa aa  b ", "en", "synthetic", 9L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+      val m = TextAnalysis.bpeMerges(spark, dir.toString, rounds = 2)
+        .collect()
+      assert(m.map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+        .toSeq == Seq(("a", "a", 2L)), s"phantom pair leaked: ${m.toSeq}")
+      val e = TextAnalysis.bpeEncode(spark, dir.toString, rounds = 2)
+        .collect()
+      assert(e.length == 1)
+      assert((e.head.getLong(1), e.head.getLong(2)) == (3L, 3L))
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val want = md.digest("aa aa b".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(e.head.getString(4) == want)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("BPE encode applies learned merges; exhausted rounds keep state") {
     // Same corpus as the greedy test, trained PAST exhaustion
     // (rounds=4, only 2 merges exist): the encoder must still see the

@@ -173,6 +173,20 @@ class PlanSpec extends SparkSuite {
       s"exact dedup must shard by content:\n$cfPlan")
   }
 
+  test("BPE encode joins the corpus to the vocab state by key") {
+    import graft.operators.TextAnalysis
+    // the encode state is vocab-sized and joins the token stream by an
+    // equi key (broadcast here; a sharded equi-join at scale) — never a
+    // nested-loop/cartesian; per-doc reassembly shards by doc_id
+    val p = plan(TextAnalysis.bpeEncode(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"encode must join corpus↔vocab by key:\n$p")
+    assert(p.contains("hashpartitioning(doc_id") ||
+      p.contains("hashpartitioning(doc_id#"),
+      s"per-doc reassembly must shard by doc:\n$p")
+  }
+
   test("interval join plans as an equi-join on (user, bucket), not a cross product") {
     val p = plan(Relational.intervalJoin(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

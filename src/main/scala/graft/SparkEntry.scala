@@ -179,6 +179,8 @@ object SparkEntry {
     "x15_sql_api"          -> (SqlApi.tpchQ3(_, _)),
     "x15b_sql_q6"          -> (SqlApi.tpchQ6(_, _)),
     "x15c_sql_q10"         -> (SqlApi.tpchQ10(_, _)),
+    "x15d_sql_q1"          -> (SqlApi.tpchQ1(_, _)),
+    "x15e_sql_q18"         -> (SqlApi.tpchQ18(_, _)),
     "x16_asof_join"        -> (Relational.asofAttribution(_, _)),
     "x16b_interval_join"   -> (Relational.intervalJoin(_, _)),
     "x17_train_test_split" -> (TextAnalysis.trainTestSplit(_, _)),
@@ -657,6 +659,8 @@ object SparkEntry {
     "x15_sql_api" -> graft.operators.SqlApi.q3Sql,
     "x15b_sql_q6" -> graft.operators.SqlApi.q6Sql,
     "x15c_sql_q10" -> graft.operators.SqlApi.q10Sql,
+    "x15d_sql_q1" -> graft.operators.SqlApi.q1Sql,
+    "x15e_sql_q18" -> graft.operators.SqlApi.q18Sql,
     "x17_train_test_split" ->
       """SELECT CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'valid'
         |            ELSE 'test' END AS split,

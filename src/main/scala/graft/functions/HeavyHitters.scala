@@ -9,10 +9,18 @@ import org.apache.spark.sql.expressions.Aggregator
   * `approx_count_distinct`/percentile sketches answer different
   * questions). The buffer is a capacity-bounded counter map:
   *
-  *  - `reduce`: increment a tracked key; admit an untracked key while
-  *    below capacity; otherwise decrement ALL counters and drop zeros
-  *    (the classic MG step — each decrement "spends" capacity+1
-  *    occurrences, which is where the error bound comes from);
+  *  - `reduce`: increment a tracked key; otherwise ADMIT the key and,
+  *    only when the buffer reaches 2×capacity, compress once with the
+  *    same rule `merge` uses (subtract the (capacity+1)-th largest
+  *    count from every counter, drop the non-positive). This is the
+  *    batched form of the classic per-row MG decrement: one O(capacity)
+  *    compression pays for ≥ capacity admissions, so the per-row cost
+  *    is O(1) amortized even on a heavy-tailed corpus where most rows
+  *    are untracked — the naive rule rebuilds the whole counter map on
+  *    every such row. The bound survives because each compression
+  *    destroys ≥ (capacity+1)·cut occurrence mass (at least capacity+1
+  *    counters sit at or above the cut), so Σcut ≤ N/(capacity+1) —
+  *    the same total undercount the one-at-a-time rule guarantees;
   *  - `merge`: sum counters, then if over capacity subtract the
   *    (capacity+1)-th largest value from every counter and drop the
   *    non-positive ones (Agarwal et al.'s mergeable-summaries rule —
@@ -22,8 +30,9 @@ import org.apache.spark.sql.expressions.Aggregator
   * Guarantee: every item with true frequency > N/(capacity+1) is
   * present in the final buffer, for ANY partitioning and merge order.
   * The candidate SET itself may vary with merge order below that
-  * threshold — which is why the exact heavy-hitters query treats it
-  * as a candidate generator and re-counts exactly (see
+  * threshold (and may hold up to 2×capacity−1 entries mid-stream) —
+  * which is why the exact heavy-hitters query treats it as a candidate
+  * generator and re-counts exactly (see
   * [[graft.operators.TextAnalysis.heavyHitters]]); the sketch never
   * decides membership on its own.
   *
@@ -37,28 +46,25 @@ class MisraGries(capacity: Int)
 
   override def zero: Map[String, Long] = Map.empty
 
-  override def reduce(b: Map[String, Long], tok: String): Map[String, Long] =
-    b.get(tok) match {
-      case Some(c) => b.updated(tok, c + 1L)
-      case None if b.size < capacity => b.updated(tok, 1L)
-      case None => b.flatMap { case (k, v) =>
-        if (v > 1L) Some(k -> (v - 1L)) else None
-      }
-    }
+  override def reduce(b: Map[String, Long], tok: String): Map[String, Long] = {
+    val grown = b.updated(tok, b.getOrElse(tok, 0L) + 1L)
+    if (grown.size < 2 * capacity) grown else compress(grown)
+  }
 
   override def merge(a: Map[String, Long],
                      b: Map[String, Long]): Map[String, Long] = {
     val s = b.foldLeft(a) { case (m, (k, v)) =>
       m.updated(k, m.getOrElse(k, 0L) + v)
     }
-    if (s.size <= capacity) s
-    else {
-      // subtract the (capacity+1)-th largest count from everything;
-      // at most `capacity` strictly-larger counters can survive
-      val cut = s.values.toIndexedSeq
-        .sorted(Ordering[Long].reverse).apply(capacity)
-      s.collect { case (k, v) if v > cut => k -> (v - cut) }
-    }
+    if (s.size <= capacity) s else compress(s)
+  }
+
+  /** Subtract the (capacity+1)-th largest count from everything; at
+    * most `capacity` strictly-larger counters can survive. */
+  private def compress(s: Map[String, Long]): Map[String, Long] = {
+    val cut = s.values.toIndexedSeq
+      .sorted(Ordering[Long].reverse).apply(capacity)
+    s.collect { case (k, v) if v > cut => k -> (v - cut) }
   }
 
   /** Sorted for a deterministic array given a buffer; the downstream

@@ -77,6 +77,62 @@ object SqlApi {
     spark.sql(q10Sql)
   }
 
+  /** TPC-H Q1 shape (the pricing-summary report — THE canonical
+    * scan+aggregate benchmark query): one full-table scan, grouped
+    * decimal-exact sums/averages over derived pricing expressions.
+    * Averages divide the exact decimal sum by the row count in DOUBLE
+    * (both engines perform the identical double division, so the
+    * result hashes stably — AVG() over DECIMAL has engine-specific
+    * result scales). Shared ANSI text. */
+  val q1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |            (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |            (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) *
+      |            (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      |       CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      |       COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2001-08-01'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  def tpchQ1(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.table(spark, sfDir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(q1Sql)
+  }
+
+  /** TPC-H Q18 shape (large-volume customers): HAVING subquery over a
+    * grouped sum feeding a 3-table join — the group-then-semijoin plan
+    * where Spark's AQE decides the probe side at runtime. Threshold 250
+    * selects the top ~1-2% of orders on this data (the spec's >300 at
+    * its quantity distribution). Shared ANSI text. */
+  val q18Sql: String =
+    """SELECT c_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderkey IN (
+      |    SELECT l_orderkey FROM lineitem
+      |    GROUP BY l_orderkey
+      |    HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 250)
+      |GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+      |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+      |LIMIT 100""".stripMargin
+
+  def tpchQ18(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("customer", "orders", "lineitem").foreach { t =>
+      Tables.table(spark, sfDir, t).createOrReplaceTempView(t)
+    }
+    spark.sql(q18Sql)
+  }
+
   /** Correlated scalar subquery (decorrelated by Catalyst into an
     * aggregate + join — never a per-row re-execution). Shared ANSI text. */
   val correlatedSql: String =

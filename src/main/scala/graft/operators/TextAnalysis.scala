@@ -685,7 +685,10 @@ object TextAnalysis {
     * the whole word relation). Memoized per (dir, rounds) so the
     * certification query and the encoder never train twice. */
   private def bpeTrained(spark: SparkSession, sfDir: String,
-                         rounds: Int): (DataFrame, DataFrame) =
+                         rounds: Int): (DataFrame, DataFrame) = {
+    // rounds < 1 would leave `merges` empty and make the final
+    // `merges.reduce(_ union _)` throw — reject it up front.
+    require(rounds >= 1, s"bpe rounds must be >= 1, got $rounds")
     graft.util.SessionMemo.memoizedValue(
       spark, s"bpeTrained|$sfDir|$rounds") {
     import org.apache.spark.sql.expressions.Window
@@ -752,7 +755,7 @@ object TextAnalysis {
       r += 1
     }
     (merges.reduce(_ union _), cur)
-  }
+  }}
 
   /** BPE ENCODING — the application half of the tokenizer story
     * ([[bpeMerges]] learns the rules; this runs them over the corpus,

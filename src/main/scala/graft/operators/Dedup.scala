@@ -432,14 +432,20 @@ object Dedup {
     * of corpus data at all; the only exchange is the per-doc count
     * aggregate, map-side combined. The fixture's stand-in derives the
     * "benchmark" from the test SPLIT, which does grow with the corpus
-    * — at a scale where it outgrew broadcast you would drop the hint
-    * and the same plan degrades gracefully to a shuffled gram
-    * equi-join (still keyed, never corpus×corpus). Grams travel as
-    * content-hash BIGINT ids, never strings. Emits
-    * (doc_id, n_grams, n_hit_grams) for contaminated train docs.
+    * — so the strategy is SIZE-GATED: the benchmark's gram count is
+    * upper-bounded from the `n_chars` metadata column (distinct grams
+    * ≤ tokens ≤ ⌈chars/2⌉, since every token costs ≥ 1 char + 1
+    * separator — one pruned scalar scan that never touches the text),
+    * and past `maxBroadcastGrams` the probe drops the broadcast hint
+    * and runs as a shuffled gram equi-join (still keyed by BIGINT gram
+    * id, never corpus×corpus — a decontam run against an eval-suite
+    * union too big for executor memory degrades to a shuffle, not an
+    * OOM). Grams travel as content-hash BIGINT ids, never strings.
+    * Emits (doc_id, n_grams, n_hit_grams) for contaminated train docs.
     */
   def benchmarkDecontam(spark: SparkSession, sfDir: String,
-                        width: Int = 8): DataFrame = {
+                        width: Int = 8,
+                        maxBroadcastGrams: Long = 10_000_000L): DataFrame = {
     // per-doc gram dedup happens INSIDE the array (array_distinct before
     // the explode), so the corpus-side gram stream needs no distinct
     // exchange at all — a global `.distinct()` here would shuffle every
@@ -452,8 +458,23 @@ object Dedup {
       .withColumn("split", TextAnalysis.splitOf(col("doc_id")))
     val benchGrams = grams.filter(col("split") === "test")
       .select("gid").distinct()
+    // Metadata-only size gate (see scale note above): one aggregate over
+    // the pruned (doc_id, n_chars) projection decides the join strategy
+    // before any gram is materialized.
+    val estBenchGrams = Tables.documents(spark, sfDir)
+      .filter(TextAnalysis.splitOf(col("doc_id")) === "test")
+      .agg(coalesce(sum(ceil(col("n_chars") / 2)), lit(0L)).as("g"))
+      .first().getLong(0)
+    val probe = benchGrams.withColumn("hit", lit(1))
+    // the fallback pins SHUFFLE_MERGE: past the gate the gram set is by
+    // definition too big for an executor-memory hash relation, so the
+    // planner must not be free to re-choose broadcast from a stale
+    // size estimate
+    val probeSide =
+      if (estBenchGrams <= maxBroadcastGrams) broadcast(probe)
+      else probe.hint("merge")
     grams.filter(col("split") === "train")
-      .join(broadcast(benchGrams.withColumn("hit", lit(1))), Seq("gid"), "left")
+      .join(probeSide, Seq("gid"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),
         sum(coalesce(col("hit"), lit(0))).cast(LongType).as("n_hit_grams"))

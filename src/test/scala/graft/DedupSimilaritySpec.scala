@@ -303,6 +303,16 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(expected.nonEmpty, "fixture plants cross-split near-dups; none hit")
   }
 
+  test("decontam shuffle fallback returns exactly the broadcast-path rows") {
+    // force the size gate shut (maxBroadcastGrams = 0): the keyed
+    // shuffle join must be row-identical to the broadcast probe
+    val bc = Dedup.benchmarkDecontam(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val sm = Dedup.benchmarkDecontam(spark, sf, maxBroadcastGrams = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(sm == bc, "gated fallback diverged from the broadcast path")
+  }
+
   test("repeated spans replay exactly under an in-JVM reimplementation") {
     val out = Dedup.repeatedSpans(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),

@@ -107,6 +107,13 @@ class PlanSpec extends SparkSuite {
     val dcPlan = plan(Dedup.benchmarkDecontam(spark, sf))
     assert(dcPlan.contains("BroadcastHashJoin") && !dcPlan.contains("SortMergeJoin"),
       s"benchmark grams should broadcast:\n$dcPlan")
+    // past the size gate the probe must drop the broadcast hint and run
+    // as a keyed shuffle join (the OOM-proof fallback), never a loop join
+    val dcBig = plan(Dedup.benchmarkDecontam(spark, sf, maxBroadcastGrams = 0L))
+    assert(!dcBig.contains("BroadcastHashJoin"),
+      s"gated decontam must not broadcast the gram set:\n$dcBig")
+    assert(dcBig.contains("SortMergeJoin") || dcBig.contains("ShuffledHashJoin"),
+      s"gated decontam should fall back to a keyed shuffle join:\n$dcBig")
     // mixture sampling: thresholds broadcast; membership is a per-row
     // filter — the docs relation must not hash-shuffle (the only
     // exchanges are the tiny tier-count aggregate and the output sort)

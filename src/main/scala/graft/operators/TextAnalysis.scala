@@ -800,11 +800,12 @@ object TextAnalysis {
 
   /** Exact heavy hitters by the two-pass sketch-then-verify pattern:
     * pass 1 runs the [[graft.functions.MisraGries]] frequent-items
-    * sketch (capacity-bounded counter maps, merged map-side — the
-    * shuffle carries ONE ≤capacity-entry map per partition, never
-    * rows) plus the exact token total in the same scan; pass 2
-    * re-counts ONLY the candidate tokens (a broadcast semi-join — the
-    * candidate relation is ≤capacity rows by construction) and keeps
+    * sketch (counter maps bounded at < 2×capacity per partition with
+    * amortized-O(1) batched decrements, merged map-side) plus the
+    * exact token total in the same scan; pass 2 re-counts ONLY the
+    * candidate tokens (a broadcast semi-join — the candidate relation
+    * is ≤capacity rows by construction: `finish` compresses any
+    * buffer the batched reduce left above capacity) and keeps
     * those above the φ = 1/`phiDen` frequency threshold with their
     * EXACT counts.
     *

@@ -29,6 +29,26 @@ object Bench {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
+    // Calibration probe: a FIXED-shape job (20M-row range scan → modular
+    // key → hash aggregate over ~100k keys → tiny shuffle), independent
+    // of SPARK_GRAFT_SF_DIR, timed at bench start AND end (median of 3
+    // each). The bench box is shared, and totals historically swing >2×
+    // under contention with no code change (BENCH_NOTES round-2/4/6
+    // caveats); the probe pins what the box was actually delivering
+    // during THIS run, so cross-run query deltas divide out box speed:
+    // compare q/probe ratios, not raw seconds. A large start-vs-end
+    // spread additionally flags contention that arrived mid-run.
+    def probeSec(): Double = {
+      val ts = (1 to 3).map { _ =>
+        sec(spark.range(0L, 20000000L, 1L, 32)
+          .selectExpr("id % 99991 AS k", "id AS v")
+          .groupBy("k").agg(org.apache.spark.sql.functions.sum("v"))
+          .selectExpr("count(*)", "sum(k)").collect())
+      }.sorted
+      ts(1) // median
+    }
+    val probeStart = probeSec()
+
     // Per-query timing with explicit failure capture: a query that throws
     // is reported in `errors` (and its time covers only the failed run) —
     // never silently counted as a fast success.
@@ -72,13 +92,21 @@ object Bench {
     val tReuse = sec(
       operators.PartitionCache.calcAvg(spark, sfDir, cacheDir, "R"))
 
+    val probeEnd = probeSec()
+    // Per-query probe-normalized column: seconds divided by the mean
+    // probe time — "how many probe-units did this query cost", the
+    // box-speed-free number to diff across rounds.
+    val probeMean = (probeStart + probeEnd) / 2
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val qsNorm = results.map { case (k, v) =>
+      "\"" + k + "\":" + (if (probeMean > 0) v / probeMean else v) }
       .mkString("{", ",", "}")
     val errJson = errors.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"cache_create_sec":$tCreate,"cache_reuse_sec":$tReuse,"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_probe_norm":$qsNorm,"probe_start_sec":$probeStart,"probe_end_sec":$probeEnd,"errors":$errJson,"cache_create_sec":$tCreate,"cache_reuse_sec":$tReuse,"sf":"$sfDir"}"""
     println(fullLine)
     // The full line above exceeds the harness's 2 KiB output-tail capture
     // (74 queries x ~26 chars), so it can never be parsed whole from the
@@ -95,7 +123,7 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val slowest = results.sortBy(-_._2).take(12)
       .map { case (k, v) => "\"" + k + "\":" + r2(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$slowest,"n_queries":${results.size},"n_errors":${errors.size},"cache_create_sec":${r2(tCreate)},"cache_reuse_sec":${r2(tReuse)},"sf":"$sfDir","detail":"BENCH_FULL.json"}""")
+    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$slowest,"n_queries":${results.size},"n_errors":${errors.size},"cache_create_sec":${r2(tCreate)},"cache_reuse_sec":${r2(tReuse)},"probe_start_sec":${r2(probeStart)},"probe_end_sec":${r2(probeEnd)},"sf":"$sfDir","detail":"BENCH_FULL.json"}""")
     spark.stop()
   }
 }

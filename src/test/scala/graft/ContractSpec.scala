@@ -33,4 +33,18 @@ class ContractSpec extends SparkSuite {
       assert(df.schema.fields.nonEmpty, s"$name has an empty schema")
     }
   }
+
+  test("README hardcodes no query-surface count (drift guard)") {
+    // The surface count lives in ONE place: SparkEntry.queries.size.
+    // README copies of it went stale twice (rounds 5 and 6); ban the
+    // pattern outright so the next addition can't drift.
+    val readme = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("README.md")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val hits = "\\b\\d+\\s+(?:quer|oracle|spec)".r.findAllIn(readme).toList
+    assert(hits.isEmpty,
+      s"README hardcodes surface counts $hits — reference " +
+        s"SparkEntry.queries (currently ${SparkEntry.queries.size}) " +
+        "without a literal number instead")
+  }
 }

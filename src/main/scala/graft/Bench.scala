@@ -112,11 +112,18 @@ object Bench {
     // (74 queries x ~26 chars), so it can never be parsed whole from the
     // tail. Persist it as an artifact, then print a compact summary line
     // LAST (top slowest queries, 2-decimal seconds) that fits the tail.
-    if (only.isEmpty) // don't clobber the artifact from filtered runs
-      try java.nio.file.Files.write(
-        java.nio.file.Paths.get("BENCH_FULL.json"),
-        (fullLine + "\n").getBytes("UTF-8"))
-      catch { case _: Throwable => () } // artifact write is best-effort
+    if (only.isEmpty) { // don't clobber the artifacts from filtered runs
+      // BENCH_FULL.json is "the latest full run" (driver contract); the
+      // per-scale BENCH_<sf>.json keeps each scale's record so a small-
+      // scale smoke run can never clobber the full-scale history
+      // (ADVICE r6) — cross-scale ratios diff the per-scale files.
+      val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
+      for (p <- Seq("BENCH_FULL.json", s"BENCH_$sfName.json"))
+        try java.nio.file.Files.write(
+          java.nio.file.Paths.get(p),
+          (fullLine + "\n").getBytes("UTF-8"))
+        catch { case _: Throwable => () } // artifact write is best-effort
+    }
     // Locale.ROOT: f"" uses the JVM default locale — a comma-decimal
     // locale would emit invalid JSON
     def r2(v: Double): String =

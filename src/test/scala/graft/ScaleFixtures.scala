@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev-only fixture scaler (test scope, not product surface): derive an
+  * N× copy of a driver fixture dir for scale soaks — the committed,
+  * reproducible form of the round-5 ad-hoc derivations (BENCH_NOTES).
+  *
+  *   sbt "Test/runMain graft.ScaleFixtures <srcDir> <dstDir> [mult]"
+  *
+  * Derivation rules, per table:
+  *  - `region`/`nation` copy unchanged (fixed-size dimensions, as in
+  *    TPC-H itself — scale factor never grows them).
+  *  - Keyed tables replicate `mult`× with every key column shifted by
+  *    `replica * 1e9`, the SAME shift on both sides of every FK
+  *    (orders.o_custkey moves with customer.c_custkey, lineitem's three
+  *    FKs with their parents), so join fan-outs are preserved exactly:
+  *    each replica is a self-contained TPC-H-ish world and the join
+  *    graph grows linearly, never cross-replica.
+  *  - `documents` maps each replica's tokens through a ROTATED copy of
+  *    the (closed, 31-token) vocabulary — vocab stays closed, per-token
+  *    df grows ~mult×, planted near-dup pairs survive inside each
+  *    replica (the round-5 dedup-soak derivation, BENCH_NOTES); n_chars
+  *    is recomputed from the rotated text.
+  *  - `embeddings` rotates each replica's vector left by `replica`
+  *    positions — norms preserved, directions decorrelated, so cosine
+  *    structure grows linearly instead of collapsing onto 10× exact
+  *    clones.
+  *  - `events.ts` is carried as raw int64 nanos (`nanosAsLong`), the
+  *    same representation `sources.Tables.events` reads; timestamps are
+  *    kept so time-window populations grow mult× (denser streams, the
+  *    realistic scale direction for an event feed).
+  */
+object ScaleFixtures {
+  private val Stride = 1000000000L
+
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val dst = args(1)
+    val mult = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def read(name: String): DataFrame =
+      spark.read.parquet(s"$src/$name.parquet")
+    def write(df: DataFrame, name: String): Unit = {
+      df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      println(s"[scale] $name -> $dst/$name.parquet")
+    }
+    // mult replicas via a tiny crossJoin (broadcast by AQE); keys listed
+    // in `shift` move by replica*Stride, everything else is unchanged
+    def replicate(df: DataFrame, shift: Seq[String]): DataFrame = {
+      val reps = spark.range(0, mult).select(col("id").as("__rep"))
+      shift.foldLeft(df.crossJoin(broadcast(reps))) { (d, k) =>
+        d.withColumn(k, col(k) + col("__rep") * Stride)
+      }.drop("__rep")
+    }
+
+    write(read("region"), "region")
+    write(read("nation"), "nation")
+    write(replicate(read("customer"), Seq("c_custkey")), "customer")
+    write(replicate(read("supplier"), Seq("s_suppkey")), "supplier")
+    write(replicate(read("part"), Seq("p_partkey")), "part")
+    write(replicate(read("orders"), Seq("o_orderkey", "o_custkey")),
+      "orders")
+    write(replicate(read("lineitem"),
+      Seq("l_orderkey", "l_partkey", "l_suppkey")), "lineitem")
+    write(replicate(read("events"), Seq("event_id", "user_id")), "events")
+
+    // documents: rotated-vocabulary replicas. The fixture vocabulary is
+    // closed and tiny (31 tokens at sf0.1), so collecting it is a
+    // metadata-sized driver read; refuse to run the rotation against an
+    // open vocabulary where the broadcast map would not be tiny.
+    val vocab = read("documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "").distinct()
+      .orderBy("tok").collect().map(_.getString(0))
+    require(vocab.length <= 10000,
+      s"documents vocabulary has ${vocab.length} tokens — rotation " +
+        "derivation assumes a closed vocab; use a different derivation")
+    val vmap = map(vocab.zipWithIndex.flatMap { case (t, i) =>
+      Seq(lit(t), lit(i))
+    }: _*)
+    val varr = array(vocab.map(lit): _*)
+    val v = vocab.length
+    val docs = replicate(read("documents"), Seq("doc_id"))
+      .withColumn("__rep",
+        ((col("doc_id") / Stride).cast("long")) % lit(Stride))
+      .withColumn("text",
+        concat_ws(" ", transform(split(col("text"), " "),
+          t => when(t === "", t).otherwise(
+            element_at(varr,
+              (((element_at(vmap, t) + col("__rep")) % v) + 1)
+                .cast("int"))))))
+      .withColumn("n_chars", length(col("text")))
+      .drop("__rep")
+    write(docs, "documents")
+
+    // embeddings: left-rotate the vector by replica positions
+    val dim = read("embeddings").select(size(col("embedding")))
+      .first().getInt(0)
+    val emb = replicate(read("embeddings"), Seq("vec_id"))
+      .withColumn("__rep",
+        (((col("vec_id") / Stride).cast("long")) % lit(Stride))
+          .cast("int") % dim)
+      .withColumn("embedding",
+        concat(slice(col("embedding"), col("__rep") + 1, lit(dim) - col("__rep")),
+               slice(col("embedding"), lit(1), col("__rep"))))
+      .drop("__rep")
+    write(emb, "embeddings")
+
+    spark.stop()
+  }
+}

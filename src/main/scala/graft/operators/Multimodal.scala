@@ -5,21 +5,36 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+
 /** Multimodal-column plumbing (builder brief): media as opaque `binary`
   * columns with typed metadata, decoded/featurized inside executors.
   *
-  * The container has no image/audio codecs, so [[decodeStub]] is a
-  * clearly-marked deterministic fake — but the Spark-side plumbing is
-  * real: binary columns, per-partition batch processing with no
-  * driver materialization, a typed output schema, and metadata that
-  * flows through ordinary columnar ops. Swapping the stub for a real
-  * codec (JNI/javax.imageio) changes one function body, not the plan.
+  * The container has no codec LIBRARIES, but PPM (ASCII header), BMP
+  * (fixed little-endian header) and WAV (RIFF/PCM) need none — their
+  * headers decode with a `ByteBuffer`. So the round-trip here is REAL:
+  * [[encodeBlobs]] renders each document into a genuine media file
+  * (magic bytes, spec-conformant header, payload), and [[decodeMedia]]
+  * parses the BYTES back — dispatching on the magic number, not on any
+  * metadata column — inside `mapPartitions` (the executor-side batch
+  * shape every decoder needs: init once per partition, stream rows,
+  * never collect). Swapping in a JPEG/FLAC codec changes one `case`
+  * arm, not the plan. The xm2 oracle certifies the round-trip: Spark
+  * reports what it PARSED from the blobs, DuckDB recomputes the same
+  * metadata from first principles over `documents`.
   */
 object Multimodal {
 
-  /** Typed feature row a real decoder would emit per media blob. */
-  case class MediaFeature(doc_id: Long, width: Int, height: Int,
-                          n_bytes: Int, mean_byte: Double)
+  /** Typed result of a real media decode. Image rows carry
+    * width/height (zeros for audio); audio rows carry
+    * sample_rate/n_samples (zeros for images); every row carries the
+    * file size and the exact sum of its payload bytes (pixels or PCM
+    * data — proof the decoder read past the header). */
+  case class DecodedMedia(doc_id: Long, media_type: String,
+                          width: Int, height: Int,
+                          sample_rate: Int, n_samples: Int,
+                          n_bytes: Long, payload_byte_sum: Long)
 
   /** Documents re-cast as a media table: (doc_id, content binary,
     * media_type). On a real pipeline this is the schema images/audio
@@ -29,31 +44,160 @@ object Multimodal {
       .select(col("doc_id"), col("text").cast(BinaryType).as("content"),
         lit("text/plain").as("media_type"))
 
-  /** STUB decoder (no codec libs in this container): deterministic fake
-    * "decode" deriving dimensions and a mean-intensity from the raw
-    * bytes. Runs via `mapPartitions` — the executor-side batch shape a
-    * real decoder needs (amortize codec init per partition, stream rows,
-    * never collect). */
-  def decodeStub(media: DataFrame): Dataset[MediaFeature] = {
+  /** Deterministic media fixture: each document becomes a REAL media
+    * file — `doc_id % 3` picks PPM / BMP / WAV — with dimensions and
+    * sample rate derived from the text length and the payload bytes
+    * cycled from the text itself (so the oracle can recompute the
+    * payload sum without parsing binaries). Encoding runs in
+    * `mapPartitions`: byte-level rendering is imperative per-row work,
+    * exactly what the executor-side escape hatch is for.
+    */
+  def encodeBlobs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val tb = text.getBytes(StandardCharsets.US_ASCII)
+          val nc = tb.length
+          // cycled payload byte k = text byte (k mod nc)
+          def fillCycled(buf: ByteBuffer, n: Int): Unit = {
+            var k = 0
+            while (k < n) {
+              buf.put(if (nc == 0) 0.toByte else tb(k % nc)); k += 1
+            }
+          }
+          val blob: Array[Byte] = (id % 3) match {
+            case 0 => // PPM P6: ASCII header + w*h*3 RGB bytes
+              val w = nc % 64 + 1; val h = (nc * 7) % 48 + 1
+              val header = s"P6\n$w $h\n255\n"
+                .getBytes(StandardCharsets.US_ASCII)
+              val p = w * h * 3
+              val buf = ByteBuffer.allocate(header.length + p)
+              buf.put(header); fillCycled(buf, p)
+              buf.array()
+            case 1 => // BMP: 54-byte LE header, 24bpp, 4-byte row pad
+              val w = nc % 64 + 1; val h = (nc * 7) % 48 + 1
+              val row = w * 3; val pad = (4 - row % 4) % 4
+              val data = (row + pad) * h
+              val buf = ByteBuffer.allocate(54 + data)
+                .order(ByteOrder.LITTLE_ENDIAN)
+              buf.put('B'.toByte).put('M'.toByte)
+                .putInt(54 + data) // file size
+                .putInt(0).putInt(54) // reserved, pixel offset
+                .putInt(40).putInt(w).putInt(h) // info size, dims
+                .putShort(1).putShort(24) // planes, bpp
+                .putInt(0).putInt(data) // compression, image size
+                .putInt(2835).putInt(2835).putInt(0).putInt(0)
+              // rows share ONE running cycle (padding excluded), so the
+              // pixel-byte sum is the plain cycled-prefix sum
+              var k = 0
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < row) {
+                  buf.put(if (nc == 0) 0.toByte else tb(k % nc))
+                  k += 1; x += 1
+                }
+                var q = 0
+                while (q < pad) { buf.put(0.toByte); q += 1 }
+                y += 1
+              }
+              buf.array()
+            case _ => // WAV: canonical 44-byte RIFF/PCM header, 16-bit mono
+              val sr = 8000 + (nc % 8) * 1000
+              val ns = nc % 256 + 16
+              val data = 2 * ns
+              val buf = ByteBuffer.allocate(44 + data)
+                .order(ByteOrder.LITTLE_ENDIAN)
+              buf.put("RIFF".getBytes(StandardCharsets.US_ASCII))
+                .putInt(36 + data)
+                .put("WAVE".getBytes(StandardCharsets.US_ASCII))
+                .put("fmt ".getBytes(StandardCharsets.US_ASCII))
+                .putInt(16).putShort(1).putShort(1) // PCM, mono
+                .putInt(sr).putInt(sr * 2) // sample rate, byte rate
+                .putShort(2).putShort(16) // block align, bits
+                .put("data".getBytes(StandardCharsets.US_ASCII))
+                .putInt(data)
+              fillCycled(buf, data)
+              buf.array()
+          }
+          (id, blob)
+        }
+      }.toDF("doc_id", "content")
+  }
+
+  /** REAL pure-JVM media decode: dispatch on the MAGIC BYTES (never on
+    * stored metadata), parse the header fields the format actually
+    * defines, and sum the payload bytes the header points at. Runs in
+    * `mapPartitions` over the binary column — per-partition batch
+    * shape, no driver materialization. Unknown magic is a data error
+    * and throws (a quarantine sink would catch per-row at ingest). */
+  def decodeMedia(media: DataFrame): Dataset[DecodedMedia] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("doc_id"), col("content"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // A real implementation would initialize the codec once here.
-        it.map { case (id, bytes) =>
-          // ??? real image/audio decode goes here; deterministic fake:
-          val n = bytes.length
-          MediaFeature(id, n % 640, (n * 7) % 480, n,
-            if (n == 0) 0.0 else bytes.map(_ & 0xff).sum.toDouble / n)
+        // a codec library would initialize once here, per partition
+        it.map { case (id, b) =>
+          def sumRange(from: Int, n: Int): Long = {
+            var s = 0L; var k = 0
+            while (k < n) { s += (b(from + k) & 0xff); k += 1 }
+            s
+          }
+          if (b.length >= 2 && b(0) == 'P' && b(1) == '6') {
+            // PPM: "P6\n<w> <h>\n255\n" then w*h*3 pixel bytes
+            val header = new String(b, 0, math.min(b.length, 32),
+              StandardCharsets.US_ASCII)
+            val m = """P6\n(\d+) (\d+)\n255\n""".r
+              .findPrefixMatchOf(header)
+              .getOrElse(throw new IllegalArgumentException(
+                s"doc $id: malformed PPM header"))
+            val w = m.group(1).toInt; val h = m.group(2).toInt
+            DecodedMedia(id, "image/ppm", w, h, 0, 0, b.length,
+              sumRange(m.end, w * h * 3))
+          } else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') {
+            val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+            val pixOff = bb.getInt(10)
+            val w = bb.getInt(18); val h = bb.getInt(22)
+            val bpp = bb.getShort(28)
+            require(bpp == 24, s"doc $id: unsupported BMP bpp $bpp")
+            val row = w * 3; val pad = (4 - row % 4) % 4
+            var s = 0L; var y = 0
+            while (y < h) { // sum pixel bytes, skip the row padding
+              s += sumRange(pixOff + y * (row + pad), row); y += 1
+            }
+            DecodedMedia(id, "image/bmp", w, h, 0, 0, b.length, s)
+          } else if (b.length >= 4 && b(0) == 'R' && b(1) == 'I'
+                     && b(2) == 'F' && b(3) == 'F') {
+            val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+            val sr = bb.getInt(24)
+            val bits = bb.getShort(34)
+            require(bits == 16, s"doc $id: unsupported WAV bits $bits")
+            val dataLen = bb.getInt(40)
+            DecodedMedia(id, "audio/wav", 0, 0, sr, dataLen / 2,
+              b.length, sumRange(44, dataLen))
+          } else throw new IllegalArgumentException(
+            s"doc $id: unknown media magic")
         }
       }
   }
 
+  /** xm2: the certified encode→decode round-trip — render every
+    * document as a real PPM/BMP/WAV blob, decode the BYTES back, and
+    * emit the parsed metadata. The oracle recomputes every field from
+    * `documents` arithmetic alone, so a decoder that misparsed a
+    * header or misread the payload extent cannot hash-match. */
+  def decodedMeta(spark: SparkSession, sfDir: String): DataFrame =
+    decodeMedia(encodeBlobs(spark, sfDir))
+      .toDF()
+      .orderBy("doc_id")
+
   /** Oracle-checkable metadata query over the binary content: byte
-    * length, content hash, and the stub-decoder dimensions expressed as
-    * native columnar functions (codegen'd, pruned to the two columns
-    * read).
+    * length, content hash, and derived dimensions expressed as native
+    * columnar functions (codegen'd, pruned to the two columns read).
     */
   def binaryMeta(spark: SparkSession, sfDir: String): DataFrame =
     asMediaTable(spark, sfDir)

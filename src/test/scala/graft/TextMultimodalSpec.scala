@@ -127,26 +127,49 @@ class TextMultimodalSpec extends SparkSuite {
     }
   }
 
-  test("multimodal decode stub runs per-partition and yields sane features") {
-    val feats = Multimodal.decodeStub(Multimodal.asMediaTable(spark, sf))
+  test("media decode parses real PPM/BMP/WAV blobs, dispatched by magic") {
+    val feats = Multimodal.decodeMedia(Multimodal.encodeBlobs(spark, sf))
       .collect()
     assert(feats.length == nDocs)
     feats.foreach { f =>
-      assert(f.width >= 0 && f.width < 640)
-      assert(f.height >= 0 && f.height < 480)
-      assert(f.mean_byte >= 0 && f.mean_byte < 256)
-      assert(f.n_bytes > 0)
+      f.media_type match {
+        case "image/ppm" | "image/bmp" =>
+          assert(f.doc_id % 3 == (if (f.media_type == "image/ppm") 0 else 1))
+          assert(f.width >= 1 && f.width <= 64)
+          assert(f.height >= 1 && f.height <= 48)
+          assert(f.sample_rate == 0 && f.n_samples == 0)
+        case "audio/wav" =>
+          assert(f.doc_id % 3 == 2)
+          assert(f.sample_rate >= 8000 && f.sample_rate <= 15000)
+          assert(f.n_samples >= 16 && f.n_samples < 272)
+          assert(f.width == 0 && f.height == 0)
+        case other => fail(s"unexpected media type $other")
+      }
+      assert(f.n_bytes > 0 && f.payload_byte_sum > 0)
     }
   }
 
-  test("binary metadata agrees with the decode stub") {
-    val meta = Multimodal.binaryMeta(spark, sf).collect()
-      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(3))).toMap
-    Multimodal.decodeStub(Multimodal.asMediaTable(spark, sf)).collect()
-      .foreach { f =>
-        val (nBytes, width) = meta(f.doc_id)
-        assert(nBytes == f.n_bytes && width == f.width)
-      }
+  test("decoder reads hand-crafted blobs it did not encode") {
+    import spark.implicits._
+    // 2x1 PPM, pixels 1..6 -> sum 21; 8-sample 11025 Hz WAV of zeros
+    val ppm = "P6\n2 1\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](1, 2, 3, 4, 5, 6)
+    val wav = java.nio.ByteBuffer.allocate(44 + 16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("RIFF".getBytes("US-ASCII")).putInt(36 + 16)
+      .put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
+      .putInt(16).putShort(1).putShort(1).putInt(11025).putInt(22050)
+      .putShort(2).putShort(16).put("data".getBytes("US-ASCII"))
+      .putInt(16).array()
+    val out = Multimodal
+      .decodeMedia(Seq((1L, ppm), (2L, wav)).toDF("doc_id", "content"))
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(out(1L).media_type == "image/ppm")
+    assert(out(1L).width == 2 && out(1L).height == 1)
+    assert(out(1L).payload_byte_sum == 21)
+    assert(out(2L).media_type == "audio/wav")
+    assert(out(2L).sample_rate == 11025 && out(2L).n_samples == 8)
+    assert(out(2L).payload_byte_sum == 0)
   }
   test("repetition metrics are well-formed and cover the corpus") {
     val rows = TextAnalysis.repetition(spark, sf).collect()

@@ -184,27 +184,29 @@ object OraclesLlm {
     * iterations) as unrolled CTE pairs over `exq` from [[vecCtes]] —
     * ends at `c2(cell, pos, n, s)`, the learned codebook. Shared by the
     * x10g certification and the x10e2 learned-IVF probe. */
-  private val kmeansCtes =
-    """c0 AS (SELECT vec_id AS cell, CAST(1 AS BIGINT) AS n, pos, q AS s
-      |       FROM exq WHERE vec_id < 8),
-      |s1 AS (SELECT e.vec_id, c.cell, c.n, CAST(SUM(e.q*c.s) AS BIGINT) AS num
-      |       FROM exq e JOIN c0 c ON e.pos = c.pos GROUP BY 1, 2, 3),
-      |a1 AS (SELECT vec_id, cell FROM
-      |         (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-      |            ORDER BY CAST(num AS DOUBLE)/n DESC, cell) AS rnk FROM s1)
-      |       WHERE rnk = 1),
-      |c1 AS (SELECT a.cell, e.pos, COUNT(*) AS n,
-      |         CAST(SUM(e.q) AS BIGINT) AS s
-      |       FROM exq e JOIN a1 a ON e.vec_id = a.vec_id GROUP BY 1, 2),
-      |s2 AS (SELECT e.vec_id, c.cell, c.n, CAST(SUM(e.q*c.s) AS BIGINT) AS num
-      |       FROM exq e JOIN c1 c ON e.pos = c.pos GROUP BY 1, 2, 3),
-      |a2 AS (SELECT vec_id, cell FROM
-      |         (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-      |            ORDER BY CAST(num AS DOUBLE)/n DESC, cell) AS rnk FROM s2)
-      |       WHERE rnk = 1),
-      |c2 AS (SELECT a.cell, e.pos, COUNT(*) AS n,
-      |         CAST(SUM(e.q) AS BIGINT) AS s
-      |       FROM exq e JOIN a2 a ON e.vec_id = a.vec_id GROUP BY 1, 2)""".stripMargin
+  private def kmeansCtesOn(src: String): String =
+    s"""c0 AS (SELECT vec_id AS cell, CAST(1 AS BIGINT) AS n, pos, q AS s
+       |       FROM $src WHERE vec_id < 8),
+       |s1 AS (SELECT e.vec_id, c.cell, c.n, CAST(SUM(e.q*c.s) AS BIGINT) AS num
+       |       FROM $src e JOIN c0 c ON e.pos = c.pos GROUP BY 1, 2, 3),
+       |a1 AS (SELECT vec_id, cell FROM
+       |         (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |            ORDER BY CAST(num AS DOUBLE)/n DESC, cell) AS rnk FROM s1)
+       |       WHERE rnk = 1),
+       |c1 AS (SELECT a.cell, e.pos, COUNT(*) AS n,
+       |         CAST(SUM(e.q) AS BIGINT) AS s
+       |       FROM $src e JOIN a1 a ON e.vec_id = a.vec_id GROUP BY 1, 2),
+       |s2 AS (SELECT e.vec_id, c.cell, c.n, CAST(SUM(e.q*c.s) AS BIGINT) AS num
+       |       FROM $src e JOIN c1 c ON e.pos = c.pos GROUP BY 1, 2, 3),
+       |a2 AS (SELECT vec_id, cell FROM
+       |         (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |            ORDER BY CAST(num AS DOUBLE)/n DESC, cell) AS rnk FROM s2)
+       |       WHERE rnk = 1),
+       |c2 AS (SELECT a.cell, e.pos, COUNT(*) AS n,
+       |         CAST(SUM(e.q) AS BIGINT) AS s
+       |       FROM $src e JOIN a2 a ON e.vec_id = a.vec_id GROUP BY 1, 2)""".stripMargin
+
+  private val kmeansCtes = kmeansCtesOn("exq")
 
   /** BPE merge trajectory (mirrors TextAnalysis.bpeMerges), rounds
     * UNROLLED like the k-means CTEs: each round re-derives adjacent
@@ -761,6 +763,112 @@ object OraclesLlm {
          |        ORDER BY adc_dist, vec_id) AS rnk FROM adc)
          |SELECT query_id, CAST(rnk AS INT) AS rnk, vec_id, adc_dist
          |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+    // Recall@3 certification: brute-force truth (x10a chain, cut at 3),
+    // each ANN method's top-3 (the x10b / x10e2 / x10i chains verbatim,
+    // CTE names prefixed), exact intersection counts.
+    "x10j_ann_recall" ->
+      s"""WITH $vecCtes,
+         |tdots AS (SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+         |            CAST(SUM(q.q*e.q) AS BIGINT) AS dot
+         |          FROM exq q JOIN exq e
+         |            ON q.pos = e.pos AND q.vec_id < 8 AND e.vec_id <> q.vec_id
+         |          GROUP BY 1, 2),
+         |tcos AS (SELECT d.query_id, d.vec_id,
+         |           CAST(d.dot AS DOUBLE) /
+         |             (SQRT(CAST(nq.n2 AS DOUBLE))*SQRT(CAST(ne.n2 AS DOUBLE))) AS cosine
+         |         FROM tdots d JOIN norms nq ON d.query_id = nq.vec_id
+         |                      JOIN norms ne ON d.vec_id = ne.vec_id),
+         |trk AS (SELECT query_id, vec_id,
+         |          ROW_NUMBER() OVER (PARTITION BY query_id
+         |            ORDER BY cosine DESC, vec_id) AS rkn FROM tcos),
+         |truth AS (SELECT query_id, vec_id FROM trk WHERE rkn <= 3),
+         |$kmeansCtes,
+         |$ivfCandCtes,
+         |idots AS (SELECT c.query_id, c.vec_id, CAST(SUM(qd.q*ed.q) AS BIGINT) AS dot
+         |          FROM cand c
+         |          JOIN exq qd ON qd.vec_id = c.query_id
+         |          JOIN exq ed ON ed.vec_id = c.vec_id AND ed.pos = qd.pos
+         |          GROUP BY 1, 2),
+         |icos AS (SELECT d.query_id, d.vec_id,
+         |           CAST(d.dot AS DOUBLE) /
+         |             (SQRT(CAST(nq.n2 AS DOUBLE))*SQRT(CAST(ne.n2 AS DOUBLE))) AS cosine
+         |         FROM idots d JOIN norms nq ON d.query_id = nq.vec_id
+         |                      JOIN norms ne ON d.vec_id = ne.vec_id),
+         |irk AS (SELECT query_id, vec_id,
+         |          ROW_NUMBER() OVER (PARTITION BY query_id
+         |            ORDER BY cosine DESC, vec_id) AS rkn FROM icos),
+         |m_ivf AS (SELECT query_id, vec_id FROM irk WHERE rkn <= 3),
+         |$pqCtes,
+         |adcu AS (SELECT * FROM adc_0 UNION ALL SELECT * FROM adc_1
+         |         UNION ALL SELECT * FROM adc_2 UNION ALL SELECT * FROM adc_3),
+         |padc AS (SELECT a.query_id, a.vec_id, CAST(SUM(a.d) AS BIGINT) AS adc_dist
+         |         FROM adcu a JOIN cand c
+         |           ON a.query_id = c.query_id AND a.vec_id = c.vec_id
+         |         GROUP BY 1, 2),
+         |prk AS (SELECT query_id, vec_id,
+         |          ROW_NUMBER() OVER (PARTITION BY query_id
+         |            ORDER BY adc_dist, vec_id) AS rkn FROM padc),
+         |m_ivfpq AS (SELECT query_id, vec_id FROM prk WHERE rkn <= 3),
+         |hyp AS (SELECT j, pos,
+         |          2*((1103515245*(j*64+pos)+12345) % 1000003) - 1000003 AS wnum
+         |        FROM range(0,16) t(j), range(1,65) r(pos)),
+         |proj AS (SELECT e.vec_id, h.j, CAST(SUM(e.q*h.wnum) AS BIGINT) AS p
+         |         FROM exq e JOIN hyp h ON e.pos = h.pos GROUP BY 1, 2),
+         |buck AS (SELECT vec_id, j//8 AS band,
+         |           CAST(SUM(CASE WHEN p >= 0
+         |               THEN (CAST(1 AS BIGINT) << CAST(j%8 AS INT))
+         |               ELSE 0 END) AS BIGINT) AS bandkey
+         |         FROM proj GROUP BY vec_id, j//8),
+         |lcand AS (SELECT DISTINCT q.vec_id AS query_id, e.vec_id AS vec_id
+         |          FROM buck q JOIN buck e
+         |            ON q.band = e.band AND q.bandkey = e.bandkey
+         |           AND q.vec_id < 8 AND e.vec_id <> q.vec_id),
+         |ldots AS (SELECT c.query_id, c.vec_id,
+         |            CAST(SUM(qd.q*ed.q) AS BIGINT) AS dot
+         |          FROM lcand c
+         |          JOIN exq qd ON qd.vec_id = c.query_id
+         |          JOIN exq ed ON ed.vec_id = c.vec_id AND ed.pos = qd.pos
+         |          GROUP BY 1, 2),
+         |lcos AS (SELECT d.query_id, d.vec_id,
+         |           CAST(d.dot AS DOUBLE) /
+         |             (SQRT(CAST(nq.n2 AS DOUBLE))*SQRT(CAST(ne.n2 AS DOUBLE))) AS cosine
+         |         FROM ldots d JOIN norms nq ON d.query_id = nq.vec_id
+         |                      JOIN norms ne ON d.vec_id = ne.vec_id),
+         |lrk AS (SELECT query_id, vec_id,
+         |          ROW_NUMBER() OVER (PARTITION BY query_id
+         |            ORDER BY cosine DESC, vec_id) AS rkn FROM lcos),
+         |m_lsh AS (SELECT query_id, vec_id FROM lrk WHERE rkn <= 3)
+         |SELECT method, hits, denom FROM (
+         |  SELECT 'ivf_learned' AS method,
+         |         (SELECT COUNT(*) FROM m_ivf m JOIN truth t
+         |            ON m.query_id = t.query_id AND m.vec_id = t.vec_id) AS hits,
+         |         (SELECT COUNT(*) FROM truth) AS denom
+         |  UNION ALL
+         |  SELECT 'ivfpq',
+         |         (SELECT COUNT(*) FROM m_ivfpq m JOIN truth t
+         |            ON m.query_id = t.query_id AND m.vec_id = t.vec_id),
+         |         (SELECT COUNT(*) FROM truth)
+         |  UNION ALL
+         |  SELECT 'lsh',
+         |         (SELECT COUNT(*) FROM m_lsh m JOIN truth t
+         |            ON m.query_id = t.query_id AND m.vec_id = t.vec_id),
+         |         (SELECT COUNT(*) FROM truth)
+         |) ORDER BY method""".stripMargin,
+    // Incremental IVF maintenance: the oracle replays the CERTIFYING
+    // property — a FULL reassignment of every vector against the
+    // codebook trained on the historical (pre-threshold) corpus must
+    // equal the Spark side's snapshot-composed incremental result.
+    "x10k_incremental_ivf" ->
+      s"""WITH $vecCtes,
+         |thr AS (SELECT MAX(vec_id)+1 - (MAX(vec_id)+1)//4 AS t FROM embeddings),
+         |exb AS (SELECT e.vec_id, e.pos, e.q FROM exq e, thr WHERE e.vec_id < thr.t),
+         |${kmeansCtesOn("exb")},
+         |sca AS (SELECT e.vec_id, c.cell, c.n, CAST(SUM(e.q*c.s) AS BIGINT) AS num
+         |        FROM exq e JOIN c2 c ON e.pos = c.pos GROUP BY 1, 2, 3)
+         |SELECT vec_id, cell FROM
+         |  (SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |     ORDER BY CAST(num AS DOUBLE)/n DESC, cell) AS rnk FROM sca)
+         |WHERE rnk = 1 ORDER BY vec_id""".stripMargin,
     "x10e_ivf_topk" ->
       """WITH ex AS (SELECT vec_id, label, unnest(range(1,65)) AS pos,
         |              unnest(embedding) AS vf FROM embeddings),

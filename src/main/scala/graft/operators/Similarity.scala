@@ -380,16 +380,23 @@ object Similarity {
     * IVF probe (x10e2) share one trained codebook — k × dims longs —
     * instead of each replaying the Lloyd's iterations. */
   private[graft] def kmeansSums(spark: SparkSession, sfDir: String,
-                                k: Int = 8, iters: Int = 2): DataFrame =
-    graft.util.SessionMemo.memoized(spark, s"kmeansSums|$sfDir|$k|$iters") {
-      kmeansSumsBuild(spark, sfDir, k, iters)
+                                k: Int = 8, iters: Int = 2,
+                                idBound: Long = Long.MaxValue): DataFrame =
+    graft.util.SessionMemo.memoized(spark,
+      s"kmeansSums|$sfDir|$k|$iters|$idBound") {
+      kmeansSumsBuild(spark, sfDir, k, iters, idBound)
     }
 
-  /** The un-memoized trainer (the determinism spec replays it). */
+  /** The un-memoized trainer (the determinism spec replays it).
+    * `idBound` restricts training to `vec_id < idBound` — a pushed-down
+    * range predicate, used by [[incrementalIvfAssign]] to train on the
+    * historical corpus only. */
   private[graft] def kmeansSumsBuild(spark: SparkSession, sfDir: String,
-                                     k: Int = 8, iters: Int = 2): DataFrame = {
+                                     k: Int = 8, iters: Int = 2,
+                                     idBound: Long = Long.MaxValue): DataFrame = {
     graft.plans.VecSumAgg.register(spark)
     val vecs = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < idBound)
       .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("qv"))
       .cache()
     var cells = vecs.filter(col("vec_id") < k)
@@ -642,4 +649,100 @@ object Similarity {
       .agg(sum("d").as("adc_dist"))
     adcRank(adc, k)
   }
+
+  /** x10j: recall@k certification of every ANN index against the
+    * brute-force ground truth — the first number a real ANN user asks
+    * for, promoted from spec pins to a first-class oracle-checked
+    * query. One row per method: how many of its top-k ids (per query)
+    * appear in the exact top-k, plus the shared denominator
+    * |queries|·k. Exact integer counts, order-free.
+    *
+    * Scale shape: each method's result and the truth are |Q|·k rows —
+    * the joins here are between TINY relations; the corpus-sized work
+    * lives inside the (already scale-audited) method pipelines.
+    */
+  def annRecall(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    val truth = cosineTopK(spark, sfDir, k)
+      .select(col("query_id"), col("vec_id"))
+      .cache() // |Q|·k rows, reused by every method's intersection
+    def hitsOf(name: String, df: DataFrame): DataFrame =
+      df.filter(col("rnk") <= k)
+        .select(col("query_id"), col("vec_id"))
+        .join(truth, Seq("query_id", "vec_id"))
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(name).as("method"), col("hits"))
+    val denom = truth.agg(count(lit(1)).as("denom"))
+    Seq(
+      hitsOf("ivf_learned",
+        ivfTopK(spark, sfDir, k, cells = Some(kmeansSums(spark, sfDir)))),
+      hitsOf("ivfpq", ivfPqTopK(spark, sfDir, k)),
+      hitsOf("lsh", annLsh(spark, sfDir, k)))
+      .reduce(_ unionByName _)
+      .crossJoin(broadcast(denom))
+      .orderBy("method")
+  }
+
+  /** The incremental-maintenance split point: the newest quarter of the
+    * id space is "the CDC batch", everything below is the historical
+    * corpus. One memoized metadata-cheap aggregate (max over a pruned
+    * scalar column); the returned literal makes the delta filter a
+    * PLAN-TIME range predicate that pushes to the parquet scan. */
+  private[graft] def newVecThreshold(spark: SparkSession,
+                                     sfDir: String): Long =
+    graft.util.SessionMemo.memoizedValue(spark, s"newVecThreshold|$sfDir") {
+      val n = Tables.embeddings(spark, sfDir)
+        .agg(max(col("vec_id"))).first().getLong(0) + 1L
+      n - n / 4
+    }
+
+  /** x10k: incremental IVF maintenance — the production shape for a
+    * GROWING embedding corpus. The codebook is trained on the
+    * historical vectors only ([[kmeansSums]] with `idBound`); the
+    * historical assignment table is committed as a snapshot version;
+    * then the CDC batch of NEW vectors is assigned against the
+    * EXISTING codebook — the incremental pass scans ONLY the delta
+    * (range predicate pushed to the scan, plan-asserted) — and
+    * merge-committed by key. The read-back of the resulting snapshot
+    * head is certified equal to a full reassignment of the whole
+    * corpus (the oracle replays exactly that), which is the defining
+    * property of incremental maintenance: same state, delta-sized
+    * work.
+    *
+    * At 100 TB: the historical table is parquet you never rescan, the
+    * delta is the day's arrivals, the codebook is k×dims longs
+    * broadcast to the delta's executors — assignment cost is
+    * O(|delta|·k·d), independent of corpus size. Re-TRAINING (not done
+    * here) is a scheduled job on a sample; until it runs, the frozen
+    * codebook keeps assignments consistent, which is what lets the
+    * merge be append-shaped.
+    */
+  def incrementalIvfAssign(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.plans.VecSumAgg.register(spark)
+    val t = newVecThreshold(spark, sfDir)
+    val cb = kmeansSums(spark, sfDir, idBound = t)
+    val emb = Tables.embeddings(spark, sfDir)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ivf_snap_").toString
+    Snapshot.commit(assignToCells(emb.filter(col("vec_id") < t), cb), root)
+    Snapshot.mergeCommit(spark, root,
+      assignToCells(emb.filter(col("vec_id") >= t), cb), "vec_id")
+    Snapshot.readCurrent(spark, root)
+      .select(col("vec_id"), col("cell"))
+      .orderBy("vec_id")
+  }
+
+  /** Argmax cell assignment against a broadcast (cell, n, sum-vector)
+    * codebook — the same score/tiebreak arithmetic as the IVF chain
+    * (exact integer dot, one trailing IEEE division, total order), as
+    * one map-side-combined `max_by` aggregate. */
+  private[graft] def assignToCells(vecs: DataFrame,
+                                   cells: DataFrame): DataFrame =
+    vecs.select(col("vec_id"), VectorOps.quantize(col("embedding")).as("qv"))
+      .crossJoin(broadcast(cells))
+      .select(col("vec_id"), col("cell"),
+        (VectorOps.dotQ(col("qv"), col("s")).cast(DoubleType) / col("n"))
+          .as("score"))
+      .groupBy("vec_id")
+      .agg(max_by(col("cell"),
+        struct(col("score"), (-col("cell")).as("nc"))).as("cell"))
 }

@@ -151,6 +151,11 @@ object SparkEntry {
     // ANN layout — the composition of x10e2's and x10h's halves)
     "x10i_ivfpq"          -> ((s, d) => Similarity.ivfPqTopK(s, d)),
     "x10g_kmeans_cells"   -> ((s, d) => Similarity.kmeansCells(s, d)),
+    // recall@3 of every ANN index vs the brute-force ground truth
+    "x10j_ann_recall"     -> ((s, d) => Similarity.annRecall(s, d)),
+    // CDC batch -> snapshot merge: delta-only assignment against the
+    // frozen codebook, certified equal to a full reassignment
+    "x10k_incremental_ivf" -> ((s, d) => Similarity.incrementalIvfAssign(s, d)),
     "x17b_stratified_sample" -> (TextAnalysis.stratifiedSample(_, _)),
     "x17c_source_quota"   -> ((s, d) => TextAnalysis.sourceQuota(s, d)),
     // temperature-weighted (α=1/2) training-mix sampling over skewed
@@ -176,6 +181,10 @@ object SparkEntry {
     "x13e_value_state"     -> (graft.streaming.Streaming.valueStateStats(_, _)),
     "x14_typed_udaf"       -> (graft.functions.TypedAggs.l2Query(_, _)),
     "xm1_multimodal_meta"  -> (Multimodal.binaryMeta(_, _)),
+    // real PPM/BMP/WAV encode -> pure-JVM header decode round-trip
+    "xm2_media_decode"     -> (Multimodal.decodedMeta(_, _)),
+    // hot-key (Zipf 80/20) salted join certified vs the unsalted oracle
+    "x21_salted_join"      -> ((s, d) => Layout.skewedEventsJoin(s, d)),
     "x15_sql_api"          -> (SqlApi.tpchQ3(_, _)),
     "x15b_sql_q6"          -> (SqlApi.tpchQ6(_, _)),
     "x15c_sql_q10"         -> (SqlApi.tpchQ10(_, _)),
@@ -724,5 +733,58 @@ object SparkEntry {
         |       CAST((octet_length(encode(text)) * 7) % 480 AS INT) AS fake_height,
         |       CAST(octet_length(encode(text)) % 16 + 1 AS INT) AS fake_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // xm2: the oracle recomputes every decoded field from documents
+    // arithmetic alone (format geometry + cycled-payload prefix sums),
+    // so the Spark side's BYTE-PARSED metadata can only hash-match if
+    // the encoder wrote spec-conformant files AND the decoder read the
+    // right header fields and the exact payload extent.
+    "xm2_media_decode" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS nc FROM documents),
+        |p AS (SELECT doc_id, text, nc,
+        |        doc_id % 3 AS m,
+        |        CAST(nc % 64 + 1 AS INT) AS w,
+        |        CAST((nc*7) % 48 + 1 AS INT) AS h,
+        |        CAST(8000 + (nc % 8)*1000 AS INT) AS sr,
+        |        CAST(nc % 256 + 16 AS INT) AS ns
+        |      FROM d),
+        |p2 AS (SELECT *,
+        |         CAST(CASE WHEN m = 2 THEN 2*ns ELSE w*h*3 END AS BIGINT) AS plen
+        |       FROM p),
+        |sums AS (SELECT doc_id,
+        |           list_reduce(list_transform(string_split(text,''),
+        |             ch -> CAST(ascii(ch) AS BIGINT)), (a,b) -> a+b) AS tsum
+        |         FROM d)
+        |SELECT p2.doc_id,
+        |       CASE m WHEN 0 THEN 'image/ppm' WHEN 1 THEN 'image/bmp'
+        |              ELSE 'audio/wav' END AS media_type,
+        |       CAST(CASE WHEN m = 2 THEN 0 ELSE w END AS INT) AS width,
+        |       CAST(CASE WHEN m = 2 THEN 0 ELSE h END AS INT) AS height,
+        |       CAST(CASE WHEN m = 2 THEN sr ELSE 0 END AS INT) AS sample_rate,
+        |       CAST(CASE WHEN m = 2 THEN ns ELSE 0 END AS INT) AS n_samples,
+        |       CAST(CASE m
+        |         WHEN 0 THEN 3 + length(CAST(w AS VARCHAR)) + 1
+        |                    + length(CAST(h AS VARCHAR)) + 1 + 4 + plen
+        |         WHEN 1 THEN 54 + (w*3 + (4 - (w*3) % 4) % 4) * h
+        |         ELSE 44 + plen END AS BIGINT) AS n_bytes,
+        |       CAST((plen // nc) * s.tsum
+        |         + CASE WHEN plen % nc = 0 THEN 0 ELSE
+        |             list_reduce(list_transform(
+        |               string_split(substr(p2.text, 1, CAST(plen % nc AS INT)),''),
+        |               ch -> CAST(ascii(ch) AS BIGINT)), (a,b) -> a+b)
+        |           END AS BIGINT) AS payload_byte_sum
+        |FROM p2 JOIN sums s ON p2.doc_id = s.doc_id
+        |ORDER BY p2.doc_id""".stripMargin,
+    // x21: the oracle is the UNSALTED join — certifying that salting is
+    // invisible in results (it only reshapes the shuffle).
+    "x21_salted_join" ->
+      """WITH big AS (SELECT user_id, value,
+        |        CASE WHEN user_id % 100 < 80 THEN 0
+        |             ELSE CAST(user_id % 20 AS INT) + 1 END AS skew_key
+        |      FROM events)
+        |SELECT b.skew_key, n.n_name, COUNT(*) AS n_events,
+        |       COUNT(DISTINCT b.user_id) AS n_users,
+        |       MIN(b.value) AS min_value, MAX(b.value) AS max_value
+        |FROM big b JOIN nation n ON b.skew_key = n.n_nationkey
+        |GROUP BY 1, 2 ORDER BY skew_key""".stripMargin,
   )
 }

@@ -100,4 +100,42 @@ object Layout {
           saltedBig("__salt") === expandedSmall("__salt"))
       .drop("__salt")
   }
+
+  /** x21: [[saltedJoin]] taken from plan-level tool to CERTIFIED query
+    * (SURVEY §7.5's named risk). The venue is a Zipf-shaped key derived
+    * deterministically from events: ~80% of rows land on key 0, the
+    * rest spread over keys 1–20 — the classic hot-key profile where a
+    * plain shuffle join sends 80% of the fact table through ONE
+    * reducer. The salted join splits key 0 across `nSalts` reducers
+    * (plan-asserted in PlanSpec: the shuffle key is (key, salt)), and
+    * the result is certified row-identical to the plain join by the
+    * DuckDB oracle — which replays the UNSALTED join, proving the salt
+    * never leaks into results. Aggregates are count/min/max only —
+    * order-free, no float summation.
+    *
+    * The small side joins `nation` (a real dimension); its `nSalts`×
+    * replication is 25·nSalts rows — salting trades a trivially bigger
+    * build side for hot-key parallelism, exactly the 100 TB trade.
+    * (AQE's skew-join handles MODERATE skew on sort-merge joins
+    * without code changes; explicit salting is the tool that also
+    * covers hash joins, non-AQE engines, and pathological single-key
+    * skew — certifying it keeps the tool honest.)
+    */
+  def skewedEventsJoin(spark: SparkSession, sfDir: String,
+                       nSalts: Int = 16): DataFrame = {
+    val big = graft.sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("value"),
+        when(col("user_id") % 100 < 80, lit(0))
+          .otherwise((col("user_id") % 20).cast("int") + 1)
+          .as("skew_key"))
+    val dim = graft.sources.Tables.nation(spark, sfDir)
+      .select(col("n_nationkey"), col("n_name"))
+    saltedJoin(big, dim, "skew_key", "n_nationkey", nSalts)
+      .groupBy(col("skew_key"), col("n_name"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .orderBy("skew_key")
+  }
 }

@@ -452,4 +452,59 @@ class DedupSimilaritySpec extends SparkSuite {
     }
   }
 
+  test("ANN recall rows are exact intersection counts with the shared denominator") {
+    import operators.Similarity
+    val rows = Similarity.annRecall(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.keySet == Set("ivf_learned", "ivfpq", "lsh"))
+    val truth = Similarity.cosineTopK(spark, sf, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(rows.values.forall(_._2 == truth.size), "denominator drifted")
+    // replay one method's intersection driver-side
+    val ivf = Similarity.ivfTopK(spark, sf, 3,
+        cells = Some(Similarity.kmeansSums(spark, sf))).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(rows("ivf_learned")._1 == ivf.intersect(truth).size)
+    rows.values.foreach { case (h, d) => assert(h >= 0 && h <= d) }
+  }
+
+  test("incremental IVF snapshot state equals a full reassignment") {
+    import operators.Similarity
+    val inc = Similarity.incrementalIvfAssign(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val t = Similarity.newVecThreshold(spark, sf)
+    val full = Similarity.assignToCells(
+        spark.read.parquet(s"$sf/embeddings.parquet"),
+        Similarity.kmeansSums(spark, sf, idBound = t)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc == full,
+      "snapshot-composed incremental assignment diverged from full pass")
+    // and the delta was genuinely non-trivial on both sides of the split
+    assert(inc.keys.count(_ >= t) > 0 && inc.keys.count(_ < t) > 0)
+  }
+
+  test("salted join equals the plain join (salt never leaks into results)") {
+    import graft.operators.Layout
+    import graft.sources.Tables
+    val salted = Layout.skewedEventsJoin(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toList
+    val big = Tables.events(spark, sf)
+      .select(col("user_id"), col("value"),
+        when(col("user_id") % 100 < 80, lit(0))
+          .otherwise((col("user_id") % 20).cast("int") + 1).as("skew_key"))
+    val plain = big.join(Tables.nation(spark, sf),
+        col("skew_key") === col("n_nationkey"))
+      .groupBy(col("skew_key"), col("n_name"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+      .orderBy("skew_key").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toList
+    assert(salted == plain)
+    // the venue is genuinely hot: key 0 carries the dominant mass
+    val mass = salted.map(t => t._1 -> t._3).toMap
+    assert(mass(0) > salted.map(_._3).sum / 2, s"key 0 not hot: $mass")
+  }
 }

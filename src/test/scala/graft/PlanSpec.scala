@@ -258,4 +258,28 @@ class PlanSpec extends SparkSuite {
     assert("""\*\(\d+\)""".r.findFirstIn(plan(df)).nonEmpty,
       "no whole-stage-codegen stages in final plan")
   }
+
+  test("salted join shuffles on (key, salt) — the hot key never lands on one reducer") {
+    val p = plan(graft.operators.Layout.skewedEventsJoin(spark, sf))
+    // The join condition must include the salt column: with it in the
+    // equi-join keys, the shuffle hash-partitions on (key, __salt), so
+    // the 80%-mass key 0 spreads across nSalts reducers instead of one.
+    assert(p.contains("__salt"),
+      s"salt column missing from the physical join keys:\n$p")
+  }
+
+  test("incremental IVF: the delta pass scans only the CDC batch, pushed to parquet") {
+    val t = Similarity.newVecThreshold(spark, sf)
+    val cb = Similarity.kmeansSums(spark, sf, idBound = t)
+    val delta = graft.sources.Tables.embeddings(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("vec_id") >= t)
+    val p = plan(Similarity.assignToCells(delta, cb))
+    assert(p.contains(s"GreaterThanOrEqual(vec_id,$t"),
+      s"delta range predicate not pushed to the embeddings scan:\n$p")
+    // and the codebook TRAINING scan is bounded to the historical side
+    val ptrain = plan(graft.sources.Tables.embeddings(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("vec_id") < t))
+    assert(ptrain.contains(s"LessThan(vec_id,$t"),
+      s"historical bound not pushed to the training scan:\n$ptrain")
+  }
 }

@@ -50,8 +50,24 @@ object ScaleFixtures {
 
     def read(name: String): DataFrame =
       spark.read.parquet(s"$src/$name.parquet")
+    // The fixture layout contract is `<table>.parquet` as a single FILE
+    // (TESTDATA.md); the streaming source's pathGlobFilter and any
+    // single-file reader depend on it, so write-then-rename rather than
+    // leaving a part-file directory. Parquet files are row-group
+    // splittable, so a single file still scans in parallel.
     def write(df: DataFrame, name: String): Unit = {
-      df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val tmp = s"$dst/_tmp_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
+        .filter(p => p.endsWith(".parquet") && !p.contains("_SUCCESS"))
+      require(part.length == 1, s"expected one part file, got ${part.toSeq}")
+      Files.createDirectories(Paths.get(dst))
+      Files.move(Paths.get(part.head), Paths.get(s"$dst/$name.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      // scrub the tmp dir (part file already moved out)
+      Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
       println(s"[scale] $name -> $dst/$name.parquet")
     }
     // mult replicas via a tiny crossJoin (broadcast by AQE); keys listed

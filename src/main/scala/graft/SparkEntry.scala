@@ -190,6 +190,8 @@ object SparkEntry {
     "x15c_sql_q10"         -> (SqlApi.tpchQ10(_, _)),
     "x15d_sql_q1"          -> (SqlApi.tpchQ1(_, _)),
     "x15e_sql_q18"         -> (SqlApi.tpchQ18(_, _)),
+    "x15f_sql_q5"          -> (SqlApi.tpchQ5(_, _)),
+    "x15g_sql_q4"          -> (SqlApi.tpchQ4(_, _)),
     "x16_asof_join"        -> (Relational.asofAttribution(_, _)),
     "x16b_interval_join"   -> (Relational.intervalJoin(_, _)),
     "x17_train_test_split" -> (TextAnalysis.trainTestSplit(_, _)),
@@ -670,6 +672,8 @@ object SparkEntry {
     "x15c_sql_q10" -> graft.operators.SqlApi.q10Sql,
     "x15d_sql_q1" -> graft.operators.SqlApi.q1Sql,
     "x15e_sql_q18" -> graft.operators.SqlApi.q18Sql,
+    "x15f_sql_q5" -> graft.operators.SqlApi.q5Sql,
+    "x15g_sql_q4" -> graft.operators.SqlApi.q4Sql,
     "x17_train_test_split" ->
       """SELECT CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'valid'
         |            ELSE 'test' END AS split,

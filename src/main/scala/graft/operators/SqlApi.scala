@@ -133,6 +133,59 @@ object SqlApi {
     spark.sql(q18Sql)
   }
 
+  /** TPC-H Q5 (local supplier volume): the 6-table snowflake join with
+    * the c_nationkey = s_nationkey correlation — the canonical
+    * join-ORDER stress query (the region/nation dims must broadcast
+    * and the customer⋈supplier correlation must ride the fact join,
+    * not a cross product). Decimal-exact revenue. Shared ANSI text. */
+  val q5Sql: String =
+    """SELECT n_name,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |            (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  def tpchQ5(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
+      .foreach { t =>
+        Tables.table(spark, sfDir, t).createOrReplaceTempView(t)
+      }
+    spark.sql(q5Sql)
+  }
+
+  /** TPC-H Q4 SHAPE (order priority checking): EXISTS subquery that
+    * Catalyst decorrelates into a LEFT SEMI join on the fact table —
+    * never a per-order probe. The spec's commit-vs-receipt lateness
+    * predicate uses columns this fixture lacks; shipped-after-order
+    * (`l_shipdate > o_orderdate`, a CORRELATED column compare) keeps
+    * the identical decorrelation shape. Shared ANSI text. */
+  val q4Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1996-07-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  def tpchQ4(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("orders", "lineitem").foreach { t =>
+      Tables.table(spark, sfDir, t).createOrReplaceTempView(t)
+    }
+    spark.sql(q4Sql)
+  }
+
   /** Correlated scalar subquery (decorrelated by Catalyst into an
     * aggregate + join — never a per-row re-execution). Shared ANSI text. */
   val correlatedSql: String =

@@ -259,6 +259,16 @@ class PlanSpec extends SparkSuite {
       "no whole-stage-codegen stages in final plan")
   }
 
+  test("TPC-H Q5 joins snowflake dims by broadcast, never a cartesian") {
+    val p = plan(graft.operators.SqlApi.tpchQ5(spark, sf))
+    assert(!p.contains("Cartesian"),
+      s"the c_nationkey=s_nationkey correlation degraded to a cross:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"nation/region dims should broadcast:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      "order-date range not pushed to the orders scan")
+  }
+
   test("salted join shuffles on (key, salt) — the hot key never lands on one reducer") {
     val p = plan(graft.operators.Layout.skewedEventsJoin(spark, sf))
     // The join condition must include the salt column: with it in the

@@ -38,16 +38,26 @@ object Bench {
     // during THIS run, so cross-run query deltas divide out box speed:
     // compare q/probe ratios, not raw seconds. A large start-vs-end
     // spread additionally flags contention that arrived mid-run.
+    def probeOnce(): Double =
+      sec(spark.range(0L, 20000000L, 1L, 32)
+        .selectExpr("id % 99991 AS k", "id AS v")
+        .groupBy("k").agg(org.apache.spark.sql.functions.sum("v"))
+        .selectExpr("count(*)", "sum(k)").collect())
     def probeSec(): Double = {
-      val ts = (1 to 3).map { _ =>
-        sec(spark.range(0L, 20000000L, 1L, 32)
-          .selectExpr("id % 99991 AS k", "id AS v")
-          .groupBy("k").agg(org.apache.spark.sql.functions.sum("v"))
-          .selectExpr("count(*)", "sum(k)").collect())
-      }.sorted
+      val ts = (1 to 3).map(_ => probeOnce()).sorted
       ts(1) // median
     }
     val probeStart = probeSec()
+
+    // Mid-run probe TIMELINE: endpoint probes proved insufficient — the
+    // round-7 sf1 triplicate (287/397/588 s, identical code+fixture) had
+    // QUIET endpoint probes every time, so contention arriving mid-run
+    // was unobservable. A single-shot probe every `probeEvery` queries
+    // (~1-3% overhead) timestamps box speed THROUGH the run; a spike in
+    // the timeline next to a slow query attributes the slowdown to the
+    // box, a flat timeline pins it on the code.
+    val probeEvery = 15
+    var probeTimeline = Vector.empty[(String, Double)]
 
     // Per-query timing with explicit failure capture: a query that throws
     // is reported in `errors` (and its time covers only the failed run) —
@@ -67,14 +77,17 @@ object Bench {
     }
     val selected =
       if (only.isEmpty) SparkEntry.queries else SparkEntry.queries.filter(kv => only(kv._1))
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> sec(
-        try fn(spark, sfDir).count()
-        catch { case e: Throwable =>
-          // printable ASCII only — a control char would break the JSON line
-          errors += name -> e.toString.takeWhile(_ != '\n').take(200)
-            .map(c => if (c >= ' ' && c <= '~') c else ' ')
-        })
+    val results = selected.toSeq.sortBy(_._1).zipWithIndex.map {
+      case ((name, fn), i) =>
+        if (i > 0 && i % probeEvery == 0)
+          probeTimeline :+= ((name, probeOnce()))
+        name -> sec(
+          try fn(spark, sfDir).count()
+          catch { case e: Throwable =>
+            // printable ASCII only — a control char would break the JSON line
+            errors += name -> e.toString.takeWhile(_ != '\n').take(200)
+              .map(c => if (c >= ' ' && c <= '~') c else ' ')
+          })
     }
 
     // Reference A/B: cold create vs warm reuse of the partition cache
@@ -106,7 +119,10 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_probe_norm":$qsNorm,"probe_start_sec":$probeStart,"probe_end_sec":$probeEnd,"errors":$errJson,"cache_create_sec":$tCreate,"cache_reuse_sec":$tReuse,"sf":"$sfDir"}"""
+    val timelineJson = probeTimeline
+      .map { case (before, s) => "{\"before\":\"" + before + "\",\"sec\":" + s + "}" }
+      .mkString("[", ",", "]")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_probe_norm":$qsNorm,"probe_start_sec":$probeStart,"probe_end_sec":$probeEnd,"probe_timeline":$timelineJson,"errors":$errJson,"cache_create_sec":$tCreate,"cache_reuse_sec":$tReuse,"sf":"$sfDir"}"""
     println(fullLine)
     // The full line above exceeds the harness's 2 KiB output-tail capture
     // (74 queries x ~26 chars), so it can never be parsed whole from the

@@ -192,6 +192,21 @@ object SparkEntry {
     "x15e_sql_q18"         -> (SqlApi.tpchQ18(_, _)),
     "x15f_sql_q5"          -> (SqlApi.tpchQ5(_, _)),
     "x15g_sql_q4"          -> (SqlApi.tpchQ4(_, _)),
+    "x15h_sql_q7"          -> (SqlApi.tpchQ7(_, _)),
+    "x15i_sql_q8"          -> (SqlApi.tpchQ8(_, _)),
+    "x15j_sql_q9"          -> (SqlApi.tpchQ9(_, _)),
+    "x15k_sql_q11"         -> (SqlApi.tpchQ11(_, _)),
+    "x15l_sql_q12"         -> (SqlApi.tpchQ12(_, _)),
+    "x15m_sql_q13"         -> (SqlApi.tpchQ13(_, _)),
+    "x15n_sql_q14"         -> (SqlApi.tpchQ14(_, _)),
+    "x15o_sql_q15"         -> (SqlApi.tpchQ15(_, _)),
+    "x15p_sql_q16"         -> (SqlApi.tpchQ16(_, _)),
+    "x15q_sql_q17"         -> (SqlApi.tpchQ17(_, _)),
+    "x15r_sql_q19"         -> (SqlApi.tpchQ19(_, _)),
+    "x15s_sql_q20"         -> (SqlApi.tpchQ20(_, _)),
+    "x15t_sql_q21"         -> (SqlApi.tpchQ21(_, _)),
+    "x15u_sql_q22"         -> (SqlApi.tpchQ22(_, _)),
+    "x15v_sql_q2"          -> (SqlApi.tpchQ2(_, _)),
     "x16_asof_join"        -> (Relational.asofAttribution(_, _)),
     "x16b_interval_join"   -> (Relational.intervalJoin(_, _)),
     "x17_train_test_split" -> (TextAnalysis.trainTestSplit(_, _)),
@@ -674,6 +689,21 @@ object SparkEntry {
     "x15e_sql_q18" -> graft.operators.SqlApi.q18Sql,
     "x15f_sql_q5" -> graft.operators.SqlApi.q5Sql,
     "x15g_sql_q4" -> graft.operators.SqlApi.q4Sql,
+    "x15h_sql_q7" -> graft.operators.SqlApi.q7Sql,
+    "x15i_sql_q8" -> graft.operators.SqlApi.q8Sql,
+    "x15j_sql_q9" -> graft.operators.SqlApi.q9Sql,
+    "x15k_sql_q11" -> graft.operators.SqlApi.q11Sql,
+    "x15l_sql_q12" -> graft.operators.SqlApi.q12Sql,
+    "x15m_sql_q13" -> graft.operators.SqlApi.q13Sql,
+    "x15n_sql_q14" -> graft.operators.SqlApi.q14Sql,
+    "x15o_sql_q15" -> graft.operators.SqlApi.q15Sql,
+    "x15p_sql_q16" -> graft.operators.SqlApi.q16Sql,
+    "x15q_sql_q17" -> graft.operators.SqlApi.q17Sql,
+    "x15r_sql_q19" -> graft.operators.SqlApi.q19Sql,
+    "x15s_sql_q20" -> graft.operators.SqlApi.q20Sql,
+    "x15t_sql_q21" -> graft.operators.SqlApi.q21Sql,
+    "x15u_sql_q22" -> graft.operators.SqlApi.q22Sql,
+    "x15v_sql_q2" -> graft.operators.SqlApi.q2Sql,
     "x17_train_test_split" ->
       """SELECT CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'valid'
         |            ELSE 'test' END AS split,

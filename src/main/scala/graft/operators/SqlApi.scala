@@ -186,6 +186,401 @@ object SqlApi {
     spark.sql(q4Sql)
   }
 
+  /** TPC-H Q7 (volume shipping): the two-nation-pair disjunction join —
+    * nation dims joined TWICE (supplier side and customer side) with an
+    * OR-of-pairs predicate that must stay on the join, plus a year
+    * rollup of decimal-exact volume. Shared ANSI text. */
+  val q7Sql: String =
+    """SELECT supp_nation, cust_nation, l_year,
+      |       CAST(SUM(volume) AS DOUBLE) AS revenue
+      |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |             CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
+      |             CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |             (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) AS volume
+      |      FROM supplier
+      |      JOIN lineitem ON s_suppkey = l_suppkey
+      |      JOIN orders ON o_orderkey = l_orderkey
+      |      JOIN customer ON c_custkey = o_custkey
+      |      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |        AND l_shipdate >= TIMESTAMP '1996-01-01'
+      |        AND l_shipdate < TIMESTAMP '1998-01-01') shipping
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  def tpchQ7(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("supplier", "lineitem", "orders", "customer", "nation").foreach { t =>
+      Tables.table(spark, sfDir, t).createOrReplaceTempView(t)
+    }
+    spark.sql(q7Sql)
+  }
+
+  /** TPC-H Q8 (national market share): 7-relation snowflake with nation
+    * joined twice and a conditional-share aggregate — the ratio of a
+    * CASE-gated decimal sum to the total, divided in DOUBLE after both
+    * sums are exact. Shared ANSI text. */
+  val q8Sql: String =
+    """SELECT o_year,
+      |       CAST(SUM(CASE WHEN nation = 'NATION_5' THEN volume
+      |                     ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) /
+      |       CAST(SUM(volume) AS DOUBLE) AS mkt_share
+      |FROM (SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+      |             CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |             (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) AS volume,
+      |             n2.n_name AS nation
+      |      FROM part
+      |      JOIN lineitem ON p_partkey = l_partkey
+      |      JOIN supplier ON s_suppkey = l_suppkey
+      |      JOIN orders ON l_orderkey = o_orderkey
+      |      JOIN customer ON o_custkey = c_custkey
+      |      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |      JOIN region ON n1.n_regionkey = r_regionkey
+      |      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |      WHERE r_name = 'ASIA'
+      |        AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |        AND o_orderdate < TIMESTAMP '1998-01-01'
+      |        AND p_type = 'ECONOMY') all_nations
+      |GROUP BY o_year
+      |ORDER BY o_year""".stripMargin
+
+  def tpchQ8(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("part", "lineitem", "supplier", "orders", "customer", "nation",
+      "region").foreach { t =>
+      Tables.table(spark, sfDir, t).createOrReplaceTempView(t)
+    }
+    spark.sql(q8Sql)
+  }
+
+  /** TPC-H Q9 SHAPE (product-type profit): part-name LIKE filter fanned
+    * through lineitem to supplier nation, profit rolled up by nation and
+    * year. The spec's ps_supplycost term needs the partsupp table this
+    * fixture lacks; revenue keeps the identical 5-relation join + rollup
+    * shape. Shared ANSI text. */
+  val q9Sql: String =
+    """SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+      |FROM (SELECT n_name AS nation,
+      |             CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+      |             CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |             (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) AS amount
+      |      FROM part
+      |      JOIN lineitem ON p_partkey = l_partkey
+      |      JOIN supplier ON s_suppkey = l_suppkey
+      |      JOIN orders ON o_orderkey = l_orderkey
+      |      JOIN nation ON s_nationkey = n_nationkey
+      |      WHERE p_name LIKE '%red%') profit
+      |GROUP BY nation, o_year
+      |ORDER BY nation, o_year DESC""".stripMargin
+
+  def tpchQ9(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("part", "lineitem", "supplier", "orders", "nation").foreach { t =>
+      Tables.table(spark, sfDir, t).createOrReplaceTempView(t)
+    }
+    spark.sql(q9Sql)
+  }
+
+  /** TPC-H Q11 SHAPE (important stock): grouped value with a HAVING
+    * threshold that is itself a scalar subquery over the SAME relation —
+    * the aggregate-vs-global-fraction plan (two aggregations, one
+    * broadcast scalar). partsupp value is stood in by lineitem revenue
+    * per part; the spec's fixed fraction is 1.5x the mean per-part value
+    * so the selected heavy tail is non-empty at every scale factor (the
+    * fixture's per-part revenue is near-uniform: max/mean is ~1.8).
+    * Shared ANSI text. */
+  val q11Sql: String =
+    """SELECT l_partkey,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS value
+      |FROM lineitem
+      |GROUP BY l_partkey
+      |HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) >
+      |       (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) * 1.5
+      |               / COUNT(DISTINCT l_partkey)
+      |        FROM lineitem)
+      |ORDER BY value DESC, l_partkey""".stripMargin
+
+  def tpchQ11(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.table(spark, sfDir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(q11Sql)
+  }
+
+  /** TPC-H Q12 SHAPE (shipping-mode priority): fact join + two-branch
+    * CASE counts split by order priority class. l_returnflag stands in
+    * for the fixture's missing l_shipmode; the plan (join + conditional
+    * integer aggregate) is the spec's. Shared ANSI text. */
+  val q12Sql: String =
+    """SELECT l_returnflag,
+      |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM orders
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  def tpchQ12(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("orders", "lineitem").foreach { t =>
+      Tables.table(spark, sfDir, t).createOrReplaceTempView(t)
+    }
+    spark.sql(q12Sql)
+  }
+
+  /** TPC-H Q13 (customer order distribution): LEFT OUTER join with an
+    * extra predicate ON THE JOIN CONDITION (not a post-filter — null-
+    * extended customers must survive), then a count-of-counts double
+    * aggregation. Shared ANSI text. */
+  val q13Sql: String =
+    """SELECT c_count, COUNT(*) AS custdist
+      |FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |      FROM customer
+      |      LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      |                            AND o_orderpriority <> '1-URGENT'
+      |      GROUP BY c_custkey) c_orders
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  def tpchQ13(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("customer", "orders").foreach { t =>
+      Tables.table(spark, sfDir, t).createOrReplaceTempView(t)
+    }
+    spark.sql(q13Sql)
+  }
+
+  /** TPC-H Q14 SHAPE (promotion effect): single-join CASE-gated revenue
+    * ratio — both sums exact decimal, the ratio taken in DOUBLE.
+    * p_type = 'ECONOMY' stands in for the spec's PROMO% prefix (this
+    * fixture's p_type is a flat enum). Shared ANSI text. */
+  val q14Sql: String =
+    """SELECT CAST(SUM(CASE WHEN p_type = 'ECONOMY'
+      |                     THEN CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |                          (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+      |                     ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) * 100 /
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |            (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+      |         AS promo_revenue
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+      |  AND l_shipdate < TIMESTAMP '1996-10-01'""".stripMargin
+
+  def tpchQ14(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("lineitem", "part").foreach { t =>
+      Tables.table(spark, sfDir, t).createOrReplaceTempView(t)
+    }
+    spark.sql(q14Sql)
+  }
+
+  /** TPC-H Q15 (top supplier): a named revenue CTE consumed TWICE —
+    * once joined to supplier, once under MAX — the classic view-reuse
+    * plan. Equality against the max is on the EXACT decimal sum, so no
+    * float-tie hazard. Shared ANSI text. */
+  val q15Sql: String =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |         SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |             (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+      |FROM supplier
+      |JOIN revenue ON s_suppkey = supplier_no
+      |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
+  def tpchQ15(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("supplier", "lineitem").foreach { t =>
+      Tables.table(spark, sfDir, t).createOrReplaceTempView(t)
+    }
+    spark.sql(q15Sql)
+  }
+
+  /** TPC-H Q16 SHAPE (parts/supplier relationship): COUNT(DISTINCT)
+    * per part-attribute group with a NOT IN anti-subquery on the
+    * supplier dim. The partsupp link is stood in by lineitem's
+    * (partkey, suppkey) pairs. Shared ANSI text. */
+  val q16Sql: String =
+    """SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM part
+      |JOIN lineitem ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#1'
+      |  AND p_type <> 'SMALL'
+      |  AND p_size IN (5, 11, 17, 23, 29, 35, 41, 47)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+      |                        WHERE s_name LIKE '%_7')
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  def tpchQ16(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("part", "lineitem", "supplier").foreach { t =>
+      Tables.table(spark, sfDir, t).createOrReplaceTempView(t)
+    }
+    spark.sql(q16Sql)
+  }
+
+  /** TPC-H Q17 (small-quantity-order revenue): correlated scalar AVG
+    * subquery per part, decorrelated by both engines into a grouped
+    * aggregate + join. The average divides the exact decimal sum by the
+    * count in DOUBLE (the q1Sql convention). Shared ANSI text. */
+  val q17Sql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+      |         AS avg_yearly
+      |FROM lineitem
+      |JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand = 'Brand#3'
+      |  AND l_quantity < (SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*))
+      |                    FROM lineitem l2
+      |                    WHERE l2.l_partkey = p_partkey)""".stripMargin
+
+  def tpchQ17(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("lineitem", "part").foreach { t =>
+      Tables.table(spark, sfDir, t).createOrReplaceTempView(t)
+    }
+    spark.sql(q17Sql)
+  }
+
+  /** TPC-H Q19 (discounted revenue): the OR-of-ANDs join predicate —
+    * three brand/size/quantity conjunct groups OR'd together. The
+    * equi-join key must still be extracted from under the disjunction
+    * (no cartesian), with the residual staying as a join filter.
+    * Shared ANSI text. */
+  val q19Sql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |            (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+      |         AS revenue,
+      |       COUNT(*) AS n_rows
+      |FROM lineitem
+      |JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity >= 1 AND l_quantity <= 11)
+      |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+      |       AND l_quantity >= 10 AND l_quantity <= 20)
+      |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+      |       AND l_quantity >= 20 AND l_quantity <= 30)""".stripMargin
+
+  def tpchQ19(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("lineitem", "part").foreach { t =>
+      Tables.table(spark, sfDir, t).createOrReplaceTempView(t)
+    }
+    spark.sql(q19Sql)
+  }
+
+  /** TPC-H Q20 SHAPE (potential part promotion): nested IN-subqueries —
+    * a semi-join on suppliers whose filtered, grouped lineitem volume
+    * over name-LIKE'd parts clears a threshold; the inner part filter is
+    * itself a semi-join. Two stacked left-semi joins in the plan.
+    * Shared ANSI text. */
+  val q20Sql: String =
+    """SELECT s_suppkey, s_name
+      |FROM supplier
+      |WHERE s_suppkey IN (
+      |    SELECT l_suppkey FROM lineitem
+      |    WHERE l_partkey IN (SELECT p_partkey FROM part
+      |                        WHERE p_name LIKE 'red%')
+      |      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      |      AND l_shipdate < TIMESTAMP '1997-01-01'
+      |    GROUP BY l_suppkey
+      |    HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > CAST(50 AS DECIMAL(12,2)))
+      |ORDER BY s_suppkey""".stripMargin
+
+  def tpchQ20(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("supplier", "lineitem", "part").foreach { t =>
+      Tables.table(spark, sfDir, t).createOrReplaceTempView(t)
+    }
+    spark.sql(q20Sql)
+  }
+
+  /** TPC-H Q21 SHAPE (suppliers who kept orders waiting): the double
+    * existential self-join — EXISTS (another supplier on the order) AND
+    * NOT EXISTS (another supplier shipped later) — both decorrelated to
+    * semi/anti joins on the fact table. Lateness is shipped-after-order
+    * (the fixture lacks commit/receipt dates); "latest shipper on a
+    * multi-supplier order" keeps the spec's plan shape. Shared ANSI
+    * text. */
+  val q21Sql: String =
+    """SELECT s_name, COUNT(*) AS numwait
+      |FROM supplier
+      |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      |JOIN orders ON o_orderkey = l1.l_orderkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE o_orderstatus = 'F'
+      |  AND n_name = 'NATION_3'
+      |  AND l1.l_shipdate > o_orderdate
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate > l1.l_shipdate)
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 100""".stripMargin
+
+  def tpchQ21(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("supplier", "lineitem", "orders", "nation").foreach { t =>
+      Tables.table(spark, sfDir, t).createOrReplaceTempView(t)
+    }
+    spark.sql(q21Sql)
+  }
+
+  /** TPC-H Q22 SHAPE (global sales opportunity): an uncorrelated scalar
+    * AVG threshold subquery AND a NOT EXISTS anti-join on orders, rolled
+    * up by segment (standing in for the spec's phone-prefix country
+    * code). "No orders" is "no orders in the trailing window" — every
+    * fixture customer has SOME order, so the spec's lapsed-customer
+    * semantics live on the recent-order anti-join. Shared ANSI text. */
+  val q22Sql: String =
+    """SELECT c_mktsegment, COUNT(*) AS numcust,
+      |       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+      |FROM customer
+      |WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')
+      |  AND c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+      |                   FROM customer
+      |                   WHERE c_acctbal > 0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  def tpchQ22(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("customer", "orders").foreach { t =>
+      Tables.table(spark, sfDir, t).createOrReplaceTempView(t)
+    }
+    spark.sql(q22Sql)
+  }
+
+  /** TPC-H Q2 SHAPE (minimum-cost supplier): correlated MIN subquery —
+    * for each part, keep the supplier(s) whose acctbal equals the
+    * per-part minimum over that part's suppliers. The partsupp link is
+    * stood in by lineitem's (partkey, suppkey) pairs; equality is on the
+    * stored value, not derived arithmetic. DISTINCT collapses the
+    * lineitem fan-out. Shared ANSI text. */
+  val q2Sql: String =
+    """SELECT DISTINCT s_name, s_acctbal, p_partkey, p_name
+      |FROM part
+      |JOIN lineitem ON p_partkey = l_partkey
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |WHERE p_size = 15
+      |  AND s_acctbal = (SELECT MIN(s2.s_acctbal)
+      |                   FROM supplier s2
+      |                   JOIN lineitem l2 ON s2.s_suppkey = l2.l_suppkey
+      |                   WHERE l2.l_partkey = p_partkey)
+      |ORDER BY s_acctbal, p_partkey, s_name
+      |LIMIT 100""".stripMargin
+
+  def tpchQ2(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("part", "lineitem", "supplier").foreach { t =>
+      Tables.table(spark, sfDir, t).createOrReplaceTempView(t)
+    }
+    spark.sql(q2Sql)
+  }
+
   /** Correlated scalar subquery (decorrelated by Catalyst into an
     * aggregate + join — never a per-row re-execution). Shared ANSI text. */
   val correlatedSql: String =

@@ -269,6 +269,29 @@ class PlanSpec extends SparkSuite {
       "order-date range not pushed to the orders scan")
   }
 
+  test("TPC-H Q21 decorrelates EXISTS/NOT EXISTS to semi and anti joins") {
+    val p = plan(graft.operators.SqlApi.tpchQ21(spark, sf))
+    assert(p.contains("LeftSemi"),
+      s"EXISTS should decorrelate to a left-semi join:\n$p")
+    assert(p.contains("LeftAnti"),
+      s"NOT EXISTS should decorrelate to a left-anti join:\n$p")
+    assert(!p.contains("Cartesian"), s"existential self-join went cross:\n$p")
+  }
+
+  test("TPC-H Q19 extracts the equi-key from under the OR-of-ANDs") {
+    val p = plan(graft.operators.SqlApi.tpchQ19(spark, sf))
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"),
+      s"disjunctive predicate degraded the join to a cross/NL:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"p_partkey = l_partkey must remain the hash join key:\n$p")
+  }
+
+  test("TPC-H Q13 keeps the join-condition filter on the outer join") {
+    val p = plan(graft.operators.SqlApi.tpchQ13(spark, sf))
+    assert(p.contains("LeftOuter"),
+      s"the ON-clause predicate must not convert the outer join to inner:\n$p")
+  }
+
   test("salted join shuffles on (key, salt) — the hot key never lands on one reducer") {
     val p = plan(graft.operators.Layout.skewedEventsJoin(spark, sf))
     // The join condition must include the salt column: with it in the

@@ -16,6 +16,14 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // The fixture contract is ONE parquet file per table, so the
+      // default 128 MB split size hands an 80 MB sf1 lineitem scan to a
+      // single core while 31 idle (measured: TPC-H Q7 12.3 s → 3.7 s
+      // just from re-splitting). 8 MB ≈ 2-3 splits per core at sf1. A
+      // real deployment gets scan parallelism from file COUNT and
+      // should keep the default; this sizes the single-file case per
+      // SURVEY §7.5 (split size vs executor memory at target SF).
+      .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Metamorphic differential testing: a seeded generator produces random
+  * relational queries (filter → join? → group → agg → sort/limit?) over
+  * the fixture tables, and every query must return the IDENTICAL row
+  * set under execution-strategy perturbations that may not change
+  * semantics:
+  *
+  *   - AQE on vs off (runtime re-planning must be result-invariant),
+  *   - whole-stage codegen on vs off (generated vs interpreted
+  *     evaluation must agree),
+  *   - `spark.sql.shuffle.partitions` 8 vs 1 vs 17 (merge order and
+  *     partition boundaries must not leak into results).
+  *
+  * This is the engine-testing net the DuckDB oracle can't provide: the
+  * oracle certifies 130+ CURATED queries cross-engine; this certifies
+  * the execution config space on queries nobody hand-picked. All
+  * aggregates are over exact types (BIGINT counts, decimal-exact sums
+  * cast to DOUBLE once per the repo convention) so equality is exact,
+  * not approximate.
+  */
+class MetamorphicSpec extends SparkSuite {
+
+  private def lineitem = sources.Tables.table(spark, sf, "lineitem")
+  private def orders = sources.Tables.table(spark, sf, "orders")
+
+  /** One random query plan as a thunk (re-built per config so each run
+    * re-plans under the active conf). */
+  private def randomQuery(seed: Int): () => DataFrame = {
+    val r = new scala.util.Random(seed)
+    import org.apache.spark.sql.functions._
+    // every random literal is drawn EAGERLY here — a draw inside the
+    // lambda would re-roll per invocation and hand each config variant
+    // a different query
+    val qtyLit = r.nextInt(40)
+    val discLit = (r.nextInt(8) + 1) / 100.0
+    val flagLit = Seq("A", "N", "R")(r.nextInt(3))
+    val priceLit = 20000 + r.nextInt(80000)
+    val filters = Vector[DataFrame => DataFrame](
+      _.filter(col("l_quantity") > qtyLit),
+      _.filter(col("l_discount") <= discLit),
+      _.filter(col("l_returnflag") === flagLit),
+      _.filter(col("l_extendedprice") < priceLit))
+    val groupCols = Seq(
+      Seq("l_returnflag"), Seq("l_linestatus"),
+      Seq("l_returnflag", "l_linestatus"), Seq("l_suppkey"))(r.nextInt(4))
+    val aggs = Vector(
+      count(lit(1)).as("n"),
+      functions.Exact.dsum(col("l_quantity")).as("sq"),
+      functions.Exact.dsum(col("l_extendedprice")).as("se"),
+      max("l_orderkey").as("mo"),
+      min("l_partkey").as("mp"))
+    val pickedAggs = r.shuffle(aggs).take(1 + r.nextInt(3))
+    val doJoin = r.nextBoolean()
+    val f1 = filters(r.nextInt(filters.size))
+    val limit = if (r.nextBoolean()) Some(10 + r.nextInt(50)) else None
+    () => {
+      var df = f1(lineitem)
+      if (doJoin)
+        df = df.join(orders.filter(col("o_totalprice") > 1000),
+          col("l_orderkey") === col("o_orderkey"))
+      var out = df.groupBy(groupCols.map(col): _*).agg(pickedAggs.head,
+        pickedAggs.tail: _*)
+      limit.foreach { n =>
+        out = out.orderBy((groupCols.map(col) :+ col(out.columns.last).desc): _*)
+          .limit(n)
+      }
+      out
+    }
+  }
+
+  /** Canonical row-set: collect, stringify, sort — order-free equality
+    * (LIMIT queries order by a total key first, so their row set is
+    * deterministic too). */
+  private def canon(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("random queries are invariant under AQE / codegen / partition-count") {
+    val conf = spark.conf
+    var nonEmpty = 0
+    val variants: Seq[(String, Map[String, String])] = Seq(
+      "baseline" -> Map(
+        "spark.sql.adaptive.enabled" -> "true",
+        "spark.sql.codegen.wholeStage" -> "true",
+        "spark.sql.shuffle.partitions" -> "8"),
+      "no-aqe" -> Map("spark.sql.adaptive.enabled" -> "false"),
+      "no-codegen" -> Map("spark.sql.codegen.wholeStage" -> "false"),
+      "one-partition" -> Map("spark.sql.shuffle.partitions" -> "1"),
+      "prime-partitions" -> Map("spark.sql.shuffle.partitions" -> "17"))
+    val saved = variants.flatMap(_._2.keys).distinct
+      .map(k => k -> conf.get(k)).toMap
+    try {
+      (1 to 25).foreach { i =>
+        val q = randomQuery(i)
+        val results = variants.map { case (name, overrides) =>
+          saved.keys.foreach(k => conf.set(k, saved(k))) // reset
+          overrides.foreach { case (k, v) => conf.set(k, v) }
+          name -> canon(q())
+        }
+        val (refName, ref) = results.head
+        results.tail.foreach { case (name, got) =>
+          assert(got == ref,
+            s"query #$i: '$name' disagrees with '$refName' " +
+              s"(${got.size} vs ${ref.size} rows); first got=${got.headOption} " +
+              s"ref=${ref.headOption}")
+        }
+        if (ref.nonEmpty) nonEmpty += 1
+      }
+      // a degenerate generator that only produced empty results would
+      // make the invariance vacuous — require real coverage
+      assert(nonEmpty >= 20, s"only $nonEmpty/25 queries returned rows")
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+  }
+}

@@ -215,6 +215,9 @@ object SparkEntry {
     // per-group |x−μ| > 3σ outlier flagging with the z-test squared out
     // to exact integers (no sqrt, no float stats)
     "x18c_outlier_events"  -> ((s, d) => Relational.outlierEvents(s, d)),
+    // time-series: daily resample + forward-fill, and batch sessionization
+    "x22_resample_ffill"   -> (Relational.resampleFfill(_, _)),
+    "x23_batch_sessions"   -> ((s, d) => Relational.batchSessions(s, d)),
   )
 
   // DuckDB decimal-exact fragments mirrored from graft.functions.Exact.
@@ -745,6 +748,42 @@ object SparkEntry {
         |      > 9 * (CAST(s.n AS HUGEINT)*s.sq2
         |             - CAST(s.sq AS HUGEINT)*s.sq)
         |ORDER BY q.event_id""".stripMargin,
+    // Daily resample + LOCF gap-fill (mirrors Relational.resampleFfill):
+    // generate_series is DuckDB's sequence(); fill via IGNORE NULLS.
+    "x22_resample_ffill" ->
+      """WITH obs AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day,
+        |         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS day_value
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT user_id,
+        |         unnest(generate_series(MIN(day), MAX(day), INTERVAL 1 DAY)) AS day
+        |  FROM obs GROUP BY user_id)
+        |SELECT g.user_id, strftime(g.day, '%Y-%m-%d') AS day,
+        |       last_value(o.day_value IGNORE NULLS) OVER (
+        |         PARTITION BY g.user_id ORDER BY g.day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+        |       CAST(CASE WHEN o.day_value IS NULL THEN 1 ELSE 0 END AS INT) AS is_gap
+        |FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.day = o.day
+        |ORDER BY g.user_id, g.day""".stripMargin,
+    // 30-minute-gap batch sessions (mirrors Relational.batchSessions):
+    // exact BIGINT microsecond gap arithmetic (epoch_us ≡ unix_micros).
+    "x23_batch_sessions" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |              THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+        |  FROM flagged)
+        |SELECT user_id, sess_id, COUNT(*) AS n_events,
+        |       MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us
+        |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "x16_asof_join" ->
       """WITH ev AS (SELECT event_id, user_id, event_type, ts FROM events
         |            WHERE event_type IN ('click', 'purchase')),

@@ -615,4 +615,76 @@ object Relational {
         array_max(col("embedding")).as("max_dim"),
         array_min(col("embedding")).as("min_dim"))
       .orderBy("vec_id")
+
+  /** X22: time-series resample + forward-fill (the downsample-to-grid /
+    * gap-fill workhorse): per-user daily buckets, a dense per-user day
+    * grid spanning [min, max] observed day, and last-observation-
+    * carried-forward for the gaps.
+    *
+    * 100 TB shape: every exchange is KEYED on user_id-prefixed keys
+    * (bucket aggregate, grid aggregate, fill window — plan-asserted
+    * ≤3 hash exchanges, no cartesian); after the first aggregate the
+    * relation is bucket-grained, ≈ users × span-days rows independent
+    * of event count, so resampling 10× the events over the same
+    * calendar span shuffles ZERO extra grid rows. Fill is
+    * decimal-exact [[Exact.dsum]] per bucket.
+    */
+  def resampleFfill(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val obs = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(dsum(col("value")).as("day_value"))
+    val grid = obs.groupBy("user_id")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day")))
+          .as("day"))
+    val w = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq("user_id", "day"), "left")
+      .select(col("user_id"),
+        // date STRING, not timestamp: events-derived timestamps write as
+        // parquet ns and defeat the oracle's value compare (the x16
+        // string-ts convention)
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        last(col("day_value"), ignoreNulls = true).over(w).as("filled_value"),
+        when(col("day_value").isNull, 1).otherwise(0).cast(IntegerType)
+          .as("is_gap"))
+      .orderBy("user_id", "day")
+  }
+
+  /** X23: BATCH sessionization (the 30-minute-gap session windows of
+    * the x13b STREAMING sessionizer, as one relational pass for
+    * backfill/reprocessing): a session starts where the gap to the
+    * previous event exceeds the threshold; session ids are the running
+    * count of session starts. Gap arithmetic is exact BIGINT
+    * microseconds (`unix_micros` here, `epoch_us` in the oracle) — a
+    * seconds-truncating cast would misclassify sub-second boundary
+    * gaps differently per engine.
+    *
+    * 100 TB shape: one shuffle on user_id; both windows (lag, running
+    * sum) and the final per-session aggregate share that partitioning.
+    * Ties on ts break by event_id so sessions are deterministic.
+    */
+  def batchSessions(spark: SparkSession, sfDir: String,
+                    gapUs: Long = 1800000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(ord))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapUs, 1).otherwise(0))
+      .withColumn("sess_id",
+        sum("new_sess").over(
+          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast(LongType))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(count(lit(1)).as("n_events"),
+        // exact epoch-µs BIGINTs (the x16 portable-ts convention)
+        min(unix_micros(col("ts"))).as("start_us"),
+        max(unix_micros(col("ts"))).as("end_us"))
+      .orderBy("user_id", "sess_id")
+  }
 }

@@ -292,6 +292,18 @@ class PlanSpec extends SparkSuite {
       s"the ON-clause predicate must not convert the outer join to inner:\n$p")
   }
 
+  test("resample + sessionize stay keyed on user_id with bounded exchanges") {
+    val pr = plan(Relational.resampleFfill(spark, sf))
+    val prExchanges = "Exchange hashpartitioning".r.findAllIn(pr).length
+    assert(prExchanges <= 3,
+      s"resample should reuse the user_id partitioning, got $prExchanges hash exchanges:\n$pr")
+    assert(!pr.contains("Cartesian"), s"grid join went cross:\n$pr")
+    val ps = plan(Relational.batchSessions(spark, sf))
+    val psExchanges = "Exchange hashpartitioning".r.findAllIn(ps).length
+    assert(psExchanges <= 1,
+      s"sessionize is one keyed pass, got $psExchanges hash exchanges:\n$ps")
+  }
+
   test("salted join shuffles on (key, salt) — the hot key never lands on one reducer") {
     val p = plan(graft.operators.Layout.skewedEventsJoin(spark, sf))
     // The join condition must include the salt column: with it in the

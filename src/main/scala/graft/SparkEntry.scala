@@ -767,12 +767,13 @@ object SparkEntry {
         |FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.day = o.day
         |ORDER BY g.user_id, g.day""".stripMargin,
     // 30-minute-gap batch sessions (mirrors Relational.batchSessions):
-    // exact BIGINT microsecond gap arithmetic (epoch_us ≡ unix_micros).
+    // exact BIGINT microsecond gap arithmetic (epoch_us ≡ unix_micros);
+    // >= is the session_window convention (exclusive window end).
     "x23_batch_sessions" ->
       """WITH flagged AS (
         |  SELECT user_id, ts, event_id,
         |         CASE WHEN lag(ts) OVER w IS NULL
-        |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
         |              THEN 1 ELSE 0 END AS new_sess
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),

@@ -656,11 +656,15 @@ object Relational {
   /** X23: BATCH sessionization (the 30-minute-gap session windows of
     * the x13b STREAMING sessionizer, as one relational pass for
     * backfill/reprocessing): a session starts where the gap to the
-    * previous event exceeds the threshold; session ids are the running
-    * count of session starts. Gap arithmetic is exact BIGINT
-    * microseconds (`unix_micros` here, `epoch_us` in the oracle) — a
-    * seconds-truncating cast would misclassify sub-second boundary
-    * gaps differently per engine.
+    * previous event REACHES the threshold — `>=`, the `session_window`
+    * convention (its window end is exclusive: an event exactly at
+    * last + gap opens a new session), so batch backfill and the
+    * streaming sessionizer agree event-for-event (spec-pinned in
+    * StreamingSpec). Session ids are the running count of session
+    * starts. Gap arithmetic is exact BIGINT microseconds
+    * (`unix_micros` here, `epoch_us` in the oracle) — a seconds-
+    * truncating cast would misclassify sub-second boundary gaps
+    * differently per engine.
     *
     * 100 TB shape: one shuffle on user_id; both windows (lag, running
     * sum) and the final per-session aggregate share that partitioning.
@@ -675,7 +679,7 @@ object Relational {
       .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(ord))
       .withColumn("new_sess",
         when(col("prev_us").isNull ||
-          unix_micros(col("ts")) - col("prev_us") > gapUs, 1).otherwise(0))
+          unix_micros(col("ts")) - col("prev_us") >= gapUs, 1).otherwise(0))
       .withColumn("sess_id",
         sum("new_sess").over(
           ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))

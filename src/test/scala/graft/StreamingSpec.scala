@@ -39,6 +39,24 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("batch sessionization (x23) equals the streaming session_window (x13b)") {
+    // Cross-paradigm pin: a backfill computed relationally must place
+    // every event in the SAME session the streaming engine's native
+    // session_window produces — same session starts, same sizes. Both
+    // use the exclusive-end convention (gap >= 30 min opens a session).
+    val batch = graft.operators.Relational.batchSessions(spark, sf)
+      .select(col("user_id"),
+        date_format(timestamp_micros(col("start_us")),
+          "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+        col("n_events"))
+      .collect().map(_.toString).sorted.toSeq
+    val streamed = Streaming.sessionize(spark, sf)
+      .select(col("user_id"), col("session_start"), col("n_events"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(batch == streamed,
+      s"batch and streaming sessions diverge: ${batch.size} vs ${streamed.size} sessions")
+  }
+
   test("watermark drops events later than the horizon across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions._

@@ -217,6 +217,8 @@ object SparkEntry {
     "x18c_outlier_events"  -> ((s, d) => Relational.outlierEvents(s, d)),
     // time-series: daily resample + forward-fill, and batch sessionization
     "x22_resample_ffill"   -> (Relational.resampleFfill(_, _)),
+    // incremental grid refresh: must equal the full recompute (same oracle)
+    "x22b_incr_resample"   -> (Relational.resampleIncremental(_, _)),
     "x23_batch_sessions"   -> ((s, d) => Relational.batchSessions(s, d)),
   )
 
@@ -751,6 +753,24 @@ object SparkEntry {
     // Daily resample + LOCF gap-fill (mirrors Relational.resampleFfill):
     // generate_series is DuckDB's sequence(); fill via IGNORE NULLS.
     "x22_resample_ffill" ->
+      """WITH obs AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day,
+        |         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS day_value
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT user_id,
+        |         unnest(generate_series(MIN(day), MAX(day), INTERVAL 1 DAY)) AS day
+        |  FROM obs GROUP BY user_id)
+        |SELECT g.user_id, strftime(g.day, '%Y-%m-%d') AS day,
+        |       last_value(o.day_value IGNORE NULLS) OVER (
+        |         PARTITION BY g.user_id ORDER BY g.day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+        |       CAST(CASE WHEN o.day_value IS NULL THEN 1 ELSE 0 END AS INT) AS is_gap
+        |FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.day = o.day
+        |ORDER BY g.user_id, g.day""".stripMargin,
+    // The incremental refresh must be INDISTINGUISHABLE from the full
+    // recompute — same oracle text as x22 (that equality IS the test).
+    "x22b_incr_resample" ->
       """WITH obs AS (
         |  SELECT user_id, date_trunc('day', ts) AS day,
         |         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS day_value

@@ -304,6 +304,20 @@ class PlanSpec extends SparkSuite {
       s"sessionize is one keyed pass, got $psExchanges hash exchanges:\n$ps")
   }
 
+  test("incremental resample serves untouched users from the materialization") {
+    val p = plan(Relational.resampleIncremental(spark, sf))
+    assert(p.contains("LeftAnti"),
+      s"untouched-user rows must anti-join the touched set:\n$p")
+    assert(p.contains("LeftSemi"),
+      s"the refresh side must semi-join to the touched users:\n$p")
+    assert(p.contains("ExistingRDD"),
+      s"the historical grid must be served from the checkpoint, not recomputed:\n$p")
+    // events is scanned for the CDC batch and the touched users' refresh
+    // — the untouched majority NEVER rescans the event log
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans <= 3, s"expected ≤3 event scans (batch + refresh), got $scans:\n$p")
+  }
+
   test("salted join shuffles on (key, salt) — the hot key never lands on one reducer") {
     val p = plan(graft.operators.Layout.skewedEventsJoin(spark, sf))
     // The join condition must include the salt column: with it in the

@@ -220,6 +220,9 @@ object SparkEntry {
     // incremental grid refresh: must equal the full recompute (same oracle)
     "x22b_incr_resample"   -> (Relational.resampleIncremental(_, _)),
     "x23_batch_sessions"   -> ((s, d) => Relational.batchSessions(s, d)),
+    // mergeable per-day HLL sketches; rows-only (no DuckDB HLL) —
+    // error bound + merge consistency are spec-pinned
+    "x24_sketch_rollup"    -> (Relational.sketchRollup(_, _)),
   )
 
   // DuckDB decimal-exact fragments mirrored from graft.functions.Exact.

@@ -700,6 +700,33 @@ object Relational {
     kept.unionByName(refreshed).orderBy("user_id", "day")
   }
 
+  /** X24: mergeable distinct-count sketches (Datasketches HLL via the
+    * native `hll_sketch_agg`) — the scale pattern for distinct users:
+    * build one sketch PER DAY in a single pass, then answer any date-
+    * range distinct-count by MERGING sketches (`hll_union_agg`),
+    * never rescanning the event log. Unlike `approx_count_distinct`
+    * (one-shot estimate, x05b), the sketch is a first-class mergeable
+    * column — the committed per-day sketch table is the production
+    * analog of a snapshot-maintained rollup.
+    *
+    * No SQL oracle (DuckDB has no wire-compatible HLL): the driver
+    * records rows-only; the ERROR BOUND vs exact COUNT(DISTINCT) and
+    * the merge-vs-direct consistency are spec-pinned (EdgeCaseSpec).
+    */
+  def sketchRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd")
+        .as("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
+    val perDay = daily.select(col("day"),
+      hll_sketch_estimate(col("sk")).as("est_users"))
+    val merged = daily
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+        .as("est_users"))
+      .select(lit("(all)").as("day"), col("est_users"))
+    perDay.unionByName(merged).orderBy("day")
+  }
+
   /** X23: BATCH sessionization (the 30-minute-gap session windows of
     * the x13b STREAMING sessionizer, as one relational pass for
     * backfill/reprocessing): a session starts where the gap to the

@@ -115,6 +115,33 @@ class EdgeCaseSpec extends SparkSuite {
       .streamStreamOuterJoin(spark, emptySf).count() == 0)
   }
 
+  test("HLL sketch rollup: bounded error and merge == direct over all days") {
+    import org.apache.spark.sql.functions._
+    val est = graft.operators.Relational.sketchRollup(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    val exact = graft.sources.Tables.events(spark, sf)
+      .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd")
+        .as("day"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactAll = graft.sources.Tables.events(spark, sf)
+      .select(countDistinct(col("user_id"))).first().getLong(0)
+    // lgK=14 HLL: relative standard error ~0.81%; 4σ bound
+    exact.foreach { case (day, n) =>
+      assert(math.abs(est(day) - n) <= math.max(4, 0.033 * n),
+        s"day $day: estimate ${est(day)} vs exact $n out of bound")
+    }
+    assert(math.abs(est("(all)") - exactAll) <= math.max(4, 0.033 * exactAll),
+      s"merged estimate ${est("(all)")} vs exact $exactAll out of bound")
+    // merging the per-day sketches must agree with sketching the whole
+    // column directly — the property that makes the rollup reusable
+    val direct = graft.sources.Tables.events(spark, sf)
+      .select(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(14)))
+        .as("e")).first().getLong(0).toDouble
+    assert(math.abs(est("(all)") - direct) <= math.max(2, 0.01 * direct),
+      s"union-of-days ${est("(all)")} vs direct sketch $direct diverge")
+  }
+
   test("partition cache defines empty-key AVG as 0 (reference crashes)") {
     val cacheDir = java.nio.file.Files.createTempDirectory("graft_ec_").toString
     val (avg, src) = PartitionCache.calcAvg(spark, sf, cacheDir, "ZZZ")

@@ -54,15 +54,30 @@ class MetamorphicSpec extends SparkSuite {
       min("l_partkey").as("mp"))
     val pickedAggs = r.shuffle(aggs).take(1 + r.nextInt(3))
     val doJoin = r.nextBoolean()
+    // optional pre-aggregation running-sum window over a TOTAL order
+    // (l_orderkey, l_linenumber is a lineitem key) — deterministic by
+    // construction, so it too must survive every execution config
+    val doWindow = r.nextBoolean()
     val f1 = filters(r.nextInt(filters.size))
     val limit = if (r.nextBoolean()) Some(10 + r.nextInt(50)) else None
     () => {
+      import org.apache.spark.sql.expressions.Window
       var df = f1(lineitem)
+      if (doWindow) {
+        val w = Window.partitionBy("l_returnflag")
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        df = df.withColumn("run_qty",
+          sum(col("l_quantity").cast("long")).over(w))
+      }
       if (doJoin)
         df = df.join(orders.filter(col("o_totalprice") > 1000),
           col("l_orderkey") === col("o_orderkey"))
-      var out = df.groupBy(groupCols.map(col): _*).agg(pickedAggs.head,
-        pickedAggs.tail: _*)
+      val windowAggs =
+        if (doWindow) Seq(max("run_qty").as("mrq")) else Seq.empty
+      val allAggs = pickedAggs ++ windowAggs
+      var out = df.groupBy(groupCols.map(col): _*).agg(allAggs.head,
+        allAggs.tail: _*)
       limit.foreach { n =>
         out = out.orderBy((groupCols.map(col) :+ col(out.columns.last).desc): _*)
           .limit(n)
@@ -88,7 +103,13 @@ class MetamorphicSpec extends SparkSuite {
       "no-aqe" -> Map("spark.sql.adaptive.enabled" -> "false"),
       "no-codegen" -> Map("spark.sql.codegen.wholeStage" -> "false"),
       "one-partition" -> Map("spark.sql.shuffle.partitions" -> "1"),
-      "prime-partitions" -> Map("spark.sql.shuffle.partitions" -> "17"))
+      "prime-partitions" -> Map("spark.sql.shuffle.partitions" -> "17"),
+      // join-STRATEGY invariance: broadcast vs sort-merge vs shuffled
+      // hash must agree row-for-row
+      "no-broadcast" -> Map("spark.sql.autoBroadcastJoinThreshold" -> "-1"),
+      "shuffled-hash" -> Map(
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.join.preferSortMergeJoin" -> "false"))
     val saved = variants.flatMap(_._2.keys).distinct
       .map(k => k -> conf.get(k)).toMap
     try {

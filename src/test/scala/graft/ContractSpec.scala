@@ -16,7 +16,9 @@ class ContractSpec extends SparkSuite {
     assert(rowsOnly == Set(
       "o13_block_locations",   // filesystem metadata — not visible to SQL
       "x05b_approx_distinct",  // HLL++ sketch values are engine-specific
-      "x05d_approx_quantiles"  // GK sketch values are engine-specific
+      "x05d_approx_quantiles", // GK sketch values are engine-specific
+      "x24_sketch_rollup"      // Datasketches HLL — no DuckDB twin;
+                               // error bound spec-pinned in EdgeCaseSpec
     ), s"unexpected rows-only set: $rowsOnly")
   }
 

@@ -376,7 +376,15 @@ object SqlApi {
   /** TPC-H Q15 (top supplier): a named revenue CTE consumed TWICE —
     * once joined to supplier, once under MAX — the classic view-reuse
     * plan. Equality against the max is on the EXACT decimal sum, so no
-    * float-tie hazard. Shared ANSI text. */
+    * float-tie hazard. Shared ANSI text.
+    *
+    * Plan caveat (audited): Catalyst's InlineCTE inlines deterministic
+    * CTEs regardless of reference count, so Spark scans lineitem twice
+    * here (DuckDB materializes the CTE once). The filtered scan is
+    * pushed-down and cheap relative to the grouped aggregate, but a
+    * DataFrame-API user computing this shape at 100 TB should persist
+    * the revenue relation instead of re-stating it — the SQL twin
+    * keeps the shared text because that IS what this query certifies. */
   val q15Sql: String =
     """WITH revenue AS (
       |  SELECT l_suppkey AS supplier_no,

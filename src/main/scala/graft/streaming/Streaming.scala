@@ -560,6 +560,24 @@ object Streaming {
       .orderBy("user_id")
   }
 
+  /** Streaming twin of the x24 mergeable HLL rollup: per-day
+    * Datasketches HLL sketches built BY THE STREAMING ENGINE (sketch
+    * buffers live in the aggregation state store, merged across
+    * micro-batches). HLL registers are max-based, so sketch content is
+    * INDEPENDENT of arrival order — the streaming estimates must equal
+    * the batch estimates EXACTLY, not approximately (spec-pinned in
+    * StreamingSpec). Complete mode for the same reason as
+    * [[sessionize]]: the fixture is one bounded batch. */
+  def sketchRollupStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = eventsStream(spark, sfDir)
+      .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd")
+        .as("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
+    runToBatch(agg, "complete")
+      .select(col("day"), hll_sketch_estimate(col("sk")).as("est_users"))
+      .orderBy("day")
+  }
+
   /** X13: sessionization — 30-minute-gap session windows per user
     * (session ends 30 min after its last event; an event exactly at the
     * previous session's end starts a new one). Uses the native

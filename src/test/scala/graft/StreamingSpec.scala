@@ -57,6 +57,17 @@ class StreamingSpec extends SparkSuite {
       s"batch and streaming sessions diverge: ${batch.size} vs ${streamed.size} sessions")
   }
 
+  test("streaming HLL sketches equal the batch rollup EXACTLY (order-free registers)") {
+    val batch = graft.operators.Relational.sketchRollup(spark, sf)
+      .filter(col("day") =!= "(all)")
+      .collect().map(_.toString).sorted.toSeq
+    val streamed = Streaming.sketchRollupStream(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(batch == streamed,
+      s"HLL is order-insensitive, so these must be identical: " +
+        s"${batch.size} vs ${streamed.size} days")
+  }
+
   test("watermark drops events later than the horizon across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions._

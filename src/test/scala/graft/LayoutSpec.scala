@@ -43,6 +43,54 @@ class LayoutSpec extends SparkSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(plain == salted)
   }
+  test("AQE skew-join splits the hot partition — the built-in complement to salting") {
+    // The same Zipf venue x21 certifies with MANUAL salting: 80% of the
+    // fact rows share one join key. Here the join runs UNSALTED and
+    // AQE's OptimizeSkewedJoin must split the hot partition at runtime
+    // (thresholds lowered to fire at fixture scale; production defaults
+    // are 256 MB / 5x median). Both mitigation paths stay certified:
+    // salting covers broadcast-able dims and extreme keys, AQE covers
+    // moderate skew on sort-merge joins with zero code change.
+    val confs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force SMJ
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1k",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1k",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = confs.keys.map(k => k -> spark.conf.get(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // sf0.01: the hot partition must exceed the (lowered) byte
+      // threshold in SHUFFLE bytes for the split heuristic to see it
+      val sf01 = "/root/testdata/sf0.01"
+      // AQE splits a skewed reduce partition at MAP-OUTPUT granularity:
+      // the single-file fixture scans as ONE map task, whose output is
+      // unsplittable — repartition first, as a cluster's many input
+      // splits would naturally provide
+      val big = graft.sources.Tables.events(spark, sf01)
+        .repartition(16)
+        .select(col("user_id"), col("value"),
+          when(col("user_id") % 100 < 80, lit(0))
+            .otherwise((col("user_id") % 20).cast("int") + 1)
+            .as("skew_key"))
+      val dim = graft.sources.Tables.nation(spark, sf01)
+        .select(col("n_nationkey"), col("n_name"))
+      val joined = big.join(dim, col("skew_key") === col("n_nationkey"))
+      // execute THIS dataframe's own QueryExecution (count() would plan
+      // a separate query and leave this one's AQE un-finalized)
+      val n = joined.collect().length.toLong
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE did not split the hot partition:\n$p")
+      // and the adaptive path returns exactly the salted-join row count
+      val salted = graft.operators.Layout
+        .skewedEventsJoin(spark, sf01)
+        .agg(sum(col("n_events"))).first().getLong(0)
+      assert(n == salted,
+        s"AQE skew join rows $n != salted-path total $salted")
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("z-order layout gives two-dimensional file skipping") {
     import org.apache.spark.sql.functions._
     val src = spark.read.parquet(s"$sf/lineitem.parquet")

@@ -451,6 +451,46 @@ object Snapshot {
         "(live contention, or a crashed writer's stale claim — see vacuum)")
   }
 
+  /** Change feed between two retained versions (the lakehouse CDF
+    * read): a keyed full-outer join of the `from` and `to` snapshots
+    * classifies every key as `insert` (absent before), `delete`
+    * (absent after), or `update` (present in both with any non-key
+    * column changed — compared via a canonical struct so NULLs compare
+    * equal); unchanged keys are dropped. Emits the post-image for
+    * inserts/updates and the pre-image for deletes, tagged in
+    * `_change`.
+    *
+    * 100 TB shape: ONE keyed shuffle joining exactly the two version
+    * directories — the feed derives from committed data, needing no
+    * write-path logging, and downstream incremental consumers (e.g.
+    * [[graft.operators.Relational.resampleIncremental]]'s touched-user
+    * refresh) read ONLY this diff instead of the full snapshot. */
+  def changeFeed(spark: SparkSession, root: String, key: String,
+                 fromV: Long, toV: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val a = readVersion(spark, root, fromV)
+    val b = readVersion(spark, root, toV)
+    val dataCols = a.columns.filterNot(_ == key).toSeq
+    require(dataCols.toSet == b.columns.filterNot(_ == key).toSet,
+      s"schema drift between v$fromV and v$toV is not a row change feed")
+    val pre = a.select(col(key).as("k"),
+      struct(dataCols.map(col): _*).as("pre"))
+    val post = b.select(col(key).as("k"),
+      struct(dataCols.map(col): _*).as("post"))
+    pre.join(post, Seq("k"), "full_outer")
+      .withColumn("_change",
+        when(col("pre").isNull, "insert")
+          .when(col("post").isNull, "delete")
+          // null-safe struct equality: <=> compares field-wise with
+          // NULL == NULL, so an update is any real field difference
+          .when(!(col("pre") <=> col("post")), "update"))
+      .filter(col("_change").isNotNull)
+      .select(Seq(col("k").as(key), col("_change")) ++
+        dataCols.map(c =>
+          when(col("_change") === "delete", col(s"pre.$c"))
+            .otherwise(col(s"post.$c")).as(c)): _*)
+  }
+
   /** Orphan GC: delete unreferenced `v=*` snapshot directories (old
     * superseded versions beyond the `retain` newest — the time-travel
     * window — AND crashed writers' never-pointed orphans) plus decided

@@ -27,6 +27,28 @@ class SnapshotSpec extends SparkSuite {
     assert(rows(root) == Set((1L, "a"), (2L, "B"), (3L, "c"), (9L, "i")))
   }
 
+  test("change feed recovers exactly the merge's insert/update/delete classification") {
+    import spark.implicits._
+    val root = freshTable()
+    Snapshot.commit(
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "v"), root)
+    // merge: update k=2, insert k=9, and delete k=4 by committing the
+    // post-merge state minus that key (full commit = upsert+delete mix)
+    val merged = Seq((1L, "a"), (2L, "B"), (3L, "c"), (9L, "i"))
+      .toDF("k", "v")
+    Snapshot.commit(merged, root)
+    val feed = Snapshot.changeFeed(spark, root, "k", fromV = 1L, toV = 2L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSet
+    assert(feed == Set(
+      (2L, "update", "B"),   // post-image
+      (9L, "insert", "i"),
+      (4L, "delete", "d")),  // pre-image
+      s"unexpected feed: $feed")
+    // unchanged keys (1, 3) must NOT appear — the feed is the diff,
+    // not the snapshot
+  }
+
   test("a crash before the pointer swap leaves readers on the old snapshot") {
     import spark.implicits._
     val root = freshTable()

@@ -215,6 +215,8 @@ object SparkEntry {
     // per-group |x−μ| > 3σ outlier flagging with the z-test squared out
     // to exact integers (no sqrt, no float stats)
     "x18c_outlier_events"  -> ((s, d) => Relational.outlierEvents(s, d)),
+    // snapshot change feed (CDF) over two deterministic versions
+    "of7_change_feed"      -> (operators.Snapshot.changeFeedDemo(_, _)),
     // time-series: daily resample + forward-fill, and batch sessionization
     "x22_resample_ffill"   -> (Relational.resampleFfill(_, _)),
     // incremental grid refresh: must equal the full recompute (same oracle)
@@ -315,6 +317,28 @@ object SparkEntry {
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
         |         AS sum_price
         |FROM applied GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // Full-outer diff replay of Snapshot.changeFeedDemo's two versions
+    // (v1 drops keys ≡3 mod 10; v2 drops ≡7, doubles price on ≡0).
+    "of7_change_feed" ->
+      """WITH a AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+        |           FROM orders WHERE o_orderkey % 10 <> 3),
+        |b AS (SELECT o_orderkey, o_orderstatus,
+        |        CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2
+        |             ELSE o_totalprice END AS o_totalprice
+        |      FROM orders WHERE o_orderkey % 10 <> 7)
+        |SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |       CASE WHEN a.o_orderkey IS NULL THEN 'insert'
+        |            WHEN b.o_orderkey IS NULL THEN 'delete'
+        |            ELSE 'update' END AS _change,
+        |       CASE WHEN b.o_orderkey IS NULL THEN a.o_orderstatus
+        |            ELSE b.o_orderstatus END AS o_orderstatus,
+        |       CASE WHEN b.o_orderkey IS NULL THEN a.o_totalprice
+        |            ELSE b.o_totalprice END AS o_totalprice
+        |FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+        |WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+        |   OR a.o_orderstatus <> b.o_orderstatus
+        |   OR a.o_totalprice <> b.o_totalprice
+        |ORDER BY 1""".stripMargin,
     "x16c_scd2_history" ->
       """WITH e AS (SELECT user_id, event_type, ts, event_id,
         |             LAG(event_type) OVER (PARTITION BY user_id

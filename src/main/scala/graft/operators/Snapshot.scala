@@ -491,6 +491,29 @@ object Snapshot {
             .otherwise(col(s"post.$c")).as(c)): _*)
   }
 
+  /** The oracle-certified [[changeFeed]] venue (`of7_change_feed`):
+    * two snapshot versions derived DETERMINISTICALLY from the orders
+    * fixture — v1 drops keys ≡3 (mod 10) (v2's inserts), v2 drops keys
+    * ≡7 (deletes) and doubles o_totalprice on keys ≡0 (updates) — so
+    * the feed is a pure function of the fixture and DuckDB can replay
+    * the identical full-outer diff without any snapshot machinery. */
+  def changeFeedDemo(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val o = graft.sources.Tables.table(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val v1 = o.filter(col("o_orderkey") % 10 =!= 3)
+    val v2 = o.filter(col("o_orderkey") % 10 =!= 7)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 10 === 0, col("o_totalprice") * 2)
+          .otherwise(col("o_totalprice")))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_cdf_").toString
+    commit(v1, root)
+    commit(v2, root)
+    changeFeed(spark, root, "o_orderkey", fromV = 1L, toV = 2L)
+      .orderBy("o_orderkey")
+  }
+
   /** Orphan GC: delete unreferenced `v=*` snapshot directories (old
     * superseded versions beyond the `retain` newest — the time-travel
     * window — AND crashed writers' never-pointed orphans) plus decided

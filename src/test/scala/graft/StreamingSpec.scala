@@ -316,6 +316,15 @@ class StreamingSpec extends SparkSuite {
       // exactly one snapshot version per non-empty micro-batch
       assert(graft.operators.Snapshot.currentVersion(spark, root)
         .contains(2L))
+      // the change-feed read recovers batch 2's NET effect from the
+      // committed versions alone: k=1 update (post-image A), k=3
+      // insert — k=2 untouched by the batch must be absent
+      val feed = graft.operators.Snapshot
+        .changeFeed(spark, root, "k", fromV = 1L, toV = 2L)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .toSet
+      assert(feed == Set((1L, "update", "A"), (3L, "insert", "c")),
+        s"feed must equal the micro-batch's net change: $feed")
     } finally q.stop()
   }
 

@@ -222,10 +222,33 @@ object SparkEntry {
     // incremental grid refresh: must equal the full recompute (same oracle)
     "x22b_incr_resample"   -> (Relational.resampleIncremental(_, _)),
     "x23_batch_sessions"   -> ((s, d) => Relational.batchSessions(s, d)),
+    // incremental session refresh: must equal the full recompute
+    "x23b_incr_sessions"   -> ((s, d) => Relational.sessionsIncremental(s, d)),
     // mergeable per-day HLL sketches; rows-only (no DuckDB HLL) —
     // error bound + merge consistency are spec-pinned
     "x24_sketch_rollup"    -> (Relational.sketchRollup(_, _)),
   )
+
+  // 30-minute-gap batch sessions (mirrors Relational.batchSessions /
+  // sessionsIncremental): exact BIGINT microsecond gap arithmetic
+  // (epoch_us ≡ unix_micros); >= is the session_window convention
+  // (exclusive window end).
+  private val sessionsOracleSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+      |              THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+      |  FROM flagged)
+      |SELECT user_id, sess_id, COUNT(*) AS n_events,
+      |       MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us
+      |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // DuckDB decimal-exact fragments mirrored from graft.functions.Exact.
   private val discounted =
@@ -813,25 +836,10 @@ object SparkEntry {
         |       CAST(CASE WHEN o.day_value IS NULL THEN 1 ELSE 0 END AS INT) AS is_gap
         |FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.day = o.day
         |ORDER BY g.user_id, g.day""".stripMargin,
-    // 30-minute-gap batch sessions (mirrors Relational.batchSessions):
-    // exact BIGINT microsecond gap arithmetic (epoch_us ≡ unix_micros);
-    // >= is the session_window convention (exclusive window end).
-    "x23_batch_sessions" ->
-      """WITH flagged AS (
-        |  SELECT user_id, ts, event_id,
-        |         CASE WHEN lag(ts) OVER w IS NULL
-        |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
-        |              THEN 1 ELSE 0 END AS new_sess
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |sess AS (
-        |  SELECT user_id, ts,
-        |         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
-        |  FROM flagged)
-        |SELECT user_id, sess_id, COUNT(*) AS n_events,
-        |       MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us
-        |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "x23_batch_sessions" -> sessionsOracleSql,
+    // the incremental session refresh must be indistinguishable from
+    // the full recompute — same oracle text (that equality IS the test)
+    "x23b_incr_sessions" -> sessionsOracleSql,
     "x16_asof_join" ->
       """WITH ev AS (SELECT event_id, user_id, event_type, ts FROM events
         |            WHERE event_type IN ('click', 'purchase')),

@@ -745,10 +745,18 @@ object Relational {
     * Ties on ts break by event_id so sessions are deterministic.
     */
   def batchSessions(spark: SparkSession, sfDir: String,
-                    gapUs: Long = 1800000000L): DataFrame = {
+                    gapUs: Long = 1800000000L): DataFrame =
+    sessionsOf(Tables.events(spark, sfDir), gapUs)
+      .orderBy("user_id", "sess_id")
+
+  /** The sessionization body over an arbitrary events relation —
+    * USER-LOCAL like [[resampleOf]] (a user's sessions depend only on
+    * that user's events), so [[sessionsIncremental]]'s keyed refresh
+    * is exact. */
+  private def sessionsOf(events: DataFrame, gapUs: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ord = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    Tables.events(spark, sfDir)
+    events
       .select(col("user_id"), col("ts"), col("event_id"))
       .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(ord))
       .withColumn("new_sess",
@@ -763,6 +771,34 @@ object Relational {
         // exact epoch-µs BIGINTs (the x16 portable-ts convention)
         min(unix_micros(col("ts"))).as("start_us"),
         max(unix_micros(col("ts"))).as("end_us"))
-      .orderBy("user_id", "sess_id")
+  }
+
+  /** X23b: INCREMENTAL sessionization — [[resampleIncremental]]'s
+    * materialized-refresh shape applied to the session table. A new
+    * event can extend, merge, or split ONLY its own user's sessions
+    * (session ids are per-user running counts), so the CDC batch's
+    * touched users recompute from their history while everyone else is
+    * served from the checkpointed base — certified equal to the full
+    * recompute via x23's own oracle. The production pair: the
+    * change-feed read (`of7`) supplies exactly this touched-user set.
+    */
+  def sessionsIncremental(spark: SparkSession, sfDir: String,
+                          gapUs: Long = 1800000000L): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val t = graft.util.SessionMemo.memoizedValue(
+      spark, s"resampleEventThreshold|$sfDir") {
+      val n = ev.agg(max(col("event_id"))).first().getLong(0) + 1L
+      n - n / 4
+    }
+    val base = graft.util.SessionMemo.memoized(
+      spark, s"sessionsBase|$sfDir|$gapUs") {
+      sessionsOf(ev.filter(col("event_id") < t), gapUs).localCheckpoint()
+    }
+    val touched = ev.filter(col("event_id") >= t)
+      .select("user_id").distinct().localCheckpoint()
+    val kept = base.join(touched, Seq("user_id"), "left_anti")
+    val refreshed = sessionsOf(
+      ev.join(touched, Seq("user_id"), "left_semi"), gapUs)
+    kept.unionByName(refreshed).orderBy("user_id", "sess_id")
   }
 }

@@ -316,6 +316,11 @@ class PlanSpec extends SparkSuite {
     // — the untouched majority NEVER rescans the event log
     val scans = "Scan parquet".r.findAllIn(p).length
     assert(scans <= 3, s"expected ≤3 event scans (batch + refresh), got $scans:\n$p")
+    // same refresh skeleton for the session table
+    val ps = plan(Relational.sessionsIncremental(spark, sf))
+    assert(ps.contains("LeftAnti") && ps.contains("LeftSemi") &&
+      ps.contains("ExistingRDD"),
+      s"incremental sessions must serve untouched users from the checkpoint:\n$ps")
   }
 
   test("salted join shuffles on (key, salt) — the hot key never lands on one reducer") {

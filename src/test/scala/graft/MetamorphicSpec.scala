@@ -58,6 +58,7 @@ class MetamorphicSpec extends SparkSuite {
     // (l_orderkey, l_linenumber is a lineitem key) — deterministic by
     // construction, so it too must survive every execution config
     val doWindow = r.nextBoolean()
+    val doUnionSplit = r.nextInt(3) == 0
     val f1 = filters(r.nextInt(filters.size))
     val limit = if (r.nextBoolean()) Some(10 + r.nextInt(50)) else None
     () => {
@@ -73,6 +74,11 @@ class MetamorphicSpec extends SparkSuite {
       if (doJoin)
         df = df.join(orders.filter(col("o_totalprice") > 1000),
           col("l_orderkey") === col("o_orderkey"))
+      if (doUnionSplit)
+        // identity union-split: same row set, but the plan now carries a
+        // Union of two scans — exercised under every config
+        df = df.filter(col("l_orderkey") % 2 === 0)
+          .unionByName(df.filter(col("l_orderkey") % 2 =!= 0))
       val windowAggs =
         if (doWindow) Seq(max("run_qty").as("mrq")) else Seq.empty
       val allAggs = pickedAggs ++ windowAggs

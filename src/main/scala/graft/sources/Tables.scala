@@ -27,17 +27,35 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** `events.ts` is nanosecond-precision parquet, which Spark's vectorized
-    * reader rejects; read it as raw nanos (`nanosAsLong`) and convert to a
-    * µs timestamp with integer division (the fixture has no sub-µs digits,
-    * and DuckDB reads the same file at µs — so both engines agree).
+  /** `events.ts` normalization, shared with the streaming source. The
+    * fixture has shipped with two physical types for `ts`: nanosecond
+    * parquet (which Spark's vectorized reader rejects — read raw as
+    * int64 nanos via `nanosAsLong` and divide to µs; the fixture has no
+    * sub-µs digits, and DuckDB reads the same file at µs so both
+    * engines agree) and plain µs `TIMESTAMP_NTZ`. Branch on the
+    * OBSERVED column type so both fixture generations — and copies
+    * round-tripped through a Spark write by the re-sharding and
+    * edge-case specs — land on the same session-TZ (UTC-pinned)
+    * `TimestampType` column every downstream operator was certified
+    * against.
     */
+  private[graft] def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        // same wall-clock digits; cast pins them to UTC instants
+        // (session TZ is UTC everywhere in this project)
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
+  }
+
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+    normalizeTs(table(s, d, "events"))
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

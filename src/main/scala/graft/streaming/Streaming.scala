@@ -25,19 +25,21 @@ import org.apache.spark.sql.types._
 object Streaming {
   private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  /** Raw-schema streaming source for events (ns timestamps read as longs
-    * and converted to µs, mirroring [[Tables.events]]). */
+  /** Raw-schema streaming source for events. The file-stream source
+    * needs an explicit schema, and the fixture has shipped `ts` under
+    * two physical types (int64 nanos / µs NTZ — see
+    * [[graft.sources.Tables.normalizeTs]]): take the file's OWN batch
+    * schema (a footer read, no job) so either generation streams with
+    * its physical type, then share the batch normalization so the
+    * stream sees the identical UTC-pinned `TimestampType` column. */
   private def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     // The file stream source needs a directory; pathGlobFilter narrows
     // the listing to just the events table.
-    spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.sources.Tables.normalizeTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(sfDir))
   }
 
   /** Streaming state partition width. Unlike batch shuffles, a stateful

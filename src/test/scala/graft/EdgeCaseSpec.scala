@@ -13,8 +13,9 @@ class EdgeCaseSpec extends SparkSuite {
     * schemas. */
   private def sliced(n: Int, label: String): String = {
     val dir = java.nio.file.Files.createTempDirectory(label).toString
-    // events.ts is ns-precision: read raw (nanosAsLong, the Tables
-    // convention) so the slice round-trips through the same code path
+    // events.ts is read raw (nanosAsLong set for the ns fixture
+    // generation; the µs-NTZ generation round-trips as NTZ) — either
+    // way Tables.normalizeTs lands the slice on the certified type
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     for (t <- Seq("documents", "embeddings", "events"))
       spark.read.parquet(s"$sf/$t.parquet").limit(n)

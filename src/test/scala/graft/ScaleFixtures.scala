@@ -27,8 +27,9 @@ import org.apache.spark.sql.functions._
   *    positions — norms preserved, directions decorrelated, so cosine
   *    structure grows linearly instead of collapsing onto 10× exact
   *    clones.
-  *  - `events.ts` is carried as raw int64 nanos (`nanosAsLong`), the
-  *    same representation `sources.Tables.events` reads; timestamps are
+  *  - `events.ts` is carried in its physical fixture type (int64 nanos
+  *    under `nanosAsLong` for the ns generation; µs NTZ for the newer
+  *    one — `sources.Tables.normalizeTs` reads both); timestamps are
   *    kept so time-window populations grow mult× (denser streams, the
   *    realistic scale direction for an event feed).
   */

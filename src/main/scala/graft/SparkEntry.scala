@@ -185,6 +185,8 @@ object SparkEntry {
     "xm2_media_decode"     -> (Multimodal.decodedMeta(_, _)),
     // hot-key (Zipf 80/20) salted join certified vs the unsalted oracle
     "x21_salted_join"      -> ((s, d) => Layout.skewedEventsJoin(s, d)),
+    // bloom semi-join reduction certified vs the un-reduced join oracle
+    "x25_bloom_join"       -> (Layout.bloomPrunedJoin(_, _)),
     "x15_sql_api"          -> (SqlApi.tpchQ3(_, _)),
     "x15b_sql_q6"          -> (SqlApi.tpchQ6(_, _)),
     "x15c_sql_q10"         -> (SqlApi.tpchQ10(_, _)),
@@ -915,5 +917,19 @@ object SparkEntry {
         |       MIN(b.value) AS min_value, MAX(b.value) AS max_value
         |FROM big b JOIN nation n ON b.skew_key = n.n_nationkey
         |GROUP BY 1, 2 ORDER BY skew_key""".stripMargin,
+    // x25: the oracle is the PLAIN join — certifying the bloom
+    // reduction is result-transparent (no lost rows: blooms have no
+    // false negatives; no phantom rows: the join re-verifies false
+    // positives).
+    "x25_bloom_join" ->
+      """SELECT l_returnflag,
+        |       COUNT(*) AS n_items,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+        |         AS sum_qty,
+        |       COUNT(DISTINCT o_orderkey) AS n_orders
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderstatus = 'F' AND o_orderpriority = '1-URGENT'
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
   )
 }

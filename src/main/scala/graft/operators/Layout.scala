@@ -121,6 +121,86 @@ object Layout {
     * covers hash joins, non-AQE engines, and pathological single-key
     * skew — certifying it keeps the tool honest.)
     */
+  /** Bloom-filter semi-join reduction: drop fact rows that cannot join
+    * BEFORE the join's shuffle, using Spark's native bloom sketch pair
+    * (see [[graft.plans.BloomReduce]] for why registration is needed).
+    *
+    * Stage 1 aggregates the dim keys' xxhash64 into one bloom sketch —
+    * a distributed aggregate with map-side partial merge whose result
+    * is O(numBits), never O(dim). Stage 2 probes the sketch as an
+    * UNCORRELATED SCALAR SUBQUERY inside the fact-side filter: Spark
+    * executes it once, embeds the sketch, and the codegen'd
+    * `might_contain` predicate runs inside the fact scan's
+    * whole-stage-codegen span — so at 100 TB the shuffle only carries
+    * fact rows whose key is (probably) present in dim. False positives
+    * only cost shuffled bytes; the join itself re-verifies every
+    * surviving row, so results are EXACTLY the plain join's
+    * (certified by x25's oracle, which replays the un-reduced join).
+    * False negatives cannot occur (bloom guarantee), so no row is ever
+    * lost.
+    *
+    * This is the reduction `InjectRuntimeFilter` performs when its size
+    * thresholds fire (10 GB fact-scan default); as a library operator
+    * it is explicit, threshold-free, and applies to join shapes the
+    * rule skips. `estItems` sizes the sketch (Spark derives numBits);
+    * an under-sized sketch only raises the FP rate — correctness is
+    * unaffected.
+    *
+    * The dim plan is evaluated twice (sketch + join build) — it is the
+    * SMALL side by contract, exactly like the probe relation of any
+    * semi-join reduction. Fixed temp-view names keep the catalog
+    * bounded across repeated calls (create-or-replace semantics).
+    */
+  def bloomReducedJoin(fact: DataFrame, dim: DataFrame,
+                       factKey: String, dimKey: String,
+                       estItems: Long = 100000L): DataFrame =
+    bloomPrune(fact, dim, factKey, dimKey, estItems)
+      .join(dim, col(factKey) === dim(dimKey))
+
+  /** The fact-side pruning stage of [[bloomReducedJoin]], exposed so
+    * LayoutSpec can certify the reduction actually drops rows. */
+  private[graft] def bloomPrune(fact: DataFrame, dim: DataFrame,
+                                factKey: String, dimKey: String,
+                                estItems: Long): DataFrame = {
+    val spark = fact.sparkSession
+    graft.plans.BloomReduce.register(spark)
+    fact.createOrReplaceTempView("__graft_bloom_fact")
+    dim.createOrReplaceTempView("__graft_bloom_dim")
+    spark.sql(
+      s"""SELECT f.* FROM __graft_bloom_fact f
+         |WHERE ${graft.plans.BloomReduce.probeName}(
+         |  (SELECT ${graft.plans.BloomReduce.aggName}(xxhash64($dimKey),
+         |          CAST($estItems AS BIGINT)) FROM __graft_bloom_dim),
+         |  xxhash64(f.$factKey))""".stripMargin)
+  }
+
+  /** x25: [[bloomReducedJoin]] as a certified query. The dim side is a
+    * selectively filtered `orders` (status F, priority 1-URGENT) with a
+    * MERGE hint so the join exercises the sort-merge path the reduction
+    * exists for (at fixture scale the dim would otherwise broadcast —
+    * at 100 TB a many-million-row dim lands on SMJ by itself, and the
+    * bloom probe is what keeps the fact shuffle proportional to the
+    * MATCHING rows, not the table). The DuckDB oracle replays the PLAIN
+    * join — certifying the sketch is result-transparent: no lost rows
+    * (no false negatives), no phantom rows (the join re-verifies false
+    * positives). Aggregates are decimal-exact / count-based, order
+    * pinned.
+    */
+  def bloomPrunedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val dim = graft.sources.Tables.orders(spark, sfDir)
+      .filter(col("o_orderstatus") === "F" &&
+        col("o_orderpriority") === "1-URGENT")
+      .hint("merge")
+    val fact = graft.sources.Tables.lineitem(spark, sfDir)
+    bloomReducedJoin(fact, dim, "l_orderkey", "o_orderkey")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("decimal(12,2)")).cast("double")
+          .as("sum_qty"),
+        countDistinct(col("o_orderkey")).as("n_orders"))
+      .orderBy("l_returnflag")
+  }
+
   def skewedEventsJoin(spark: SparkSession, sfDir: String,
                        nSalts: Int = 16): DataFrame = {
     val big = graft.sources.Tables.events(spark, sfDir)

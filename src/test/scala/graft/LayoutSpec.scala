@@ -43,6 +43,30 @@ class LayoutSpec extends SparkSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(plain == salted)
   }
+  test("bloom semi-join reduction prunes the fact side and never changes results") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_orderstatus") === "F" &&
+        col("o_orderpriority") === "1-URGENT")
+    // the pruned fact is a strict subset that keeps every matching row
+    val pruned = Layout.bloomPrune(li, o, "l_orderkey", "o_orderkey", 100000L)
+    val factN = li.count()
+    val prunedN = pruned.count()
+    val matchN = li.join(o, li("l_orderkey") === o("o_orderkey")).count()
+    assert(prunedN < factN,
+      s"bloom probe pruned nothing: $prunedN of $factN fact rows kept")
+    assert(prunedN >= matchN,
+      s"bloom probe LOST matching rows: kept $prunedN, join needs $matchN")
+    // and the reduced join is row-identical to the plain join
+    val plain = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val reduced = Layout.bloomReducedJoin(li, o, "l_orderkey", "o_orderkey")
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(plain == reduced)
+  }
+
   test("AQE skew-join splits the hot partition — the built-in complement to salting") {
     // The same Zipf venue x21 certifies with MANUAL salting: 80% of the
     // fact rows share one join key. Here the join runs UNSALTED and

@@ -332,6 +332,21 @@ class PlanSpec extends SparkSuite {
       s"salt column missing from the physical join keys:\n$p")
   }
 
+  test("x25: bloom probe filters the fact side below a sort-merge join") {
+    val p = plan(graft.operators.Layout.bloomPrunedJoin(spark, sf))
+    // the codegen'd probe predicate guards the fact scan...
+    assert(p.contains("might_contain"),
+      s"bloom probe missing from the physical plan:\n$p")
+    // ...the sketch arrives as a one-shot scalar subquery (the
+    // InjectRuntimeFilter shape), not a per-row join input...
+    assert(p.contains("Subquery") || p.contains("subquery"),
+      s"bloom sketch is not a scalar subquery:\n$p")
+    // ...and the MERGE hint keeps the join on the sort-merge path the
+    // reduction exists for
+    assert(p.contains("SortMergeJoin"),
+      s"expected a sort-merge join:\n$p")
+  }
+
   test("incremental IVF: the delta pass scans only the CDC batch, pushed to parquet") {
     val t = Similarity.newVecThreshold(spark, sf)
     val cb = Similarity.kmeansSums(spark, sf, idBound = t)

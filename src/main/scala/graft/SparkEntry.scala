@@ -219,6 +219,8 @@ object SparkEntry {
     "x18c_outlier_events"  -> ((s, d) => Relational.outlierEvents(s, d)),
     // snapshot change feed (CDF) over two deterministic versions
     "of7_change_feed"      -> (operators.Snapshot.changeFeedDemo(_, _)),
+    // file-granular DELETE: rewrite overlapping files, reference the rest
+    "of8_delete_where"     -> (operators.Snapshot.deleteDemo(_, _)),
     // time-series: daily resample + forward-fill, and batch sessionization
     "x22_resample_ffill"   -> (Relational.resampleFfill(_, _)),
     // incremental grid refresh: must equal the full recompute (same oracle)
@@ -363,6 +365,23 @@ object SparkEntry {
         |WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
         |   OR a.o_orderstatus <> b.o_orderstatus
         |   OR a.o_totalprice <> b.o_totalprice
+        |ORDER BY 1""".stripMargin,
+    // of8: the oracle replays the surviving rows directly off the
+    // fixture — certifying the file-granular delete (rewrite the
+    // stats-overlapping files, carry the rest by manifest reference)
+    // is observationally a plain row filter.
+    "of8_delete_where" ->
+      """SELECT l_orderkey % 7 AS bucket,
+        |       COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+        |         AS sum_qty,
+        |       MIN(l_orderkey) AS min_key,
+        |       MAX(l_orderkey) AS max_key
+        |FROM lineitem
+        |WHERE NOT (l_orderkey BETWEEN 1 AND
+        |  (SELECT CAST(FLOOR(MAX(l_orderkey) / 5) AS BIGINT)
+        |   FROM lineitem))
+        |GROUP BY 1
         |ORDER BY 1""".stripMargin,
     "x16c_scd2_history" ->
       """WITH e AS (SELECT user_id, event_type, ts, event_id,

@@ -62,13 +62,41 @@ object Snapshot {
     }
   }
 
+  private val ManifestDir = "_manifest"
+
+  /** The data files composing version `v`, when a FILE MANIFEST names
+    * them explicitly ([[deleteWhere]] writes one so untouched files are
+    * carried by REFERENCE into the new version instead of rewritten);
+    * None for a self-contained `v=N` directory. A manifest read is a
+    * driver-side metadata scan, O(files) — the same planning read every
+    * table format's manifest layer does. */
+  private[graft] def manifestFiles(spark: SparkSession, root: String,
+                                   v: Long): Option[Seq[String]] = {
+    val p = new org.apache.hadoop.fs.Path(root, s"$ManifestDir/v=$v")
+    if (!fsOf(spark, p).exists(p)) None
+    else Some(spark.read.parquet(p.toString)
+      .select("file").collect().map(_.getString(0)).toSeq)
+  }
+
+  /** Resolve version `v` to a DataFrame: manifest-listed files when a
+    * manifest exists, the version directory otherwise. */
+  private def readResolved(spark: SparkSession, root: String,
+                           v: Long): DataFrame =
+    manifestFiles(spark, root, v) match {
+      case Some(files) if files.nonEmpty => spark.read.parquet(files: _*)
+      case Some(_) => // degenerate: a delete emptied the whole table —
+        // the rewrite dir still holds a schema-only anchor file
+        spark.read.parquet(s"$root/v=$v")
+      case None => spark.read.parquet(s"$root/v=$v")
+    }
+
   /** Read the live snapshot (the only read path — readers never list
     * version directories, so unreferenced snapshots are invisible). */
   def readCurrent(spark: SparkSession, root: String): DataFrame = {
     val v = currentVersion(spark, root).getOrElse(
       throw new java.util.NoSuchElementException(
         s"snapshot table $root has no committed version"))
-    spark.read.parquet(s"$root/v=$v")
+    readResolved(spark, root, v)
   }
 
   /** Time travel: read a specific retained version. Versions survive
@@ -84,7 +112,7 @@ object Snapshot {
         s"snapshot $root has no version $v (vacuumed?); " +
           s"retained: ${have.mkString(", ")}")
     }
-    spark.read.parquet(s"$root/v=$v")
+    readResolved(spark, root, v)
   }
 
   /** Compaction: rewrite the CURRENT version's files into `numFiles`
@@ -106,7 +134,10 @@ object Snapshot {
         throw new java.util.NoSuchElementException(
           s"snapshot table $root has no committed version to compact"))
       if (claimVersion(spark, root, base + 1)) {
-        spark.read.parquet(s"$root/v=$base").repartition(numFiles)
+        // readResolved: compacting a manifest (delete) version
+        // re-materializes it self-contained, collapsing the reference
+        // chain so vacuum can reclaim the referenced ancestors
+        readResolved(spark, root, base).repartition(numFiles)
           .write.mode("overwrite").parquet(s"$root/v=${base + 1}")
         // a stats-carrying table keeps its data-skipping index across
         // maintenance passes: re-derive the manifest for the new files
@@ -426,7 +457,7 @@ object Snapshot {
         throw new java.util.NoSuchElementException(
           s"snapshot table $root has no committed version to merge into"))
       if (claimVersion(spark, root, base + 1)) {
-        val baseDf = spark.read.parquet(s"$root/v=$base")
+        val baseDf = readResolved(spark, root, base)
         val merged = changes.unionByName(
           baseDf.join(changes.select(key), Seq(key), "left_anti"))
         merged.write.mode("overwrite").parquet(s"$root/v=${base + 1}")
@@ -449,6 +480,94 @@ object Snapshot {
     throw new IllegalStateException(
       s"mergeCommit to $root did not win a claim in $maxRetries attempts " +
         "(live contention, or a crashed writer's stale claim — see vacuum)")
+  }
+
+  /** Row-level DELETE with file-granular copy-on-write: remove every
+    * row with `statsCol BETWEEN lo AND hi`, rewriting ONLY the files
+    * whose per-file `[min,max]` stats overlap the range. Untouched
+    * files are carried into the new version BY REFERENCE through a
+    * file manifest (`_manifest/v=N`) — the Delta/Iceberg shape where a
+    * version is a file LIST, not a directory copy — so at 100 TB a
+    * selective delete costs O(matching files) of data I/O plus an
+    * O(files) metadata write, never a table rewrite. On a range-laid-
+    * out table ([[commitWithStats]]'s contract) the overlap set IS the
+    * selectivity.
+    *
+    * The new version's stats manifest carries the untouched files'
+    * rows verbatim and re-derives stats over just the rewritten files,
+    * so data skipping survives the delete. Runs under the same
+    * claim-exactly-`pointer+1` protocol as [[mergeCommit]] (read-
+    * modify-write serializability). Requires per-file stats on
+    * `statsCol`: the skipping index is what makes the delete file-
+    * granular (a stats-less table would degrade to a blind full
+    * rewrite — refuse instead, the caller should commitWithStats).
+    *
+    * [[compact]] re-materializes a manifest version self-contained,
+    * collapsing the reference chain; [[vacuum]] keeps any version
+    * directory a retained manifest still references. */
+  def deleteWhere(spark: SparkSession, root: String, statsCol: String,
+                  lo: org.apache.spark.sql.Column,
+                  hi: org.apache.spark.sql.Column,
+                  maxRetries: Int = 16): Long = {
+    import org.apache.spark.sql.functions._
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val base = currentVersion(spark, root).getOrElse(
+        throw new java.util.NoSuchElementException(
+          s"snapshot table $root has no committed version to delete from"))
+      val sc = statsColsOf(spark, root, base)
+      require(sc.contains(statsCol),
+        s"deleteWhere needs per-file stats on $statsCol (have: $sc) — " +
+          "commit with commitWithStats to make deletes file-granular")
+      if (claimVersion(spark, root, base + 1)) {
+        val next = base + 1
+        // the stats manifest is the file inventory (its `file` values
+        // are input_file_name-format URIs, consistent across carried
+        // and fresh rows)
+        val all = spark.read.parquet(s"$root/$StatsDir/v=$base")
+          .select("file").collect().map(_.getString(0)).toSeq
+        val touched = prunedFiles(spark, root, base, statsCol, lo, hi)
+        val untouched = all.diff(touched)
+        val between = col(statsCol) >= lo && col(statsCol) <= hi
+        // rewrite ONLY the overlapping files, dropping matching rows;
+        // a no-overlap delete writes a schema-only anchor so the v=N
+        // directory exists for the claim/observedMax protocol
+        val rewritten =
+          if (touched.nonEmpty) spark.read.parquet(touched: _*).filter(!between)
+          else readResolved(spark, root, base).limit(0)
+        rewritten.write.mode("overwrite").parquet(s"$root/v=$next")
+        val newDir = new org.apache.hadoop.fs.Path(root, s"v=$next")
+        val newFiles = fsOf(spark, newDir).listStatus(newDir)
+          .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+          .map(_.toString).toSeq
+        // the manifest: untouched by reference + the rewritten files
+        import spark.implicits._
+        (untouched ++ newFiles).toDF("file").coalesce(1)
+          .write.mode("overwrite").parquet(s"$root/$ManifestDir/v=$next")
+        // stats: carry untouched rows, re-derive over new files only
+        // (reads back one delete's output, not the table)
+        val carried = spark.read.parquet(s"$root/$StatsDir/v=$base")
+          .filter(col("file").isin(untouched: _*))
+        val aggs = sc.flatMap(c =>
+          Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
+          count(lit(1)).as("n_rows")
+        val fresh =
+          if (newFiles.isEmpty) carried.limit(0)
+          else spark.read.parquet(newFiles: _*)
+            .groupBy(input_file_name().as("file"))
+            .agg(aggs.head, aggs.tail: _*)
+        carried.unionByName(fresh).coalesce(1)
+          .write.mode("overwrite").parquet(s"$root/$StatsDir/v=$next")
+        if (pointerAdvance(spark, root, next)) return next
+      } else {
+        val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+        while (currentVersion(spark, root).getOrElse(0L) <= base
+               && System.nanoTime() < deadline) Thread.sleep(20)
+      }
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"deleteWhere on $root did not win a claim in $maxRetries attempts")
   }
 
   /** Change feed between two retained versions (the lakehouse CDF
@@ -514,6 +633,38 @@ object Snapshot {
       .orderBy("o_orderkey")
   }
 
+  /** The oracle-certified [[deleteWhere]] venue (`of8_delete_where`):
+    * lineitem range-laid-out on `l_orderkey` into 8 disjoint-bound
+    * files, committed with stats, then a selective key-range delete of
+    * `[1, floor(max/5)]`. With the range layout, ~1/5 of the files
+    * overlap the range and get rewritten; the rest ride into v2 by
+    * manifest reference (file-granularity is spec-pinned in
+    * SnapshotSpec — this query certifies VALUES). DuckDB replays the
+    * surviving rows straight off the fixture, certifying the
+    * file-granular machinery is exactly a row filter: no lost rows
+    * from referenced files, no survivors from rewritten ones. */
+  def deleteDemo(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val li = graft.sources.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+    val hi = li.agg(floor(max(col("l_orderkey")) / 5)).head().getLong(0)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_del_").toString
+    commitWithStats(
+      li.repartitionByRange(8, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey"),
+      root, Seq("l_orderkey"))
+    deleteWhere(spark, root, "l_orderkey", lit(1L), lit(hi))
+    readCurrent(spark, root)
+      .groupBy((col("l_orderkey") % 7).as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("decimal(12,2)")).cast("double")
+          .as("sum_qty"),
+        min(col("l_orderkey")).as("min_key"),
+        max(col("l_orderkey")).as("max_key"))
+      .orderBy("bucket")
+  }
+
   /** Orphan GC: delete unreferenced `v=*` snapshot directories (old
     * superseded versions beyond the `retain` newest — the time-travel
     * window — AND crashed writers' never-pointed orphans) plus decided
@@ -556,12 +707,36 @@ object Snapshot {
     // versions (the pointer target always among them) stay readable
     // via [[readVersion]].
     val retained = onDisk.filter(_ <= cur).sorted.takeRight(retain).toSet
+    // A surviving version with a file MANIFEST ([[deleteWhere]]) may
+    // reference files living in OLDER version directories: those
+    // directories must outlive their own retention or the survivor
+    // dangles. (An in-flight delete between claim and manifest write
+    // is invisible here — the same "no reader mid-walk" caveat as the
+    // rest of vacuum; [[compact]] collapses chains when reclamation
+    // matters more than rewrite cost.)
+    val referenced: Set[Long] = {
+      val mRoot = new org.apache.hadoop.fs.Path(root, ManifestDir)
+      if (!fs.exists(mRoot)) Set.empty
+      else fs.listStatus(mRoot).toSeq.map(_.getPath)
+        .filter { p =>
+          p.getName.matches("v=\\d+") && {
+            val v = p.getName.drop(2).toLong
+            retained.contains(v) || inFlight.contains(v)
+          }
+        }
+        .flatMap(p => spark.read.parquet(p.toString)
+          .select("file").collect().map(_.getString(0)))
+        .flatMap(f => "v=(\\d+)/".r.findAllMatchIn(f).toSeq.lastOption
+          .map(_.group(1).toLong))
+        .toSet
+    }
     val deadDirs = fs.listStatus(rootPath).toSeq.map(_.getPath)
       .filter { p =>
         val n = p.getName
         n.matches("v=\\d+") && {
           val v = n.drop(2).toLong
-          !retained.contains(v) && !inFlight.contains(v)
+          !retained.contains(v) && !inFlight.contains(v) &&
+            !referenced.contains(v)
         }
       }
     val deadClaims =
@@ -585,10 +760,24 @@ object Snapshot {
           case _ => true
         }
       }
+    // file manifests follow their data directory's fate
+    val manifestRoot = new org.apache.hadoop.fs.Path(root, ManifestDir)
+    val deadManifests =
+      if (!fs.exists(manifestRoot)) Seq.empty
+      else fs.listStatus(manifestRoot).toSeq.map(_.getPath).filter { p =>
+        p.getName match {
+          case n if n.matches("v=\\d+") =>
+            val v = n.drop(2).toLong
+            !retained.contains(v) && !inFlight.contains(v)
+          case _ => true
+        }
+      }
     (deadDirs ++ deadClaims).map { p =>
       fs.delete(p, true); p.getName
     } ++ deadStats.map { p => // disambiguate from the data dir's "v=N"
       fs.delete(p, true); s"$StatsDir/${p.getName}"
+    } ++ deadManifests.map { p =>
+      fs.delete(p, true); s"$ManifestDir/${p.getName}"
     }
   }
 

@@ -318,6 +318,70 @@ class SnapshotSpec extends SparkSuite {
     assert(after.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((5L, 99L)))
   }
 
+  test("deleteWhere rewrites only overlapping files; the rest ride by reference") {
+    import spark.implicits._
+    val root = freshTable()
+    // 0..799 range-laid-out over 8 files: each file covers a ~100-key band
+    val df = spark.range(0, 800).select(col("id").as("k"),
+        (col("id") % 7).as("v"))
+      .repartitionByRange(8, col("k")).sortWithinPartitions("k")
+    Snapshot.commitWithStats(df, root, Seq("k"))
+    val v1Files = spark.read.parquet(s"$root/v=1")
+      .select(input_file_name()).distinct().count()
+    // delete one ~1.5-file band
+    val dv = Snapshot.deleteWhere(spark, root, "k", lit(100L), lit(150L))
+    assert(dv == 2L)
+    // values: exactly the logical filter
+    val kept = Snapshot.readCurrent(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = (0L until 800L).filterNot(k => k >= 100L && k <= 150L)
+      .map(k => (k, k % 7)).toSet
+    assert(kept == expect)
+    // file granularity: most v1 files are REFERENCED, not rewritten
+    val mf = Snapshot.manifestFiles(spark, root, 2L).get
+    val referenced = mf.count(_.contains("/v=1/"))
+    val rewritten = mf.count(_.contains("/v=2/"))
+    assert(referenced > 0 && referenced >= v1Files - 2,
+      s"expected ~all-but-overlapping files referenced: " +
+        s"$referenced of $v1Files referenced, $rewritten rewritten")
+    assert(rewritten <= 2, s"delete rewrote $rewritten files")
+    // time travel: the pre-delete version is intact
+    assert(Snapshot.readVersion(spark, root, 1L).count() == 800L)
+    // data skipping survives: carried + fresh stats still prune
+    val pruned = Snapshot.readCurrentPruned(spark, root, "k",
+      lit(200L), lit(210L)).collect().map(_.getLong(0)).toSet
+    assert(pruned == (200L to 210L).toSet)
+    // and a pruned read over the DELETED band is empty
+    assert(Snapshot.readCurrentPruned(spark, root, "k",
+      lit(110L), lit(140L)).count() == 0L)
+    // the change feed sees the delete as row deletes
+    val feed = Snapshot.changeFeed(spark, root, "k", 1L, 2L).collect()
+    assert(feed.length == 51 &&
+      feed.forall(_.getAs[String]("_change") == "delete"))
+    // vacuum(retain=1) must SPARE v=1: the live manifest references it
+    val swept = Snapshot.vacuum(spark, root)
+    assert(!swept.contains("v=1"),
+      s"vacuum deleted a referenced version dir: $swept")
+    assert(kept == Snapshot.readCurrent(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    // compaction collapses the reference chain; then vacuum reclaims v1
+    val cv = Snapshot.compact(spark, root, numFiles = 4)
+    val swept2 = Snapshot.vacuum(spark, root)
+    assert(swept2.contains("v=1") && swept2.contains("v=2"),
+      s"expected v1/v2 reclaimed after compaction: $swept2")
+    assert(Snapshot.readCurrent(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == kept)
+    assert(Snapshot.currentVersion(spark, root).contains(cv))
+    // delete-everything edge: schema survives an empty table
+    val all = Snapshot.deleteWhere(spark, root, "k", lit(0L), lit(10000L))
+    val empty = Snapshot.readCurrent(spark, root)
+    assert(empty.count() == 0L && empty.columns.toSeq == Seq("k", "v"))
+    // a no-overlap delete is a metadata-only commit, still readable
+    Snapshot.deleteWhere(spark, root, "k", lit(90000L), lit(99999L))
+    assert(Snapshot.readCurrent(spark, root).count() == 0L)
+    assert(Snapshot.currentVersion(spark, root).contains(all + 1))
+  }
+
   test("of4 upsert-merge through snapshots equals the logical merge") {
     val got = graft.operators.Etl.upsertMerge(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1))).toMap

@@ -64,6 +64,36 @@ object Snapshot {
 
   private val ManifestDir = "_manifest"
 
+  /** `input_file_name`-format URI for a listed file. The local FS
+    * prints `file:/x` from `Path.toString` but `file:///x` from the
+    * scan's `input_file_name` — one canonical form keeps manifest
+    * entries and stats-manifest `file` keys joinable (schemes with an
+    * authority, e.g. `hdfs://nn/x`, already agree). */
+  private def canonFile(p: org.apache.hadoop.fs.Path): String = {
+    val s = p.toString
+    if (s.startsWith("file:/") && !s.startsWith("file://"))
+      "file://" + s.stripPrefix("file:")
+    else s
+  }
+
+  /** The `(file, bytes)` inventory of version `v` — manifest-listed
+    * files or the directory's parquet parts; an O(files) driver-side
+    * metadata read, never a data scan. */
+  private[graft] def fileInventory(spark: SparkSession, root: String,
+                                   v: Long): Seq[(String, Long)] = {
+    val fs = fsOf(spark, new org.apache.hadoop.fs.Path(root))
+    manifestFiles(spark, root, v) match {
+      case Some(files) => files.map { f =>
+        (f, fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen)
+      }
+      case None =>
+        val dir = new org.apache.hadoop.fs.Path(root, s"v=$v")
+        fs.listStatus(dir).toSeq
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .map(st => (canonFile(st.getPath), st.getLen))
+    }
+  }
+
   /** The data files composing version `v`, when a FILE MANIFEST names
     * them explicitly ([[deleteWhere]] writes one so untouched files are
     * carried by REFERENCE into the new version instead of rewritten);
@@ -536,28 +566,7 @@ object Snapshot {
           if (touched.nonEmpty) spark.read.parquet(touched: _*).filter(!between)
           else readResolved(spark, root, base).limit(0)
         rewritten.write.mode("overwrite").parquet(s"$root/v=$next")
-        val newDir = new org.apache.hadoop.fs.Path(root, s"v=$next")
-        val newFiles = fsOf(spark, newDir).listStatus(newDir)
-          .map(_.getPath).filter(_.getName.endsWith(".parquet"))
-          .map(_.toString).toSeq
-        // the manifest: untouched by reference + the rewritten files
-        import spark.implicits._
-        (untouched ++ newFiles).toDF("file").coalesce(1)
-          .write.mode("overwrite").parquet(s"$root/$ManifestDir/v=$next")
-        // stats: carry untouched rows, re-derive over new files only
-        // (reads back one delete's output, not the table)
-        val carried = spark.read.parquet(s"$root/$StatsDir/v=$base")
-          .filter(col("file").isin(untouched: _*))
-        val aggs = sc.flatMap(c =>
-          Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
-          count(lit(1)).as("n_rows")
-        val fresh =
-          if (newFiles.isEmpty) carried.limit(0)
-          else spark.read.parquet(newFiles: _*)
-            .groupBy(input_file_name().as("file"))
-            .agg(aggs.head, aggs.tail: _*)
-        carried.unionByName(fresh).coalesce(1)
-          .write.mode("overwrite").parquet(s"$root/$StatsDir/v=$next")
+        writeManifestAndStats(spark, root, next, base, untouched)
         if (pointerAdvance(spark, root, next)) return next
       } else {
         val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
@@ -568,6 +577,82 @@ object Snapshot {
     }
     throw new IllegalStateException(
       s"deleteWhere on $root did not win a claim in $maxRetries attempts")
+  }
+
+  /** Shared tail of every file-granular commit: write version `next`'s
+    * file manifest (`carried` by reference + whatever parquet the
+    * commit just wrote into `v=next`) and, when the base carries a
+    * stats manifest, the new stats manifest — `carried` rows verbatim,
+    * fresh stats re-derived by scanning ONLY the newly written files. */
+  private def writeManifestAndStats(spark: SparkSession, root: String,
+                                    next: Long, base: Long,
+                                    carriedFiles: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val newDir = new org.apache.hadoop.fs.Path(root, s"v=$next")
+    val newFiles = fsOf(spark, newDir).listStatus(newDir)
+      .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+      .map(canonFile).toSeq
+    (carriedFiles ++ newFiles).toDF("file").coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/$ManifestDir/v=$next")
+    val sc = statsColsOf(spark, root, base)
+    if (sc.nonEmpty) {
+      val carried = spark.read.parquet(s"$root/$StatsDir/v=$base")
+        .filter(col("file").isin(carriedFiles: _*))
+      val aggs = sc.flatMap(c =>
+        Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
+        count(lit(1)).as("n_rows")
+      val fresh =
+        if (newFiles.isEmpty) carried.limit(0)
+        else spark.read.parquet(newFiles: _*)
+          .groupBy(input_file_name().as("file"))
+          .agg(aggs.head, aggs.tail: _*)
+      carried.unionByName(fresh).coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/$StatsDir/v=$next")
+    }
+  }
+
+  /** Incremental small-file compaction (the OPTIMIZE maintenance pass
+    * a CDC- or delete-churned table needs): bin-pack ONLY the files
+    * under `smallBytes` into ~`targetBytes` outputs and carry every
+    * already-well-sized file into the new version by manifest
+    * reference. Where [[compact]] rewrites the whole table (collapsing
+    * reference chains for vacuum), this touches O(small-file bytes) —
+    * on a 100 TB table whose churn left a few thousand 1 MB merge
+    * outputs beside thousand-file terabytes of settled data, the
+    * rewrite reads megabytes, not the table. A no-op (≤1 small file)
+    * returns the current version without committing. Stats carry the
+    * same way as [[deleteWhere]]'s, so data skipping survives. */
+  def compactSmall(spark: SparkSession, root: String,
+                   smallBytes: Long = 32L * 1024 * 1024,
+                   targetBytes: Long = 128L * 1024 * 1024,
+                   maxRetries: Int = 16): Long = {
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val base = currentVersion(spark, root).getOrElse(
+        throw new java.util.NoSuchElementException(
+          s"snapshot table $root has no committed version to compact"))
+      val inv = fileInventory(spark, root, base)
+      val (small, large) = inv.partition(_._2 < smallBytes)
+      if (small.size <= 1) return base // already compact: no new version
+      if (claimVersion(spark, root, base + 1)) {
+        val next = base + 1
+        val nOut = math.max(1L,
+          (small.map(_._2).sum + targetBytes - 1) / targetBytes).toInt
+        // coalesce, not repartition: bin-packing needs no shuffle
+        spark.read.parquet(small.map(_._1): _*).coalesce(nOut)
+          .write.mode("overwrite").parquet(s"$root/v=$next")
+        writeManifestAndStats(spark, root, next, base, large.map(_._1))
+        if (pointerAdvance(spark, root, next)) return next
+      } else {
+        val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+        while (currentVersion(spark, root).getOrElse(0L) <= base
+               && System.nanoTime() < deadline) Thread.sleep(20)
+      }
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"compactSmall of $root did not win a claim in $maxRetries attempts")
   }
 
   /** Change feed between two retained versions (the lakehouse CDF

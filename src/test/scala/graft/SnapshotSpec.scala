@@ -382,6 +382,47 @@ class SnapshotSpec extends SparkSuite {
     assert(Snapshot.currentVersion(spark, root).contains(all + 1))
   }
 
+  test("compactSmall bin-packs only the small files; settled files ride by reference") {
+    val root = freshTable()
+    // 80k rows over 8 range files (~10k rows each); three narrow
+    // deletes leave three nearly-empty rewritten files beside the
+    // settled full-size ones — the delete-churn shape compactSmall is for
+    val df = spark.range(0, 80000).select(col("id").as("k"),
+        (col("id") % 7).as("v"))
+      .repartitionByRange(8, col("k")).sortWithinPartitions("k")
+    Snapshot.commitWithStats(df, root, Seq("k"))
+    Snapshot.deleteWhere(spark, root, "k", lit(0L), lit(9500L))
+    Snapshot.deleteWhere(spark, root, "k", lit(10000L), lit(19500L))
+    Snapshot.deleteWhere(spark, root, "k", lit(20000L), lit(29500L))
+    val expect = Snapshot.readCurrent(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val base = Snapshot.currentVersion(spark, root).get
+    // threshold between the rewritten slivers and the settled files
+    val inv = Snapshot.fileInventory(spark, root, base)
+    val thr = inv.map(_._2).sorted.apply(inv.size / 2) // median splits them
+    val smallBefore = inv.count(_._2 < thr)
+    val largePaths = inv.filter(_._2 >= thr).map(_._1).toSet
+    assert(smallBefore >= 2, s"venue broken: $smallBefore small files")
+    val cv = Snapshot.compactSmall(spark, root, smallBytes = thr)
+    assert(cv == base + 1)
+    // content identical
+    assert(Snapshot.readCurrent(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == expect)
+    // the small files merged into one; the settled files are the SAME
+    // paths, by reference
+    val after = Snapshot.fileInventory(spark, root, cv)
+    assert(after.size == inv.size - smallBefore + 1,
+      s"expected ${inv.size - smallBefore + 1} files, got ${after.size}")
+    assert(largePaths.subsetOf(after.map(_._1).toSet),
+      "a settled file was rewritten instead of referenced")
+    // data skipping survives the pack (carried + fresh stats)
+    assert(Snapshot.readCurrentPruned(spark, root, "k",
+      lit(40000L), lit(40010L)).count() == 11L)
+    // idempotent: one merged file left under the threshold is a no-op
+    assert(Snapshot.compactSmall(spark, root, smallBytes = thr) == cv)
+    assert(Snapshot.currentVersion(spark, root).contains(cv))
+  }
+
   test("of4 upsert-merge through snapshots equals the logical merge") {
     val got = graft.operators.Etl.upsertMerge(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1))).toMap

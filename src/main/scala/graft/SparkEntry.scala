@@ -221,6 +221,8 @@ object SparkEntry {
     "of7_change_feed"      -> (operators.Snapshot.changeFeedDemo(_, _)),
     // file-granular DELETE: rewrite overlapping files, reference the rest
     "of8_delete_where"     -> (operators.Snapshot.deleteDemo(_, _)),
+    // metadata-only rollback to a retained version (history moves forward)
+    "of9_restore"          -> (operators.Snapshot.restoreDemo(_, _)),
     // time-series: daily resample + forward-fill, and batch sessionization
     "x22_resample_ffill"   -> (Relational.resampleFfill(_, _)),
     // incremental grid refresh: must equal the full recompute (same oracle)
@@ -383,6 +385,18 @@ object SparkEntry {
         |   FROM lineitem))
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
+    // of9: after damage + restore, the table must be indistinguishable
+    // from the fixture — the oracle reads orders directly.
+    "of9_restore" ->
+      """SELECT o_orderstatus,
+        |       COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+        |         AS sum_price,
+        |       MIN(o_orderkey) AS min_key,
+        |       MAX(o_orderkey) AS max_key
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     "x16c_scd2_history" ->
       """WITH e AS (SELECT user_id, event_type, ts, event_id,
         |             LAG(event_type) OVER (PARTITION BY user_id

@@ -223,12 +223,23 @@ object Relational {
   /** X5: approximate percentiles (GK sketch) — the constant-memory
     * distributed path for quantiles at 100 TB. Sketch-dependent values →
     * rows-only check; the quartile array is exploded to scalar rows
-    * `(l_returnflag, quantile, value)` so the dump stays sortable. */
-  def approxPercentiles(spark: SparkSession, sfDir: String): DataFrame =
+    * `(l_returnflag, quantile, value)` so the dump stays sortable.
+    *
+    * `accuracy` is the scale knob: rank error is ≤ 1/accuracy, but the
+    * final merge per group processes one partial sketch PER SCAN
+    * PARTITION, each O(accuracy) — cost ∝ partitions × accuracy (the
+    * measured sf1 outlier in BENCH_NOTES: 0.6→9.8 s when 8 MB splits
+    * multiplied the partition count at accuracy 10000). 2500 keeps
+    * rank error at 0.04 % and cuts the merge constant 4×; raise it
+    * when the answer needs tighter tails, lower the split-derived
+    * partition count when it needs both. */
+  def approxPercentiles(spark: SparkSession, sfDir: String,
+                        accuracy: Int = 2500): DataFrame =
     Tables.lineitem(spark, sfDir)
       .groupBy("l_returnflag")
       .agg(percentile_approx(col("l_extendedprice"),
-        array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("price_quartiles"))
+        array(lit(0.25), lit(0.5), lit(0.75)), lit(accuracy))
+        .as("price_quartiles"))
       .select(col("l_returnflag"),
         posexplode(col("price_quartiles")).as(Seq("pos0", "value")))
       .select(col("l_returnflag"),

@@ -655,6 +655,44 @@ object Snapshot {
       s"compactSmall of $root did not win a claim in $maxRetries attempts")
   }
 
+  /** RESTORE: roll the table back to retained version `toV` as a NEW
+    * commit — history moves forward only (the bad versions stay
+    * readable for forensics until vacuumed), and the restore itself is
+    * a METADATA-ONLY commit: the new version's manifest references
+    * `toV`'s files verbatim, so restoring a 100 TB table writes a
+    * schema anchor plus O(files) manifest rows, never data. Stats
+    * carry from `toV`'s manifest, so data skipping survives. Runs
+    * under the claim-exactly-`pointer+1` protocol like every
+    * read-modify-write commit. */
+  def restore(spark: SparkSession, root: String, toV: Long,
+              maxRetries: Int = 16): Long = {
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val base = currentVersion(spark, root).getOrElse(
+        throw new java.util.NoSuchElementException(
+          s"snapshot table $root has no committed version to restore"))
+      if (base == toV) return base
+      // fails fast with the retained inventory if toV was vacuumed
+      val target = readVersion(spark, root, toV)
+      if (claimVersion(spark, root, base + 1)) {
+        val next = base + 1
+        // schema anchor: the v=N directory must exist for the
+        // claim/observedMax protocol; the data rides by reference
+        target.limit(0).write.mode("overwrite").parquet(s"$root/v=$next")
+        val carried = fileInventory(spark, root, toV).map(_._1)
+        writeManifestAndStats(spark, root, next, toV, carried)
+        if (pointerAdvance(spark, root, next)) return next
+      } else {
+        val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+        while (currentVersion(spark, root).getOrElse(0L) <= base
+               && System.nanoTime() < deadline) Thread.sleep(20)
+      }
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"restore of $root did not win a claim in $maxRetries attempts")
+  }
+
   /** Change feed between two retained versions (the lakehouse CDF
     * read): a keyed full-outer join of the `from` and `to` snapshots
     * classifies every key as `insert` (absent before), `delete`
@@ -748,6 +786,34 @@ object Snapshot {
         min(col("l_orderkey")).as("min_key"),
         max(col("l_orderkey")).as("max_key"))
       .orderBy("bucket")
+  }
+
+  /** The oracle-certified [[restore]] venue (`of9_restore`): commit
+    * orders range-laid-out with stats, damage it with a key-range
+    * delete, then roll back to v1. The restore is metadata-only (spec-
+    * pinned in SnapshotSpec); this query certifies VALUES — the
+    * restored table must be indistinguishable from the fixture, which
+    * DuckDB replays directly. */
+  def restoreDemo(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val o = graft.sources.Tables.table(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_restore_").toString
+    commitWithStats(
+      o.repartitionByRange(4, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"),
+      root, Seq("o_orderkey"))
+    deleteWhere(spark, root, "o_orderkey", lit(1L), lit(1000L))
+    restore(spark, root, 1L)
+    readCurrent(spark, root)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(12,2)")).cast("double")
+          .as("sum_price"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy("o_orderstatus")
   }
 
   /** Orphan GC: delete unreferenced `v=*` snapshot directories (old

@@ -423,6 +423,36 @@ class SnapshotSpec extends SparkSuite {
     assert(Snapshot.currentVersion(spark, root).contains(cv))
   }
 
+  test("restore rolls back by reference: metadata-only, history forward, skipping intact") {
+    val root = freshTable()
+    val df = spark.range(0, 8000).select(col("id").as("k"),
+        (col("id") % 7).as("v"))
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+    Snapshot.commitWithStats(df, root, Seq("k"))
+    Snapshot.deleteWhere(spark, root, "k", lit(0L), lit(2500L))
+    assert(Snapshot.readCurrent(spark, root).count() == 5499L)
+    val rv = Snapshot.restore(spark, root, 1L)
+    assert(rv == 3L, "restore must commit a NEW version, not rewind")
+    // full content is back
+    assert(Snapshot.readCurrent(spark, root).count() == 8000L)
+    // metadata-only: every data-bearing file is a v=1 reference; the
+    // only v=3 entry is the 0-row schema anchor
+    val inv = Snapshot.fileInventory(spark, root, rv)
+    val refs = inv.map(_._1).filter(_.contains("/v=1/"))
+    assert(refs.size >= 4, s"expected v1 files referenced, got: $inv")
+    // the damaged version stays readable for forensics
+    assert(Snapshot.readVersion(spark, root, 2L).count() == 5499L)
+    // the feed from damage to restore is pure re-inserts
+    val feed = Snapshot.changeFeed(spark, root, "k", 2L, 3L).collect()
+    assert(feed.length == 2501 &&
+      feed.forall(_.getAs[String]("_change") == "insert"))
+    // stats carried from the restore target still prune
+    assert(Snapshot.readCurrentPruned(spark, root, "k",
+      lit(100L), lit(110L)).count() == 11L)
+    // restoring to the current version is a no-op
+    assert(Snapshot.restore(spark, root, 3L) == 3L)
+  }
+
   test("of4 upsert-merge through snapshots equals the logical merge") {
     val got = graft.operators.Etl.upsertMerge(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1))).toMap

@@ -73,7 +73,21 @@ object PlanDump {
         "anti-joins `Scan ExistingRDD` (the checkpointed materialization " +
         "— NO event rescan) while the refresh branch semi-joins the " +
         "touched users; refresh cost scales with the CDC batch's user " +
-        "footprint, not the corpus."))
+        "footprint, not the corpus."),
+    "x25_bloom_join" ->
+      ("Explicit bloom semi-join reduction. Look for: the codegen'd " +
+        "`might_contain` predicate filtering the lineitem scan BELOW " +
+        "the `SortMergeJoin`, with the sketch arriving as a one-shot " +
+        "`Subquery` (scalar subquery over the dim's bloom aggregate) — " +
+        "the join shuffle only carries fact rows whose key is probably " +
+        "in dim; false positives are re-verified by the join itself."),
+    "of8_delete_where" ->
+      ("Read path after a file-granular DELETE. Look for: the scan's " +
+        "file list mixing v=1 (manifest-referenced untouched files) " +
+        "and v=2 (rewritten) paths — the delete rewrote only the " +
+        "stats-overlapping files; the aggregate above is an ordinary " +
+        "grouped read, proof the manifest layer is invisible to the " +
+        "planner."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

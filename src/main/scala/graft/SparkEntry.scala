@@ -183,6 +183,10 @@ object SparkEntry {
     "xm1_multimodal_meta"  -> (Multimodal.binaryMeta(_, _)),
     // real PPM/BMP/WAV encode -> pure-JVM header decode round-trip
     "xm2_media_decode"     -> (Multimodal.decodedMeta(_, _)),
+    // nearest-neighbor thumbnail over decoded pixels, exactly replayed
+    "xm3_image_resize"     -> ((s, d) => Multimodal.resizedImages(s, d)),
+    // PCM frame split + abs-amplitude sums (the RMS/VAD featurizer core)
+    "xm4_audio_frames"     -> ((s, d) => Multimodal.audioFrames(s, d)),
     // hot-key (Zipf 80/20) salted join certified vs the unsalted oracle
     "x21_salted_join"      -> ((s, d) => Layout.skewedEventsJoin(s, d)),
     // bloom semi-join reduction certified vs the un-reduced join oracle
@@ -938,6 +942,59 @@ object SparkEntry {
         |           END AS BIGINT) AS payload_byte_sum
         |FROM p2 JOIN sums s ON p2.doc_id = s.doc_id
         |ORDER BY p2.doc_id""".stripMargin,
+    // xm3: the oracle recomputes every SAMPLED pixel byte from the
+    // cycled-payload arithmetic — a wrong stride, header offset, BMP
+    // row padding, or nearest-neighbor index cannot hash-match.
+    "xm3_image_resize" ->
+      """WITH d AS (SELECT doc_id, text,
+        |             CAST(length(text) AS BIGINT) AS nc,
+        |             CAST(length(text) % 64 + 1 AS INT) AS w,
+        |             CAST((length(text)*7) % 48 + 1 AS INT) AS h
+        |           FROM documents WHERE doc_id % 3 < 2),
+        |g AS (SELECT y2.g AS y2, x2.g AS x2, c.g AS c
+        |      FROM generate_series(0,7) AS y2(g),
+        |           generate_series(0,7) AS x2(g),
+        |           generate_series(0,2) AS c(g)),
+        |px AS (SELECT d.doc_id, d.w, d.h,
+        |         ascii(substr(d.text,
+        |           CAST((((CAST(g.y2 * d.h AS BIGINT) // 8) * d.w
+        |                  + CAST(g.x2 * d.w AS BIGINT) // 8) * 3 + g.c)
+        |                % d.nc AS INT) + 1, 1)) AS byte
+        |       FROM d CROSS JOIN g)
+        |SELECT doc_id,
+        |       CASE WHEN doc_id % 3 = 0 THEN 'image/ppm'
+        |            ELSE 'image/bmp' END AS media_type,
+        |       CAST(MIN(w) AS INT) AS width,
+        |       CAST(MIN(h) AS INT) AS height,
+        |       CAST(8 AS INT) AS resized_w,
+        |       CAST(8 AS INT) AS resized_h,
+        |       CAST(SUM(byte) AS BIGINT) AS resized_sum
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // xm4: per-frame abs-amplitude sums replayed sample-by-sample from
+    // the cycled little-endian PCM bytes (16-bit signed reconstruction
+    // included), with the exact integer frame bounds.
+    "xm4_audio_frames" ->
+      """WITH d AS (SELECT doc_id, text,
+        |             CAST(length(text) AS BIGINT) AS nc,
+        |             CAST(length(text) % 256 + 16 AS INT) AS ns
+        |           FROM documents WHERE doc_id % 3 = 2),
+        |fr AS (SELECT g AS frame FROM generate_series(0,3) AS t(g)),
+        |idx AS (SELECT g AS i FROM generate_series(0,271) AS t(g)),
+        |s AS (SELECT d.doc_id, fr.frame, d.nc, d.text, idx.i
+        |      FROM d CROSS JOIN fr CROSS JOIN idx
+        |      WHERE idx.i >= fr.frame * d.ns // 4
+        |        AND idx.i < (fr.frame + 1) * d.ns // 4),
+        |v AS (SELECT doc_id, frame,
+        |        ascii(substr(text, CAST((2*i) % nc AS INT) + 1, 1))
+        |        + 256 * ascii(substr(text, CAST((2*i+1) % nc AS INT) + 1, 1))
+        |          AS raw
+        |      FROM s)
+        |SELECT doc_id, CAST(frame AS INT) AS frame,
+        |       CAST(COUNT(*) AS INT) AS n_frame_samples,
+        |       CAST(SUM(CASE WHEN raw >= 32768 THEN 65536 - raw
+        |                     ELSE raw END) AS BIGINT) AS frame_abs_sum
+        |FROM v GROUP BY doc_id, frame
+        |ORDER BY doc_id, frame""".stripMargin,
     // x21: the oracle is the UNSALTED join — certifying that salting is
     // invisible in results (it only reshapes the shuffle).
     "x21_salted_join" ->

@@ -195,6 +195,118 @@ object Multimodal {
       .toDF()
       .orderBy("doc_id")
 
+  /** Typed result of a nearest-neighbor image resize. */
+  case class ResizedImage(doc_id: Long, media_type: String,
+                          width: Int, height: Int,
+                          resized_w: Int, resized_h: Int,
+                          resized_sum: Long)
+
+  /** xm3: REAL image RESIZE — decode each PPM/BMP blob's pixels and
+    * nearest-neighbor downsample to `w2`×`h2`, emitting the resized
+    * pixel-byte sum (the 192-byte thumbnail reduced to one exactly
+    * checkable number; a feature extractor would emit the thumbnail
+    * itself from the same loop). Source pixel for target (x2, y2) is
+    * (x2·w/w2, y2·h/h2) in STORED row order, channels preserved —
+    * the oracle recomputes every sampled byte from `documents`
+    * arithmetic, so an off-by-one in the stride, the header offset, or
+    * the BMP row padding cannot hash-match. `mapPartitions`, same
+    * executor-batch shape as [[decodeMedia]]; at 100 TB the blobs
+    * never leave their partition and the output is O(docs). */
+  def resizedImages(spark: SparkSession, sfDir: String,
+                    w2: Int = 8, h2: Int = 8): DataFrame =
+    resizedImagesOf(encodeBlobs(spark, sfDir), w2, h2)
+
+  /** [[resizedImages]] over any (doc_id, content) media table —
+    * exposed so the spec can feed hand-crafted blobs the encoder never
+    * produced. */
+  def resizedImagesOf(media: DataFrame, w2: Int, h2: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("doc_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, b) =>
+          // (pixel-data offset, bytes per stored row incl. padding) —
+          // pixel (x, y) lives at off + y*stride + x*3 + c
+          val parsed: Option[(String, Int, Int, Int, Int)] =
+            if (b.length >= 2 && b(0) == 'P' && b(1) == '6') {
+              val header = new String(b, 0, math.min(b.length, 32),
+                StandardCharsets.US_ASCII)
+              val m = """P6\n(\d+) (\d+)\n255\n""".r
+                .findPrefixMatchOf(header)
+                .getOrElse(throw new IllegalArgumentException(
+                  s"doc $id: malformed PPM header"))
+              val w = m.group(1).toInt
+              Some(("image/ppm", w, m.group(2).toInt, m.end, w * 3))
+            } else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') {
+              val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+              val w = bb.getInt(18)
+              Some(("image/bmp", w, bb.getInt(22), bb.getInt(10),
+                w * 3 + (4 - (w * 3) % 4) % 4))
+            } else None // audio: not this query's modality
+          parsed.map { case (mt, w, h, off, stride) =>
+            var s = 0L
+            var y2 = 0
+            while (y2 < h2) {
+              val sy = y2 * h / h2
+              var x2 = 0
+              while (x2 < w2) {
+                val sx = x2 * w / w2
+                var c = 0
+                while (c < 3) {
+                  s += (b(off + sy * stride + sx * 3 + c) & 0xff); c += 1
+                }
+                x2 += 1
+              }
+              y2 += 1
+            }
+            ResizedImage(id, mt, w, h, w2, h2, s)
+          }
+        }
+      }.toDF().orderBy("doc_id")
+  }
+
+  /** xm4: audio FRAME-SAMPLING — decode each WAV blob's 16-bit PCM
+    * stream and split it into `frames` equal windows, emitting each
+    * frame's sample count and absolute-amplitude sum (the exact core
+    * of an RMS/VAD featurizer, kept integer so the oracle can replay
+    * it). Frame f covers samples [f·ns/frames, (f+1)·ns/frames) —
+    * integer bounds, so the frames tile the stream exactly. Output is
+    * O(docs · frames) rows regardless of audio length. */
+  def audioFrames(spark: SparkSession, sfDir: String,
+                  frames: Int = 4): DataFrame = {
+    import spark.implicits._
+    encodeBlobs(spark, sfDir)
+      .select(col("doc_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, b) =>
+          if (!(b.length >= 4 && b(0) == 'R' && b(1) == 'I'
+                && b(2) == 'F' && b(3) == 'F')) Iterator.empty
+          else {
+            val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+            require(bb.getShort(34) == 16,
+              s"doc $id: unsupported WAV bits ${bb.getShort(34)}")
+            val ns = bb.getInt(40) / 2
+            (0 until frames).iterator.map { f =>
+              val lo = f * ns / frames
+              val hi = (f + 1) * ns / frames
+              var s = 0L
+              var i = lo
+              while (i < hi) {
+                val v = ((b(44 + 2 * i) & 0xff) |
+                  ((b(44 + 2 * i + 1) & 0xff) << 8)).toShort.toInt
+                s += math.abs(v); i += 1
+              }
+              (id, f, hi - lo, s)
+            }
+          }
+        }
+      }.toDF("doc_id", "frame", "n_frame_samples", "frame_abs_sum")
+      .orderBy("doc_id", "frame")
+  }
+
   /** Oracle-checkable metadata query over the binary content: byte
     * length, content hash, and derived dimensions expressed as native
     * columnar functions (codegen'd, pruned to the two columns read).

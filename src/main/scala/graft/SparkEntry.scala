@@ -227,6 +227,8 @@ object SparkEntry {
     "of8_delete_where"     -> (operators.Snapshot.deleteDemo(_, _)),
     // metadata-only rollback to a retained version (history moves forward)
     "of9_restore"          -> (operators.Snapshot.restoreDemo(_, _)),
+    // per-file bloom index: point-lookup file skipping where min/max can't
+    "of10_point_lookup"    -> (operators.Snapshot.pointLookupDemo(_, _)),
     // time-series: daily resample + forward-fill, and batch sessionization
     "x22_resample_ffill"   -> (Relational.resampleFfill(_, _)),
     // incremental grid refresh: must equal the full recompute (same oracle)
@@ -389,6 +391,20 @@ object SparkEntry {
         |   FROM lineitem))
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
+    // of10: the oracle replays the point lookup straight off the
+    // fixture — a bloom that dropped a file holding the key (false
+    // negative) or a wrong residual filter cannot hash-match.
+    "of10_point_lookup" ->
+      """SELECT l_partkey,
+        |       COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+        |         AS sum_qty,
+        |       MIN(l_orderkey) AS min_okey,
+        |       MAX(l_orderkey) AS max_okey
+        |FROM lineitem
+        |WHERE l_partkey = (SELECT MIN(l_partkey) FROM lineitem)
+        |GROUP BY l_partkey
+        |ORDER BY l_partkey""".stripMargin,
     // of9: after damage + restore, the table must be indistinguishable
     // from the fixture — the oracle reads orders directly.
     "of9_restore" ->

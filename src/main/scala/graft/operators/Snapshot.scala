@@ -172,7 +172,8 @@ object Snapshot {
         // a stats-carrying table keeps its data-skipping index across
         // maintenance passes: re-derive the manifest for the new files
         val sc = statsColsOf(spark, root, base)
-        if (sc.nonEmpty) writeStats(spark, root, base + 1, sc)
+        if (sc.nonEmpty) writeStats(spark, root, base + 1, sc,
+          bloomColsOf(spark, root, base))
         if (pointerAdvance(spark, root, base + 1)) return base + 1
       } else {
         val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
@@ -339,20 +340,23 @@ object Snapshot {
     * `sortWithinPartitions`) so file bounds are disjoint and
     * [[readCurrentPruned]] skips all but the overlapping files. */
   def commitWithStats(df: DataFrame, root: String,
-                      statsCols: Seq[String]): Long = {
+                      statsCols: Seq[String],
+                      bloomCols: Seq[String] = Nil): Long = {
     require(statsCols.nonEmpty, "commitWithStats needs at least one column")
-    commitInternal(df, root, statsCols)
+    commitInternal(df, root, statsCols, bloomCols)
   }
 
   private def commitInternal(df: DataFrame, root: String,
-                             statsCols: Seq[String]): Long = {
+                             statsCols: Seq[String],
+                             bloomCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     var attempts = 0
     while (true) {
       val next = observedMax(spark, root) + 1
       if (claimVersion(spark, root, next)) {
         df.write.mode("overwrite").parquet(s"$root/v=$next")
-        if (statsCols.nonEmpty) writeStats(spark, root, next, statsCols)
+        if (statsCols.nonEmpty)
+          writeStats(spark, root, next, statsCols, bloomCols)
         pointerAdvance(spark, root, next)
         return next
       }
@@ -375,17 +379,49 @@ object Snapshot {
       .collect { case n if n.startsWith("min_") => n.stripPrefix("min_") }
   }
 
+  /** The columns version `v`'s manifest carries per-file BLOOM indexes
+    * for (`bloom_*` binary fields), or Nil. */
+  private def bloomColsOf(spark: SparkSession, root: String,
+                          v: Long): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(root, s"$StatsDir/v=$v")
+    if (!fsOf(spark, p).exists(p)) Nil
+    else spark.read.parquet(p.toString).schema.fieldNames.toSeq
+      .collect { case n if n.startsWith("bloom_") => n.stripPrefix("bloom_") }
+  }
+
+  /** Per-file bloom sketch size target: estimated distinct values per
+    * FILE (Spark sizes numBits from it at the default 3 % fpp, ~90 KB
+    * per file at 100k — size it to rows-per-file; an undersized sketch
+    * only raises the false-positive rate, never loses files). */
+  private val BloomEstItemsPerFile = 100000L
+
   private def writeStats(spark: SparkSession, root: String, v: Long,
-                         statsCols: Seq[String]): Unit = {
+                         statsCols: Seq[String],
+                         bloomCols: Seq[String] = Nil): Unit = {
     import org.apache.spark.sql.functions._
-    val aggs = statsCols.flatMap(c =>
-      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
-      count(lit(1)).as("n_rows")
     spark.read.parquet(s"$root/v=$v")
       .groupBy(input_file_name().as("file"))
-      .agg(aggs.head, aggs.tail: _*)
+      .agg(statsAggs(spark, statsCols, bloomCols).head,
+        statsAggs(spark, statsCols, bloomCols).tail: _*)
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$root/$StatsDir/v=$v")
+  }
+
+  /** The per-file aggregate list every stats write shares: min/max per
+    * stats column, a bloom sketch per bloom column ([[readCurrentPoint]]
+    * consults it for point-lookup file skipping on columns a range
+    * layout can't serve), and the row count. */
+  private def statsAggs(spark: SparkSession, statsCols: Seq[String],
+                        bloomCols: Seq[String])
+      : Seq[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions._
+    if (bloomCols.nonEmpty) graft.plans.BloomReduce.register(spark)
+    statsCols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) ++
+      bloomCols.map(c =>
+        expr(s"${graft.plans.BloomReduce.aggName}(CAST($c AS BIGINT), " +
+          s"CAST($BloomEstItemsPerFile AS BIGINT))").as(s"bloom_$c")) :+
+      count(lit(1)).as("n_rows")
   }
 
   /** The file paths of version `v` whose `[min,max]` interval on
@@ -427,6 +463,53 @@ object Snapshot {
       if (files.isEmpty) // no overlap: empty result, correct schema, no scan
         spark.read.parquet(s"$root/v=$v").filter(between).filter(lit(false))
       else spark.read.parquet(files: _*).filter(between)
+    }
+  }
+
+  /** The files of version `v` whose per-file BLOOM index might contain
+    * `value` in `bloomCol` — a driver-side manifest read (O(files)
+    * sketch deserializations, each ~KBs). Blooms never lose a file
+    * (no false negatives); false positives only add reads. */
+  private[graft] def filesForPoint(spark: SparkSession, root: String,
+                                   v: Long, bloomCol: String,
+                                   value: Long): Seq[String] = {
+    spark.read.parquet(s"$root/$StatsDir/v=$v")
+      .select(org.apache.spark.sql.functions.col("file"),
+        org.apache.spark.sql.functions.col(s"bloom_$bloomCol"))
+      .collect()
+      .filter { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        bytes != null && org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(bytes))
+          .mightContainLong(value)
+      }
+      .map(_.getString(0)).toSeq
+  }
+
+  /** Point lookup with BLOOM-index file skipping: scan ONLY the files
+    * whose per-file bloom sketch might contain `value` — the skipping
+    * tool for the column a range layout CANNOT serve (min/max bounds
+    * on an unordered column span everything; a bloom prunes by
+    * membership instead, the Delta bloom-index / Parquet bloom-filter
+    * shape at manifest granularity). On a table whose values scatter a
+    * key across few files, a point lookup opens those files plus the
+    * sketch fpp, not the table. The residual equality filter still
+    * applies and pushes into the parquet scan. Falls back to a plain
+    * filtered read when the version carries no bloom for `pointCol`. */
+  def readCurrentPoint(spark: SparkSession, root: String,
+                       pointCol: String, value: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val v = currentVersion(spark, root).getOrElse(
+      throw new java.util.NoSuchElementException(
+        s"snapshot table $root has no committed version"))
+    val eq = col(pointCol) === lit(value)
+    if (!bloomColsOf(spark, root, v).contains(pointCol))
+      readResolved(spark, root, v).filter(eq)
+    else {
+      val files = filesForPoint(spark, root, v, pointCol, value)
+      if (files.isEmpty) // definitively absent: no file can contain it
+        readResolved(spark, root, v).filter(eq).filter(lit(false))
+      else spark.read.parquet(files: _*).filter(eq)
     }
   }
 
@@ -494,7 +577,8 @@ object Snapshot {
         // carry the base's stats manifest forward (same contract as
         // compact: maintenance must not silently kill data skipping)
         val sc = statsColsOf(spark, root, base)
-        if (sc.nonEmpty) writeStats(spark, root, base + 1, sc)
+        if (sc.nonEmpty) writeStats(spark, root, base + 1, sc,
+          bloomColsOf(spark, root, base))
         if (pointerAdvance(spark, root, base + 1)) return base + 1
         // a concurrent blind commit claimed a higher version and swapped
         // first — this merge never became current; recompute on the head
@@ -599,9 +683,7 @@ object Snapshot {
     if (sc.nonEmpty) {
       val carried = spark.read.parquet(s"$root/$StatsDir/v=$base")
         .filter(col("file").isin(carriedFiles: _*))
-      val aggs = sc.flatMap(c =>
-        Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
-        count(lit(1)).as("n_rows")
+      val aggs = statsAggs(spark, sc, bloomColsOf(spark, root, base))
       val fresh =
         if (newFiles.isEmpty) carried.limit(0)
         else spark.read.parquet(newFiles: _*)
@@ -814,6 +896,35 @@ object Snapshot {
         min(col("o_orderkey")).as("min_key"),
         max(col("o_orderkey")).as("max_key"))
       .orderBy("o_orderstatus")
+  }
+
+  /** The oracle-certified [[readCurrentPoint]] venue (`of10_point_lookup`):
+    * lineitem range-laid-out on `l_orderkey` (so `l_partkey` values
+    * scatter across files and min/max bounds on it are useless) with a
+    * per-file bloom index on `l_partkey`, then a point lookup of the
+    * smallest part key. The bloom picks the few files holding that
+    * key's rows (file-skipping is spec-pinned in SnapshotSpec); this
+    * query certifies VALUES — the lookup must return exactly the
+    * fixture's rows for that key, which DuckDB replays directly. */
+  def pointLookupDemo(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val li = graft.sources.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+    val pk = li.agg(min(col("l_partkey"))).head().getLong(0)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_point_").toString
+    commitWithStats(
+      li.repartitionByRange(8, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey"),
+      root, Seq("l_orderkey"), bloomCols = Seq("l_partkey"))
+    readCurrentPoint(spark, root, "l_partkey", pk)
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("decimal(12,2)")).cast("double")
+          .as("sum_qty"),
+        min(col("l_orderkey")).as("min_okey"),
+        max(col("l_orderkey")).as("max_okey"))
+      .orderBy("l_partkey")
   }
 
   /** Orphan GC: delete unreferenced `v=*` snapshot directories (old

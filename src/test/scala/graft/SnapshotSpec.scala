@@ -453,6 +453,44 @@ class SnapshotSpec extends SparkSuite {
     assert(Snapshot.restore(spark, root, 3L) == 3L)
   }
 
+  test("per-file bloom index skips files a range layout cannot, and survives maintenance") {
+    val root = freshTable()
+    // layout on a scrambled key so `v` (unique ids) scatters: every
+    // file's [min_v, max_v] spans ~the whole domain — min/max skipping
+    // is useless on v, membership skipping is not
+    val df = spark.range(0, 8000).select(
+        ((col("id") * 2654435761L) % 8000).as("k"), col("id").as("v"))
+      .repartitionByRange(8, col("k")).sortWithinPartitions("k")
+    Snapshot.commitWithStats(df, root, Seq("k", "v"),
+      bloomCols = Seq("v"))
+    val nFiles = Snapshot.fileInventory(spark, root, 1L).size
+    // min/max on v touches ~every file...
+    val mm = Snapshot.prunedFiles(spark, root, 1L, "v",
+      lit(4242L), lit(4242L))
+    assert(mm.size >= nFiles - 1,
+      s"scrambled layout should defeat min/max: ${mm.size} of $nFiles")
+    // ...the bloom touches ~one
+    val bf = Snapshot.filesForPoint(spark, root, 1L, "v", 4242L)
+    assert(bf.nonEmpty && bf.size <= 2,
+      s"bloom should pick ~1 file, got ${bf.size} of $nFiles")
+    val got = Snapshot.readCurrentPoint(spark, root, "v", 4242L).collect()
+    assert(got.length == 1 && got.head.getLong(1) == 4242L)
+    // a value outside the domain: definitively absent, empty + schema
+    val none = Snapshot.readCurrentPoint(spark, root, "v", 999999L)
+    assert(none.count() == 0L && none.columns.toSeq == Seq("k", "v"))
+    // the index survives a file-granular delete (carried stats rows
+    // keep their bloom columns) and a full compaction (re-derived)
+    Snapshot.deleteWhere(spark, root, "k", lit(0L), lit(500L))
+    val afterDel = Snapshot.readCurrentPoint(spark, root, "v", 4242L)
+      .collect()
+    assert(afterDel.length <= 1) // 4242's row survives unless its k deleted
+    Snapshot.compact(spark, root, numFiles = 4)
+    val afterCompact = Snapshot.readCurrentPoint(spark, root, "v", 4242L)
+      .collect()
+    assert(afterCompact.map(_.getLong(1)).toSeq ==
+      afterDel.map(_.getLong(1)).toSeq)
+  }
+
   test("of4 upsert-merge through snapshots equals the logical merge") {
     val got = graft.operators.Etl.upsertMerge(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1))).toMap

@@ -229,6 +229,8 @@ object SparkEntry {
     "of9_restore"          -> (operators.Snapshot.restoreDemo(_, _)),
     // per-file bloom index: point-lookup file skipping where min/max can't
     "of10_point_lookup"    -> (operators.Snapshot.pointLookupDemo(_, _)),
+    // O(batch) manifest appends + the file-stream tail over them
+    "of11_append_tail"     -> (graft.streaming.Streaming.appendTail(_, _)),
     // time-series: daily resample + forward-fill, and batch sessionization
     "x22_resample_ffill"   -> (Relational.resampleFfill(_, _)),
     // incremental grid refresh: must equal the full recompute (same oracle)
@@ -391,6 +393,16 @@ object SparkEntry {
         |   FROM lineitem))
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
+    // of11: the streaming tail over commit + two appends must recover
+    // exactly the three slices' union — the plain orders aggregate.
+    "of11_append_tail" ->
+      """SELECT o_orderstatus,
+        |       COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+        |         AS sum_price
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     // of10: the oracle replays the point lookup straight off the
     // fixture — a bloom that dropped a file holding the key (false
     // negative) or a wrong residual filter cannot hash-match.

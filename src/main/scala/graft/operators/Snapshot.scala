@@ -663,6 +663,42 @@ object Snapshot {
       s"deleteWhere on $root did not win a claim in $maxRetries attempts")
   }
 
+  /** Manifest-referenced APPEND: commit `df` as NEW files while every
+    * existing file rides into the new version by reference — an
+    * O(batch) write at any table size, vs [[commit]]'s full rewrite
+    * (the incremental-ingest shape: a CDC/stream consumer lands each
+    * batch in one append, and scan cost is controlled afterwards by
+    * [[compactSmall]]). Stats carry verbatim for referenced files and
+    * are re-derived over just the appended ones. The first commit on
+    * an empty table degrades to a plain [[commit]]. Note appends are
+    * ADDITIVE by contract: same-key rows accumulate (use
+    * [[mergeCommit]] for upsert semantics). */
+  def appendCommit(df: DataFrame, root: String,
+                   maxRetries: Int = 16): Long = {
+    val spark = df.sparkSession
+    var attempt = 0
+    while (attempt < maxRetries) {
+      currentVersion(spark, root) match {
+        case None => return commit(df, root)
+        case Some(base) =>
+          if (claimVersion(spark, root, base + 1)) {
+            val next = base + 1
+            val carried = fileInventory(spark, root, base).map(_._1)
+            df.write.mode("overwrite").parquet(s"$root/v=$next")
+            writeManifestAndStats(spark, root, next, base, carried)
+            if (pointerAdvance(spark, root, next)) return next
+          } else {
+            val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+            while (currentVersion(spark, root).getOrElse(0L) <= base
+                   && System.nanoTime() < deadline) Thread.sleep(20)
+          }
+      }
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"appendCommit to $root did not win a claim in $maxRetries attempts")
+  }
+
   /** Shared tail of every file-granular commit: write version `next`'s
     * file manifest (`carried` by reference + whatever parquet the
     * commit just wrote into `v=next`) and, when the base carries a

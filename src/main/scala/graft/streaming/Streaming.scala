@@ -610,4 +610,45 @@ object Streaming {
         col("n_events"))
       .orderBy("user_id", "session_start")
   }
+
+  /** Tail a snapshot table's APPEND stream: Spark's file-stream source
+    * over the `v=*` version directories picks up each
+    * [[graft.operators.Snapshot.appendCommit]]'s new files
+    * incrementally — committed files are immutable and every append
+    * lands whole new files, so the battle-tested file source IS the
+    * change stream (offsets = seen files, exactly-once with a
+    * checkpoint; no custom connector needed). Append-only contract:
+    * a delete/compact/restore REWRITES files and would re-emit rows —
+    * the same caveat as Delta streaming reads without `ignoreChanges`;
+    * feed those through [[graft.operators.Snapshot.changeFeed]]
+    * instead. */
+  def snapshotAppends(spark: SparkSession, root: String,
+                      schema: StructType): DataFrame =
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(s"$root/v=*")
+
+  /** of11: the certified append-tail venue — three deterministic
+    * slices of orders land via commit + two
+    * [[graft.operators.Snapshot.appendCommit]]s (each append writes
+    * ONLY its batch; SnapshotSpec pins the file granularity), and the
+    * streaming tail over the version dirs must recover exactly their
+    * union, which the DuckDB oracle replays as the plain orders
+    * aggregate. */
+  def appendTail(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Snapshot
+    val o = Tables.table(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_tail_").toString
+    Snapshot.commit(o.filter(col("o_orderkey") % 3 === 0), root)
+    Snapshot.appendCommit(o.filter(col("o_orderkey") % 3 === 1), root)
+    Snapshot.appendCommit(o.filter(col("o_orderkey") % 3 === 2), root)
+    val tail = snapshotAppends(spark, root,
+      Snapshot.readCurrent(spark, root).schema)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        Exact.dsum(col("o_totalprice")).as("sum_price"))
+    runToBatch(tail, "complete").orderBy("o_orderstatus")
+  }
 }

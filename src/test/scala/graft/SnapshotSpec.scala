@@ -491,6 +491,31 @@ class SnapshotSpec extends SparkSuite {
       afterDel.map(_.getLong(1)).toSeq)
   }
 
+  test("appendCommit lands only the batch's files; stats and reads span the union") {
+    val root = freshTable()
+    val mk = (lo: Long, hi: Long) => spark.range(lo, hi)
+      .select(col("id").as("k"), (col("id") % 7).as("v"))
+      .repartitionByRange(2, col("k")).sortWithinPartitions("k")
+    Snapshot.commitWithStats(mk(0L, 1000L), root, Seq("k"))
+    val v1Files = Snapshot.fileInventory(spark, root, 1L).map(_._1).toSet
+    val av = Snapshot.appendCommit(mk(1000L, 2000L), root)
+    assert(av == 2L)
+    // the append carried v1 by reference and added only its own files
+    val inv2 = Snapshot.fileInventory(spark, root, 2L).map(_._1).toSet
+    assert(v1Files.subsetOf(inv2), "append must reference the base files")
+    val added = inv2 -- v1Files
+    assert(added.nonEmpty && added.forall(_.contains("/v=2/")),
+      s"append leaked non-batch files: $added")
+    // content is the union, and carried+fresh stats prune across it
+    assert(Snapshot.readCurrent(spark, root).count() == 2000L)
+    assert(Snapshot.readCurrentPruned(spark, root, "k",
+      lit(500L), lit(1500L)).count() == 1001L)
+    // append on an empty table is the first commit
+    val fresh = freshTable()
+    assert(Snapshot.appendCommit(mk(0L, 10L), fresh) == 1L)
+    assert(Snapshot.readCurrent(spark, fresh).count() == 10L)
+  }
+
   test("of4 upsert-merge through snapshots equals the logical merge") {
     val got = graft.operators.Etl.upsertMerge(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1))).toMap

@@ -87,7 +87,17 @@ object PlanDump {
         "and v=2 (rewritten) paths — the delete rewrote only the " +
         "stats-overlapping files; the aggregate above is an ordinary " +
         "grouped read, proof the manifest layer is invisible to the " +
-        "planner."))
+        "planner."),
+    "of10_point_lookup" ->
+      ("Bloom-index point lookup. Look for: the scan's file index " +
+        "holding ONLY the might-contain files (a strict subset of the " +
+        "table — the manifest-level bloom skipped the rest before " +
+        "planning), with the residual equality in PushedFilters so " +
+        "parquet row-group stats prune inside the surviving files too. " +
+        "This venue's key (the smallest part key) recurs across most " +
+        "files, so skipping is modest here; SnapshotSpec's " +
+        "scattered-unique-key venue pins the sharp case — bloom picks " +
+        "~1 file of 8 where min/max bounds touch all 8."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

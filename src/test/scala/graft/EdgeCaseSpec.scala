@@ -55,6 +55,18 @@ class EdgeCaseSpec extends SparkSuite {
     assert(TextAnalysis.heavyHitters(spark, emptySf).count() == 0)
   }
 
+  test("multimodal featurizers are empty-safe and keep their schemas") {
+    val r = graft.operators.Multimodal.resizedImages(spark, emptySf)
+    assert(r.count() == 0 && r.columns.contains("resized_sum"))
+    val f = graft.operators.Multimodal.audioFrames(spark, emptySf)
+    assert(f.count() == 0 &&
+      f.columns.toSeq == Seq("doc_id", "frame", "n_frame_samples",
+        "frame_abs_sum"))
+    // one doc: exactly one modality's rows, by doc_id % 3
+    val one = graft.operators.Multimodal.decodedMeta(spark, oneSf).collect()
+    assert(one.length == 1)
+  }
+
   test("similarity search is empty-safe") {
     assert(Similarity.cosineTopK(spark, emptySf).count() == 0)
     assert(Similarity.annLsh(spark, emptySf).count() == 0)

@@ -391,9 +391,15 @@ object Snapshot {
 
   /** Per-file bloom sketch size target: estimated distinct values per
     * FILE (Spark sizes numBits from it at the default 3 % fpp, ~90 KB
-    * per file at 100k — size it to rows-per-file; an undersized sketch
-    * only raises the false-positive rate, never loses files). */
-  private val BloomEstItemsPerFile = 100000L
+    * per file at 100k — SIZE IT TO ROWS-PER-FILE: the manifest grows
+    * by sketch-size × files, and [[readCurrentPoint]] deserializes
+    * every sketch driver-side, so an oversized est wastes manifest
+    * bytes and lookup latency while an undersized one only raises the
+    * false-positive rate — never loses files. Overridable per session
+    * via `graft.snapshot.bloomEstItems` on the Spark conf. */
+  private def bloomEstItems(spark: SparkSession): Long =
+    spark.conf.getOption("graft.snapshot.bloomEstItems")
+      .map(_.toLong).getOrElse(100000L)
 
   private def writeStats(spark: SparkSession, root: String, v: Long,
                          statsCols: Seq[String],
@@ -420,7 +426,7 @@ object Snapshot {
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) ++
       bloomCols.map(c =>
         expr(s"${graft.plans.BloomReduce.aggName}(CAST($c AS BIGINT), " +
-          s"CAST($BloomEstItemsPerFile AS BIGINT))").as(s"bloom_$c")) :+
+          s"CAST(${bloomEstItems(spark)} AS BIGINT))").as(s"bloom_$c")) :+
       count(lit(1)).as("n_rows")
   }
 
@@ -507,9 +513,14 @@ object Snapshot {
       readResolved(spark, root, v).filter(eq)
     else {
       val files = filesForPoint(spark, root, v, pointCol, value)
-      if (files.isEmpty) // definitively absent: no file can contain it
-        readResolved(spark, root, v).filter(eq).filter(lit(false))
-      else spark.read.parquet(files: _*).filter(eq)
+      if (files.isEmpty) {
+        // definitively absent: no file can contain it — anchor the
+        // empty result's SCHEMA on one file instead of footer-reading
+        // the whole table (measured 2.3 s vs 0.1 s at 1000 files)
+        val any = spark.read.parquet(s"$root/$StatsDir/v=$v")
+          .select("file").head().getString(0)
+        spark.read.parquet(any).filter(eq).filter(lit(false))
+      } else spark.read.parquet(files: _*).filter(eq)
     }
   }
 

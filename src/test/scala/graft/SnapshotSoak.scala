@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators.Snapshot
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** File-count soak for the snapshot/manifest layer — the scale axis
+  * the fixture bench pair cannot show (its tables are single files).
+  * Builds an `nFiles`-file bloom-indexed table and times the
+  * metadata-bound operations whose cost law is O(files):
+  * append (manifest carry), point lookup (driver-side sketch
+  * deserialization), range read (stats scan), file-granular delete,
+  * and small-file compaction. `Test/runMain graft.SnapshotSoak
+  * [nFiles] [rowsPerFile] [bloomEstItems]` — results land in
+  * BENCH_NOTES by hand, like the other soaks. */
+object SnapshotSoak {
+  def main(args: Array[String]): Unit = {
+    val nFiles = args.lift(0).map(_.toInt).getOrElse(1000)
+    val rowsPerFile = args.lift(1).map(_.toInt).getOrElse(10000)
+    val est = args.lift(2).map(_.toLong).getOrElse(20000L)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("graft.snapshot.bloomEstItems", est.toString)
+
+    val n = nFiles.toLong * rowsPerFile
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_snapsoak_").toString
+    def timed[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[soak] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+    // layout on k (range-disjoint per file); v scrambled for the bloom
+    val df = spark.range(0, n).select(col("id").as("k"),
+        ((col("id") * 2654435761L) % n).as("v"))
+      .repartitionByRange(nFiles, col("k")).sortWithinPartitions("k")
+    timed(s"commitWithStats $nFiles files")(
+      Snapshot.commitWithStats(df, root, Seq("k"), bloomCols = Seq("v")))
+    val manifestBytes = Snapshot
+      .fileInventory(spark, root,
+        Snapshot.currentVersion(spark, root).get).map(_._2).sum
+    println(s"[soak] table bytes: $manifestBytes")
+    timed("appendCommit 1 batch")(
+      Snapshot.appendCommit(spark.range(n, n + rowsPerFile)
+        .select(col("id").as("k"),
+          ((col("id") * 2654435761L) % n).as("v"))
+        .coalesce(1), root))
+    val hit = timed("point lookup (bloom)")(
+      Snapshot.readCurrentPoint(spark, root, "v", 4242L).count())
+    require(hit == 1L, s"expected 1 row, got $hit")
+    val miss = timed("point lookup (absent)")(
+      Snapshot.readCurrentPoint(spark, root, "v", -1L).count())
+    require(miss == 0L, s"expected 0 rows, got $miss")
+    val ranged = timed("range read (stats)")(
+      Snapshot.readCurrentPruned(spark, root, "k",
+        lit(1000L), lit(2000L)).count())
+    require(ranged == 1001L, s"expected 1001 rows, got $ranged")
+    timed("deleteWhere 1-file band")(
+      Snapshot.deleteWhere(spark, root, "k", lit(0L), lit(rowsPerFile / 2L)))
+    // threshold under the settled per-file size: pack only the delete's
+    // sliver and the append's small batch file, reference the rest
+    val perFile = manifestBytes / nFiles
+    timed("compactSmall (slivers only)")(
+      Snapshot.compactSmall(spark, root, smallBytes = perFile / 2))
+    val total = timed("full read count")(
+      Snapshot.readCurrent(spark, root).count())
+    println(s"[soak] final rows: $total")
+    spark.stop()
+  }
+}

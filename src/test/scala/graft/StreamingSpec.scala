@@ -292,6 +292,33 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("the snapshot append tail picks up mid-stream appendCommits incrementally") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_tailinc_").toString
+    val mk = (lo: Long, hi: Long) => spark.range(lo, hi)
+      .select(col("id").as("k"), (col("id") % 7).as("v"))
+    graft.operators.Snapshot.commit(mk(0L, 100L), root)
+    val name = "graft_tail_inc"
+    val q = Streaming.snapshotAppends(spark, root,
+        graft.operators.Snapshot.readCurrent(spark, root).schema)
+      .groupBy(col("v")).agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    def total(): Long = {
+      q.processAllAvailable()
+      spark.table(name).agg(sum(col("n"))).head().getLong(0)
+    }
+    try {
+      assert(total() == 100L, "initial commit not read")
+      // appends land WHILE the query runs: the file source must list
+      // the new version dirs' files on the next micro-batch
+      graft.operators.Snapshot.appendCommit(mk(100L, 250L), root)
+      assert(total() == 250L, "first mid-stream append not picked up")
+      graft.operators.Snapshot.appendCommit(mk(250L, 400L), root)
+      assert(total() == 400L, "second mid-stream append not picked up")
+    } finally q.stop()
+  }
+
   test("streaming CDC upserts land atomically in the snapshot table across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._

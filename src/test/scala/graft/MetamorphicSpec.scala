@@ -59,11 +59,22 @@ class MetamorphicSpec extends SparkSuite {
     // construction, so it too must survive every execution config
     val doWindow = r.nextBoolean()
     val doUnionSplit = r.nextInt(3) == 0
+    // scalar-subquery filter (the x25/of8 query class): a one-shot
+    // aggregate embedded in the predicate — Catalyst executes it as a
+    // separate subquery job whose result folds into the filter, a
+    // mechanism AQE/codegen variations must not perturb
+    val doScalarSub = r.nextInt(3) == 0
+    val subFrac = 2 + r.nextInt(3)
     val f1 = filters(r.nextInt(filters.size))
     val limit = if (r.nextBoolean()) Some(10 + r.nextInt(50)) else None
     () => {
       import org.apache.spark.sql.expressions.Window
       var df = f1(lineitem)
+      if (doScalarSub) {
+        lineitem.createOrReplaceTempView("__meta_li")
+        df = df.filter(col("l_orderkey") <=
+          expr(s"(SELECT MAX(l_orderkey) FROM __meta_li) / $subFrac"))
+      }
       if (doWindow) {
         val w = Window.partitionBy("l_returnflag")
           .orderBy(col("l_orderkey"), col("l_linenumber"))

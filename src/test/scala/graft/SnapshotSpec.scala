@@ -516,6 +516,33 @@ class SnapshotSpec extends SparkSuite {
     assert(Snapshot.readCurrent(spark, fresh).count() == 10L)
   }
 
+  test("racing append and delete serialize through the claim protocol") {
+    val root = freshTable()
+    val mk = (lo: Long, hi: Long) => spark.range(lo, hi)
+      .select(col("id").as("k"), (col("id") % 7).as("v"))
+      .repartitionByRange(2, col("k")).sortWithinPartitions("k")
+    Snapshot.commitWithStats(mk(0L, 1000L), root, Seq("k"))
+    // disjoint targets: the delete removes [0,100] from the base, the
+    // append adds [2000,2100) — BOTH serial orders converge to the
+    // same row set, so the assert pins serialization, not luck
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fa = Future(Snapshot.appendCommit(mk(2000L, 2100L), root))
+    val fd = Future(
+      Snapshot.deleteWhere(spark, root, "k", lit(0L), lit(100L)))
+    val (va, vd) = (Await.result(fa, 120.seconds),
+      Await.result(fd, 120.seconds))
+    // both landed, on distinct versions, and nothing was lost
+    assert(Set(va, vd) == Set(2L, 3L), s"got versions $va/$vd")
+    val ks = Snapshot.readCurrent(spark, root)
+      .collect().map(_.getLong(0)).toSet
+    val expect = ((101L until 1000L) ++ (2000L until 2100L)).toSet
+    assert(ks == expect,
+      s"racing commits lost rows: ${(expect -- ks).take(5)}... or " +
+        s"phantoms: ${(ks -- expect).take(5)}...")
+  }
+
   test("of4 upsert-merge through snapshots equals the logical merge") {
     val got = graft.operators.Etl.upsertMerge(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1))).toMap

@@ -231,6 +231,8 @@ object SparkEntry {
     "of10_point_lookup"    -> (operators.Snapshot.pointLookupDemo(_, _)),
     // O(batch) manifest appends + the file-stream tail over them
     "of11_append_tail"     -> (graft.streaming.Streaming.appendTail(_, _)),
+    // add-column evolution: append a new column, old files read as NULL
+    "of12_schema_evolution" -> (operators.Snapshot.schemaEvolutionDemo(_, _)),
     // time-series: daily resample + forward-fill, and batch sessionization
     "x22_resample_ffill"   -> (Relational.resampleFfill(_, _)),
     // incremental grid refresh: must equal the full recompute (same oracle)
@@ -417,6 +419,26 @@ object SparkEntry {
         |WHERE l_partkey = (SELECT MIN(l_partkey) FROM lineitem)
         |GROUP BY l_partkey
         |ORDER BY l_partkey""".stripMargin,
+    // of12: the oracle replays the evolved table as the union of the
+    // two deterministic slices — old rows carry NULL o_flag. A read
+    // that dropped carried rows, phantom-flagged an old row, or lost
+    // the appended batch cannot hash-match.
+    "of12_schema_evolution" ->
+      """WITH v1 AS (SELECT o_orderkey, o_totalprice,
+        |              CAST(NULL AS BIGINT) AS o_flag
+        |            FROM orders WHERE o_orderkey % 10 <> 3),
+        |     v2 AS (SELECT o_orderkey, o_totalprice,
+        |              o_orderkey % 2 AS o_flag
+        |            FROM orders WHERE o_orderkey % 10 = 3)
+        |SELECT o_flag,
+        |       COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+        |         AS sum_price,
+        |       MIN(o_orderkey) AS min_key,
+        |       MAX(o_orderkey) AS max_key
+        |FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+        |GROUP BY o_flag
+        |ORDER BY o_flag NULLS FIRST""".stripMargin,
     // of9: after damage + restore, the table must be indistinguishable
     // from the fixture — the oracle reads orders directly.
     "of9_restore" ->

@@ -148,8 +148,7 @@ object Layout {
     *
     * The dim plan is evaluated twice (sketch + join build) — it is the
     * SMALL side by contract, exactly like the probe relation of any
-    * semi-join reduction. Fixed temp-view names keep the catalog
-    * bounded across repeated calls (create-or-replace semantics).
+    * semi-join reduction.
     */
   def bloomReducedJoin(fact: DataFrame, dim: DataFrame,
                        factKey: String, dimKey: String,
@@ -158,20 +157,35 @@ object Layout {
       .join(dim, col(factKey) === dim(dimKey))
 
   /** The fact-side pruning stage of [[bloomReducedJoin]], exposed so
-    * LayoutSpec can certify the reduction actually drops rows. */
+    * LayoutSpec can certify the reduction actually drops rows.
+    *
+    * The scalar subquery needs SQL text, so the inputs bind through
+    * temp views — PER-CALL unique names, dropped as soon as the plan is
+    * analyzed (Dataset construction is eagerly analyzed, so the
+    * returned frame holds the resolved plan and never re-reads the
+    * catalog): fixed names would let two concurrent calls on one
+    * session interleave create-or-replace and bind each other's
+    * fact/dim, and would leak the views into the session catalog. */
   private[graft] def bloomPrune(fact: DataFrame, dim: DataFrame,
                                 factKey: String, dimKey: String,
                                 estItems: Long): DataFrame = {
     val spark = fact.sparkSession
     graft.plans.BloomReduce.register(spark)
-    fact.createOrReplaceTempView("__graft_bloom_fact")
-    dim.createOrReplaceTempView("__graft_bloom_dim")
-    spark.sql(
-      s"""SELECT f.* FROM __graft_bloom_fact f
+    val id = java.util.UUID.randomUUID().toString.replace("-", "")
+    val factView = s"__graft_bloom_fact_$id"
+    val dimView = s"__graft_bloom_dim_$id"
+    fact.createOrReplaceTempView(factView)
+    dim.createOrReplaceTempView(dimView)
+    try spark.sql(
+      s"""SELECT f.* FROM $factView f
          |WHERE ${graft.plans.BloomReduce.probeName}(
          |  (SELECT ${graft.plans.BloomReduce.aggName}(xxhash64($dimKey),
-         |          CAST($estItems AS BIGINT)) FROM __graft_bloom_dim),
+         |          CAST($estItems AS BIGINT)) FROM $dimView),
          |  xxhash64(f.$factKey))""".stripMargin)
+    finally {
+      spark.catalog.dropTempView(factView)
+      spark.catalog.dropTempView(dimView)
+    }
   }
 
   /** x25: [[bloomReducedJoin]] as a certified query. The dim side is a

@@ -76,6 +76,60 @@ object Snapshot {
     else s
   }
 
+  private val SchemaDir = "_schema"
+
+  /** Record version `v`'s LOGICAL schema (`_schema/v=N.json`) — the
+    * schema-evolution backbone: a version whose manifest mixes file
+    * generations (old files without a later-added column) is read with
+    * this schema EXPLICITLY, so parquet fills the missing columns with
+    * NULL and no footer is ever read for inference (the 1000-file soak
+    * measured footer inference as the O(files) read to avoid). One tiny
+    * driver-side file per version, same lifecycle as the manifests. */
+  private def writeSchema(spark: SparkSession, root: String, v: Long,
+                          schema: org.apache.spark.sql.types.StructType): Unit = {
+    val p = new org.apache.hadoop.fs.Path(root, s"$SchemaDir/v=$v.json")
+    val fs = fsOf(spark, p)
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, true)
+    try out.write(schema.json.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Version `v`'s recorded logical schema, or None for a version
+    * committed before schema tracking (reads fall back to inference). */
+  private[graft] def schemaOf(spark: SparkSession, root: String, v: Long)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val p = new org.apache.hadoop.fs.Path(root, s"$SchemaDir/v=$v.json")
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                 finally in.close()
+      Some(org.apache.spark.sql.types.DataType.fromJson(json)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    }
+  }
+
+  /** ADD-COLUMN evolution: base columns keep their position, batch-only
+    * columns append. A same-name column must keep its type — anything
+    * else (rename, retype, drop) is not an additive append and fails
+    * fast rather than silently corrupting carried files' reads. */
+  private def mergedSchema(base: org.apache.spark.sql.types.StructType,
+                           batch: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    val baseNames = base.fieldNames.toSet
+    base.fields.foreach { f =>
+      batch.fields.find(_.name == f.name).foreach { g =>
+        require(g.dataType == f.dataType,
+          s"schema evolution is ADD-COLUMN only: ${f.name} is " +
+            s"${f.dataType.simpleString} in the table but " +
+            s"${g.dataType.simpleString} in the batch")
+      }
+    }
+    org.apache.spark.sql.types.StructType(
+      base.fields ++ batch.fields.filterNot(f => baseNames(f.name)))
+  }
+
   /** The `(file, bytes)` inventory of version `v` — manifest-listed
     * files or the directory's parquet parts; an O(files) driver-side
     * metadata read, never a data scan. */
@@ -109,16 +163,25 @@ object Snapshot {
   }
 
   /** Resolve version `v` to a DataFrame: manifest-listed files when a
-    * manifest exists, the version directory otherwise. */
+    * manifest exists, the version directory otherwise. A version with a
+    * RECORDED schema is read with it explicitly — files from before an
+    * add-column evolution surface the new columns as NULL, and no
+    * footer is read for inference (O(1) planning instead of O(files)
+    * mergeSchema). */
   private def readResolved(spark: SparkSession, root: String,
-                           v: Long): DataFrame =
+                           v: Long): DataFrame = {
+    val reader = schemaOf(spark, root, v) match {
+      case Some(s) => spark.read.schema(s)
+      case None => spark.read
+    }
     manifestFiles(spark, root, v) match {
-      case Some(files) if files.nonEmpty => spark.read.parquet(files: _*)
+      case Some(files) if files.nonEmpty => reader.parquet(files: _*)
       case Some(_) => // degenerate: a delete emptied the whole table —
         // the rewrite dir still holds a schema-only anchor file
-        spark.read.parquet(s"$root/v=$v")
-      case None => spark.read.parquet(s"$root/v=$v")
+        reader.parquet(s"$root/v=$v")
+      case None => reader.parquet(s"$root/v=$v")
     }
+  }
 
   /** Read the live snapshot (the only read path — readers never list
     * version directories, so unreferenced snapshots are invisible). */
@@ -167,13 +230,15 @@ object Snapshot {
         // readResolved: compacting a manifest (delete) version
         // re-materializes it self-contained, collapsing the reference
         // chain so vacuum can reclaim the referenced ancestors
-        readResolved(spark, root, base).repartition(numFiles)
+        val resolved = readResolved(spark, root, base)
+        resolved.repartition(numFiles)
           .write.mode("overwrite").parquet(s"$root/v=${base + 1}")
         // a stats-carrying table keeps its data-skipping index across
         // maintenance passes: re-derive the manifest for the new files
         val sc = statsColsOf(spark, root, base)
         if (sc.nonEmpty) writeStats(spark, root, base + 1, sc,
           bloomColsOf(spark, root, base))
+        writeSchema(spark, root, base + 1, resolved.schema)
         if (pointerAdvance(spark, root, base + 1)) return base + 1
       } else {
         val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
@@ -298,19 +363,23 @@ object Snapshot {
     while (!held) {
       if (createExclusive(spark, lock, s"$v\n")) held = true
       else {
-        val age = try {
-          System.currentTimeMillis() -
-            fs.getFileStatus(lock).getModificationTime
+        val mtime = try {
+          Some(fs.getFileStatus(lock).getModificationTime)
         } catch {
-          case _: java.io.FileNotFoundException => 0L // freed; retry now
+          case _: java.io.FileNotFoundException => None // freed; retry now
         }
         // Lease semantics: a holder past the timeout has forfeited the
         // lock (the critical section is two metadata ops; 60 s means a
-        // dead JVM). The break itself can race a forfeit-age holder's
-        // release — acceptable exactly because such a holder already
-        // broke the lease contract.
-        if (age > PtrLockTimeoutMs) fs.delete(lock, false)
-        else Thread.sleep(20)
+        // dead JVM). The break is IDENTITY-CHECKED against the observed
+        // modification time — an unconditional delete could race the
+        // forfeiting holder's own release and kill a FRESH committer's
+        // lock acquired in the gap (two swaps then interleave).
+        mtime match {
+          case Some(m)
+              if System.currentTimeMillis() - m > PtrLockTimeoutMs =>
+            breakIfStillStale(spark, lock, m)
+          case _ => Thread.sleep(20)
+        }
       }
     }
     try {
@@ -318,6 +387,66 @@ object Snapshot {
       if (cur >= v) false
       else { setPointer(spark, root, v); true }
     } finally fs.delete(lock, false)
+  }
+
+  /** Break a forfeited `_ptrlock` ONLY if it is still the lock we
+    * observed stale: STEAL it to a unique tombstone first (atomic
+    * rename — after which no other process can touch it), re-verify
+    * identity by modification time, then either discard it (it really
+    * was the forfeited lock) or hand it back via a no-overwrite rename
+    * (a fresh holder's lock caught in the observe→break gap). The
+    * hand-back can itself lose to a brand-new creator — then the
+    * displaced fresh holder runs its two-op swap unlocked, a three-
+    * party microsecond window strictly narrower than the unconditional
+    * delete this replaces, and the monotonic compare inside the
+    * critical section still bounds the damage to an adjacent-version
+    * regression, never a torn pointer. */
+  private def breakIfStillStale(spark: SparkSession,
+                                lock: org.apache.hadoop.fs.Path,
+                                observedMtime: Long): Unit = {
+    val fs = fsOf(spark, lock)
+    val tomb = new org.apache.hadoop.fs.Path(lock.getParent,
+      s"${lock.getName}.break.${java.util.UUID.randomUUID()}")
+    val isLocal = "file" == Option(lock.toUri.getScheme).getOrElse("file")
+    val stolen =
+      if (isLocal) {
+        try {
+          java.nio.file.Files.move(
+            java.nio.file.Paths.get(lock.toUri.getPath),
+            java.nio.file.Paths.get(tomb.toUri.getPath),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          true
+        } catch { case _: java.nio.file.NoSuchFileException => false }
+      } else {
+        try {
+          org.apache.hadoop.fs.FileContext.getFileContext(
+              lock.toUri, spark.sparkContext.hadoopConfiguration)
+            .rename(lock, tomb, org.apache.hadoop.fs.Options.Rename.NONE)
+          true
+        } catch { case _: java.io.FileNotFoundException => false }
+      }
+    if (!stolen) return // released in the meantime; caller retries
+    val stillStale =
+      try fs.getFileStatus(tomb).getModificationTime == observedMtime
+      catch { case _: java.io.FileNotFoundException => false }
+    if (stillStale) { fs.delete(tomb, false); return } // lease broken
+    // a fresh holder's lock: give it back without clobbering any even
+    // newer lock (plain no-REPLACE move / Rename.NONE both refuse an
+    // existing destination)
+    try {
+      if (isLocal)
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(tomb.toUri.getPath),
+          java.nio.file.Paths.get(lock.toUri.getPath))
+      else
+        org.apache.hadoop.fs.FileContext.getFileContext(
+            lock.toUri, spark.sparkContext.hadoopConfiguration)
+          .rename(tomb, lock, org.apache.hadoop.fs.Options.Rename.NONE)
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException |
+           _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        fs.delete(tomb, false) // displaced holder documented above
+    }
   }
 
   /** Commit `df` as the next snapshot: claim a fresh version, write
@@ -357,6 +486,7 @@ object Snapshot {
         df.write.mode("overwrite").parquet(s"$root/v=$next")
         if (statsCols.nonEmpty)
           writeStats(spark, root, next, statsCols, bloomCols)
+        writeSchema(spark, root, next, df.schema)
         pointerAdvance(spark, root, next)
         return next
       }
@@ -393,10 +523,11 @@ object Snapshot {
     * FILE (Spark sizes numBits from it at the default 3 % fpp, ~90 KB
     * per file at 100k — SIZE IT TO ROWS-PER-FILE: the manifest grows
     * by sketch-size × files, and [[readCurrentPoint]] deserializes
-    * every sketch driver-side, so an oversized est wastes manifest
-    * bytes and lookup latency while an undersized one only raises the
-    * false-positive rate — never loses files. Overridable per session
-    * via `graft.snapshot.bloomEstItems` on the Spark conf. */
+    * every sketch (executor-side, inside the manifest scan), so an
+    * oversized est wastes manifest bytes and lookup latency while an
+    * undersized one only raises the false-positive rate — never loses
+    * files. Overridable per session via `graft.snapshot.bloomEstItems`
+    * on the Spark conf. */
   private def bloomEstItems(spark: SparkSession): Long =
     spark.conf.getOption("graft.snapshot.bloomEstItems")
       .map(_.toLong).getOrElse(100000L)
@@ -463,7 +594,13 @@ object Snapshot {
     val between = col(statsCol) >= lo && col(statsCol) <= hi
     val statsPath = new org.apache.hadoop.fs.Path(root, s"$StatsDir/v=$v")
     if (!fsOf(spark, statsPath).exists(statsPath))
-      spark.read.parquet(s"$root/v=$v").filter(between)
+      // resolve through the FILE manifest, not the bare v=N directory: a
+      // stats-less version is reachable with a manifest (plain commit,
+      // then appendCommit/compactSmall/restore — writeManifestAndStats
+      // skips stats when the base has none), and the directory alone
+      // would silently drop every manifest-referenced row (for a
+      // restored version, the directory is an EMPTY schema anchor)
+      readResolved(spark, root, v).filter(between)
     else {
       val files = prunedFiles(spark, root, v, statsCol, lo, hi)
       if (files.isEmpty) // no overlap: empty result, correct schema, no scan
@@ -473,23 +610,28 @@ object Snapshot {
   }
 
   /** The files of version `v` whose per-file BLOOM index might contain
-    * `value` in `bloomCol` — a driver-side manifest read (O(files)
-    * sketch deserializations, each ~KBs). Blooms never lose a file
-    * (no false negatives); false positives only add reads. */
+    * `value` in `bloomCol` — the probe runs EXECUTOR-side (a filter over
+    * the manifest scan), so only the matching file NAMES ever reach the
+    * driver. The distinction is the difference between O(matches) and
+    * O(files × sketch-bytes) driver traffic: at the soak's own sizing
+    * (~18 KB/sketch) a million-file table would otherwise ship ~18 GB
+    * through the driver per lookup. The deserialization cost is the
+    * same either way and O(files) manifest rows distribute across the
+    * scan; a UDF is fine here because this is metadata scale, never the
+    * data path. Blooms never lose a file (no false negatives); false
+    * positives only add reads. */
   private[graft] def filesForPoint(spark: SparkSession, root: String,
                                    v: Long, bloomCol: String,
                                    value: Long): Seq[String] = {
+    import org.apache.spark.sql.functions.{col, udf}
+    val mightContain = udf { bytes: Array[Byte] =>
+      bytes != null && org.apache.spark.util.sketch.BloomFilter
+        .readFrom(new java.io.ByteArrayInputStream(bytes))
+        .mightContainLong(value)
+    }
     spark.read.parquet(s"$root/$StatsDir/v=$v")
-      .select(org.apache.spark.sql.functions.col("file"),
-        org.apache.spark.sql.functions.col(s"bloom_$bloomCol"))
-      .collect()
-      .filter { r =>
-        val bytes = r.getAs[Array[Byte]](1)
-        bytes != null && org.apache.spark.util.sketch.BloomFilter
-          .readFrom(new java.io.ByteArrayInputStream(bytes))
-          .mightContainLong(value)
-      }
-      .map(_.getString(0)).toSeq
+      .filter(mightContain(col(s"bloom_$bloomCol")))
+      .select("file").collect().map(_.getString(0)).toSeq
   }
 
   /** Point lookup with BLOOM-index file skipping: scan ONLY the files
@@ -582,14 +724,20 @@ object Snapshot {
           s"snapshot table $root has no committed version to merge into"))
       if (claimVersion(spark, root, base + 1)) {
         val baseDf = readResolved(spark, root, base)
+        // allowMissingColumns: a change batch carrying a NEW column is
+        // an add-column evolution (kept rows read NULL there), and a
+        // batch without a recently-added column still merges (its rows
+        // get NULL) — either way the union schema is recorded below
         val merged = changes.unionByName(
-          baseDf.join(changes.select(key), Seq(key), "left_anti"))
+          baseDf.join(changes.select(key), Seq(key), "left_anti"),
+          allowMissingColumns = true)
         merged.write.mode("overwrite").parquet(s"$root/v=${base + 1}")
         // carry the base's stats manifest forward (same contract as
         // compact: maintenance must not silently kill data skipping)
         val sc = statsColsOf(spark, root, base)
         if (sc.nonEmpty) writeStats(spark, root, base + 1, sc,
           bloomColsOf(spark, root, base))
+        writeSchema(spark, root, base + 1, merged.schema)
         if (pointerAdvance(spark, root, base + 1)) return base + 1
         // a concurrent blind commit claimed a higher version and swapped
         // first — this merge never became current; recompute on the head
@@ -654,11 +802,26 @@ object Snapshot {
         val touched = prunedFiles(spark, root, base, statsCol, lo, hi)
         val untouched = all.diff(touched)
         val between = col(statsCol) >= lo && col(statsCol) <= hi
+        // SQL DELETE WHERE semantics: a NULL predicate does not delete.
+        // A bare `!between` evaluates to NULL on NULL-key rows and the
+        // filter would DROP them — but only in rewritten files (carried
+        // files never evaluate the predicate), deleting NULL rows or not
+        // based on which file they happened to share with an overlapping
+        // range. coalesce pins NULL-key rows as survivors everywhere.
+        val keep = !coalesce(between, lit(false))
         // rewrite ONLY the overlapping files, dropping matching rows;
         // a no-overlap delete writes a schema-only anchor so the v=N
-        // directory exists for the claim/observedMax protocol
+        // directory exists for the claim/observedMax protocol. The
+        // touched files are read with the base's RECORDED schema when
+        // present: after an add-column evolution they can mix
+        // generations, and plain inference would take one file's schema
+        // and drop the later column from the rewrite.
+        val touchedReader = schemaOf(spark, root, base) match {
+          case Some(s) => spark.read.schema(s)
+          case None => spark.read
+        }
         val rewritten =
-          if (touched.nonEmpty) spark.read.parquet(touched: _*).filter(!between)
+          if (touched.nonEmpty) touchedReader.parquet(touched: _*).filter(keep)
           else readResolved(spark, root, base).limit(0)
         rewritten.write.mode("overwrite").parquet(s"$root/v=$next")
         writeManifestAndStats(spark, root, next, base, untouched)
@@ -690,7 +853,27 @@ object Snapshot {
     var attempt = 0
     while (attempt < maxRetries) {
       currentVersion(spark, root) match {
-        case None => return commit(df, root)
+        case None =>
+          // The empty-table bootstrap must ALSO serialize through the
+          // claim: two appends racing here as blind [[commit]]s would
+          // each land a full-replace version (v=1, v=2) and the pointer
+          // would end on ONE batch — the other silently lost despite
+          // append's additive contract. Claim the first version
+          // ourselves; a lost claim waits for the winner's pointer swap
+          // and re-enters the loop, which then sees Some(base) and
+          // appends on top of it.
+          val next = observedMax(spark, root) + 1
+          if (claimVersion(spark, root, next)) {
+            df.write.mode("overwrite").parquet(s"$root/v=$next")
+            writeSchema(spark, root, next, df.schema)
+            if (pointerAdvance(spark, root, next)) return next
+            // out-versioned by a concurrent commit before our swap: the
+            // appended rows never became current — retry on the new head
+          } else {
+            val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+            while (currentVersion(spark, root).isEmpty
+                   && System.nanoTime() < deadline) Thread.sleep(20)
+          }
         case Some(base) =>
           if (claimVersion(spark, root, base + 1)) {
             val next = base + 1
@@ -726,6 +909,17 @@ object Snapshot {
       .map(canonFile).toSeq
     (carriedFiles ++ newFiles).toDF("file").coalesce(1)
       .write.mode("overwrite").parquet(s"$root/$ManifestDir/v=$next")
+    // schema evolution: the new version's logical schema is the base's
+    // with any NEW batch columns appended (one footer read of the fresh
+    // files — a commit batch is schema-uniform). A legacy base with no
+    // recorded schema stays legacy: recording only the batch's schema
+    // would mask the carried files' columns.
+    schemaOf(spark, root, base).foreach { baseSchema =>
+      val vSchema =
+        if (newFiles.isEmpty) baseSchema
+        else mergedSchema(baseSchema, spark.read.parquet(newFiles.head).schema)
+      writeSchema(spark, root, next, vSchema)
+    }
     val sc = statsColsOf(spark, root, base)
     if (sc.nonEmpty) {
       val carried = spark.read.parquet(s"$root/$StatsDir/v=$base")
@@ -768,8 +962,15 @@ object Snapshot {
         val next = base + 1
         val nOut = math.max(1L,
           (small.map(_._2).sum + targetBytes - 1) / targetBytes).toInt
-        // coalesce, not repartition: bin-packing needs no shuffle
-        spark.read.parquet(small.map(_._1): _*).coalesce(nOut)
+        // coalesce, not repartition: bin-packing needs no shuffle.
+        // Recorded schema for the same mixed-generation reason as
+        // deleteWhere's rewrite — small files can straddle an
+        // add-column evolution boundary.
+        val smallReader = schemaOf(spark, root, base) match {
+          case Some(s) => spark.read.schema(s)
+          case None => spark.read
+        }
+        smallReader.parquet(small.map(_._1): _*).coalesce(nOut)
           .write.mode("overwrite").parquet(s"$root/v=$next")
         writeManifestAndStats(spark, root, next, base, large.map(_._1))
         if (pointerAdvance(spark, root, next)) return next
@@ -841,13 +1042,30 @@ object Snapshot {
     import org.apache.spark.sql.functions._
     val a = readVersion(spark, root, fromV)
     val b = readVersion(spark, root, toV)
-    val dataCols = a.columns.filterNot(_ == key).toSeq
-    require(dataCols.toSet == b.columns.filterNot(_ == key).toSet,
-      s"schema drift between v$fromV and v$toV is not a row change feed")
-    val pre = a.select(col(key).as("k"),
-      struct(dataCols.map(col): _*).as("pre"))
-    val post = b.select(col(key).as("k"),
-      struct(dataCols.map(col): _*).as("post"))
+    // Align both snapshots to the UNION of their columns so the feed
+    // crosses an add-column evolution boundary: a column absent on one
+    // side reads as NULL there (its pre-image before the column
+    // existed), and the null-safe struct compare below then classifies
+    // a row as `update` only when a real value differs — an old row
+    // whose new column is still NULL on both sides stays unchanged.
+    // Same-name/different-type drift is still not a row change feed.
+    val types = (a.schema.fields ++ b.schema.fields)
+      .map(f => f.name -> f.dataType).toMap
+    a.schema.fields.foreach { f =>
+      require(types(f.name) == f.dataType,
+        s"column ${f.name} changed type between v$fromV and v$toV — " +
+          "not a row change feed")
+    }
+    val aCols = a.columns.toSet
+    val dataCols = (a.columns ++ b.columns.filterNot(aCols.contains))
+      .filterNot(_ == key).toSeq
+    def aligned(df: DataFrame): Seq[org.apache.spark.sql.Column] = {
+      val have = df.columns.toSet
+      dataCols.map(c =>
+        if (have(c)) col(c) else lit(null).cast(types(c)).as(c))
+    }
+    val pre = a.select(col(key).as("k"), struct(aligned(a): _*).as("pre"))
+    val post = b.select(col(key).as("k"), struct(aligned(b): _*).as("post"))
     pre.join(post, Seq("k"), "full_outer")
       .withColumn("_change",
         when(col("pre").isNull, "insert")
@@ -974,6 +1192,43 @@ object Snapshot {
       .orderBy("l_partkey")
   }
 
+  /** The oracle-certified schema-evolution venue
+    * (`of12_schema_evolution`): v1 commits orders `(o_orderkey,
+    * o_totalprice)` range-laid-out with stats for keys ≢3 (mod 10);
+    * an [[appendCommit]] then lands the ≡3 batch WITH a new `o_flag`
+    * column (`o_orderkey % 2`) — the first thing a real Delta/Iceberg
+    * user does. The recorded per-version schema makes the mixed-
+    * generation read explicit-schema (old files' `o_flag` reads NULL,
+    * zero footer inference); DuckDB replays the union with NULL flags
+    * on the old slice, certifying no row is lost or mis-flagged across
+    * the boundary. Old-version reads keeping the OLD schema and the
+    * change feed crossing the boundary are spec-pinned (SnapshotSpec);
+    * this query certifies VALUES. */
+  def schemaEvolutionDemo(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val o = graft.sources.Tables.table(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_evo_").toString
+    commitWithStats(
+      o.filter(col("o_orderkey") % 10 =!= 3)
+        .repartitionByRange(4, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"),
+      root, Seq("o_orderkey"))
+    appendCommit(
+      o.filter(col("o_orderkey") % 10 === 3)
+        .withColumn("o_flag", col("o_orderkey") % 2),
+      root)
+    readCurrent(spark, root)
+      .groupBy(col("o_flag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast("decimal(12,2)")).cast("double")
+          .as("sum_price"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy(asc_nulls_first("o_flag"))
+  }
+
   /** Orphan GC: delete unreferenced `v=*` snapshot directories (old
     * superseded versions beyond the `retain` newest — the time-travel
     * window — AND crashed writers' never-pointed orphans) plus decided
@@ -1081,12 +1336,26 @@ object Snapshot {
           case _ => true
         }
       }
+    // schema records follow their data directory's fate
+    val schemaRoot = new org.apache.hadoop.fs.Path(root, SchemaDir)
+    val deadSchemas =
+      if (!fs.exists(schemaRoot)) Seq.empty
+      else fs.listStatus(schemaRoot).toSeq.map(_.getPath).filter { p =>
+        p.getName match {
+          case n if n.matches("v=\\d+\\.json") =>
+            val v = n.stripPrefix("v=").stripSuffix(".json").toLong
+            !retained.contains(v) && !inFlight.contains(v)
+          case _ => true
+        }
+      }
     (deadDirs ++ deadClaims).map { p =>
       fs.delete(p, true); p.getName
     } ++ deadStats.map { p => // disambiguate from the data dir's "v=N"
       fs.delete(p, true); s"$StatsDir/${p.getName}"
     } ++ deadManifests.map { p =>
       fs.delete(p, true); s"$ManifestDir/${p.getName}"
+    } ++ deadSchemas.map { p =>
+      fs.delete(p, true); s"$SchemaDir/${p.getName}"
     }
   }
 

@@ -543,6 +543,128 @@ class SnapshotSpec extends SparkSuite {
         s"phantoms: ${(ks -- expect).take(5)}...")
   }
 
+  test("readCurrentPruned's stats-less fallback resolves the manifest, not the bare directory") {
+    val root = freshTable()
+    val mk = (lo: Long, hi: Long) => spark.range(lo, hi)
+      .select(col("id").as("k"), (col("id") % 7).as("v"))
+    // plain commit (NO stats) then an append: v2 has a file MANIFEST
+    // referencing v1's files but no stats manifest — the fallback that
+    // read the v=2 directory directly would silently return only the
+    // appended batch
+    Snapshot.commit(mk(0L, 1000L), root)
+    Snapshot.appendCommit(mk(1000L, 2000L), root)
+    assert(Snapshot.readCurrentPruned(spark, root, "k",
+      lit(0L), lit(5000L)).count() == 2000L,
+      "fallback dropped manifest-referenced rows")
+    assert(Snapshot.readCurrentPruned(spark, root, "k",
+      lit(500L), lit(1500L)).count() == 1001L)
+    // the degenerate anchor case: a stats-less RESTORE's directory is
+    // an EMPTY schema anchor — the directory fallback returns nothing
+    Snapshot.commit(mk(0L, 10L), root)
+    Snapshot.restore(spark, root, 1L)
+    assert(Snapshot.readCurrentPruned(spark, root, "k",
+      lit(0L), lit(5000L)).count() == 1000L,
+      "fallback returned the restore's empty anchor instead of the table")
+  }
+
+  test("DELETE WHERE does not delete NULL-key rows, wherever they live") {
+    val root = freshTable()
+    // one file mixing NULL keys with in-range keys (so the file is
+    // rewritten) — SQL DELETE semantics: a NULL predicate does not
+    // delete, so the NULLs must survive the rewrite exactly as they
+    // would survive in a carried file
+    val df = spark.range(0L, 20L)
+      .select(when(col("id") < 5, lit(null).cast("long"))
+          .otherwise(col("id")).as("k"),
+        (col("id") % 7).as("v"))
+      .coalesce(1)
+    Snapshot.commitWithStats(df, root, Seq("k"))
+    Snapshot.deleteWhere(spark, root, "k", lit(5L), lit(9L))
+    val ks = Snapshot.readCurrent(spark, root).collect()
+      .map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).toSet
+    assert(ks == (Set(-1L) ++ (10L until 20L)),
+      s"NULL-key rows were deleted by a NULL predicate: $ks")
+  }
+
+  test("racing appendCommits on an EMPTY table both land (bootstrap serializes)") {
+    val root = freshTable()
+    val mk = (lo: Long, hi: Long) => spark.range(lo, hi)
+      .select(col("id").as("k"), (col("id") % 7).as("v"))
+    // the old bootstrap degraded to two blind full-replace commits —
+    // the pointer ended on one batch and the other append's rows were
+    // silently lost despite append's additive contract
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fa = Future(Snapshot.appendCommit(mk(0L, 100L), root))
+    val fb = Future(Snapshot.appendCommit(mk(100L, 200L), root))
+    val (va, vb) = (Await.result(fa, 120.seconds),
+      Await.result(fb, 120.seconds))
+    assert(Set(va, vb) == Set(1L, 2L), s"got versions $va/$vb")
+    val ks = Snapshot.readCurrent(spark, root)
+      .collect().map(_.getLong(0)).toSet
+    assert(ks == (0L until 200L).toSet,
+      s"bootstrap race lost rows: ${((0L until 200L).toSet -- ks).take(5)}...")
+  }
+
+  test("add-column evolution: old files read NULL, old versions keep the old schema") {
+    val root = freshTable()
+    val mk = (lo: Long, hi: Long) => spark.range(lo, hi)
+      .select(col("id").as("k"), (col("id") % 7).as("v"))
+      .repartitionByRange(2, col("k")).sortWithinPartitions("k")
+    Snapshot.commitWithStats(mk(0L, 100L), root, Seq("k"))
+    // the evolved batch adds `flag`; carried v1 files never rewrite
+    Snapshot.appendCommit(
+      mk(100L, 200L).withColumn("flag", col("k") % 2), root)
+    val cur = Snapshot.readCurrent(spark, root)
+    assert(cur.columns.toSeq == Seq("k", "v", "flag"),
+      s"union schema expected, got ${cur.columns.toSeq}")
+    val byFlag = cur.groupBy("flag").count().collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) -> r.getLong(1))
+      .toMap
+    assert(byFlag == Map(-1L -> 100L, 0L -> 50L, 1L -> 50L),
+      s"old rows must read NULL flag: $byFlag")
+    // time travel: the OLD version still reads with the OLD schema
+    assert(Snapshot.readVersion(spark, root, 1L).columns.toSeq
+      == Seq("k", "v"))
+    // pruning still works across the boundary (old files carry stats)
+    assert(Snapshot.readCurrentPruned(spark, root, "k",
+      lit(50L), lit(150L)).count() == 101L)
+    // maintenance crossing the boundary: a delete whose touched files
+    // are OLD-generation must not drop the new column from the table,
+    // and a full compact re-materializes the union schema
+    Snapshot.deleteWhere(spark, root, "k", lit(0L), lit(9L))
+    val afterDel = Snapshot.readCurrent(spark, root)
+    assert(afterDel.columns.toSeq == Seq("k", "v", "flag"))
+    assert(afterDel.count() == 190L)
+    Snapshot.compact(spark, root, numFiles = 2)
+    val afterCompact = Snapshot.readCurrent(spark, root)
+    assert(afterCompact.columns.toSeq == Seq("k", "v", "flag"))
+    assert(afterCompact.filter(col("flag").isNull).count() == 90L)
+    // a retype is NOT an append — fail fast, not silent corruption
+    intercept[IllegalArgumentException] {
+      Snapshot.appendCommit(
+        mk(200L, 210L).withColumn("flag", lit("not-a-long")), root)
+    }
+  }
+
+  test("change feed crosses an add-column boundary with NULL pre-images") {
+    import spark.implicits._
+    val root = freshTable()
+    Snapshot.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root)
+    // v2 adds `flag`: k=1 unchanged (flag stays NULL), k=2 updated
+    // (flag appears), k=3 inserted
+    Snapshot.commit(
+      Seq((1L, "a", None: Option[Long]), (2L, "b", Some(7L)),
+        (3L, "c", Some(1L))).toDF("k", "v", "flag"), root)
+    val feed = Snapshot.changeFeed(spark, root, "k", fromV = 1L, toV = 2L)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(feed == Set((2L, "update", 7L), (3L, "insert", 1L)),
+      s"feed across the evolution boundary: $feed")
+  }
+
   test("of4 upsert-merge through snapshots equals the logical merge") {
     val got = graft.operators.Etl.upsertMerge(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1))).toMap

@@ -381,7 +381,10 @@ object OraclesLlm {
          |SELECT doc_id, simhash_lo, simhash_hi FROM fp ORDER BY doc_id""".stripMargin,
     // All-pairs in the oracle (tiny at oracle scale); the engine's
     // 16-bit banding is pigeonhole-complete for hamming ≤ 3, so the
-    // result sets are provably equal.
+    // result sets are provably equal. The QUALIFY mirrors the engine's
+    // bounded output contract (top-8 closest partners per left doc) —
+    // pair-emitting queries must stay O(docs) under any fixture
+    // density.
     "x09d_simhash_pairs" ->
       s"""WITH $simhashCtes
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -390,11 +393,17 @@ object OraclesLlm {
          |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash_lo, b.simhash_lo))
          |    + bit_count(xor(a.simhash_hi, b.simhash_hi)) <= 3
+         |QUALIFY ROW_NUMBER() OVER (PARTITION BY a.doc_id
+         |  ORDER BY bit_count(xor(a.simhash_lo, b.simhash_lo))
+         |         + bit_count(xor(a.simhash_hi, b.simhash_hi)),
+         |           b.doc_id) <= 8
          |ORDER BY doc_a, doc_b""".stripMargin,
     "x09e_ngram_jaccard" ->
       s"""WITH $toks,
          |$ngramPairCtes
          |SELECT doc_a, doc_b, jaccard FROM npairs
+         |QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_a
+         |  ORDER BY jaccard DESC, doc_b) <= 8
          |ORDER BY doc_a, doc_b""".stripMargin,
     // the PrefixFilter strategy certified on its OPEN-VOCABULARY venue:
     // width-4 shingles (31-token fixture vocabulary → ~924k possible
@@ -405,6 +414,8 @@ object OraclesLlm {
       s"""WITH $toks,
          |${ngramPairCtesOf(4)}
          |SELECT doc_a, doc_b, jaccard FROM npairs
+         |QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_a
+         |  ORDER BY jaccard DESC, doc_b) <= 8
          |ORDER BY doc_a, doc_b""".stripMargin,
     "x09g_dedup_clusters" ->
       s"""WITH RECURSIVE $toks,
@@ -959,7 +970,11 @@ object OraclesLlm {
          |           AS hamming
          |       FROM fp a JOIN fp b ON a.doc_id < b.doc_id
          |       WHERE bit_count(xor(a.simhash_lo, b.simhash_lo))
-         |           + bit_count(xor(a.simhash_hi, b.simhash_hi)) <= 3)
+         |           + bit_count(xor(a.simhash_hi, b.simhash_hi)) <= 3
+         |       QUALIFY ROW_NUMBER() OVER (PARTITION BY a.doc_id
+         |         ORDER BY bit_count(xor(a.simhash_lo, b.simhash_lo))
+         |                + bit_count(xor(a.simhash_hi, b.simhash_hi)),
+         |                  b.doc_id) <= 8)
          |SELECT hp.doc_a, hp.doc_b, hp.hamming,
          |       CAST(levenshtein(da.text, db.text) AS INT) AS edit_dist,
          |       CAST(levenshtein(da.text, db.text) AS DOUBLE)

@@ -78,14 +78,14 @@ object SparkEntry {
     // resolves to CountJoin on this closed-vocab fixture) — Auto is the
     // certified default, not just a spec-pinned option
     "x09e_ngram_jaccard"  -> ((s, d) =>
-      Dedup.ngramJaccard(s, d, strategy = Dedup.Auto)),
+      Dedup.ngramJaccardTop(s, d, strategy = Dedup.Auto)),
     // same logical op, the open-vocabulary PrefixFilter plan, certified
     // ON an open-vocabulary venue: width-4 shingles open the fixture's
     // 31-token gram space to ~924k possible grams (rare-gram mass 0.93),
     // so the prefix prune actually pays — this measures the 100 TB plan
     // where it wins, instead of on its pessimal closed-vocab input
     "x09e2_jaccard_prefix" -> ((s, d) =>
-      Dedup.ngramJaccard(s, d, strategy = Dedup.PrefixFilter, width = 4)),
+      Dedup.ngramJaccardTop(s, d, strategy = Dedup.PrefixFilter, width = 4)),
     "x09f_embedding_dedup" -> ((s, d) => Similarity.embeddingNearDup(s, d)),
     // SemDeDup: cluster-scoped exact semantic dedup over the learned
     // k-means cells (x10g's codebook via the session memo)

@@ -212,12 +212,39 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Emitted-pair-query output bound: the strongest `MaxPairsPerDoc`
+    * partners per left doc survive (deterministic rank: best score,
+    * then smallest partner id). A pair-emitting query without this is
+    * FIXTURE-QUADRATIC in the worst case — a near-dup-dense corpus
+    * (the regenerated closed-vocab fixture grew pairs 86× for 10×
+    * docs) makes the RESULT itself super-linear even when the plan is
+    * scale-safe, so the output contract, not the plan, becomes the
+    * bottleneck. Bounding per-doc fanout pins output at O(docs); a
+    * real pipeline reads these pairs per-doc anyway (dedup verify,
+    * cluster seeding), and Spark's rank-limit pushdown
+    * (WindowGroupLimit) truncates each group map-side before the
+    * shuffle. The UNBOUNDED relations (cluster edges, decontam) are
+    * internal and unaffected. */
+  private val MaxPairsPerDoc = 8
+
+  private def topPairsPerDoc(pairs: DataFrame,
+                             order: Column*): DataFrame =
+    pairs
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_a").orderBy(order: _*)))
+      .filter(col("__rn") <= MaxPairsPerDoc)
+      .drop("__rn")
+
   /** Near-dup pairs by SimHash Hamming distance ≤ 3 over the 64-bit
     * fingerprints, via 16-bit banding: with the 64 bits split into 4
     * bands, any pair within hamming 3 must share at least one intact
     * band (pigeonhole), so candidates come from an equi-join on
     * (band-index, band-value) — complete for the threshold, with bucket
-    * population N/65 536 instead of the byte-banding's N/256.
+    * population N/65 536 instead of the byte-banding's N/256. Output is
+    * bounded to the [[MaxPairsPerDoc]] closest partners per left doc
+    * (hamming asc, partner id asc) — see [[topPairsPerDoc]]; the
+    * edit-distance verifier (x09j) inherits the same bounded contract.
     */
   def simhashPairs(spark: SparkSession, sfDir: String): DataFrame =
     memoized(spark, s"simhashPairs|$sfDir") {
@@ -244,9 +271,11 @@ object Dedup {
           expr("CAST(bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b) AS INT)")
             .as("hamming"))
         .filter(col("hamming") <= 3)
-      // the memo's localCheckpoint materializes `pairs` here; the
-      // fingerprint cache is corpus-sized and must not outlive the build
-      try pairs.localCheckpoint() finally fp.unpersist()
+      val bounded = topPairsPerDoc(pairs, col("hamming"), col("doc_b"))
+      // the memo's localCheckpoint materializes the bounded set here;
+      // the fingerprint cache is corpus-sized and must not outlive the
+      // build
+      try bounded.localCheckpoint() finally fp.unpersist()
     }.orderBy("doc_a", "doc_b")
 
   /** Edit-distance verification of the SimHash candidate pairs — the
@@ -783,6 +812,22 @@ object Dedup {
       ngramJaccardBuild(spark, sfDir, maxDf, resolved, width = width)
     }.orderBy("doc_a", "doc_b")
   }
+
+  /** The EMITTED-query contract over [[ngramJaccard]] (`x09e`/`x09e2`):
+    * the strongest [[MaxPairsPerDoc]] partners per left doc (jaccard
+    * desc, partner id asc), so the query's output is O(docs) under any
+    * fixture density — see [[topPairsPerDoc]]. The memoized UNBOUNDED
+    * pair relation is untouched: clustering and the canonical-survivor
+    * pass still see the full near-dup graph (a bounded-degree subgraph
+    * would split components). */
+  def ngramJaccardTop(spark: SparkSession, sfDir: String,
+                      maxDf: Long = 300L,
+                      strategy: JaccardStrategy = CountJoin,
+                      width: Int = 2): DataFrame =
+    topPairsPerDoc(
+      ngramJaccard(spark, sfDir, maxDf, strategy, width),
+      col("jaccard").desc, col("doc_b"))
+      .orderBy("doc_a", "doc_b")
 
   /** The un-memoized pipeline. `materialize = false` (plan inspection
     * only — PlanSpec) returns the raw un-checkpointed pipeline, whose

@@ -71,6 +71,31 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(count4.toSeq == prefix4.toSeq)
   }
 
+  test("pair-emitting queries bound per-doc fanout to the strongest partners") {
+    // the emitted contract is O(docs): at most 8 partners per left doc,
+    // and exactly the BEST-ranked ones — a near-dup-dense fixture can
+    // no longer make the result quadratic
+    val ham = Dedup.simhashPairs(spark, sf)
+    val hamFan = ham.groupBy("doc_a").count()
+      .agg(max("count")).head().getLong(0)
+    assert(hamFan <= 8, s"simhash pair fanout $hamFan exceeds the bound")
+    val top = Dedup.ngramJaccardTop(spark, sf)
+    val topFan = top.groupBy("doc_a").count()
+      .agg(max("count")).head().getLong(0)
+    assert(topFan <= 8, s"jaccard pair fanout $topFan exceeds the bound")
+    // bounded = per-doc top-8 of the memoized full relation
+    val full = Dedup.ngramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val kept = top.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(kept.subsetOf(full.toSet), "bounded set must be a subset")
+    full.groupBy(_._1).foreach { case (a, ps) =>
+      val best = ps.sortBy(p => (-p._3, p._2)).take(8).toSet
+      assert(kept.filter(_._1 == a) == best,
+        s"doc $a kept the wrong partners")
+    }
+  }
+
   test("contamination cells partition the near-dup pair set") {
     val cells = Dedup.contamination(spark, sf).collect()
     val totalPairs = Dedup.ngramJaccard(spark, sf).count()

@@ -37,6 +37,32 @@ object Bench {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
+    // Per-query shuffle/spill accounting: a SparkListener summing task
+    // metrics turns the static plan audits (PLANS.md) into MEASURED
+    // shuffle volume — the next super-linear diagnosis is one
+    // field-read instead of a re-run. Task-end events are delivered
+    // async on the listener bus; queries execute synchronously
+    // (count() returns after all tasks finish), so at a snapshot only
+    // the last few straggler events can misattribute to the NEXT
+    // query — noise of a few tasks, irrelevant at MB granularity.
+    val ioShufRead = new java.util.concurrent.atomic.AtomicLong
+    val ioShufWrite = new java.util.concurrent.atomic.AtomicLong
+    val ioSpill = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null) {
+            ioShufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+            ioShufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            ioSpill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+          }
+        }
+      })
+    def ioSnapshot(): (Long, Long, Long) =
+      (ioShufRead.get, ioShufWrite.get, ioSpill.get)
+
     // Calibration probe: a FIXED-shape job (20M-row range scan → modular
     // key → hash aggregate over ~100k keys → tiny shuffle), independent
     // of SPARK_GRAFT_SF_DIR, timed at bench start AND end (median of 3
@@ -85,17 +111,23 @@ object Bench {
     }
     val selected =
       if (only.isEmpty) SparkEntry.queries else SparkEntry.queries.filter(kv => only(kv._1))
+    var queryIo = Vector.empty[(String, (Long, Long, Long))]
     val results = selected.toSeq.sortBy(_._1).zipWithIndex.map {
       case ((name, fn), i) =>
         if (i > 0 && i % probeEvery == 0)
           probeTimeline :+= ((name, probeOnce()))
-        name -> sec(
+        val before = ioSnapshot()
+        val t = sec(
           try fn(spark, sfDir).count()
           catch { case e: Throwable =>
             // printable ASCII only — a control char would break the JSON line
             errors += name -> e.toString.takeWhile(_ != '\n').take(200)
               .map(c => if (c >= ' ' && c <= '~') c else ' ')
           })
+        val after = ioSnapshot()
+        queryIo :+= ((name, (after._1 - before._1, after._2 - before._2,
+          after._3 - before._3)))
+        name -> t
     }
 
     // Reference A/B: cold create vs warm reuse of the partition cache
@@ -112,6 +144,20 @@ object Bench {
       operators.PartitionCache.calcAvg(spark, sfDir, cacheDir, "R"))
     val tReuse = sec(
       operators.PartitionCache.calcAvg(spark, sfDir, cacheDir, "R"))
+
+    // o12 venue-vs-query split: the o12_partition_cache bench line
+    // replays create+reuse over all three keys, so most of its seconds
+    // are the create pass's VENUE WRITES (filtered subset
+    // materialization at full fixture bytes), not query cost. Timing
+    // the two passes separately on a fresh dir stops the core-ETL
+    // family table from absorbing venue I/O as an apparent regression.
+    val o12Dir =
+      java.nio.file.Files.createTempDirectory("graft_bench_o12_").toString
+    val keys = Seq("A", "N", "R")
+    val tO12Create = sec(keys.foreach(k =>
+      operators.PartitionCache.calcAvg(spark, sfDir, o12Dir, k)))
+    val tO12Reuse = sec(keys.foreach(k =>
+      operators.PartitionCache.calcAvg(spark, sfDir, o12Dir, k)))
 
     val probeEnd = probeSec()
     // Per-query probe-normalized column: seconds divided by the mean
@@ -130,7 +176,13 @@ object Bench {
     val timelineJson = probeTimeline
       .map { case (before, s) => "{\"before\":\"" + before + "\",\"sec\":" + s + "}" }
       .mkString("[", ",", "]")
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_probe_norm":$qsNorm,"probe_start_sec":$probeStart,"probe_end_sec":$probeEnd,"probe_timeline":$timelineJson,"errors":$errJson,"cache_create_sec":$tCreate,"cache_reuse_sec":$tReuse,"sf":"$sfDir"}"""
+    def mb(b: Long): String =
+      String.format(java.util.Locale.ROOT, "%.1f", Double.box(b / 1e6))
+    val ioJson = queryIo.map { case (k, (r, w, s)) =>
+      "\"" + k + "\":{\"shuffle_read_mb\":" + mb(r) +
+        ",\"shuffle_write_mb\":" + mb(w) + ",\"spill_mb\":" + mb(s) + "}"
+    }.mkString("{", ",", "}")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_probe_norm":$qsNorm,"queries_io":$ioJson,"probe_start_sec":$probeStart,"probe_end_sec":$probeEnd,"probe_timeline":$timelineJson,"errors":$errJson,"cache_create_sec":$tCreate,"cache_reuse_sec":$tReuse,"o12_venue_create_sec":$tO12Create,"o12_reuse_read_sec":$tO12Reuse,"sf":"$sfDir"}"""
     println(fullLine)
     // The full line above exceeds the harness's 2 KiB output-tail capture
     // (74 queries x ~26 chars), so it can never be parsed whole from the
@@ -154,7 +206,7 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val slowest = results.sortBy(-_._2).take(12)
       .map { case (k, v) => "\"" + k + "\":" + r2(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$slowest,"n_queries":${results.size},"n_errors":${errors.size},"cache_create_sec":${r2(tCreate)},"cache_reuse_sec":${r2(tReuse)},"probe_start_sec":${r2(probeStart)},"probe_end_sec":${r2(probeEnd)},"sf":"$sfDir","detail":"BENCH_FULL.json"}""")
+    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$slowest,"n_queries":${results.size},"n_errors":${errors.size},"cache_create_sec":${r2(tCreate)},"cache_reuse_sec":${r2(tReuse)},"o12_venue_create_sec":${r2(tO12Create)},"o12_reuse_read_sec":${r2(tO12Reuse)},"probe_start_sec":${r2(probeStart)},"probe_end_sec":${r2(probeEnd)},"sf":"$sfDir","detail":"BENCH_FULL.json"}""")
     spark.stop()
   }
 }

@@ -25,22 +25,104 @@ import org.apache.spark.sql.types._
 object Streaming {
   private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  /** Raw-schema streaming source for events. The file-stream source
-    * needs an explicit schema, and the fixture has shipped `ts` under
-    * two physical types (int64 nanos / µs NTZ — see
-    * [[graft.sources.Tables.normalizeTs]]): take the file's OWN batch
-    * schema (a footer read, no job) so either generation streams with
-    * its physical type, then share the batch normalization so the
-    * stream sees the identical UTC-pinned `TimestampType` column. */
-  private def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    // The file stream source needs a directory; pathGlobFilter narrows
-    // the listing to just the events table.
-    graft.sources.Tables.normalizeTs(
-      spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(sfDir))
+  /** SOURCE FACTORY for event-shaped streams — the single entry every
+    * ingestion wiring goes through, so a new transport is a CONFIG
+    * change, not code. `format` (or the `graft.streaming.source`
+    * session conf, default `files`) selects the wiring; every branch
+    * funnels through the same ts normalization, so the transforms
+    * downstream never know how the rows arrived:
+    *  - `files`  — file-stream over the fixture's `events.parquet`
+    *    (schema from a footer read; both shipped `ts` physical
+    *    generations normalize identically, see
+    *    [[graft.sources.Tables.normalizeTs]]);
+    *  - `rate`   — `rate-micro-batch` generator projected to the event
+    *    shape (never exhausts; deterministic start/step via
+    *    `graft.streaming.rate.*` confs) — the load-test transport;
+    *  - `memory` — a caller-constructed stream (MemoryStream has no
+    *    `format` name) passed via `injected`: the driver-pushed
+    *    multi-micro-batch transport the spec uses as a broker
+    *    stand-in;
+    *  - `kafka`  — `readStream.format("kafka")` with the standard
+    *    JSON-value projection, parameterized by
+    *    `graft.streaming.kafka.bootstrap`/`.topic`. The wiring is
+    *    complete; this sandbox has neither broker nor connector jar,
+    *    so the branch is certified to DISPATCH (fail-fast without its
+    *    conf) while the other three actually run — on a cluster with
+    *    Kafka, setting two confs turns every query here into a Kafka
+    *    consumer with no code change. */
+  private[graft] def eventSource(spark: SparkSession, sfDir: String,
+                                 format: String = null,
+                                 injected: DataFrame = null): DataFrame = {
+    val fmt = Option(format)
+      .orElse(spark.conf.getOption("graft.streaming.source"))
+      .getOrElse("files")
+    fmt match {
+      case "files" =>
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+        // The file stream source needs a directory; pathGlobFilter
+        // narrows the listing to just the events table.
+        graft.sources.Tables.normalizeTs(
+          spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet").parquet(sfDir))
+      case "memory" =>
+        require(injected != null,
+          "memory format is caller-constructed: pass injected=<stream>")
+        graft.sources.Tables.normalizeTs(injected)
+      case "rate" =>
+        val perBatch = spark.conf
+          .getOption("graft.streaming.rate.rowsPerBatch").getOrElse("50")
+        val start = spark.conf
+          .getOption("graft.streaming.rate.startTimestamp")
+          .getOrElse("1735689600000") // 2025-01-01 00:00:00 UTC
+        graft.sources.Tables.normalizeTs(
+          spark.readStream.format("rate-micro-batch")
+            .option("rowsPerBatch", perBatch)
+            .option("startTimestamp", start)
+            .option("advanceMillisPerBatch", "60000")
+            .load()
+            .select(col("value").as("event_id"),
+              (col("value") % 40).as("user_id"),
+              concat(lit("t"), col("value") % 3).as("event_type"),
+              col("timestamp").as("ts"),
+              col("value").cast("double").as("value")))
+      case "kafka" =>
+        val bootstrap = spark.conf
+          .getOption("graft.streaming.kafka.bootstrap")
+          .getOrElse(throw new IllegalArgumentException(
+            "kafka format needs graft.streaming.kafka.bootstrap " +
+              "(broker address) on the session conf"))
+        val topic = spark.conf
+          .getOption("graft.streaming.kafka.topic").getOrElse("events")
+        val eventSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("event_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("user_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("event_type",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("ts",
+            org.apache.spark.sql.types.TimestampType),
+          org.apache.spark.sql.types.StructField("value",
+            org.apache.spark.sql.types.DoubleType)))
+        graft.sources.Tables.normalizeTs(
+          spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap)
+            .option("subscribe", topic)
+            .load()
+            .select(from_json(col("value").cast("string"), eventSchema)
+              .as("e"))
+            .select("e.*"))
+      case other => throw new IllegalArgumentException(
+        s"unknown event source format '$other' " +
+          "(files | memory | rate | kafka)")
+    }
   }
+
+  /** The default (file-transport) event stream every fixture query
+    * reads — one [[eventSource]] call away from any other transport. */
+  private def eventsStream(spark: SparkSession, sfDir: String): DataFrame =
+    eventSource(spark, sfDir)
 
   /** Streaming state partition width. Unlike batch shuffles, a stateful
     * streaming query's partition count is a fixed property of its

@@ -57,6 +57,26 @@ object SnapshotSoak {
     val miss = timed("point lookup (absent)")(
       Snapshot.readCurrentPoint(spark, root, "v", -1L).count())
     require(miss == 0L, s"expected 0 rows, got $miss")
+    // driver-traffic evidence: the probe filters executor-side, so the
+    // driver receives MATCHING FILE NAMES, never the sketches —
+    // O(matches) traffic where the pre-fix collect shipped
+    // O(files × sketch-bytes). Matched-count printed for the notes;
+    // heap sampled across repeated lookups to show the driver stays
+    // flat at any file count (GC-forced sample: coarse, but a
+    // sketch-materializing driver would show tens of MB per lookup).
+    val curV = Snapshot.currentVersion(spark, root).get
+    val matched = Snapshot.filesForPoint(spark, root, curV, "v", 4242L)
+    println(s"[soak] bloom matched files: ${matched.size} of ~$nFiles " +
+      "(driver receives names only)")
+    val rt = Runtime.getRuntime
+    def usedMb(): Long = {
+      System.gc(); (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
+    }
+    val heapBefore = usedMb()
+    timed("5 repeated point lookups")((1 to 5).foreach(_ =>
+      Snapshot.readCurrentPoint(spark, root, "v", 4242L).count()))
+    println(s"[soak] driver heap across 5 lookups: $heapBefore -> " +
+      s"${usedMb()} MB")
     val ranged = timed("range read (stats)")(
       Snapshot.readCurrentPruned(spark, root, "k",
         lit(1000L), lit(2000L)).count())

@@ -109,7 +109,11 @@ class StreamingSpec extends SparkSuite {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val src = MemoryStream[(java.sql.Timestamp, String, Double)]
     def t(s: String) = java.sql.Timestamp.valueOf(s)
-    val agg = Streaming.tumblingAggOf(src.toDF().toDF("ts", "event_type", "value"))
+    // through the source FACTORY's memory branch — the same entry the
+    // file and rate transports dispatch from
+    val agg = Streaming.tumblingAggOf(Streaming.eventSource(spark, "",
+      format = "memory",
+      injected = src.toDF().toDF("ts", "event_type", "value")))
     val q = agg.writeStream.outputMode("complete")
       .format("memory").queryName("graft_swap_src").start()
     src.addData((t("2024-03-01 10:05:00"), "click", 1.5),
@@ -180,15 +184,9 @@ class StreamingSpec extends SparkSuite {
     // whatever N batches landed: complete-mode counts must sum to the
     // rows generated (50/batch), and the exact-decimal value sum must
     // equal the sum of the global row indices 0..total-1.
-    val rate = spark.readStream.format("rate-micro-batch")
-      .option("rowsPerBatch", "50")
-      .option("startTimestamp", "1735689600000") // 2025-01-01 00:00:00 UTC
-      .option("advanceMillisPerBatch", "60000")
-      .load()
-      .select(col("timestamp").as("ts"),
-        concat(lit("t"), col("value") % 3).as("event_type"),
-        col("value").cast("double").as("value"))
-    val agg = Streaming.tumblingAggOf(rate)
+    // through the source FACTORY's rate branch (generator transport)
+    val agg = Streaming.tumblingAggOf(
+      Streaming.eventSource(spark, "", format = "rate"))
     val q = agg.writeStream.outputMode("complete")
       .format("memory").queryName("graft_rate_src").start()
     val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
@@ -206,6 +204,25 @@ class StreamingSpec extends SparkSuite {
     assert(sumValue == (total.toDouble * (total - 1) / 2),
       s"value conservation failed: $sumValue for $total rows")
     assert(rows.map(_.getString(1)).toSet.subsetOf(Set("t0", "t1", "t2")))
+  }
+
+  test("the source factory dispatches every transport; kafka is one conf away") {
+    // files / memory / rate are certified live by the tests above —
+    // this pins the DISPATCH contract: the kafka branch is reachable
+    // and demands its broker conf (no silent fallback), and an unknown
+    // transport fails fast instead of defaulting to files.
+    val kafkaErr = intercept[IllegalArgumentException] {
+      graft.streaming.Streaming.eventSource(spark, "", format = "kafka")
+    }
+    assert(kafkaErr.getMessage.contains("graft.streaming.kafka.bootstrap"))
+    val unknownErr = intercept[IllegalArgumentException] {
+      graft.streaming.Streaming.eventSource(spark, "", format = "pulsar")
+    }
+    assert(unknownErr.getMessage.contains("unknown event source format"))
+    // memory without its injected stream must also refuse
+    intercept[IllegalArgumentException] {
+      graft.streaming.Streaming.eventSource(spark, "", format = "memory")
+    }
   }
 
   test("batch bucketed interval join equals the stream-stream interval join") {

@@ -233,6 +233,12 @@ object SparkEntry {
     "of11_append_tail"     -> (graft.streaming.Streaming.appendTail(_, _)),
     // add-column evolution: append a new column, old files read as NULL
     "of12_schema_evolution" -> (operators.Snapshot.schemaEvolutionDemo(_, _)),
+    // Z-order clustered commit + 2-D box read (OPTIMIZE ZORDER shape)
+    "of13_zorder_commit"   -> (operators.Snapshot.clusteredDemo(_, _)),
+    // retention GC after a delete→compact chain; post-GC read certified
+    "of14_vacuum"          -> (operators.Snapshot.vacuumDemo(_, _)),
+    // TIMESTAMP AS OF reads on both sides of a delete
+    "of15_time_travel"     -> (operators.Snapshot.timeTravelDemo(_, _)),
     // time-series: daily resample + forward-fill, and batch sessionization
     "x22_resample_ffill"   -> (Relational.resampleFfill(_, _)),
     // incremental grid refresh: must equal the full recompute (same oracle)
@@ -439,6 +445,70 @@ object SparkEntry {
         |FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
         |GROUP BY o_flag
         |ORDER BY o_flag NULLS FIRST""".stripMargin,
+    // of13: the oracle replays the 2-D box read as a plain double-range
+    // filter — a box prune that dropped an overlapping file (rows
+    // missing) or a leaked residual cannot hash-match.
+    "of13_zorder_commit" ->
+      """SELECT l_suppkey % 5 AS bucket,
+        |       COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+        |         AS sum_qty,
+        |       MIN(l_partkey) AS min_part,
+        |       MAX(l_partkey) AS max_part
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN
+        |        (SELECT CAST(FLOOR(MAX(l_partkey) / 4) AS BIGINT)
+        |         FROM lineitem)
+        |    AND (SELECT CAST(FLOOR(MAX(l_partkey) / 2) AS BIGINT)
+        |         FROM lineitem)
+        |  AND l_suppkey BETWEEN
+        |        (SELECT CAST(FLOOR(MAX(l_suppkey) / 4) AS BIGINT)
+        |         FROM lineitem)
+        |    AND (SELECT CAST(FLOOR(MAX(l_suppkey) / 2) AS BIGINT)
+        |         FROM lineitem)
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+    // of14: after delete → compact → vacuum, the table must still read
+    // exactly the delete's survivors — GC that touched a live file
+    // (rows missing) or resurrected a deleted one cannot hash-match.
+    "of14_vacuum" ->
+      """SELECT l_orderkey % 9 AS bucket,
+        |       COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+        |         AS sum_price,
+        |       MIN(l_orderkey) AS min_key,
+        |       MAX(l_orderkey) AS max_key
+        |FROM lineitem
+        |WHERE NOT (l_orderkey BETWEEN 1 AND
+        |  (SELECT CAST(FLOOR(MAX(l_orderkey) / 5) AS BIGINT)
+        |   FROM lineitem))
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+    // of15: 'before' replays the pre-delete fixture, 'current' the
+    // delete's survivors — an as-of read resolving to the wrong side
+    // of the boundary cannot hash-match.
+    "of15_time_travel" ->
+      """WITH hi AS (SELECT CAST(FLOOR(MAX(o_orderkey) / 3) AS BIGINT) AS v
+        |            FROM orders)
+        |SELECT 'before' AS snap, o_orderkey % 11 AS bucket,
+        |       COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+        |         AS sum_price,
+        |       MIN(o_orderkey) AS min_key,
+        |       MAX(o_orderkey) AS max_key
+        |FROM orders
+        |GROUP BY 1, 2
+        |UNION ALL
+        |SELECT 'current' AS snap, o_orderkey % 11 AS bucket,
+        |       COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+        |         AS sum_price,
+        |       MIN(o_orderkey) AS min_key,
+        |       MAX(o_orderkey) AS max_key
+        |FROM orders
+        |WHERE NOT (o_orderkey BETWEEN 1 AND (SELECT v FROM hi))
+        |GROUP BY 1, 2
+        |ORDER BY snap, bucket""".stripMargin,
     // of9: after damage + restore, the table must be indistinguishable
     // from the fixture — the oracle reads orders directly.
     "of9_restore" ->

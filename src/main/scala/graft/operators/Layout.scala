@@ -62,7 +62,19 @@ object Layout {
     * width only when the key range is known a priori.
     */
   def zorderWrite(df: DataFrame, out: String, c1: String, c2: String,
-                  nFiles: Int, bits: Int = 0): Unit = {
+                  nFiles: Int, bits: Int = 0): Unit =
+    zorderCluster(df, c1, c2, nFiles, bits)
+      .write.mode("overwrite").parquet(out)
+
+  /** The clustering transform behind [[zorderWrite]], exposed so any
+    * sink (a plain parquet write, a [[Snapshot]] commit) can lay its
+    * files on the Morton curve: derive the interleave width from the
+    * observed maxima when `bits` ≤ 0, range-partition on the Z-key so
+    * each output file covers a compact (c1, c2) box, sort within
+    * partitions so parquet row-group stats are tight too, and drop the
+    * key — the layout never leaks into the schema. */
+  def zorderCluster(df: DataFrame, c1: String, c2: String,
+                    nFiles: Int, bits: Int = 0): DataFrame = {
     val eff =
       if (bits > 0) bits
       else {
@@ -78,7 +90,6 @@ object Layout {
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
-      .write.mode("overwrite").parquet(out)
   }
 
   /** Salted equi-join for skewed build keys: the big (skewed) side gets

@@ -385,9 +385,98 @@ object Snapshot {
     try {
       val cur = currentVersion(spark, root).getOrElse(0L)
       if (cur >= v) false
-      else { setPointer(spark, root, v); true }
+      else {
+        setPointer(spark, root, v)
+        // still under _ptrlock, so markers are strictly serialized and
+        // the prev-marker read below sees the latest one
+        writeHistoryMarker(spark, root, cur, v)
+        true
+      }
     } finally fs.delete(lock, false)
   }
+
+  private val HistoryDir = "_history"
+
+  /** One tiny marker per pointer swap: `_history/v=N` holding the
+    * commit's wall-clock millis — the timestamp axis for
+    * [[readAsOf]]. Written inside the `_ptrlock` critical section, so
+    * markers are serialized; monotonicity is enforced against the
+    * PREDECESSOR version's marker only (`max(now, prev+1)`) — an O(1)
+    * read per commit, never an O(commits) directory scan on the commit
+    * path. A crash between pointer swap and marker write loses that
+    * one version's timestamp: [[versionAsOf]] then resolves
+    * timestamps in the gap to the last MARKED predecessor — time
+    * travel degrades by one version, reads never break. Marker write
+    * failure itself is swallowed for the same reason: the commit has
+    * already happened (the pointer IS the truth); history is an index
+    * over it, not a participant. */
+  private def writeHistoryMarker(spark: SparkSession, root: String,
+                                 prev: Long, v: Long): Unit =
+    try {
+      val dir = new org.apache.hadoop.fs.Path(root, HistoryDir)
+      val fs = fsOf(spark, dir)
+      val prevTs =
+        if (prev <= 0) 0L
+        else readHistoryMarker(spark, root, prev).getOrElse(0L)
+      val ts = math.max(System.currentTimeMillis(), prevTs + 1)
+      val out = fs.create(new org.apache.hadoop.fs.Path(dir, s"v=$v"), true)
+      try out.write(s"$ts\n".getBytes("UTF-8")) finally out.close()
+    } catch { case _: java.io.IOException => () }
+
+  private def readHistoryMarker(spark: SparkSession, root: String,
+                                v: Long): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(root, s"$HistoryDir/v=$v")
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new java.io.BufferedReader(
+          new java.io.InputStreamReader(in, "UTF-8"))
+        Option(buf.readLine()).map(_.trim.toLong)
+      } finally in.close()
+    }
+  }
+
+  /** The table's commit timeline: (version, commitTimeMillis) sorted by
+    * version — Delta's DESCRIBE HISTORY shape. O(commits) metadata
+    * listing; only [[versionAsOf]] and forensics read it, never the
+    * commit path. */
+  def commitHistory(spark: SparkSession, root: String): Seq[(Long, Long)] = {
+    val dir = new org.apache.hadoop.fs.Path(root, HistoryDir)
+    val fs = fsOf(spark, dir)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .collect { case n if n.matches("v=\\d+") => n.drop(2).toLong }
+      .sorted
+      .flatMap(v => readHistoryMarker(spark, root, v).map(v -> _))
+  }
+
+  /** The version the table was at, at wall-clock `tsMillis` — Delta's
+    * `TIMESTAMP AS OF`. Marker timestamps are strictly increasing in
+    * version (enforced at write), so this is the last marked version
+    * at or before the instant. Fails fast when the instant precedes
+    * the first commit, or the table predates history markers. */
+  def versionAsOf(spark: SparkSession, root: String, tsMillis: Long): Long = {
+    val h = commitHistory(spark, root)
+    if (h.isEmpty) throw new java.util.NoSuchElementException(
+      s"snapshot table $root has no commit history " +
+        "(empty, or committed before history markers existed)")
+    val eligible = h.filter(_._2 <= tsMillis)
+    if (eligible.isEmpty) throw new java.util.NoSuchElementException(
+      s"timestamp $tsMillis precedes the first commit of $root " +
+        s"(first: v=${h.head._1} at ${h.head._2})")
+    eligible.last._1
+  }
+
+  /** Timestamp time travel: [[readVersion]] at [[versionAsOf]] the
+    * instant. Reading an instant whose version was [[vacuum]]ed fails
+    * fast with the retained inventory (history markers outlive their
+    * data on purpose — they are the audit log of WHEN the table
+    * changed, not a liveness promise). */
+  def readAsOf(spark: SparkSession, root: String,
+               tsMillis: Long): DataFrame =
+    readVersion(spark, root, versionAsOf(spark, root, tsMillis))
 
   /** Break a forfeited `_ptrlock` ONLY if it is still the lock we
     * observed stale: STEAL it to a unique tombstone first (atomic
@@ -474,6 +563,20 @@ object Snapshot {
     require(statsCols.nonEmpty, "commitWithStats needs at least one column")
     commitInternal(df, root, statsCols, bloomCols)
   }
+
+  /** Z-order clustered commit — the Delta `OPTIMIZE ... ZORDER BY`
+    * shape as a first-class write: lay the files on the Morton curve
+    * of two filter dimensions ([[Layout.zorderCluster]]) and record
+    * min/max stats for BOTH, so every file's stats describe a compact
+    * box in (c1, c2) space and [[readCurrentPrunedBox]] skips any file
+    * whose box misses the query box. A single-column range layout
+    * serves one dimension and scatters the other (its min/max spans
+    * everything); the curve serves both from one write-time range
+    * shuffle. */
+  def commitClustered(df: DataFrame, root: String, c1: String, c2: String,
+                      nFiles: Int, bloomCols: Seq[String] = Nil): Long =
+    commitInternal(Layout.zorderCluster(df, c1, c2, nFiles), root,
+      Seq(c1, c2), bloomCols)
 
   private def commitInternal(df: DataFrame, root: String,
                              statsCols: Seq[String],
@@ -606,6 +709,38 @@ object Snapshot {
       if (files.isEmpty) // no overlap: empty result, correct schema, no scan
         spark.read.parquet(s"$root/v=$v").filter(between).filter(lit(false))
       else spark.read.parquet(files: _*).filter(between)
+    }
+  }
+
+  /** Two-dimensional box read over a [[commitClustered]] table: the
+    * surviving file set is the INTERSECTION of each dimension's
+    * stats-pruned set, so a file is opened only when its (c1, c2)
+    * stats box overlaps the query box — the read-side half of Z-order
+    * clustering (on a single-column layout the scattered dimension's
+    * prune returns every file and the intersection degrades to the
+    * 1-D prune, never worse). The residual predicate still applies
+    * and pushes into the parquet scan. */
+  def readCurrentPrunedBox(spark: SparkSession, root: String,
+                           c1: String, lo1: org.apache.spark.sql.Column,
+                           hi1: org.apache.spark.sql.Column,
+                           c2: String, lo2: org.apache.spark.sql.Column,
+                           hi2: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val v = currentVersion(spark, root).getOrElse(
+      throw new java.util.NoSuchElementException(
+        s"snapshot table $root has no committed version"))
+    val box = col(c1) >= lo1 && col(c1) <= hi1 &&
+      col(c2) >= lo2 && col(c2) <= hi2
+    val statsPath = new org.apache.hadoop.fs.Path(root, s"$StatsDir/v=$v")
+    if (!fsOf(spark, statsPath).exists(statsPath))
+      readResolved(spark, root, v).filter(box)
+    else {
+      val files =
+        prunedFiles(spark, root, v, c1, lo1, hi1).toSet
+          .intersect(prunedFiles(spark, root, v, c2, lo2, hi2).toSet)
+      if (files.isEmpty)
+        spark.read.parquet(s"$root/v=$v").filter(box).filter(lit(false))
+      else spark.read.parquet(files.toSeq.sorted: _*).filter(box)
     }
   }
 
@@ -1227,6 +1362,109 @@ object Snapshot {
         min(col("o_orderkey")).as("min_key"),
         max(col("o_orderkey")).as("max_key"))
       .orderBy(asc_nulls_first("o_flag"))
+  }
+
+  /** The oracle-certified [[commitClustered]] venue
+    * (`of13_zorder_commit`): lineitem laid on the Morton curve of
+    * (l_partkey, l_suppkey) with min/max stats on both, then a 2-D box
+    * read through [[readCurrentPrunedBox]] — the dimensions a
+    * single-column sort cannot serve together. File skipping on the
+    * intersection is spec-pinned (SnapshotSpec: the box prune opens
+    * strictly fewer files than either 1-D prune on a linear layout);
+    * this query certifies VALUES — the box read must return exactly
+    * the fixture's rows inside the box, which DuckDB replays as a
+    * plain double-range filter. */
+  def clusteredDemo(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val li = graft.sources.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"))
+    val maxes = li.agg(max(col("l_partkey")), max(col("l_suppkey"))).head()
+    val (pMax, sMax) = (maxes.getLong(0), maxes.getLong(1))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_zorder_").toString
+    commitClustered(li, root, "l_partkey", "l_suppkey", 16)
+    readCurrentPrunedBox(spark, root,
+        "l_partkey", lit(pMax / 4), lit(pMax / 2),
+        "l_suppkey", lit(sMax / 4), lit(sMax / 2))
+      .groupBy((col("l_suppkey") % 5).as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("decimal(12,2)")).cast("double")
+          .as("sum_qty"),
+        min(col("l_partkey")).as("min_part"),
+        max(col("l_partkey")).as("max_part"))
+      .orderBy("bucket")
+  }
+
+  /** The oracle-certified [[vacuum]] venue (`of14_vacuum`): commit
+    * lineitem range-laid-out (v1), carve a key range out with
+    * [[deleteWhere]] (v2 — a manifest version still REFERENCING v1's
+    * carried files), collapse the chain with [[compact]] (v3,
+    * self-contained), then vacuum with the default one-version
+    * retention — v1 and v2 are now unreferenced and their data, stats,
+    * and manifest artifacts are reclaimed. The reclamation itself
+    * (directories gone, live version untouched, referenced ancestors
+    * surviving while the chain exists) is spec-pinned in SnapshotSpec;
+    * this query certifies VALUES — the post-GC table must still read
+    * exactly the delete's survivors, which DuckDB replays as a NOT
+    * BETWEEN filter. */
+  def vacuumDemo(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val li = graft.sources.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+    val hi = li.agg(floor(max(col("l_orderkey")) / 5)).head().getLong(0)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_vacuum_").toString
+    commitWithStats(
+      li.repartitionByRange(8, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey"),
+      root, Seq("l_orderkey"))
+    deleteWhere(spark, root, "l_orderkey", lit(1L), lit(hi))
+    compact(spark, root, 4)
+    vacuum(spark, root)
+    readCurrent(spark, root)
+      .groupBy((col("l_orderkey") % 9).as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_extendedprice").cast("decimal(14,2)")).cast("double")
+          .as("sum_price"),
+        min(col("l_orderkey")).as("min_key"),
+        max(col("l_orderkey")).as("max_key"))
+      .orderBy("bucket")
+  }
+
+  /** The oracle-certified [[readAsOf]] venue (`of15_time_travel`):
+    * commit orders (v1), damage it with a key-range delete (v2), then
+    * read the table AS OF an instant strictly between the two commit
+    * timestamps and AS OF the second commit's own timestamp — Delta's
+    * `TIMESTAMP AS OF` on both sides of a change. The probe instant is
+    * the midpoint of the two recorded markers, deterministic because
+    * marker timestamps are strictly increasing (enforced under the
+    * pointer lock). DuckDB replays the 'before' slice as the plain
+    * fixture and the 'current' slice as the delete's survivors. */
+  def timeTravelDemo(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val o = graft.sources.Tables.table(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val hi = o.agg(floor(max(col("o_orderkey")) / 3)).head().getLong(0)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_asof_").toString
+    commitWithStats(
+      o.repartitionByRange(4, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"),
+      root, Seq("o_orderkey"))
+    deleteWhere(spark, root, "o_orderkey", lit(1L), lit(hi))
+    val h = commitHistory(spark, root).toMap
+    def slice(tsMillis: Long, tag: String): DataFrame =
+      readAsOf(spark, root, tsMillis)
+        .groupBy(lit(tag).as("snap"), (col("o_orderkey") % 11).as("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_totalprice").cast("decimal(14,2)")).cast("double")
+            .as("sum_price"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+    slice((h(1L) + h(2L)) / 2, "before")
+      .unionAll(slice(h(2L), "current"))
+      .orderBy("snap", "bucket")
   }
 
   /** Orphan GC: delete unreferenced `v=*` snapshot directories (old

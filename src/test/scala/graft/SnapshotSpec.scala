@@ -665,6 +665,101 @@ class SnapshotSpec extends SparkSuite {
       s"feed across the evolution boundary: $feed")
   }
 
+  test("zorder commit: the 2-D box prune opens strictly fewer files than either 1-D prune on a linear layout") {
+    import spark.implicits._
+    // the full 64×64 grid, one row per cell — every a-slice carries
+    // every b value, so a single-column sort serves one axis and
+    // scatters the other
+    val df = (0 until 4096).map { i =>
+      (i.toLong, (i / 64).toLong, (i % 64).toLong)
+    }.toDF("id", "a", "b")
+    val zRoot = freshTable()
+    Snapshot.commitClustered(df, zRoot, "a", "b", 16)
+    val linRoot = freshTable()
+    Snapshot.commitWithStats(
+      df.repartitionByRange(16, col("a")).sortWithinPartitions("a"),
+      linRoot, Seq("a", "b"))
+    def filesFor(root: String, c: String, lo: Long, hi: Long): Set[String] =
+      Snapshot.prunedFiles(spark, root, 1L, c, lit(lo), lit(hi)).toSet
+    // a quarter-box on each axis
+    val zBox = filesFor(zRoot, "a", 0, 15)
+      .intersect(filesFor(zRoot, "b", 0, 15))
+    val linA = filesFor(linRoot, "a", 0, 15)
+    val linB = filesFor(linRoot, "b", 0, 15)
+    val total = filesFor(zRoot, "a", Long.MinValue, Long.MaxValue).size
+    assert(total == 16, s"expected 16 clustered files, got $total")
+    // the linear layout's scattered dimension prunes nothing
+    assert(linB.size == 16,
+      s"linear layout pruned the scattered dimension: ${linB.size}")
+    assert(zBox.size < linA.size && zBox.size < linB.size,
+      s"box prune (${zBox.size}) not better than 1-D prunes " +
+        s"(a=${linA.size}, b=${linB.size})")
+    // values: the box read equals the plain filter, both layouts
+    val want = df.filter(col("a").between(0, 15) && col("b").between(0, 15))
+      .select("id").as[Long].collect().sorted.toSeq
+    val got = Snapshot.readCurrentPrunedBox(spark, zRoot,
+        "a", lit(0L), lit(15L), "b", lit(0L), lit(15L))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got == want, s"box read mismatch: ${got.size} vs ${want.size}")
+  }
+
+  test("vacuum keeps manifest-referenced ancestors until compact collapses the chain") {
+    import spark.implicits._
+    val root = freshTable()
+    Snapshot.commitWithStats(
+      Seq.tabulate(100)(i => (i.toLong, s"r$i")).toDF("k", "v")
+        .repartitionByRange(4, col("k")).sortWithinPartitions("k"),
+      root, Seq("k"))
+    Snapshot.deleteWhere(spark, root, "k", lit(0L), lit(24L))
+    val before = rows(root)
+    // v2's manifest still references v1's carried files: retention
+    // would reclaim v1, reference-tracking must keep it
+    val d1 = Snapshot.vacuum(spark, root)
+    assert(!d1.contains("v=1"),
+      s"vacuum reclaimed a manifest-referenced ancestor: $d1")
+    assert(rows(root) == before, "chain read broken after vacuum")
+    // compact re-materializes v3 self-contained; now v1 AND v2 are
+    // unreferenced and reclaimable
+    Snapshot.compact(spark, root, 2)
+    val d2 = Snapshot.vacuum(spark, root)
+    assert(d2.contains("v=1") && d2.contains("v=2"),
+      s"collapsed chain not reclaimed: $d2")
+    assert(rows(root) == before, "content changed across compact+vacuum")
+    val ex = intercept[java.util.NoSuchElementException] {
+      Snapshot.readVersion(spark, root, 1L).collect()
+    }
+    assert(ex.getMessage.contains("vacuumed"),
+      s"vacuumed-version read must fail fast: ${ex.getMessage}")
+  }
+
+  test("time travel: as-of instants resolve to the version live at that instant") {
+    import spark.implicits._
+    val root = freshTable()
+    Snapshot.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root)
+    Snapshot.commit(Seq((1L, "A"), (3L, "c")).toDF("k", "v"), root)
+    Snapshot.commit(Seq((9L, "z")).toDF("k", "v"), root)
+    val h = Snapshot.commitHistory(spark, root)
+    assert(h.map(_._1) == Seq(1L, 2L, 3L), s"history versions: $h")
+    val ts = h.toMap
+    // markers are strictly increasing even when commits land within
+    // the same millisecond
+    assert(ts(1L) < ts(2L) && ts(2L) < ts(3L), s"non-monotonic: $h")
+    assert(Snapshot.versionAsOf(spark, root, ts(1L)) == 1L)
+    assert(Snapshot.versionAsOf(spark, root, (ts(1L) + ts(2L)) / 2) == 1L)
+    assert(Snapshot.versionAsOf(spark, root, ts(2L)) == 2L)
+    assert(Snapshot.versionAsOf(spark, root, ts(3L) + 1000000L) == 3L)
+    val mid = Snapshot.readAsOf(spark, root, ts(2L))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(mid == Set((1L, "A"), (3L, "c")), s"as-of v2 read: $mid")
+    intercept[java.util.NoSuchElementException] {
+      Snapshot.versionAsOf(spark, root, ts(1L) - 1)
+    }
+    val bare = freshTable()
+    intercept[java.util.NoSuchElementException] {
+      Snapshot.versionAsOf(spark, bare, System.currentTimeMillis())
+    }
+  }
+
   test("of4 upsert-merge through snapshots equals the logical merge") {
     val got = graft.operators.Etl.upsertMerge(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1))).toMap

@@ -516,6 +516,53 @@ object OraclesLlm {
          |           ORDER BY cosine DESC, vec_id) AS rkn FROM cosv)
          |SELECT query_id, CAST(rkn AS INT) AS rnk, vec_id, cosine
          |FROM rk WHERE rkn <= 3 ORDER BY query_id, rnk""".stripMargin,
+    // x10l: the k-NN graph — x10b's bucket/cosine replay with DIRECTED
+    // all-pairs candidates (every vector a source, not just the 8
+    // queries) and a per-source rank cut.
+    "x10l_knn_join" ->
+      s"""WITH $vecCtes,
+         |hyp AS (SELECT j, pos,
+         |          2*((1103515245*(j*64+pos)+12345) % 1000003) - 1000003 AS wnum
+         |        FROM range(0,16) t(j), range(1,65) r(pos)),
+         |proj AS (SELECT e.vec_id, h.j, CAST(SUM(e.q*h.wnum) AS BIGINT) AS p
+         |         FROM exq e JOIN hyp h ON e.pos = h.pos GROUP BY 1, 2),
+         |buck AS (SELECT vec_id, j//8 AS band,
+         |           CAST(SUM(CASE WHEN p >= 0
+         |               THEN (CAST(1 AS BIGINT) << CAST(j%8 AS INT))
+         |               ELSE 0 END) AS BIGINT) AS bandkey
+         |         FROM proj GROUP BY vec_id, j//8),
+         |cand AS (SELECT DISTINCT x.vec_id AS src_id, y.vec_id AS nbr_id
+         |         FROM buck x JOIN buck y
+         |           ON x.band = y.band AND x.bandkey = y.bandkey
+         |          AND y.vec_id <> x.vec_id),
+         |dots AS (SELECT c.src_id, c.nbr_id,
+         |           CAST(SUM(sd.q*nd.q) AS BIGINT) AS dot
+         |         FROM cand c
+         |         JOIN exq sd ON sd.vec_id = c.src_id
+         |         JOIN exq nd ON nd.vec_id = c.nbr_id AND nd.pos = sd.pos
+         |         GROUP BY 1, 2),
+         |cosv AS (SELECT d.src_id, d.nbr_id,
+         |           CAST(d.dot AS DOUBLE) /
+         |             (SQRT(CAST(ns.n2 AS DOUBLE))*SQRT(CAST(nn.n2 AS DOUBLE))) AS cosine
+         |         FROM dots d JOIN norms ns ON d.src_id = ns.vec_id
+         |                     JOIN norms nn ON d.nbr_id = nn.vec_id),
+         |rk AS (SELECT src_id, nbr_id, cosine,
+         |         ROW_NUMBER() OVER (PARTITION BY src_id
+         |           ORDER BY cosine DESC, nbr_id) AS rkn FROM cosv)
+         |SELECT src_id, CAST(rkn AS INT) AS rnk, nbr_id, cosine
+         |FROM rk WHERE rkn <= 3 ORDER BY src_id, rnk""".stripMargin,
+    // x11r: utf8proc's nfc_normalize replays java.text.Normalizer —
+    // the injected combining marks must compose to identical bytes on
+    // both engines for the sha256 to match.
+    "x11r_unicode_canon" ->
+      """SELECT doc_id,
+        |       CAST(length(deco) - length(text) AS INT) AS n_marks,
+        |       CAST(length(nfc_normalize(lower(deco))) AS INT) AS canon_len,
+        |       sha256(nfc_normalize(lower(deco))) AS canon_hash
+        |FROM (SELECT doc_id, text,
+        |        replace(text, 'e', 'e' || chr(769)) AS deco
+        |      FROM documents) s
+        |ORDER BY doc_id""".stripMargin,
     "x11a_lang_id" ->
       """SELECT doc_id, actual_lang, score_en, score_es, score_de, score_fr,
         |       score_zh,

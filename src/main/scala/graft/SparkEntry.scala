@@ -130,6 +130,9 @@ object SparkEntry {
     // exact heavy hitters via Misra-Gries sketch + exact re-count of
     // the ≤capacity candidates: no vocabulary-sized shuffle anywhere
     "x11p_heavy_hitters"  -> ((s, d) => TextAnalysis.heavyHitters(s, d)),
+    // Unicode NFC canonicalization via the native graft_nfc expression;
+    // Normalizer vs utf8proc certified byte-for-byte on composed rows
+    "x11r_unicode_canon"  -> (TextAnalysis.unicodeCanon(_, _)),
     // the composed corpus-build pipeline as ONE query: lang → quality
     // → exact dedup → near-dedup survivor → split, per-stage yields
     "x20_corpus_funnel"   -> (TextAnalysis.corpusFunnel(_, _)),
@@ -156,6 +159,9 @@ object SparkEntry {
     // CDC batch -> snapshot merge: delta-only assignment against the
     // frozen codebook, certified equal to a full reassignment
     "x10k_incremental_ivf" -> ((s, d) => Similarity.incrementalIvfAssign(s, d)),
+    // k-NN GRAPH over the whole corpus: per-vector top-3 among LSH
+    // bucket-mates — bucket-bounded candidate join, windowed rank
+    "x10l_knn_join"        -> ((s, d) => Similarity.knnJoin(s, d)),
     "x17b_stratified_sample" -> (TextAnalysis.stratifiedSample(_, _)),
     "x17c_source_quota"   -> ((s, d) => TextAnalysis.sourceQuota(s, d)),
     // temperature-weighted (α=1/2) training-mix sampling over skewed
@@ -233,6 +239,9 @@ object SparkEntry {
     "of11_append_tail"     -> (graft.streaming.Streaming.appendTail(_, _)),
     // add-column evolution: append a new column, old files read as NULL
     "of12_schema_evolution" -> (operators.Snapshot.schemaEvolutionDemo(_, _)),
+    // MERGE whose change batch carries a NEW column: one commit both
+    // reprices matched keys and evolves the schema (kept rows → NULL)
+    "of16_merge_evolution" -> (operators.Snapshot.mergeEvolutionDemo(_, _)),
     // Z-order clustered commit + 2-D box read (OPTIMIZE ZORDER shape)
     "of13_zorder_commit"   -> (operators.Snapshot.clusteredDemo(_, _)),
     // retention GC after a delete→compact chain; post-GC read certified
@@ -445,6 +454,31 @@ object SparkEntry {
         |FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
         |GROUP BY o_flag
         |ORDER BY o_flag NULLS FIRST""".stripMargin,
+    // of16: merge + schema evolution replayed as a CASE/anti-join —
+    // matched keys take the change batch's price AND its new column,
+    // kept rows read NULL there (the add-column contract).
+    "of16_merge_evolution" ->
+      """WITH chg AS (SELECT o_orderkey,
+        |         CAST(CAST(o_totalprice AS DECIMAL(12,2))
+        |              + CAST(250 AS DECIMAL(12,2)) AS DOUBLE) AS o_totalprice,
+        |         'merge-' || (o_orderkey % 3) AS o_audit_src
+        |       FROM orders WHERE o_orderkey % 7 = 0),
+        |     merged AS (
+        |       SELECT o_orderkey, o_totalprice, o_audit_src FROM chg
+        |       UNION ALL
+        |       SELECT b.o_orderkey, b.o_totalprice,
+        |              CAST(NULL AS VARCHAR) AS o_audit_src
+        |       FROM orders b
+        |       WHERE b.o_orderkey % 7 <> 0)
+        |SELECT o_audit_src,
+        |       COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+        |         AS sum_price,
+        |       MIN(o_orderkey) AS min_key,
+        |       MAX(o_orderkey) AS max_key
+        |FROM merged
+        |GROUP BY o_audit_src
+        |ORDER BY o_audit_src NULLS FIRST""".stripMargin,
     // of13: the oracle replays the 2-D box read as a plain double-range
     // filter — a box prune that dropped an overlapping file (rows
     // missing) or a leaked residual cannot hash-match.

@@ -489,6 +489,50 @@ object Similarity {
     topkOf(scored, k)
   }
 
+  /** X10l: LSH-bucketed k-NN JOIN (`x10l_knn_join`) — every corpus
+    * vector's top-k neighbours among the vectors it shares an LSH band
+    * with; the k-NN-graph construction step under SemDeDup-style
+    * cluster curation and graph-based diversity sampling, and the
+    * all-vectors generalization of [[annLsh]] (which ranks only the
+    * 8-query set).
+    *
+    * 100 TB shape: candidate generation is the banded self-equi-join —
+    * each (band, bandkey) bucket emits its own O(m²) DIRECTED pairs, so
+    * work is per-bucket-bounded exactly like [[embeddingNearDup]], and
+    * the per-vector top-k is one hash-partitioned window over the
+    * candidate relation (WindowGroupLimit pushes the rank filter below
+    * the sort at rank-k). More planes per band shrink m; more bands
+    * recover recall — the same two dials as every banded family member.
+    * No corpus×corpus anything; vectors with no bucket-mate simply have
+    * no rows (isolated nodes of the graph).
+    *
+    * Arithmetic is the exact quantized core, so the DuckDB oracle
+    * replays buckets, candidates, cosines, and ranks bit-for-bit.
+    */
+  def knnJoin(spark: SparkSession, sfDir: String, k: Int = 3,
+              planes: Int = 16, bands: Int = 2): DataFrame = {
+    val bk = bandedBuckets(spark, sfDir, planes, bands)
+    val cand = bk.as("x").join(bk.as("y"),
+        col("x.band") === col("y.band") && col("x.bandkey") === col("y.bandkey")
+          && col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("src_id"), col("y.vec_id").as("nbr_id"))
+      .distinct()
+    val all = quantized(spark, sfDir)
+    val scored = cand
+      .join(all.select(col("vec_id").as("src_id"), col("embedding").as("s_emb"),
+        col("n2").as("s_n2")), "src_id")
+      .join(all.select(col("vec_id").as("nbr_id"), col("embedding").as("n_emb"),
+        col("n2").as("n_n2")), "nbr_id")
+      .select(col("src_id"), col("nbr_id"),
+        VectorOps.cosineFromQ(expr("quantized_dot(s_emb, n_emb)"),
+          col("s_n2"), col("n_n2")).as("cosine"))
+    val w = Window.partitionBy("src_id").orderBy(desc("cosine"), asc("nbr_id"))
+    scored.withColumn("rnk", row_number().over(w).cast(IntegerType))
+      .filter(col("rnk") <= k)
+      .select(col("src_id"), col("rnk"), col("nbr_id"), col("cosine"))
+      .orderBy("src_id", "rnk")
+  }
+
   // ---- Product quantization (PQ) + asymmetric-distance top-k ----
 
   private val PqM = 4            // subspaces

@@ -1364,6 +1364,39 @@ object Snapshot {
       .orderBy(asc_nulls_first("o_flag"))
   }
 
+  /** The MERGE-side schema-evolution venue (`of16_merge_evolution`):
+    * a change batch that both REPRICES existing keys and CARRIES A NEW
+    * COLUMN lands through [[mergeCommit]] in one commit — the
+    * `unionByName(allowMissingColumns)` path records the union schema,
+    * kept rows read NULL in the new column, and the next read sees one
+    * evolved table. This is the everyday Delta/Iceberg motion (`MERGE
+    * ... WHEN MATCHED UPDATE` after an upstream added a field); the
+    * commit-side add-column venue is [[schemaEvolutionDemo]] (`of12`),
+    * this one certifies the merge path end-to-end against the oracle's
+    * CASE/anti-join replay. Same scale shape as any merge: one keyed
+    * anti-join over the base, the change batch broadcast-sized. */
+  def mergeEvolutionDemo(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val orders = graft.sources.Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_mergevo_").toString
+    commit(orders, root)
+    val changes = orders.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_totalprice",
+        (col("o_totalprice").cast("decimal(12,2)") + 250).cast("double"))
+      .withColumn("o_audit_src", concat(lit("merge-"), col("o_orderkey") % 3))
+    mergeCommit(spark, root, changes, "o_orderkey")
+    readCurrent(spark, root)
+      .groupBy(col("o_audit_src"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast("decimal(12,2)")).cast("double")
+          .as("sum_price"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy(asc_nulls_first("o_audit_src"))
+  }
+
   /** The oracle-certified [[commitClustered]] venue
     * (`of13_zorder_commit`): lineitem laid on the Morton curve of
     * (l_partkey, l_suppkey) with min/max stats on both, then a 2-D box

@@ -930,4 +930,38 @@ object TextAnalysis {
         col("kept_chars"), col("first_kept"))
       .orderBy("source")
   }
+
+  /** X11r: Unicode canonicalization (`x11r_unicode_canon`) — the
+    * cross-source dedup prerequisite: byte hashes of visually identical
+    * text disagree until combining sequences are composed to NFC
+    * (U+0065 U+0301 vs U+00E9). Runs the native codegen'd
+    * [[graft.plans.NfcNormalize]] expression over a canonical key
+    * (NFC ∘ lower), then certifies the composition with per-doc
+    * codepoint counts and a SHA-256 of the canonical bytes.
+    *
+    * The fixture corpus is ASCII (NFC-invariant), so the query
+    * manufactures its own decomposed carrier deterministically —
+    * every 'e' becomes 'e'+COMBINING ACUTE — and the oracle replays
+    * the same injection and composes with utf8proc's `nfc_normalize`;
+    * the hash match proves java.text.Normalizer and utf8proc agree
+    * byte-for-byte on every composed row. At 100 TB this is a pure
+    * per-row projection (no shuffle beyond the final order), and the
+    * already-NFC common case returns the input buffer unchanged
+    * (NfcNormalize's isNormalized fast path — no allocation).
+    */
+  def unicodeCanon(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.plans.NfcNormalize.register(spark)
+    // decomposed carrier: 'e' + COMBINING ACUTE as an explicit escape,
+    // so no editor/normalizer can ever silently compose the literal
+    val deco = regexp_replace(col("text"), "e", "e" + '\u0301')
+    val canon = call_function(graft.plans.NfcNormalize.name, lower(deco))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), deco.as("deco"))
+      .select(col("doc_id"),
+        (length(col("deco")) - length(col("text"))).cast(IntegerType)
+          .as("n_marks"),
+        length(canon).cast(IntegerType).as("canon_len"),
+        sha2(canon, 256).as("canon_hash"))
+      .orderBy("doc_id")
+  }
 }

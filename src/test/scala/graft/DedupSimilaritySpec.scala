@@ -532,4 +532,35 @@ class DedupSimilaritySpec extends SparkSuite {
     val mass = salted.map(t => t._1 -> t._3).toMap
     assert(mass(0) > salted.map(_._3).sum / 2, s"key 0 not hot: $mass")
   }
+
+  test("kNN join restricted to the query set IS annLsh (same buckets, same ranks)") {
+    // knnJoin generalizes annLsh from the 8-query set to every vector:
+    // identical LSH parameters must therefore produce identical rows
+    // when the graph is filtered to those sources
+    val graph = Similarity.knnJoin(spark, sf, k = 3)
+      .filter(col("src_id") < 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toList
+    val ann = Similarity.annLsh(spark, sf, k = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toList
+    assert(graph == ann)
+  }
+
+  test("kNN join emits at most k rows per source with contiguous ranks and true cosines") {
+    val rows = Similarity.knnJoin(spark, sf, k = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (src, nbrs) =>
+      val ranks = nbrs.map(_._2).sorted.toList
+      assert(ranks == (1 to nbrs.length).toList, s"src $src ranks $ranks")
+      assert(nbrs.length <= 3)
+      // descending cosine within each source's list
+      val byRank = nbrs.sortBy(_._2).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+      assert(!nbrs.exists(_._3 == src), s"self-edge at $src")
+    }
+    // the graph covers well beyond the 8-query set
+    assert(rows.map(_._1).distinct.length > 8)
+  }
 }

@@ -770,4 +770,30 @@ class SnapshotSpec extends SparkSuite {
     // must survive the snapshot roundtrip untouched
     assert(got == want)
   }
+
+  test("merge-side schema evolution: new column lands, kept rows read NULL, old version keeps old schema") {
+    import spark.implicits._
+    val root = freshTable()
+    Snapshot.commit(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), root)
+    // change batch carries a NEW column: update k=2, insert k=9
+    Snapshot.mergeCommit(spark, root,
+      Seq((2L, "B", 20L), (9L, "i", 90L)).toDF("k", "v", "extra"), "k")
+    val cur = Snapshot.readCurrent(spark, root)
+    assert(cur.columns.toSeq == Seq("k", "v", "extra"))
+    val byK = cur.collect().map(r =>
+      r.getLong(0) -> (r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(byK == Map(1L -> ("a", None), 2L -> ("B", Some(20L)),
+      3L -> ("c", None), 9L -> ("i", Some(90L))))
+    // pre-merge version is untouched: old schema, old rows
+    val v1 = Snapshot.readVersion(spark, root, 1L)
+    assert(v1.columns.toSeq == Seq("k", "v") && v1.count() == 3)
+    // a follow-up merge WITHOUT the evolved column still works and
+    // reads NULL there (the symmetric allowMissingColumns direction)
+    Snapshot.mergeCommit(spark, root, Seq((1L, "A")).toDF("k", "v"), "k")
+    val after = Snapshot.readCurrent(spark, root)
+    assert(after.columns.toSeq == Seq("k", "v", "extra"))
+    assert(after.filter(col("k") === 1L).head().isNullAt(2))
+    assert(after.filter(col("k") === 2L).head().getLong(2) == 20L)
+  }
 }

@@ -417,6 +417,31 @@ object OraclesLlm {
          |QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_a
          |  ORDER BY jaccard DESC, doc_b) <= 8
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // x09p: asymmetric containment over width-4 rare-gram candidates —
+    // the integer τ-filter (inter·5 ≥ n·3) and the per-doc top-8 bound
+    // replay exactly; floats only in the emitted cont_a/cont_b.
+    "x09p_containment" ->
+      s"""WITH $toks,
+         |${gramCtesOf(4)},
+         |hot AS (SELECT gid FROM grams0 GROUP BY gid HAVING COUNT(*) > 300),
+         |grams AS (SELECT * FROM grams0 g
+         |          WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.gid = g.gid)),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+         |inters AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |             COUNT(*) AS inter
+         |           FROM grams x JOIN grams y
+         |             ON x.gid=y.gid AND x.doc_id<y.doc_id GROUP BY 1,2),
+         |cpairs AS (SELECT i.doc_a, i.doc_b, sa.n AS n_a, sb.n AS n_b,
+         |             i.inter,
+         |             CAST(i.inter AS DOUBLE)/sa.n AS cont_a,
+         |             CAST(i.inter AS DOUBLE)/sb.n AS cont_b
+         |           FROM inters i JOIN sizes sa ON i.doc_a=sa.doc_id
+         |                         JOIN sizes sb ON i.doc_b=sb.doc_id
+         |           WHERE i.inter*5 >= sa.n*3 OR i.inter*5 >= sb.n*3)
+         |SELECT doc_a, doc_b, n_a, n_b, inter, cont_a, cont_b FROM cpairs
+         |QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_a
+         |  ORDER BY GREATEST(cont_a, cont_b) DESC, doc_b) <= 8
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "x09g_dedup_clusters" ->
       s"""WITH RECURSIVE $toks,
          |$clusterCtes

@@ -116,6 +116,9 @@ object SparkEntry {
     // ...and the scrub APPLICATION: cut the spans, reassemble the
     // survivors, report before/after counts + rewritten-content hash
     "x09o_span_scrub"     -> ((s, d) => Dedup.spanScrub(s, d)),
+    // asymmetric containment (inter/n_a, inter/n_b) over rare-gram
+    // candidates: catches short-in-long quoting Jaccard cannot see
+    "x09p_containment"    -> ((s, d) => Dedup.containmentPairs(s, d)),
     // CCNet-style corpus-trained bigram-LM fluency scoring: exact
     // ratio-of-sums surprisal, head/middle/tail perplexity buckets
     "x11n_lm_score"       -> (TextAnalysis.lmScore(_, _)),

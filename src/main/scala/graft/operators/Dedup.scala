@@ -829,6 +829,72 @@ object Dedup {
       col("jaccard").desc, col("doc_b"))
       .orderBy("doc_a", "doc_b")
 
+  /** X9p: asymmetric CONTAINMENT pairs (`x09p_containment`) — the
+    * long-document decontamination signal symmetric Jaccard cannot see:
+    * a short document quoted wholesale inside a much longer one scores
+    * `inter/min(n_a,n_b)` ≈ 1 while its Jaccard ≈ n_short/n_long ≈ 0,
+    * so an x09e-style threshold never fires. Scores BOTH directions
+    * (`cont_a = inter/n_a`, `cont_b = inter/n_b`) over distinct
+    * width-4 gram ids and keeps pairs where EITHER clears τ = 3/5 —
+    * the filter runs in exact integer arithmetic (`inter·5 ≥ n·3`),
+    * floats appear only in the emitted columns.
+    *
+    * Candidate generation is the CountJoin discipline, NOT MinHash:
+    * banded MinHash approximates Jaccard, so it systematically MISSES
+    * exactly the low-Jaccard/high-containment pairs this op exists to
+    * find; the shared-rare-gram join (df ≤ maxDf ceiling) has no such
+    * bias — any pair sharing one sub-ceiling gram is scored exactly.
+    * Same 100 TB shape as x09e: Σ df² bounded by the ceiling, packed
+    * BIGINT pair keys through the count aggregate, family-shared
+    * tokenize. Output bounded to the strongest [[MaxPairsPerDoc]]
+    * partners per left doc (max containment desc, partner asc). */
+  def containmentPairs(spark: SparkSession, sfDir: String,
+                       maxDf: Long = 300L, width: Int = 4): DataFrame =
+    topPairsPerDoc(
+      memoized(spark, s"containment|$sfDir|$maxDf|$width") {
+        containmentBuild(spark, sfDir, maxDf, width)
+      },
+      greatest(col("cont_a"), col("cont_b")).desc, col("doc_b"))
+      .orderBy("doc_a", "doc_b")
+
+  private def containmentBuild(spark: SparkSession, sfDir: String,
+                               maxDf: Long, width: Int): DataFrame = {
+    graft.plans.PolyHash.register(spark)
+    val grams = tokArrShared(spark, sfDir).filter(size(col("arr")) >= width)
+      .select(col("doc_id"),
+        explode(transform(shingleArrOf(col("arr"), width),
+          s => TextAnalysis.polyHash(s))).as("gid"))
+      .distinct()
+      .cache()
+    val hot = grams.groupBy("gid").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("gid")
+    val kept = grams.join(broadcast(hot), Seq("gid"), "left_anti").cache()
+    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // packed-pair count aggregate — the x09e CountJoin discipline
+    // (31-bit id domain enforced per row, arithmetic-shift decode)
+    val packed = when(
+      col("x.doc_id") >= 0 && col("y.doc_id") <= lit(2147483647L),
+      shiftleft(col("x.doc_id"), 32) + col("y.doc_id"))
+      .otherwise(raise_error(lit(
+        "containmentPairs: doc ids outside [0, 2^31) would alias in " +
+          "the packed pair key; use a struct key for wider ids")))
+    kept.as("x").join(kept.as("y"),
+        col("x.gid") === col("y.gid") && col("x.doc_id") < col("y.doc_id"))
+      .select(packed.as("pk"))
+      .groupBy("pk").agg(count(lit(1)).as("inter"))
+      .select(shiftright(col("pk"), 32).as("doc_a"),
+        (col("pk").bitwiseAND(lit(4294967295L))).as("doc_b"),
+        col("inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .filter(col("inter") * 5 >= col("n_a") * 3
+        || col("inter") * 5 >= col("n_b") * 3)
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+        col("inter"),
+        (col("inter").cast(DoubleType) / col("n_a")).as("cont_a"),
+        (col("inter").cast(DoubleType) / col("n_b")).as("cont_b"))
+  }
+
   /** The un-memoized pipeline. `materialize = false` (plan inspection
     * only — PlanSpec) returns the raw un-checkpointed pipeline, whose
     * physical shape the memo's checkpoint scan would otherwise hide,

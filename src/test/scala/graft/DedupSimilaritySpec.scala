@@ -533,6 +533,36 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(mass(0) > salted.map(_._3).sum / 2, s"key 0 not hot: $mass")
   }
 
+  test("containment pairs replay exactly under an in-JVM recompute (incl. the top-8 bound)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // width-4 distinct gram-id sets per doc (the Spark side's pipeline)
+    val gsets = docs.map { case (id, text) =>
+      val t = text.split(" ")
+      id -> t.sliding(4).filter(_.length == 4)
+        .map(g => graft.plans.PolyHash.hash(g.mkString(" "))).toSet
+    }.filter(_._2.nonEmpty)
+    // df ceiling (not binding at 50 docs, but replay it anyway)
+    val df = gsets.values.flatten.groupBy(identity).map { case (g, o) => g -> o.size }
+    val kept = gsets.map { case (id, s) => id -> s.filter(df(_) <= 300) }
+      .filter(_._2.nonEmpty)
+    val want = (for {
+      (a, sa) <- kept; (b, sb) <- kept if a < b
+      inter = (sa & sb).size.toLong
+      if inter * 5 >= sa.size * 3 || inter * 5 >= sb.size * 3
+    } yield (a, b, sa.size.toLong, sb.size.toLong, inter,
+      inter.toDouble / sa.size, inter.toDouble / sb.size)).toSeq
+    val bounded = want.groupBy(_._1).toSeq.flatMap { case (_, ps) =>
+      ps.sortBy(p => (-math.max(p._6, p._7), p._2)).take(8)
+    }.sortBy(p => (p._1, p._2))
+    val got = Dedup.containmentPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6))).toSeq
+    assert(got == bounded)
+    assert(got.nonEmpty)
+  }
+
   test("kNN join restricted to the query set IS annLsh (same buckets, same ranks)") {
     // knnJoin generalizes annLsh from the 8-query set to every vector:
     // identical LSH parameters must therefore produce identical rows

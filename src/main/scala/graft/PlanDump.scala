@@ -81,6 +81,22 @@ object PlanDump {
         "`Subquery` (scalar subquery over the dim's bloom aggregate) — " +
         "the join shuffle only carries fact rows whose key is probably " +
         "in dim; false positives are re-verified by the join itself."),
+    "x10l_knn_join" ->
+      ("k-NN graph join. Look for: candidates born from the banded " +
+        "bucket SELF-equi-join (hash join on (band, bandkey) — never " +
+        "corpus×corpus; the signatures are per-row fused quantized-dot " +
+        "projections with no exchange of their own), the two embedding " +
+        "joins shuffling only the candidate relation, and the per-source " +
+        "rank cut running as `WindowGroupLimit` (partial + final) so " +
+        "each shuffle side keeps at most k rows per source before the " +
+        "full sort."),
+    "x09p_containment" ->
+      ("Asymmetric containment dedup. Look for: the rare-gram candidate " +
+        "self-join on `gid` with the hot-gram ceiling applied BELOW it " +
+        "(broadcast anti-join — df > 300 grams never enter the pair " +
+        "join), the pair count aggregating a packed BIGINT key (one " +
+        "shuffle column, map-side combined), and the integer τ filter " +
+        "sitting under the top-8 `WindowGroupLimit`."),
     "of8_delete_where" ->
       ("Read path after a file-granular DELETE. Look for: the scan's " +
         "file list mixing v=1 (manifest-referenced untouched files) " +

@@ -245,6 +245,9 @@ object SparkEntry {
     // MERGE whose change batch carries a NEW column: one commit both
     // reprices matched keys and evolves the schema (kept rows → NULL)
     "of16_merge_evolution" -> (operators.Snapshot.mergeEvolutionDemo(_, _)),
+    // zero-copy SHALLOW CLONE + file-granular delete on the clone:
+    // clone shows the delete, source stays fixture-identical
+    "of17_shallow_clone"   -> (operators.Snapshot.cloneDemo(_, _)),
     // Z-order clustered commit + 2-D box read (OPTIMIZE ZORDER shape)
     "of13_zorder_commit"   -> (operators.Snapshot.clusteredDemo(_, _)),
     // retention GC after a delete→compact chain; post-GC read certified
@@ -482,6 +485,27 @@ object SparkEntry {
         |FROM merged
         |GROUP BY o_audit_src
         |ORDER BY o_audit_src NULLS FIRST""".stripMargin,
+    // of17: both sides of the clone in one result — the source replays
+    // as a plain aggregate (proof the clone-side delete never reached
+    // it), the clone as a NOT-BETWEEN aggregate.
+    "of17_shallow_clone" ->
+      """WITH cut AS (SELECT CAST(FLOOR(MAX(o_orderkey) / 6) AS BIGINT) AS c
+        |            FROM orders),
+        |     src AS (SELECT 'source' AS side, o_orderstatus,
+        |               COUNT(*) AS n_rows,
+        |               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+        |                 AS DOUBLE) AS sum_price
+        |             FROM orders GROUP BY o_orderstatus),
+        |     cln AS (SELECT 'clone' AS side, o_orderstatus,
+        |               COUNT(*) AS n_rows,
+        |               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+        |                 AS DOUBLE) AS sum_price
+        |             FROM orders
+        |             WHERE NOT (o_orderkey BETWEEN 1 AND (SELECT c FROM cut))
+        |             GROUP BY o_orderstatus)
+        |SELECT side, o_orderstatus, n_rows, sum_price
+        |FROM (SELECT * FROM src UNION ALL SELECT * FROM cln)
+        |ORDER BY side, o_orderstatus""".stripMargin,
     // of13: the oracle replays the 2-D box read as a plain double-range
     // filter — a box prune that dropped an overlapping file (rows
     // missing) or a leaked residual cannot hash-match.

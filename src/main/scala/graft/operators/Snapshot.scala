@@ -1120,6 +1120,57 @@ object Snapshot {
       s"compactSmall of $root did not win a claim in $maxRetries attempts")
   }
 
+  /** SHALLOW CLONE: materialize a NEW table at `dstRoot` whose first
+    * version REFERENCES the source's current files through a manifest —
+    * the Delta `CREATE TABLE ... SHALLOW CLONE` shape: zero data I/O
+    * at any table size (a schema anchor plus O(files) manifest rows),
+    * after which the clone evolves independently (merges/deletes on
+    * the clone write THEIR new files under `dstRoot` while untouched
+    * data keeps riding the source's files by absolute reference — the
+    * everyday dev/test-against-prod and experiment-branch motion).
+    * Stats/bloom manifests copy over, so data skipping works on the
+    * clone from the first read. Runs under the claim protocol on the
+    * destination; the target must be a fresh root.
+    *
+    * Same caveat as Delta documents: the clone borrows the source's
+    * RETENTION — vacuuming the source can collect files a clone still
+    * references (the source does not know its clones). Pin clones to
+    * sources with compatible retention, or [[compact]] the clone to
+    * self-contain it. */
+  def shallowClone(spark: SparkSession, srcRoot: String,
+                   dstRoot: String): Long = {
+    import spark.implicits._
+    val srcV = currentVersion(spark, srcRoot).getOrElse(
+      throw new java.util.NoSuchElementException(
+        s"snapshot table $srcRoot has no committed version to clone"))
+    val src = readResolved(spark, srcRoot, srcV)
+    var attempts = 0
+    while (true) {
+      val next = observedMax(spark, dstRoot) + 1
+      require(next == 1L,
+        s"shallowClone target $dstRoot already has versions — clone " +
+          "into a fresh root")
+      if (claimVersion(spark, dstRoot, next)) {
+        // schema anchor: the v=N directory must exist for the claim /
+        // observedMax protocol; the data rides by reference
+        src.limit(0).write.mode("overwrite").parquet(s"$dstRoot/v=$next")
+        val carried = fileInventory(spark, srcRoot, srcV).map(_._1)
+        carried.toDF("file").coalesce(1)
+          .write.mode("overwrite").parquet(s"$dstRoot/$ManifestDir/v=$next")
+        writeSchema(spark, dstRoot, next, src.schema)
+        if (statsColsOf(spark, srcRoot, srcV).nonEmpty)
+          spark.read.parquet(s"$srcRoot/$StatsDir/v=$srcV").coalesce(1)
+            .write.mode("overwrite").parquet(s"$dstRoot/$StatsDir/v=$next")
+        pointerAdvance(spark, dstRoot, next)
+        return next
+      }
+      attempts += 1
+      if (attempts > 64) throw new IllegalStateException(
+        s"shallowClone to $dstRoot lost the version claim 64 times")
+    }
+    -1L // unreachable
+  }
+
   /** RESTORE: roll the table back to retained version `toV` as a NEW
     * commit — history moves forward only (the bad versions stay
     * readable for forensics until vacuumed), and the restore itself is
@@ -1362,6 +1413,41 @@ object Snapshot {
         min(col("o_orderkey")).as("min_key"),
         max(col("o_orderkey")).as("max_key"))
       .orderBy(asc_nulls_first("o_flag"))
+  }
+
+  /** The [[shallowClone]] venue (`of17_shallow_clone`): clone a
+    * stats-carrying orders table by reference, DELETE a key band on
+    * the CLONE (file-granular — only stats-overlapping files rewrite
+    * under the clone's root; the rest keep riding the source's files
+    * cross-root), and certify both sides: the clone shows the delete,
+    * the source must be byte-indistinguishable from the fixture. The
+    * oracle replays the two sides as a UNION of a plain aggregate and
+    * a NOT-BETWEEN aggregate. */
+  def cloneDemo(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val orders = graft.sources.Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_clone_").toString
+    val src = s"$base/src"
+    val dst = s"$base/clone"
+    commitWithStats(
+      orders.repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"),
+      src, Seq("o_orderkey"))
+    shallowClone(spark, src, dst)
+    val cut = orders.agg(max(col("o_orderkey"))).head().getLong(0) / 6
+    deleteWhere(spark, dst, "o_orderkey", lit(1L), lit(cut))
+    def side(root: String, label: String) =
+      readCurrent(spark, root)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_totalprice").cast("decimal(12,2)")).cast("double")
+            .as("sum_price"))
+        .withColumn("side", lit(label))
+    side(src, "source").unionByName(side(dst, "clone"))
+      .select("side", "o_orderstatus", "n_rows", "sum_price")
+      .orderBy("side", "o_orderstatus")
   }
 
   /** The MERGE-side schema-evolution venue (`of16_merge_evolution`):

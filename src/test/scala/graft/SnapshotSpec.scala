@@ -771,6 +771,45 @@ class SnapshotSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("shallow clone: zero-copy reference, independent evolution, source untouched") {
+    import spark.implicits._
+    val base = freshTable()
+    val src = s"$base/src"
+    val dst = s"$base/clone"
+    Snapshot.commitWithStats(
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+        .toDF("k", "v").repartitionByRange(2, col("k"))
+        .sortWithinPartitions("k"),
+      src, Seq("k"))
+    Snapshot.shallowClone(spark, src, dst)
+    // the clone's v=1 holds NO data files of its own — pure reference
+    val cloned = Snapshot.manifestFiles(spark, dst, 1L)
+    assert(cloned.nonEmpty && cloned.get.nonEmpty)
+    assert(cloned.get.forall(_.contains("/src/")),
+      s"clone manifest should reference source files: ${cloned.get}")
+    assert(rows(dst) == rows(src))
+    // delete a band on the CLONE: only overlapping files rewrite (under
+    // the clone's root); the rest keep riding the source's files
+    Snapshot.deleteWhere(spark, dst, "k", lit(1L), lit(2L))
+    assert(rows(dst) == Set((3L, "c"), (4L, "d")))
+    val after = Snapshot.manifestFiles(spark, dst, 2L).get
+    assert(after.exists(_.contains("/src/")),
+      "untouched files must still ride the source cross-root")
+    // the source never noticed
+    assert(Snapshot.currentVersion(spark, src).contains(1L))
+    assert(rows(src) == Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    // a second clone into a used root is refused
+    intercept[IllegalArgumentException] {
+      Snapshot.shallowClone(spark, src, dst)
+    }
+    // compact self-contains the clone (drops the cross-root dependency)
+    Snapshot.compact(spark, dst)
+    val selfFiles = Snapshot.manifestFiles(spark, dst,
+      Snapshot.currentVersion(spark, dst).get)
+    assert(selfFiles.isEmpty || selfFiles.get.forall(!_.contains("/src/")))
+    assert(rows(dst) == Set((3L, "c"), (4L, "d")))
+  }
+
   test("merge-side schema evolution: new column lands, kept rows read NULL, old version keeps old schema") {
     import spark.implicits._
     val root = freshTable()

@@ -250,6 +250,9 @@ object SparkEntry {
     "of17_shallow_clone"   -> (operators.Snapshot.cloneDemo(_, _)),
     // Z-order clustered commit + 2-D box read (OPTIMIZE ZORDER shape)
     "of13_zorder_commit"   -> (operators.Snapshot.clusteredDemo(_, _)),
+    // commit-time CHECK constraints: bad batch rejected atomically with
+    // the exact violation count; bad constraint refused on existing data
+    "of19_check_constraint" -> (operators.Snapshot.checkConstraintDemo(_, _)),
     // retention GC after a delete→compact chain; post-GC read certified
     "of14_vacuum"          -> (operators.Snapshot.vacuumDemo(_, _)),
     // TIMESTAMP AS OF reads on both sides of a delete
@@ -506,6 +509,34 @@ object SparkEntry {
         |SELECT side, o_orderstatus, n_rows, sum_price
         |FROM (SELECT * FROM src UNION ALL SELECT * FROM cln)
         |ORDER BY side, o_orderstatus""".stripMargin,
+    // of19: every step count and the surviving sum replayed from the
+    // fixture slices — a rejected batch that leaked into the table (or
+    // a wrong violation count) cannot hash-match.
+    "of19_check_constraint" ->
+      """WITH li AS (SELECT l_orderkey, l_linenumber, l_quantity
+        |            FROM lineitem),
+        |     base AS (SELECT * FROM li WHERE l_orderkey % 7 = 0),
+        |     good AS (SELECT * FROM li WHERE l_orderkey % 7 = 1),
+        |     bad AS (SELECT l_orderkey, l_linenumber,
+        |               CASE WHEN l_linenumber % 3 = 0 THEN -l_quantity
+        |                    ELSE l_quantity END AS l_quantity
+        |             FROM li WHERE l_orderkey % 7 = 2),
+        |     fin AS (SELECT * FROM base UNION ALL SELECT * FROM good)
+        |SELECT 's1_base_commit' AS step, 'committed' AS outcome,
+        |       (SELECT COUNT(*) FROM base) AS n
+        |UNION ALL SELECT 's2_add_qty_check', 'active_constraints', 1
+        |UNION ALL SELECT 's3_good_append', 'committed',
+        |       (SELECT COUNT(*) FROM fin)
+        |UNION ALL SELECT 's4_bad_append', 'rejected_rows',
+        |       (SELECT COUNT(*) FROM bad
+        |        WHERE NOT (l_quantity BETWEEN 1 AND 50))
+        |UNION ALL SELECT 's5_bad_append_held', 'pointer_unmoved', 1
+        |UNION ALL SELECT 's6_bad_constraint', 'refused_rows',
+        |       (SELECT COUNT(*) FROM fin)
+        |UNION ALL SELECT 's7_final', 'sum_qty',
+        |       (SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)))
+        |               AS BIGINT) FROM fin)
+        |ORDER BY step""".stripMargin,
     // of13: the oracle replays the 2-D box read as a plain double-range
     // filter — a box prune that dropped an overlapping file (rows
     // missing) or a leaked residual cannot hash-match.

@@ -130,6 +130,102 @@ object Snapshot {
       base.fields ++ batch.fields.filterNot(f => baseNames(f.name)))
   }
 
+  private val ConstraintsDir = "_constraints"
+
+  /** A commit rejected by a CHECK constraint: the constraint's name
+    * plus how many of the batch's rows failed it. The version
+    * directory written before validation stays an unreferenced orphan
+    * (the standard crash anatomy — readers follow the pointer and
+    * never see it; [[vacuum]] collects it). */
+  final class ConstraintViolation(val constraint: String,
+                                  val nViolations: Long, msg: String)
+    extends IllegalArgumentException(msg)
+
+  /** The CHECK constraints active at version `v`: a constraint
+    * add/drop writes the FULL new set at its own version, so
+    * resolution is one O(constraint-changes) directory listing plus
+    * one tiny parquet read of the highest set at-or-below `v` — never
+    * a log replay, and versions committed between constraint changes
+    * need no per-version copy. */
+  def checkConstraintsOf(spark: SparkSession, root: String,
+                         v: Long): Seq[(String, String)] = {
+    val dir = new org.apache.hadoop.fs.Path(root, ConstraintsDir)
+    val fs = fsOf(spark, dir)
+    if (!fs.exists(dir)) return Nil
+    val vs = fs.listStatus(dir).map(_.getPath.getName)
+      .collect { case n if n.matches("v=\\d+") => n.stripPrefix("v=").toLong }
+      .filter(_ <= v)
+    if (vs.isEmpty) Nil
+    else {
+      val rows = spark.read.parquet(s"$root/$ConstraintsDir/v=${vs.max}")
+        .select("name", "expr").collect()
+      rows.map(r => (r.getString(0), r.getString(1))).toSeq.sortBy(_._1)
+    }
+  }
+
+  private def writeConstraintSet(spark: SparkSession, root: String,
+                                 v: Long,
+                                 cs: Seq[(String, String)]): Unit = {
+    import spark.implicits._
+    cs.toDF("name", "expr").coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/$ConstraintsDir/v=$v")
+  }
+
+  /** Violation counts of `df` against each constraint — ONE aggregate
+    * scan reading only the constraint columns (column-pruned when `df`
+    * is a fresh-files read-back). SQL CHECK semantics: a NULL
+    * predicate passes (only definite FALSE violates). */
+  private def violationCounts(df: DataFrame,
+                              cs: Seq[(String, String)])
+      : Seq[(String, Long)] = {
+    import org.apache.spark.sql.functions._
+    if (cs.isEmpty) return Nil
+    val aggs = cs.map { case (n, e) =>
+      sum(when(!coalesce(expr(e).cast("boolean"), lit(true)), 1L)
+        .otherwise(0L)).as(n)
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    cs.zipWithIndex.map { case ((n, _), i) =>
+      (n, if (row.isNullAt(i)) 0L else row.getLong(i))
+    }
+  }
+
+  /** Enforce the base version's CHECK constraints on the parquet just
+    * written into `v=next`, BEFORE the pointer swap — reading back the
+    * written files (the [[writeStats]] pattern) costs one column-pruned
+    * scan of the BATCH and never re-executes the input plan; a
+    * violation throws and the orphaned directory never becomes
+    * visible. */
+  private def enforceWritten(spark: SparkSession, root: String,
+                             next: Long, base: Long): Unit = {
+    val cs = checkConstraintsOf(spark, root, base)
+    if (cs.isEmpty) return
+    val bad = violationCounts(
+      spark.read.parquet(s"$root/v=$next"), cs).filter(_._2 > 0)
+    bad.headOption.foreach { case (n, c) =>
+      throw new ConstraintViolation(n, c,
+        s"commit to $root rejected: CHECK constraint `$n` failed on " +
+          s"$c row(s); pointer stays on v=$base")
+    }
+  }
+
+  /** [[enforceWritten]] under an OWNED claim: a rejected batch must not
+    * wedge the table — read-modify-write commits (merge/delete/
+    * constraint-add) can only ever claim `pointer+1`, so a burnt claim
+    * there would block them until vacuum. We still hold the claim, the
+    * written directory never became visible: remove it FIRST (so the
+    * claim protocol's already-decided check can never observe a released
+    * claim with a live dir), then the claim, then rethrow. */
+  private def enforceOrRelease(spark: SparkSession, root: String,
+                               next: Long, base: Long): Unit =
+    try enforceWritten(spark, root, next, base)
+    catch { case v: ConstraintViolation =>
+      val fs = fsOf(spark, new org.apache.hadoop.fs.Path(root))
+      fs.delete(new org.apache.hadoop.fs.Path(root, s"v=$next"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(root, s"$ClaimsDir/$next"), false)
+      throw v
+    }
+
   /** The `(file, bytes)` inventory of version `v` — manifest-listed
     * files or the directory's parquet parts; an O(files) driver-side
     * metadata read, never a data scan. */
@@ -587,6 +683,10 @@ object Snapshot {
       val next = observedMax(spark, root) + 1
       if (claimVersion(spark, root, next)) {
         df.write.mode("overwrite").parquet(s"$root/v=$next")
+        // CHECK constraints resolve against the live pointer (a blind
+        // commit replaces whatever is current, so current's rules bind)
+        currentVersion(spark, root)
+          .foreach(cur => enforceOrRelease(spark, root, next, cur))
         if (statsCols.nonEmpty)
           writeStats(spark, root, next, statsCols, bloomCols)
         writeSchema(spark, root, next, df.schema)
@@ -858,6 +958,21 @@ object Snapshot {
         throw new java.util.NoSuchElementException(
           s"snapshot table $root has no committed version to merge into"))
       if (claimVersion(spark, root, base + 1)) {
+        // CHECK constraints: validate the CHANGE batch up front —
+        // O(batch), and base rows were validated by their own commits,
+        // so the merged result cannot introduce a violation elsewhere
+        val mcs = checkConstraintsOf(spark, root, base)
+        if (mcs.nonEmpty) violationCounts(changes, mcs)
+          .filter(_._2 > 0).headOption.foreach { case (n, c) =>
+            // nothing written yet — release the claim so pointer+1
+            // committers are not wedged, then reject
+            fsOf(spark, new org.apache.hadoop.fs.Path(root)).delete(
+              new org.apache.hadoop.fs.Path(
+                root, s"$ClaimsDir/${base + 1}"), false)
+            throw new ConstraintViolation(n, c,
+              s"merge into $root rejected: CHECK constraint `$n` " +
+                s"failed on $c change row(s); pointer stays on v=$base")
+          }
         val baseDf = readResolved(spark, root, base)
         // allowMissingColumns: a change batch carrying a NEW column is
         // an add-column evolution (kept rows read NULL there), and a
@@ -972,6 +1087,98 @@ object Snapshot {
       s"deleteWhere on $root did not win a claim in $maxRetries attempts")
   }
 
+  /** ADD a named CHECK constraint (the Delta `ALTER TABLE ... ADD
+    * CONSTRAINT ... CHECK (...)` shape): validate that the CURRENT
+    * data already satisfies `exprSql` (one column-pruned aggregate
+    * scan — refused with the violation count otherwise, no version
+    * burned), then commit a METADATA-ONLY version carrying every file
+    * by manifest reference (zero data I/O at any table size). From
+    * that version on, every [[commit]]/[[appendCommit]]/[[mergeCommit]]
+    * batch is validated before the pointer swap and rejected
+    * atomically on violation ([[ConstraintViolation]]) — the
+    * write-side quality gate a 100 TB ingest pipeline runs on, where a
+    * bad batch must die at the boundary instead of poisoning the
+    * table. NULL predicate rows pass (SQL CHECK semantics).
+    * Maintenance passes ([[compact]], [[deleteWhere]], [[vacuum]])
+    * skip re-validation: they only rearrange or remove already-
+    * validated rows. */
+  def addCheckConstraint(spark: SparkSession, root: String,
+                         name: String, exprSql: String,
+                         maxRetries: Int = 16): Long = {
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val base = currentVersion(spark, root).getOrElse(
+        throw new java.util.NoSuchElementException(
+          s"snapshot table $root has no committed version to constrain"))
+      val existing = checkConstraintsOf(spark, root, base)
+      require(!existing.exists(_._1 == name),
+        s"constraint `$name` already exists on $root")
+      violationCounts(readResolved(spark, root, base),
+          Seq((name, exprSql))).filter(_._2 > 0)
+        .headOption.foreach { case (n, c) =>
+          throw new ConstraintViolation(n, c,
+            s"cannot add CHECK constraint `$n` to $root: existing data " +
+              s"violates it on $c row(s)")
+        }
+      if (claimVersion(spark, root, base + 1)) {
+        val next = base + 1
+        // metadata-only version: an empty data dir (for the claim /
+        // observedMax protocol) + a manifest referencing base's files
+        fsOf(spark, new org.apache.hadoop.fs.Path(root))
+          .mkdirs(new org.apache.hadoop.fs.Path(root, s"v=$next"))
+        writeManifestAndStats(spark, root, next, base,
+          fileInventory(spark, root, base).map(_._1))
+        writeConstraintSet(spark, root, next,
+          existing :+ (name -> exprSql))
+        if (pointerAdvance(spark, root, next)) return next
+      } else {
+        val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+        while (currentVersion(spark, root).getOrElse(0L) <= base
+               && System.nanoTime() < deadline) Thread.sleep(20)
+      }
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"addCheckConstraint on $root did not win a claim in " +
+        s"$maxRetries attempts")
+  }
+
+  /** DROP a CHECK constraint by name — a metadata-only version whose
+    * constraint set omits it; later versions stop enforcing while
+    * time-travel reads of earlier versions still report it through
+    * [[checkConstraintsOf]]. */
+  def dropCheckConstraint(spark: SparkSession, root: String,
+                          name: String, maxRetries: Int = 16): Long = {
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val base = currentVersion(spark, root).getOrElse(
+        throw new java.util.NoSuchElementException(
+          s"snapshot table $root has no committed version"))
+      val existing = checkConstraintsOf(spark, root, base)
+      require(existing.exists(_._1 == name),
+        s"no constraint `$name` on $root (have: " +
+          s"${existing.map(_._1).mkString(", ")})")
+      if (claimVersion(spark, root, base + 1)) {
+        val next = base + 1
+        fsOf(spark, new org.apache.hadoop.fs.Path(root))
+          .mkdirs(new org.apache.hadoop.fs.Path(root, s"v=$next"))
+        writeManifestAndStats(spark, root, next, base,
+          fileInventory(spark, root, base).map(_._1))
+        writeConstraintSet(spark, root, next,
+          existing.filterNot(_._1 == name))
+        if (pointerAdvance(spark, root, next)) return next
+      } else {
+        val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+        while (currentVersion(spark, root).getOrElse(0L) <= base
+               && System.nanoTime() < deadline) Thread.sleep(20)
+      }
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"dropCheckConstraint on $root did not win a claim in " +
+        s"$maxRetries attempts")
+  }
+
   /** Manifest-referenced APPEND: commit `df` as NEW files while every
     * existing file rides into the new version by reference — an
     * O(batch) write at any table size, vs [[commit]]'s full rewrite
@@ -1014,6 +1221,9 @@ object Snapshot {
             val next = base + 1
             val carried = fileInventory(spark, root, base).map(_._1)
             df.write.mode("overwrite").parquet(s"$root/v=$next")
+            // enforce on the APPENDED files only — carried rows were
+            // validated by the commits that wrote them
+            enforceOrRelease(spark, root, next, base)
             writeManifestAndStats(spark, root, next, base, carried)
             if (pointerAdvance(spark, root, next)) return next
           } else {
@@ -1413,6 +1623,68 @@ object Snapshot {
         min(col("o_orderkey")).as("min_key"),
         max(col("o_orderkey")).as("max_key"))
       .orderBy(asc_nulls_first("o_flag"))
+  }
+
+  /** The CHECK-constraint venue (`of19_check_constraint`): commit a
+    * lineitem slice, add a quantity-range constraint (validating the
+    * existing data), land a good append, then certify BOTH refusal
+    * paths — a batch with negated quantities dies at the commit
+    * boundary with the exact violation count and the pointer parked,
+    * and a constraint the existing data violates is refused without
+    * burning a version. The final aggregate proves the bad batch never
+    * became visible. The oracle replays every count and the surviving
+    * sum from the fixture slices. */
+  def checkConstraintDemo(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val li = graft.sources.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_check_").toString
+    val base = li.filter(col("l_orderkey") % 7 === 0)
+    val good = li.filter(col("l_orderkey") % 7 === 1)
+    // a PARTIALLY bad batch: every third line's quantity negated — the
+    // rejection must count exactly those rows, not the whole batch
+    val bad = li.filter(col("l_orderkey") % 7 === 2)
+      .withColumn("l_quantity",
+        when(col("l_linenumber") % 3 === 0, -col("l_quantity"))
+          .otherwise(col("l_quantity")))
+    val nBase = {
+      commit(base, root)
+      readCurrent(spark, root).count()
+    }
+    addCheckConstraint(spark, root, "qty_range",
+      "l_quantity BETWEEN 1 AND 50")
+    val nAfterGood = {
+      appendCommit(good, root)
+      readCurrent(spark, root).count()
+    }
+    val vBeforeBad = currentVersion(spark, root).get
+    val nRejected =
+      try { appendCommit(bad, root); -1L }
+      catch { case v: ConstraintViolation => v.nViolations }
+    val badAppendHeld =
+      if (currentVersion(spark, root).get == vBeforeBad) 1L else 0L
+    val nRefused =
+      try {
+        addCheckConstraint(spark, root, "price_low",
+          "l_extendedprice < 0"); -1L
+      } catch { case v: ConstraintViolation => v.nViolations }
+    val sumQty = readCurrent(spark, root)
+      .agg(sum(col("l_quantity").cast("decimal(12,2)")))
+      .head().getDecimal(0).longValue()
+    val nActive =
+      checkConstraintsOf(spark, root, currentVersion(spark, root).get).size
+    Seq(
+      ("s1_base_commit", "committed", nBase),
+      ("s2_add_qty_check", "active_constraints", nActive.toLong),
+      ("s3_good_append", "committed", nAfterGood),
+      ("s4_bad_append", "rejected_rows", nRejected),
+      ("s5_bad_append_held", "pointer_unmoved", badAppendHeld),
+      ("s6_bad_constraint", "refused_rows", nRefused),
+      ("s7_final", "sum_qty", sumQty)
+    ).toDF("step", "outcome", "n").orderBy("step")
   }
 
   /** The [[shallowClone]] venue (`of17_shallow_clone`): clone a

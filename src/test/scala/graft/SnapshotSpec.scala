@@ -835,4 +835,52 @@ class SnapshotSpec extends SparkSuite {
     assert(after.filter(col("k") === 1L).head().isNullAt(2))
     assert(after.filter(col("k") === 2L).head().getLong(2) == 20L)
   }
+
+  test("CHECK constraints gate every commit path atomically; NULL passes; drop lifts") {
+    import spark.implicits._
+    val root = freshTable()
+    Snapshot.commit(
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "qty"), root)
+    // metadata-only add: carries files by reference, validates existing
+    val vC = Snapshot.addCheckConstraint(spark, root, "qty_pos", "qty > 0")
+    assert(vC == 2L)
+    assert(Snapshot.checkConstraintsOf(spark, root, vC)
+      == Seq(("qty_pos", "qty > 0")))
+    // ...and v1's constraint set is empty (versioned resolution)
+    assert(Snapshot.checkConstraintsOf(spark, root, 1L).isEmpty)
+    // a constraint the data violates is refused WITHOUT burning a version
+    val refused = intercept[Snapshot.ConstraintViolation] {
+      Snapshot.addCheckConstraint(spark, root, "qty_small", "qty < 25")
+    }
+    assert(refused.nViolations == 1L
+      && Snapshot.currentVersion(spark, root).contains(vC))
+    // append with one bad row: rejected atomically, pointer parked
+    val rej = intercept[Snapshot.ConstraintViolation] {
+      Snapshot.appendCommit(Seq((4L, 40L), (5L, -5L)).toDF("k", "qty"), root)
+    }
+    assert(rej.constraint == "qty_pos" && rej.nViolations == 1L)
+    assert(Snapshot.currentVersion(spark, root).contains(vC))
+    assert(Snapshot.readCurrent(spark, root).count() == 3L)
+    // merge with a bad change row: rejected before the merge write
+    intercept[Snapshot.ConstraintViolation] {
+      Snapshot.mergeCommit(spark, root,
+        Seq((2L, -1L)).toDF("k", "qty"), "k")
+    }
+    assert(Snapshot.currentVersion(spark, root).contains(vC))
+    // NULL predicate rows PASS (SQL CHECK semantics)
+    Snapshot.appendCommit(
+      Seq((6L, Some(60L)), (7L, None)).toDF("k", "qty"), root)
+    assert(Snapshot.readCurrent(spark, root).count() == 5L)
+    // the constraint survives unrelated commits (resolution ≤ v)
+    val rej2 = intercept[Snapshot.ConstraintViolation] {
+      Snapshot.appendCommit(Seq((8L, 0L)).toDF("k", "qty"), root)
+    }
+    assert(rej2.constraint == "qty_pos")
+    // drop lifts enforcement going forward
+    Snapshot.dropCheckConstraint(spark, root, "qty_pos")
+    Snapshot.appendCommit(Seq((8L, 0L)).toDF("k", "qty"), root)
+    assert(Snapshot.readCurrent(spark, root).count() == 6L)
+    // historical versions still REPORT the constraint they ran under
+    assert(Snapshot.checkConstraintsOf(spark, root, vC).nonEmpty)
+  }
 }

@@ -417,6 +417,58 @@ object OraclesLlm {
          |QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_a
          |  ORDER BY jaccard DESC, doc_b) <= 8
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // x26: per-domain signals + an integer-cross-multiplied gate —
+    // no float threshold anywhere, so the flag replays exactly.
+    "x26_domain_curation" ->
+      """WITH s AS (SELECT source, COUNT(*) AS n_docs,
+        |             SUM(CASE WHEN lang='en' THEN 1 ELSE 0 END) AS n_en,
+        |             SUM(n_chars) AS sum_chars
+        |           FROM documents GROUP BY source)
+        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        |       CAST(n_en AS BIGINT) AS n_en,
+        |       CAST(sum_chars AS BIGINT) AS sum_chars,
+        |       (n_en*5 < n_docs*2 OR sum_chars < n_docs*280) AS flagged,
+        |       CAST(CASE WHEN n_en*5 < n_docs*2
+        |                   OR sum_chars < n_docs*280
+        |                 THEN 0 ELSE n_docs END AS BIGINT) AS n_kept
+        |FROM s ORDER BY source""".stripMargin,
+    // x09q: the incremental path's verdicts replay from a FULL minhash
+    // recompute — same params as x09b; candidates restricted to pairs
+    // whose later side is the delta batch (doc_id % 5 = 0), component
+    // agreement counted over the 16-long signatures, per-doc top-8, and
+    // a LEFT JOIN pins the novel-doc NULL rows.
+    "x09q_incremental_dedup" ->
+      s"""WITH $toks,
+         |$shingleCtes,
+         |params AS (SELECT CAST(i AS INT) AS i,
+         |             (1103515245*(i+1)) % 2147483647 AS a,
+         |             (12345 + 2654435761*i) % 2147483647 AS b
+         |           FROM range(0,16) t(i)),
+         |mh AS (SELECT doc_id, i, MIN((a*sid+b) % 2147483647) AS mh
+         |       FROM ds, params GROUP BY doc_id, i),
+         |bands AS (SELECT doc_id, i//4 AS band,
+         |            SUM(mh * (CASE i%4 WHEN 0 THEN 1 WHEN 1 THEN 31
+         |                      WHEN 2 THEN 961 ELSE 29791 END)) AS bandkey
+         |          FROM mh GROUP BY doc_id, i//4),
+         |cand AS (SELECT DISTINCT d.doc_id, p.doc_id AS partner
+         |         FROM bands d JOIN bands p
+         |           ON d.band=p.band AND d.bandkey=p.bandkey
+         |         WHERE d.doc_id % 5 = 0 AND p.doc_id <> d.doc_id
+         |           AND (p.doc_id % 5 <> 0 OR p.doc_id < d.doc_id)),
+         |nm AS (SELECT c.doc_id, c.partner,
+         |         CAST(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END)
+         |           AS INT) AS n_match
+         |       FROM cand c JOIN mh a ON a.doc_id = c.doc_id
+         |                   JOIN mh b ON b.doc_id = c.partner AND b.i = a.i
+         |       GROUP BY c.doc_id, c.partner),
+         |top AS (SELECT doc_id, partner, n_match FROM nm
+         |        WHERE n_match >= 12
+         |        QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+         |          ORDER BY n_match DESC, partner) <= 8)
+         |SELECT d.doc_id, t.partner, t.n_match
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+         |LEFT JOIN top t ON d.doc_id = t.doc_id
+         |ORDER BY d.doc_id, t.partner""".stripMargin,
     // x09p: asymmetric containment over width-4 rare-gram candidates —
     // the integer τ-filter (inter·5 ≥ n·3) and the per-doc top-8 bound
     // replay exactly; floats only in the emitted cont_a/cont_b.

@@ -119,6 +119,11 @@ object SparkEntry {
     // asymmetric containment (inter/n_a, inter/n_b) over rare-gram
     // candidates: catches short-in-long quoting Jaccard cannot see
     "x09p_containment"    -> ((s, d) => Dedup.containmentPairs(s, d)),
+    // incremental dedup of a delta batch against a persisted signature
+    // index — corpus text never re-read; novel docs carry NULL partner
+    "x09q_incremental_dedup" -> (Dedup.incrementalMinhash(_, _)),
+    // domain-level curation: integer-gated per-source flags, O(domains)
+    "x26_domain_curation"  -> (TextAnalysis.domainCuration(_, _)),
     // CCNet-style corpus-trained bigram-LM fluency scoring: exact
     // ratio-of-sums surprisal, head/middle/tail perplexity buckets
     "x11n_lm_score"       -> (TextAnalysis.lmScore(_, _)),

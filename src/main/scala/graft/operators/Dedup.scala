@@ -129,15 +129,7 @@ object Dedup {
     // Band signature: order-free weighted sum of the band's 4 min-hashes
     // (weights 31^k) — one BIGINT key per (doc, band), join-able without
     // any array/string aggregation.
-    val weights = Seq(1L, 31L, 961L, 29791L)
-    def bandKey(bd: Int) =
-      (0 until 4).map(r =>
-        element_at(col("mh"), bd * 4 + r + 1) * weights(r)).reduce(_ + _)
-    val bands = mhWide.select(col("doc_id"), explode(array(
-        (0 until 4).map(bd =>
-          struct(lit(bd).as("band"), bandKey(bd).as("bandkey"))): _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"),
-        col("bb.bandkey").as("bandkey"))
+    val bands = bandsOf(mhWide)
 
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bandkey") === col("y.bandkey")
@@ -183,6 +175,99 @@ object Dedup {
     * fixed-width vector LSH). 64 bits buy 16-bit bands: 65 536 values
     * per band, 256× smaller buckets, same ≤3-Hamming completeness.
     */
+  /** Signatures for ONE doc set: distinct 3-shingle content hashes →
+    * all 16 min-hashes in one [[graft.plans.MinHashAgg]] pass (the
+    * x09b pipeline, parameterized by input). */
+  private def minhashSignatures(d: DataFrame): DataFrame =
+    tokArr(d).filter(size(col("arr")) >= 3)
+      .select(col("doc_id"),
+        explode(transform(shingleArrOf(col("arr"), 3),
+          s => TextAnalysis.polyHash(s))).as("sid"))
+      .distinct()
+      .groupBy("doc_id")
+      .agg(expr(s"${graft.plans.MinHashAgg.name}(sid)").as("mh"))
+
+  /** The (doc, band, bandkey) relation of a signature relation — the
+    * same 4×4 banding as [[minhashLsh]]. */
+  private def bandsOf(sig: DataFrame): DataFrame = {
+    val weights = Seq(1L, 31L, 961L, 29791L)
+    def bandKey(bd: Int) =
+      (0 until 4).map(r =>
+        element_at(col("mh"), bd * 4 + r + 1) * weights(r)).reduce(_ + _)
+    sig.select(col("doc_id"), explode(array(
+        (0 until 4).map(bd =>
+          struct(lit(bd).as("band"), bandKey(bd).as("bandkey"))): _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"),
+        col("bb.bandkey").as("bandkey"))
+  }
+
+  /** X9q: INCREMENTAL near-dedup against a persisted SIGNATURE INDEX —
+    * the daily-ingest motion: the settled corpus's MinHash signatures
+    * (16 BIGINTs per doc) are staged ONCE as a parquet index; each new
+    * batch is shingled and min-hashed alone (O(batch) text I/O),
+    * candidates come from a band equi-join against index ∪ own bands,
+    * and the duplicate verdict uses the SIGNATURES themselves
+    * (estimated Jaccard = matching-component count ≥ 12/16). Corpus
+    * text is never re-read — the entire point at 100 TB, where
+    * re-shingling the corpus to admit a 100 GB batch would dwarf the
+    * batch cost ([[minhashLsh]] is the from-scratch variant). The
+    * estimate-only verify is the standard signature-store compromise:
+    * the index holds 128 bytes/doc, not the shingle sets. Every delta
+    * doc gets a verdict row (novel docs carry NULL partner); matched
+    * partners are bounded per-doc top-8 by (n_match, partner) — the
+    * pair-emitting output contract (VERDICT r7 #2). Delta-delta dups
+    * keep the earlier doc as partner, mirroring min-keeper survivorship.
+    *
+    * Venue: delta = `doc_id % 5 = 0` (the "new batch"), corpus = the
+    * rest. The index build is memoized per (session, fixture) — it
+    * models the offline stage that precedes every batch. */
+  def incrementalMinhash(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.plans.PolyHash.register(spark)
+    graft.plans.MinHashAgg.register(spark)
+    val docs = Tables.documents(spark, sfDir)
+    val idxDir = graft.util.SessionMemo.memoizedValue(
+        spark, s"minhashIndex|$sfDir") {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_mhidx_").toString
+      minhashSignatures(docs.filter(col("doc_id") % 5 =!= 0))
+        .write.mode("overwrite").parquet(dir)
+      dir
+    }
+    // ---- incremental path: only delta text + the index below ----
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    val deltaSig = minhashSignatures(delta).localCheckpoint()
+    val index = spark.read.parquet(idxDir)
+    val dBands = bandsOf(deltaSig)
+    val pBands = bandsOf(index).unionByName(dBands)
+    val cand = dBands.as("d").join(pBands.as("p"),
+        col("d.band") === col("p.band")
+          && col("d.bandkey") === col("p.bandkey")
+          && col("d.doc_id") =!= col("p.doc_id")
+          // delta-delta pairs once, earlier doc as keeper; corpus
+          // partners always admissible
+          && (col("p.doc_id") % 5 =!= 0
+            || col("p.doc_id") < col("d.doc_id")))
+      .select(col("d.doc_id").as("doc_id"), col("p.doc_id").as("partner"))
+      .distinct()
+    val allSig = index.unionByName(deltaSig)
+    val nMatch = aggregate(
+      zip_with(col("mh_d"), col("mh_p"), (a, b) => (a === b).cast("int")),
+      lit(0), (acc, v) => acc + v)
+    val top = cand
+      .join(deltaSig.select(col("doc_id"), col("mh").as("mh_d")), "doc_id")
+      .join(allSig.select(col("doc_id").as("partner"),
+        col("mh").as("mh_p")), "partner")
+      .select(col("doc_id"), col("partner"), nMatch.as("n_match"))
+      .filter(col("n_match") >= 12)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+          .orderBy(col("n_match").desc, col("partner"))))
+      .filter(col("rn") <= 8).drop("rn")
+    delta.select("doc_id").join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("partner"), col("n_match"))
+      .orderBy("doc_id", "partner")
+  }
+
   def simhash(spark: SparkSession, sfDir: String): DataFrame = {
     graft.plans.PolyHash.register(spark)
     val P2 = 4294967291L // prime < 2^32 → 32 usable bits per half

@@ -964,4 +964,35 @@ object TextAnalysis {
         sha2(canon, 256).as("canon_hash"))
       .orderBy("doc_id")
   }
+
+  /** X26: DOMAIN-level curation (`x26_domain_curation`) — the
+    * C4/RefinedWeb motion that doc-level filters can't express: score
+    * each SOURCE (domain) on aggregate signals and drop whole domains
+    * below the bar, because a domain whose sampled pages are junk is
+    * junk everywhere (boilerplate farms, SEO spam, non-target-language
+    * sites). Signals here: English share and mean document length,
+    * both gated on INTEGER cross-multiplications (`n_en·5 < n_docs·2`,
+    * `sum_chars < 280·n_docs`) so the flag replays exactly in any
+    * engine — never a float threshold.
+    *
+    * 100 TB shape: ONE map-side-combined groupBy on the domain key
+    * (output is O(domains), millions of rows, not O(docs)), and the
+    * doc-level keep/drop is a broadcast semi/anti-join of the tiny
+    * flagged-domain list back against the corpus — here folded into
+    * the same aggregate (`n_kept`), so the corpus is touched once. */
+  def domainCuration(spark: SparkSession, sfDir: String): DataFrame = {
+    val perSource = Tables.documents(spark, sfDir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+        sum(col("n_chars")).as("sum_chars"))
+    perSource
+      .withColumn("flagged",
+        col("n_en") * 5 < col("n_docs") * 2
+          || col("sum_chars") < col("n_docs") * 280)
+      .withColumn("n_kept",
+        when(col("flagged"), 0L).otherwise(col("n_docs")))
+      .select("source", "n_docs", "n_en", "sum_chars", "flagged", "n_kept")
+      .orderBy("source")
+  }
 }

@@ -593,4 +593,53 @@ class DedupSimilaritySpec extends SparkSuite {
     // the graph covers well beyond the 8-query set
     assert(rows.map(_._1).distinct.length > 8)
   }
+
+  test("incremental dedup: verdicts agree with a full recompute; corpus text stays out of the batch plan") {
+    val out = Dedup.incrementalMinhash(spark, sf)
+    val rows = out.collect().map(r => (r.getLong(0),
+      if (r.isNullAt(1)) None else Some(r.getLong(1)),
+      if (r.isNullAt(2)) None else Some(r.getInt(2))))
+    // every delta doc gets exactly its verdict rows; novel docs exist
+    val deltaIds = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") % 5 === 0).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(rows.map(_._1).toSet == deltaIds)
+    assert(rows.exists(_._2.isEmpty), "fixture should have novel delta docs")
+    val dups = rows.filter(_._2.isDefined)
+    assert(dups.nonEmpty, "fixture plants near-dups across the split")
+    // agreement threshold and partner convention hold
+    dups.foreach { case (d, Some(p), Some(n)) =>
+      assert(n >= 12 && n <= 16)
+      assert(p % 5 != 0 || p < d, s"delta-delta pair ($d,$p) must keep the earlier doc")
+    case _ => fail()
+    }
+    // verdicts agree with x09b's from-scratch pair graph where both
+    // apply: any full-pipeline VERIFIED pair (jaccard >= 0.8, well
+    // above the banding estimate's floor) whose later side is a delta
+    // doc must be found by the incremental path too
+    val strong = Dedup.minhashLsh(spark, sf).collect()
+      .filter(_.getDouble(2) >= 0.8)
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => a % 5 == 0 || b % 5 == 0 }
+    val found = dups.map { case (d, Some(p), _) => (d.min(p), d.max(p)) case _ => fail() }.toSet
+    strong.foreach { case (a, b) =>
+      assert(found.contains((a.min(b), a.max(b))),
+        s"strong pair ($a,$b) missed by the incremental path")
+    }
+    // the 100 TB claim, visible in the plan: after the index exists,
+    // the batch-dedup plan touches documents.parquet ONLY for the
+    // delta verdict-row join, column-pruned to doc_id — corpus text
+    // rides in exclusively through the signature-index parquet
+    val planStr = out.queryExecution.executedPlan.toString
+    val docScans = "documents\\.parquet".r.findAllIn(planStr).length
+    assert(docScans >= 1, s"expected the delta doc_id scan in:\n$planStr")
+    val textReads = planStr.split("\n")
+      .filter(_.contains("documents.parquet"))
+      .count(_.contains("text"))
+    assert(textReads == 0,
+      s"corpus/delta TEXT must not appear in the batch plan (the " +
+        s"signature checkpoint already paid it):\n$planStr")
+    assert(planStr.contains("graft_mhidx_"),
+      "signature-index parquet scan missing from the plan")
+  }
 }

@@ -258,6 +258,9 @@ object SparkEntry {
     // commit-time CHECK constraints: bad batch rejected atomically with
     // the exact violation count; bad constraint refused on existing data
     "of19_check_constraint" -> (operators.Snapshot.checkConstraintDemo(_, _)),
+    // metadata-only column rename (column mapping): physical files
+    // frozen; old versions read under old names, skipping survives
+    "of18_rename_column"   -> (operators.Snapshot.renameDemo(_, _)),
     // retention GC after a delete→compact chain; post-GC read certified
     "of14_vacuum"          -> (operators.Snapshot.vacuumDemo(_, _)),
     // TIMESTAMP AS OF reads on both sides of a delete
@@ -514,6 +517,34 @@ object SparkEntry {
         |SELECT side, o_orderstatus, n_rows, sum_price
         |FROM (SELECT * FROM src UNION ALL SELECT * FROM cln)
         |ORDER BY side, o_orderstatus""".stripMargin,
+    // of18: all three read paths replayed from the fixture — current
+    // under the new name, v1 under the old, and the pruned range; a
+    // rename that rewrote, dropped, or mis-aliased data cannot match.
+    "of18_rename_column" ->
+      """WITH cut AS (SELECT CAST(FLOOR(MAX(o_orderkey) / 5) AS BIGINT)
+        |            AS c FROM orders),
+        |     cur AS (SELECT 'current' AS part, o_orderstatus,
+        |               COUNT(*) AS n_rows,
+        |               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+        |                 AS DOUBLE) AS sum_price
+        |             FROM orders GROUP BY o_orderstatus),
+        |     v1 AS (SELECT 'v1_oldname' AS part, o_orderstatus,
+        |              COUNT(*) AS n_rows,
+        |              CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+        |                AS DOUBLE) AS sum_price
+        |            FROM orders WHERE o_orderkey % 10 <> 3
+        |            GROUP BY o_orderstatus),
+        |     pr AS (SELECT 'pruned' AS part, o_orderstatus,
+        |              COUNT(*) AS n_rows,
+        |              CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+        |                AS DOUBLE) AS sum_price
+        |            FROM orders
+        |            WHERE o_orderkey BETWEEN 1 AND (SELECT c FROM cut)
+        |            GROUP BY o_orderstatus)
+        |SELECT part, o_orderstatus, n_rows, sum_price
+        |FROM (SELECT * FROM cur UNION ALL SELECT * FROM v1
+        |      UNION ALL SELECT * FROM pr)
+        |ORDER BY part, o_orderstatus""".stripMargin,
     // of19: every step count and the surviving sum replayed from the
     // fixture slices — a rejected batch that leaked into the table (or
     // a wrong violation count) cannot hash-match.

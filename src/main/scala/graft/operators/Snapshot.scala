@@ -200,14 +200,80 @@ object Snapshot {
                              next: Long, base: Long): Unit = {
     val cs = checkConstraintsOf(spark, root, base)
     if (cs.isEmpty) return
+    // constraints are authored in LOGICAL names; the written files are
+    // physical — evaluate on the logical view ([[renameColumn]] refuses
+    // to rename a column an active constraint references)
     val bad = violationCounts(
-      spark.read.parquet(s"$root/v=$next"), cs).filter(_._2 > 0)
+      toLogical(spark.read.parquet(s"$root/v=$next"),
+        columnMapOf(spark, root, base)), cs).filter(_._2 > 0)
     bad.headOption.foreach { case (n, c) =>
       throw new ConstraintViolation(n, c,
         s"commit to $root rejected: CHECK constraint `$n` failed on " +
           s"$c row(s); pointer stays on v=$base")
     }
   }
+
+  private val ColMapDir = "_colmap"
+
+  /** COLUMN MAPPING (Delta `columnMapping.mode = name` / Iceberg field
+    * IDs, reduced to the rename case): physical column names are
+    * FROZEN at first commit; a rename is pure metadata — a
+    * `(physical, logical)` map versioned like the constraint sets
+    * (full set per change, nearest-at-or-below resolution). Readers
+    * get logical names by aliasing after the scan; writers translate
+    * logical → physical before parquet sees the batch, so EVERY file
+    * of the table keeps one physical schema across any number of
+    * renames and no data is ever rewritten. */
+  private[graft] def columnMapOf(spark: SparkSession, root: String,
+                                 v: Long): Seq[(String, String)] = {
+    val dir = new org.apache.hadoop.fs.Path(root, ColMapDir)
+    val fs = fsOf(spark, dir)
+    if (!fs.exists(dir)) return Nil
+    val vs = fs.listStatus(dir).map(_.getPath.getName)
+      .collect { case n if n.matches("v=\\d+") => n.stripPrefix("v=").toLong }
+      .filter(_ <= v)
+    if (vs.isEmpty) Nil
+    else spark.read.parquet(s"$root/$ColMapDir/v=${vs.max}")
+      .select("physical", "logical").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq.sortBy(_._1)
+  }
+
+  private def writeColumnMap(spark: SparkSession, root: String, v: Long,
+                             m: Seq[(String, String)]): Unit = {
+    import spark.implicits._
+    m.toDF("physical", "logical").coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/$ColMapDir/v=$v")
+  }
+
+  /** Present `df` (physical names) under version `v`'s logical names. */
+  private def toLogical(df: DataFrame,
+                        m: Seq[(String, String)]): DataFrame =
+    if (m.isEmpty) df
+    else {
+      val byPhys = m.toMap
+      import org.apache.spark.sql.functions.col
+      df.select(df.columns.map(c =>
+        col(c).as(byPhys.getOrElse(c, c))): _*)
+    }
+
+  /** Translate a batch arriving in LOGICAL names back to the table's
+    * frozen physical names before it is written. */
+  private def toPhysical(df: DataFrame,
+                         m: Seq[(String, String)]): DataFrame =
+    if (m.isEmpty) df
+    else {
+      val byLogical = m.map(_.swap).toMap
+      import org.apache.spark.sql.functions.col
+      df.select(df.columns.map(c =>
+        col(c).as(byLogical.getOrElse(c, c))): _*)
+    }
+
+  /** The physical name behind a logical column at version `v` (the
+    * name stats manifests and parquet footers know it by). */
+  private[graft] def physicalOf(spark: SparkSession, root: String,
+                                v: Long, logical: String): String =
+    columnMapOf(spark, root, v).find(_._2 == logical)
+      .map(_._1).getOrElse(logical)
 
   /** [[enforceWritten]] under an OWNED claim: a rejected batch must not
     * wedge the table — read-modify-write commits (merge/delete/
@@ -270,13 +336,15 @@ object Snapshot {
       case Some(s) => spark.read.schema(s)
       case None => spark.read
     }
-    manifestFiles(spark, root, v) match {
+    val physical = manifestFiles(spark, root, v) match {
       case Some(files) if files.nonEmpty => reader.parquet(files: _*)
       case Some(_) => // degenerate: a delete emptied the whole table —
         // the rewrite dir still holds a schema-only anchor file
         reader.parquet(s"$root/v=$v")
       case None => reader.parquet(s"$root/v=$v")
     }
+    // column mapping: physical files/schema → version v's logical names
+    toLogical(physical, columnMapOf(spark, root, v))
   }
 
   /** Read the live snapshot (the only read path — readers never list
@@ -326,7 +394,8 @@ object Snapshot {
         // readResolved: compacting a manifest (delete) version
         // re-materializes it self-contained, collapsing the reference
         // chain so vacuum can reclaim the referenced ancestors
-        val resolved = readResolved(spark, root, base)
+        val resolved = toPhysical(readResolved(spark, root, base),
+          columnMapOf(spark, root, base))
         resolved.repartition(numFiles)
           .write.mode("overwrite").parquet(s"$root/v=${base + 1}")
         // a stats-carrying table keeps its data-skipping index across
@@ -682,14 +751,24 @@ object Snapshot {
     while (true) {
       val next = observedMax(spark, root) + 1
       if (claimVersion(spark, root, next)) {
-        df.write.mode("overwrite").parquet(s"$root/v=$next")
+        // column mapping: the batch arrives in LOGICAL names — freeze
+        // it back to the table's physical names before parquet sees it
+        // (and the stats columns with it); a fresh table has no map
+        val cmap = currentVersion(spark, root)
+          .map(columnMapOf(spark, root, _)).getOrElse(Nil)
+        val physDf = toPhysical(df, cmap)
+        val physStats = statsCols.map(c =>
+          cmap.find(_._2 == c).map(_._1).getOrElse(c))
+        val physBlooms = bloomCols.map(c =>
+          cmap.find(_._2 == c).map(_._1).getOrElse(c))
+        physDf.write.mode("overwrite").parquet(s"$root/v=$next")
         // CHECK constraints resolve against the live pointer (a blind
         // commit replaces whatever is current, so current's rules bind)
         currentVersion(spark, root)
           .foreach(cur => enforceOrRelease(spark, root, next, cur))
-        if (statsCols.nonEmpty)
-          writeStats(spark, root, next, statsCols, bloomCols)
-        writeSchema(spark, root, next, df.schema)
+        if (physStats.nonEmpty)
+          writeStats(spark, root, next, physStats, physBlooms)
+        writeSchema(spark, root, next, physDf.schema)
         pointerAdvance(spark, root, next)
         return next
       }
@@ -794,7 +873,8 @@ object Snapshot {
     val v = currentVersion(spark, root).getOrElse(
       throw new java.util.NoSuchElementException(
         s"snapshot table $root has no committed version"))
-    val between = col(statsCol) >= lo && col(statsCol) <= hi
+    val cmap = columnMapOf(spark, root, v)
+    val physCol = cmap.find(_._2 == statsCol).map(_._1).getOrElse(statsCol)
     val statsPath = new org.apache.hadoop.fs.Path(root, s"$StatsDir/v=$v")
     if (!fsOf(spark, statsPath).exists(statsPath))
       // resolve through the FILE manifest, not the bare v=N directory: a
@@ -802,13 +882,19 @@ object Snapshot {
       // then appendCommit/compactSmall/restore — writeManifestAndStats
       // skips stats when the base has none), and the directory alone
       // would silently drop every manifest-referenced row (for a
-      // restored version, the directory is an EMPTY schema anchor)
-      readResolved(spark, root, v).filter(between)
+      // restored version, the directory is an EMPTY schema anchor).
+      // readResolved output is LOGICAL, so filter on the logical name
+      readResolved(spark, root, v)
+        .filter(col(statsCol) >= lo && col(statsCol) <= hi)
     else {
-      val files = prunedFiles(spark, root, v, statsCol, lo, hi)
+      // physical files: prune and filter on the frozen physical name,
+      // then present logical names
+      val between = col(physCol) >= lo && col(physCol) <= hi
+      val files = prunedFiles(spark, root, v, physCol, lo, hi)
       if (files.isEmpty) // no overlap: empty result, correct schema, no scan
-        spark.read.parquet(s"$root/v=$v").filter(between).filter(lit(false))
-      else spark.read.parquet(files: _*).filter(between)
+        toLogical(spark.read.parquet(s"$root/v=$v")
+          .filter(between).filter(lit(false)), cmap)
+      else toLogical(spark.read.parquet(files: _*).filter(between), cmap)
     }
   }
 
@@ -829,18 +915,25 @@ object Snapshot {
     val v = currentVersion(spark, root).getOrElse(
       throw new java.util.NoSuchElementException(
         s"snapshot table $root has no committed version"))
-    val box = col(c1) >= lo1 && col(c1) <= hi1 &&
-      col(c2) >= lo2 && col(c2) <= hi2
+    val cmap = columnMapOf(spark, root, v)
+    val p1 = cmap.find(_._2 == c1).map(_._1).getOrElse(c1)
+    val p2 = cmap.find(_._2 == c2).map(_._1).getOrElse(c2)
     val statsPath = new org.apache.hadoop.fs.Path(root, s"$StatsDir/v=$v")
     if (!fsOf(spark, statsPath).exists(statsPath))
-      readResolved(spark, root, v).filter(box)
+      readResolved(spark, root, v).filter(
+        col(c1) >= lo1 && col(c1) <= hi1 &&
+          col(c2) >= lo2 && col(c2) <= hi2)
     else {
+      val box = col(p1) >= lo1 && col(p1) <= hi1 &&
+        col(p2) >= lo2 && col(p2) <= hi2
       val files =
-        prunedFiles(spark, root, v, c1, lo1, hi1).toSet
-          .intersect(prunedFiles(spark, root, v, c2, lo2, hi2).toSet)
+        prunedFiles(spark, root, v, p1, lo1, hi1).toSet
+          .intersect(prunedFiles(spark, root, v, p2, lo2, hi2).toSet)
       if (files.isEmpty)
-        spark.read.parquet(s"$root/v=$v").filter(box).filter(lit(false))
-      else spark.read.parquet(files.toSeq.sorted: _*).filter(box)
+        toLogical(spark.read.parquet(s"$root/v=$v")
+          .filter(box).filter(lit(false)), cmap)
+      else toLogical(
+        spark.read.parquet(files.toSeq.sorted: _*).filter(box), cmap)
     }
   }
 
@@ -885,19 +978,22 @@ object Snapshot {
     val v = currentVersion(spark, root).getOrElse(
       throw new java.util.NoSuchElementException(
         s"snapshot table $root has no committed version"))
-    val eq = col(pointCol) === lit(value)
-    if (!bloomColsOf(spark, root, v).contains(pointCol))
-      readResolved(spark, root, v).filter(eq)
+    val cmap = columnMapOf(spark, root, v)
+    val physCol = cmap.find(_._2 == pointCol).map(_._1).getOrElse(pointCol)
+    val eq = col(physCol) === lit(value)
+    if (!bloomColsOf(spark, root, v).contains(physCol))
+      readResolved(spark, root, v).filter(col(pointCol) === lit(value))
     else {
-      val files = filesForPoint(spark, root, v, pointCol, value)
+      val files = filesForPoint(spark, root, v, physCol, value)
       if (files.isEmpty) {
         // definitively absent: no file can contain it — anchor the
         // empty result's SCHEMA on one file instead of footer-reading
         // the whole table (measured 2.3 s vs 0.1 s at 1000 files)
         val any = spark.read.parquet(s"$root/$StatsDir/v=$v")
           .select("file").head().getString(0)
-        spark.read.parquet(any).filter(eq).filter(lit(false))
-      } else spark.read.parquet(files: _*).filter(eq)
+        toLogical(spark.read.parquet(any).filter(eq).filter(lit(false)),
+          cmap)
+      } else toLogical(spark.read.parquet(files: _*).filter(eq), cmap)
     }
   }
 
@@ -981,13 +1077,16 @@ object Snapshot {
         val merged = changes.unionByName(
           baseDf.join(changes.select(key), Seq(key), "left_anti"),
           allowMissingColumns = true)
-        merged.write.mode("overwrite").parquet(s"$root/v=${base + 1}")
+        // the merge is computed in LOGICAL names (changes and baseDf
+        // both are); freeze back to physical before the write
+        val physMerged = toPhysical(merged, columnMapOf(spark, root, base))
+        physMerged.write.mode("overwrite").parquet(s"$root/v=${base + 1}")
         // carry the base's stats manifest forward (same contract as
         // compact: maintenance must not silently kill data skipping)
         val sc = statsColsOf(spark, root, base)
         if (sc.nonEmpty) writeStats(spark, root, base + 1, sc,
           bloomColsOf(spark, root, base))
-        writeSchema(spark, root, base + 1, merged.schema)
+        writeSchema(spark, root, base + 1, physMerged.schema)
         if (pointerAdvance(spark, root, base + 1)) return base + 1
         // a concurrent blind commit claimed a higher version and swapped
         // first — this merge never became current; recompute on the head
@@ -1038,8 +1137,11 @@ object Snapshot {
       val base = currentVersion(spark, root).getOrElse(
         throw new java.util.NoSuchElementException(
           s"snapshot table $root has no committed version to delete from"))
+      // column mapping: the caller names the LOGICAL column; stats
+      // manifests and the physical files know its frozen physical name
+      val physCol = physicalOf(spark, root, base, statsCol)
       val sc = statsColsOf(spark, root, base)
-      require(sc.contains(statsCol),
+      require(sc.contains(physCol),
         s"deleteWhere needs per-file stats on $statsCol (have: $sc) — " +
           "commit with commitWithStats to make deletes file-granular")
       if (claimVersion(spark, root, base + 1)) {
@@ -1049,9 +1151,9 @@ object Snapshot {
         // and fresh rows)
         val all = spark.read.parquet(s"$root/$StatsDir/v=$base")
           .select("file").collect().map(_.getString(0)).toSeq
-        val touched = prunedFiles(spark, root, base, statsCol, lo, hi)
+        val touched = prunedFiles(spark, root, base, physCol, lo, hi)
         val untouched = all.diff(touched)
-        val between = col(statsCol) >= lo && col(statsCol) <= hi
+        val between = col(physCol) >= lo && col(physCol) <= hi
         // SQL DELETE WHERE semantics: a NULL predicate does not delete.
         // A bare `!between` evaluates to NULL on NULL-key rows and the
         // filter would DROP them — but only in rewritten files (carried
@@ -1072,7 +1174,8 @@ object Snapshot {
         }
         val rewritten =
           if (touched.nonEmpty) touchedReader.parquet(touched: _*).filter(keep)
-          else readResolved(spark, root, base).limit(0)
+          else toPhysical(readResolved(spark, root, base),
+            columnMapOf(spark, root, base)).limit(0)
         rewritten.write.mode("overwrite").parquet(s"$root/v=$next")
         writeManifestAndStats(spark, root, next, base, untouched)
         if (pointerAdvance(spark, root, next)) return next
@@ -1179,6 +1282,64 @@ object Snapshot {
         s"$maxRetries attempts")
   }
 
+  /** METADATA-ONLY column RENAME (the Delta column-mapping / Iceberg
+    * field-ID motion): physical names are frozen at first commit, so a
+    * rename writes only a new `(physical, logical)` map version and a
+    * manifest carrying every file by reference — zero data I/O at any
+    * table size. From then on readers alias physical → logical after
+    * the scan, writers translate logical → physical before it
+    * ([[commit]]/[[appendCommit]]/[[mergeCommit]] accept batches in
+    * the NEW names), stats/bloom skipping keys stay physical (pruned
+    * reads translate), renames COMPOSE (a→b→c keeps one map entry),
+    * and [[changeFeed]] crosses the boundary as pure renames. Old
+    * versions still read under the names they had. Refused when the
+    * source column is missing, the target name is taken, or an active
+    * CHECK constraint references the column (constraints are authored
+    * in logical names — rename would silently detach them). Like the
+    * constraint sets, the mapping persists across [[restore]]:
+    * metadata history is orthogonal to data history. */
+  def renameColumn(spark: SparkSession, root: String,
+                   from: String, to: String,
+                   maxRetries: Int = 16): Long = {
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val base = currentVersion(spark, root).getOrElse(
+        throw new java.util.NoSuchElementException(
+          s"snapshot table $root has no committed version to rename in"))
+      val logicalNames = readResolved(spark, root, base).columns.toSet
+      require(logicalNames.contains(from),
+        s"no column `$from` in $root (have: ${logicalNames.mkString(", ")})")
+      require(!logicalNames.contains(to),
+        s"column `$to` already exists in $root")
+      checkConstraintsOf(spark, root, base).foreach { case (n, e) =>
+        require(!e.contains(from),
+          s"rename of `$from` refused: CHECK constraint `$n` ($e) " +
+            "references it — drop the constraint first")
+      }
+      if (claimVersion(spark, root, base + 1)) {
+        val next = base + 1
+        fsOf(spark, new org.apache.hadoop.fs.Path(root))
+          .mkdirs(new org.apache.hadoop.fs.Path(root, s"v=$next"))
+        writeManifestAndStats(spark, root, next, base,
+          fileInventory(spark, root, base).map(_._1))
+        val phys = physicalOf(spark, root, base, from)
+        val composed = columnMapOf(spark, root, base)
+          .filterNot(_._1 == phys) :+ (phys -> to)
+        // identity entries (renamed back to the physical name) drop out
+        writeColumnMap(spark, root, next,
+          composed.filterNot(p => p._1 == p._2))
+        if (pointerAdvance(spark, root, next)) return next
+      } else {
+        val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+        while (currentVersion(spark, root).getOrElse(0L) <= base
+               && System.nanoTime() < deadline) Thread.sleep(20)
+      }
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"renameColumn on $root did not win a claim in $maxRetries attempts")
+  }
+
   /** Manifest-referenced APPEND: commit `df` as NEW files while every
     * existing file rides into the new version by reference — an
     * O(batch) write at any table size, vs [[commit]]'s full rewrite
@@ -1220,7 +1381,9 @@ object Snapshot {
           if (claimVersion(spark, root, base + 1)) {
             val next = base + 1
             val carried = fileInventory(spark, root, base).map(_._1)
-            df.write.mode("overwrite").parquet(s"$root/v=$next")
+            // column mapping: logical batch → frozen physical names
+            toPhysical(df, columnMapOf(spark, root, base))
+              .write.mode("overwrite").parquet(s"$root/v=$next")
             // enforce on the APPENDED files only — carried rows were
             // validated by the commits that wrote them
             enforceOrRelease(spark, root, next, base)
@@ -1362,12 +1525,21 @@ object Snapshot {
           "into a fresh root")
       if (claimVersion(spark, dstRoot, next)) {
         // schema anchor: the v=N directory must exist for the claim /
-        // observedMax protocol; the data rides by reference
-        src.limit(0).write.mode("overwrite").parquet(s"$dstRoot/v=$next")
+        // observedMax protocol; the data rides by reference. The anchor
+        // and recorded schema are PHYSICAL (readResolved presents
+        // logical) — the referenced files only answer to physical names
+        val srcMap = columnMapOf(spark, srcRoot, srcV)
+        val srcPhys = toPhysical(src, srcMap)
+        srcPhys.limit(0).write.mode("overwrite").parquet(s"$dstRoot/v=$next")
         val carried = fileInventory(spark, srcRoot, srcV).map(_._1)
         carried.toDF("file").coalesce(1)
           .write.mode("overwrite").parquet(s"$dstRoot/$ManifestDir/v=$next")
-        writeSchema(spark, dstRoot, next, src.schema)
+        writeSchema(spark, dstRoot, next, srcPhys.schema)
+        // the clone inherits the source's column mapping and CHECK
+        // constraints — it must read and gate like the table it mirrors
+        if (srcMap.nonEmpty) writeColumnMap(spark, dstRoot, next, srcMap)
+        val srcCs = checkConstraintsOf(spark, srcRoot, srcV)
+        if (srcCs.nonEmpty) writeConstraintSet(spark, dstRoot, next, srcCs)
         if (statsColsOf(spark, srcRoot, srcV).nonEmpty)
           spark.read.parquet(s"$srcRoot/$StatsDir/v=$srcV").coalesce(1)
             .write.mode("overwrite").parquet(s"$dstRoot/$StatsDir/v=$next")
@@ -1404,7 +1576,9 @@ object Snapshot {
         val next = base + 1
         // schema anchor: the v=N directory must exist for the
         // claim/observedMax protocol; the data rides by reference
-        target.limit(0).write.mode("overwrite").parquet(s"$root/v=$next")
+        // (physical names — the carried files only answer to those)
+        toPhysical(target, columnMapOf(spark, root, toV)).limit(0)
+          .write.mode("overwrite").parquet(s"$root/v=$next")
         val carried = fileInventory(spark, root, toV).map(_._1)
         writeManifestAndStats(spark, root, next, toV, carried)
         if (pointerAdvance(spark, root, next)) return next
@@ -1436,7 +1610,14 @@ object Snapshot {
   def changeFeed(spark: SparkSession, root: String, key: String,
                  fromV: Long, toV: Long): DataFrame = {
     import org.apache.spark.sql.functions._
-    val a = readVersion(spark, root, fromV)
+    // Both sides presented under the NEWER version's logical names, so
+    // the feed crosses a metadata-only RENAME boundary as pure renames
+    // (same physical column, no spurious delete+insert): re-base the
+    // older side physical → toV's map.
+    val a = toLogical(
+      toPhysical(readVersion(spark, root, fromV),
+        columnMapOf(spark, root, fromV)),
+      columnMapOf(spark, root, toV))
     val b = readVersion(spark, root, toV)
     // Align both snapshots to the UNION of their columns so the feed
     // crosses an add-column evolution boundary: a column absent on one
@@ -1623,6 +1804,48 @@ object Snapshot {
         min(col("o_orderkey")).as("min_key"),
         max(col("o_orderkey")).as("max_key"))
       .orderBy(asc_nulls_first("o_flag"))
+  }
+
+  /** The column-mapping venue (`of18_rename_column`): commit a
+    * stats-carrying orders slice, RENAME `o_totalprice` → `o_price`
+    * (pure metadata — the physical files and the skipping index are
+    * untouched), land an append that already speaks the NEW name, and
+    * read three ways in one result: the current table under the new
+    * name, version 1 under the OLD name it was committed with, and a
+    * stats-pruned range read addressed by logical name. The oracle
+    * replays all three slices from the fixture — a rename that
+    * rewrote, dropped, or mis-aliased anything cannot hash-match. */
+  def renameDemo(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val orders = graft.sources.Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_rename_").toString
+    commitWithStats(
+      orders.filter(col("o_orderkey") % 10 =!= 3)
+        .repartitionByRange(4, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"),
+      root, Seq("o_orderkey"))
+    renameColumn(spark, root, "o_totalprice", "o_price")
+    appendCommit(
+      orders.filter(col("o_orderkey") % 10 === 3)
+        .withColumnRenamed("o_totalprice", "o_price"),
+      root)
+    val cut = orders.agg(max(col("o_orderkey"))).head().getLong(0) / 5
+    def side(df: DataFrame, priceCol: String, label: String) =
+      df.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col(priceCol).cast("decimal(12,2)")).cast("double")
+            .as("sum_price"))
+        .withColumn("part", lit(label))
+    side(readCurrent(spark, root), "o_price", "current")
+      .unionByName(side(readVersion(spark, root, 1L),
+        "o_totalprice", "v1_oldname"))
+      .unionByName(side(
+        readCurrentPruned(spark, root, "o_orderkey", lit(1L), lit(cut)),
+        "o_price", "pruned"))
+      .select("part", "o_orderstatus", "n_rows", "sum_price")
+      .orderBy("part", "o_orderstatus")
   }
 
   /** The CHECK-constraint venue (`of19_check_constraint`): commit a

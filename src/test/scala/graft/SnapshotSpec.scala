@@ -883,4 +883,76 @@ class SnapshotSpec extends SparkSuite {
     // historical versions still REPORT the constraint they ran under
     assert(Snapshot.checkConstraintsOf(spark, root, vC).nonEmpty)
   }
+
+  test("column rename is metadata-only: files frozen, every path speaks logical names, renames compose") {
+    import spark.implicits._
+    val root = freshTable()
+    Snapshot.commitWithStats(
+      Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c"))
+        .toDF("k", "qty", "v").repartition(2),
+      root, Seq("k"))
+    val inv1 = Snapshot.fileInventory(spark, root, 1L).map(_._1).toSet
+    Snapshot.renameColumn(spark, root, "qty", "amount")
+    // zero data I/O: version 2 references exactly version 1's files
+    assert(Snapshot.fileInventory(spark, root, 2L).map(_._1).toSet == inv1)
+    assert(Snapshot.readCurrent(spark, root).columns.toSeq
+      == Seq("k", "amount", "v"))
+    // the old version still reads under the name it was committed with
+    assert(Snapshot.readVersion(spark, root, 1L).columns.toSeq
+      == Seq("k", "qty", "v"))
+    // writers speak the NEW name: append, then merge
+    Snapshot.appendCommit(Seq((4L, 40L, "d")).toDF("k", "amount", "v"), root)
+    Snapshot.mergeCommit(spark, root,
+      Seq((2L, 200L, "B")).toDF("k", "amount", "v"), "k")
+    val byK = Snapshot.readCurrent(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byK == Map(1L -> 10L, 2L -> 200L, 3L -> 30L, 4L -> 40L))
+    // pruned read addressed by the logical STATS column still skips
+    val pruned = Snapshot.readCurrentPruned(spark, root, "k",
+      org.apache.spark.sql.functions.lit(1L),
+      org.apache.spark.sql.functions.lit(2L))
+    assert(pruned.columns.contains("amount"))
+    assert(pruned.collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    // deleteWhere by logical name
+    Snapshot.deleteWhere(spark, root, "k",
+      org.apache.spark.sql.functions.lit(4L),
+      org.apache.spark.sql.functions.lit(4L))
+    assert(Snapshot.readCurrent(spark, root).count() == 3L)
+    // renames COMPOSE to one map entry; renaming back drops the map
+    Snapshot.renameColumn(spark, root, "amount", "price")
+    assert(Snapshot.readCurrent(spark, root).columns.toSeq
+      == Seq("k", "price", "v"))
+    val vNow = Snapshot.currentVersion(spark, root).get
+    assert(Snapshot.columnMapOf(spark, root, vNow)
+      == Seq(("qty", "price")))
+    Snapshot.renameColumn(spark, root, "price", "qty")
+    assert(Snapshot.columnMapOf(spark, root,
+      Snapshot.currentVersion(spark, root).get).isEmpty)
+    // refusals: unknown source, taken target, constraint-referenced
+    intercept[IllegalArgumentException] {
+      Snapshot.renameColumn(spark, root, "nope", "x")
+    }
+    intercept[IllegalArgumentException] {
+      Snapshot.renameColumn(spark, root, "qty", "v")
+    }
+    Snapshot.addCheckConstraint(spark, root, "qty_pos", "qty > 0")
+    intercept[IllegalArgumentException] {
+      Snapshot.renameColumn(spark, root, "qty", "amount")
+    }
+  }
+
+  test("change feed crosses a rename boundary as updates, not a delete+insert storm") {
+    import spark.implicits._
+    val root = freshTable()
+    Snapshot.commit(Seq((1L, 10L), (2L, 20L)).toDF("k", "qty"), root)
+    Snapshot.renameColumn(spark, root, "qty", "amount")
+    Snapshot.mergeCommit(spark, root,
+      Seq((2L, 200L), (5L, 50L)).toDF("k", "amount"), "k")
+    val feed = Snapshot.changeFeed(spark, root, "k", 1L,
+      Snapshot.currentVersion(spark, root).get).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // k=1 unchanged (same physical value through the rename); k=2
+    // updated; k=5 inserted — the rename itself is invisible to rows
+    assert(feed == Set((2L, "update", 200L), (5L, "insert", 50L)))
+  }
 }

@@ -28,6 +28,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Streaming state width is a DEPLOYMENT property (state volume),
+    // not code — the soak runs override it per scale (the sf10 x13a
+    // diagnosis: 10M dedup keys through the fixture-sized 8 partitions)
+    sys.env.get("SPARK_GRAFT_STATE_PARTITIONS")
+      .foreach(spark.conf.set("graft.streaming.statePartitions", _))
 
     // JVM/codegen warm-up outside the timed region (the reference's
     // numbers also exclude interpreter start-up; SURVEY §6 caveats).

@@ -596,6 +596,60 @@ object OraclesLlm {
     // x10l: the k-NN graph — x10b's bucket/cosine replay with DIRECTED
     // all-pairs candidates (every vector a source, not just the 8
     // queries) and a per-source rank cut.
+    // x10m: signs from the LCG residue, projections/dots exact BIGINT,
+    // exact cosine replayed at full precision; per-query distortion
+    // quantiles are RANK-SELECTED (the x05e discipline) so the doubles
+    // hash-match — a float mean would not.
+    "x10m_jl_distortion" ->
+      s"""WITH $vecCtes,
+         |signs AS (SELECT j, pos,
+         |            CASE WHEN 2*((1103515245*(j*64 + pos - 1) + 12345)
+         |                   % 1000003) < 1000003
+         |                 THEN 1 ELSE -1 END AS s
+         |          FROM range(0,32) t(j), range(1,65) u(pos)),
+         |proj AS (SELECT e.vec_id, s.j, CAST(SUM(e.q * s.s) AS BIGINT) AS p
+         |         FROM exq e JOIN signs s ON s.pos = e.pos GROUP BY 1, 2),
+         |tdots AS (SELECT q.vec_id AS query_id, e.vec_id,
+         |            CAST(SUM(q.q*e.q) AS BIGINT) AS dot
+         |          FROM exq q JOIN exq e
+         |            ON q.pos = e.pos AND q.vec_id < 8 AND e.vec_id <> q.vec_id
+         |          GROUP BY 1, 2),
+         |tcos AS (SELECT d.query_id, d.vec_id,
+         |           CAST(d.dot AS DOUBLE) /
+         |             (SQRT(CAST(nq.n2 AS DOUBLE))
+         |              * SQRT(CAST(ne.n2 AS DOUBLE))) AS cos_exact
+         |         FROM tdots d JOIN norms nq ON d.query_id = nq.vec_id
+         |                      JOIN norms ne ON d.vec_id = ne.vec_id),
+         |dims AS (SELECT UNNEST([8, 32]) AS d),
+         |pnorm AS (SELECT m.d, p.vec_id, CAST(SUM(p.p*p.p) AS BIGINT) AS pn2
+         |          FROM proj p JOIN dims m ON p.j < m.d GROUP BY 1, 2),
+         |pdots AS (SELECT m.d, q.vec_id AS query_id, e.vec_id,
+         |            CAST(SUM(q.p*e.p) AS BIGINT) AS dot
+         |          FROM proj q JOIN dims m ON q.j < m.d
+         |                      JOIN proj e ON q.j = e.j
+         |          WHERE q.vec_id < 8 AND e.vec_id <> q.vec_id
+         |          GROUP BY 1, 2, 3),
+         |errs AS (SELECT d.d, d.query_id, d.vec_id,
+         |           ABS(CAST(d.dot AS DOUBLE) /
+         |               (SQRT(CAST(nq.pn2 AS DOUBLE))
+         |                * SQRT(CAST(ne.pn2 AS DOUBLE)))
+         |             - t.cos_exact) AS err
+         |         FROM pdots d
+         |         JOIN pnorm nq ON nq.d = d.d AND d.query_id = nq.vec_id
+         |         JOIN pnorm ne ON ne.d = d.d AND d.vec_id = ne.vec_id
+         |         JOIN tcos t ON t.query_id = d.query_id
+         |                    AND t.vec_id = d.vec_id),
+         |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY d, query_id
+         |           ORDER BY err, vec_id) AS rn,
+         |          COUNT(*) OVER (PARTITION BY d, query_id) AS n
+         |        FROM errs)
+         |SELECT query_id, CAST(d AS INT) AS proj_dims,
+         |       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |       MAX(err) AS max_err,
+         |       MAX(CASE WHEN rn = (n+1)//2 THEN err END) AS p50_err,
+         |       MAX(CASE WHEN rn = (9*n+9)//10 THEN err END) AS p90_err
+         |FROM rk GROUP BY query_id, d
+         |ORDER BY query_id, proj_dims""".stripMargin,
     "x10l_knn_join" ->
       s"""WITH $vecCtes,
          |hyp AS (SELECT j, pos,

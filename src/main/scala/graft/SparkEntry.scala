@@ -170,6 +170,9 @@ object SparkEntry {
     // k-NN GRAPH over the whole corpus: per-vector top-3 among LSH
     // bucket-mates — bucket-bounded candidate join, windowed rank
     "x10l_knn_join"        -> ((s, d) => Similarity.knnJoin(s, d)),
+    // JL projection-distortion audit at D=8/32: the measured reason
+    // ANN candidates are generated coarsely but scored at full precision
+    "x10m_jl_distortion"   -> ((s, d) => Similarity.jlDistortion(s, d)),
     "x17b_stratified_sample" -> (TextAnalysis.stratifiedSample(_, _)),
     "x17c_source_quota"   -> ((s, d) => TextAnalysis.sourceQuota(s, d)),
     // temperature-weighted (α=1/2) training-mix sampling over skewed

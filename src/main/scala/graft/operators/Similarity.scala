@@ -533,6 +533,85 @@ object Similarity {
       .orderBy("src_id", "rnk")
   }
 
+  /** x10m: Johnson-Lindenstrauss PROJECTION-DISTORTION AUDIT — the
+    * pre-flight a 100 TB ANN deployment runs BEFORE committing to a
+    * projection width: project every vector onto D ±1-sign directions
+    * (an Achlioptas sparse JL matrix; signs from the same LCG residue
+    * scheme as [[bandedBuckets]], no RNG state) and MEASURE, per query,
+    * the cosine distortion |cos_proj − cos_exact| over the full corpus
+    * — max, exact rank-selected p50/p90 (the [[Relational
+    * .exactQuantiles]] discipline: order-free, engine-replayable; a
+    * float SUM/mean would not hash-match across engines). Both D=8 and
+    * D=32 audits come from ONE projection pass (the 8-dim projection
+    * is a prefix slice of the 32-dim one), making the JL lemma's
+    * ~1/√D error law a measured table row rather than a citation.
+    *
+    * This is deliberately an AUDIT, not a projected-space top-k: on
+    * this fixture's isotropic geometry the measured p90 distortion
+    * (~0.1 even at D=32) dwarfs the ~0.003 neighbor-rank gaps, so
+    * ranking in projected space certifiably loses (recall 3/24 at
+    * D=8, and a dense Gaussian 32-dim projection fails the same way —
+    * measured during development). That asymmetry is exactly why every
+    * ANN family member here ([[annLsh]]/[[ivfTopK]]/[[pqAdcTopK]])
+    * generates candidates coarsely but SCORES at full precision — the
+    * audit turns that design rule into per-corpus numbers. Pure
+    * per-row projection (no shuffle, no training); the heavy side is
+    * the |Q|×N scoring, the same broadcast shape as [[cosineTopK]].
+    */
+  def jlDistortion(spark: SparkSession, sfDir: String,
+                   projDims: Seq[Int] = Seq(8, 32)): DataFrame = {
+    val maxD = projDims.max
+    val P = 1000003L
+    def sign(j: Int, pos: Int): Long = {
+      val r = (1103515245L * (j * Dims + pos) + 12345L) % P
+      if (2 * r < P) 1L else -1L
+    }
+    // p_j = Σ_pos q_pos·sign(j,pos): an unrolled constant-sign sum per
+    // direction — one codegen'd projection stage, no join, no shuffle
+    def proj(j: Int): org.apache.spark.sql.Column =
+      (0 until Dims).map(pos =>
+        element_at(col("qv"), pos + 1) * lit(sign(j, pos))).reduce(_ + _)
+    val projected = quantized(spark, sfDir)
+      .withColumn("qv", VectorOps.quantize(col("embedding")))
+      .select(col("vec_id"), col("embedding"), col("n2"),
+        array((0 until maxD).map(proj): _*).as("p"))
+    val q = projected.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("n2").as("q_n2"), col("p").as("qp"))
+    val deltas = projected.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(Seq(col("query_id"), col("vec_id"),
+        VectorOps.cosineFromQ(expr("quantized_dot(q_emb, embedding)"),
+          col("q_n2"), col("n2")).as("cos_exact")) ++
+        projDims.map { d =>
+          val ps = slice(col("p"), 1, d)
+          val qs = slice(col("qp"), 1, d)
+          VectorOps.cosineFromQ(VectorOps.dotQ(qs, ps),
+            VectorOps.norm2Q(qs), VectorOps.norm2Q(ps)).as(s"cos_$d")
+        }: _*)
+    projDims.map { d =>
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("err"), col("vec_id"))
+      val wn = Window.partitionBy("query_id")
+      deltas
+        .select(col("query_id"), col("vec_id"),
+          abs(col(s"cos_$d") - col("cos_exact")).as("err"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wn))
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          max(col("err")).as("max_err"),
+          max(when(col("rn") === expr("(n+1) div 2"), col("err")))
+            .as("p50_err"),
+          max(when(col("rn") === expr("(9*n+9) div 10"), col("err")))
+            .as("p90_err"))
+        .withColumn("proj_dims", lit(d))
+    }.reduce(_ unionByName _)
+      .select("query_id", "proj_dims", "n_pairs",
+        "max_err", "p50_err", "p90_err")
+      .orderBy("query_id", "proj_dims")
+  }
+
   // ---- Product quantization (PQ) + asymmetric-distance top-k ----
 
   private val PqM = 4            // subspaces

@@ -97,6 +97,35 @@ object PlanDump {
         "join), the pair count aggregating a packed BIGINT key (one " +
         "shuffle column, map-side combined), and the integer τ filter " +
         "sitting under the top-8 `WindowGroupLimit`."),
+    "x09q_incremental_dedup" ->
+      ("Incremental dedup against a persisted signature index. Look " +
+        "for: documents.parquet appearing ONLY doc_id-pruned (the " +
+        "delta verdict-row join — ReadSchema carries no text), the " +
+        "delta signatures riding in from the localCheckpoint RDD scan, " +
+        "the corpus entering EXCLUSIVELY through the graft_mhidx_* " +
+        "parquet scan (128 bytes/doc, not the text), and candidates " +
+        "born from the (band, bandkey) equi-join — the daily batch " +
+        "never re-shingles the corpus."),
+    "x26_domain_curation" ->
+      ("Domain-level curation. Look for: ONE partial/final " +
+        "HashAggregate pair on the source key (output is O(domains)), " +
+        "the integer cross-multiplied gate as plain projections above " +
+        "it, and no second scan — keep/drop folds into the same " +
+        "aggregate."),
+    "x10m_jl_distortion" ->
+      ("JL projection-distortion audit. Look for: the 32 sign " +
+        "projections as ONE codegen'd projection stage over the scan " +
+        "(no join, no shuffle — the signs are plan-time constants), " +
+        "the query side behind a BroadcastExchange (corpus never " +
+        "shuffles for scoring, the x10a shape), and the only exchange " +
+        "feeding the per-query rank window."),
+    "of18_rename_column" ->
+      ("Reads after a metadata-only column rename. Look for: the " +
+        "parquet scans still reading the FROZEN physical column " +
+        "(o_totalprice) with the logical alias (o_price) applied as a " +
+        "projection above the scan — no data motion anywhere in the " +
+        "rename, and the pruned read's file list still a strict subset " +
+        "via the physical stats key."),
     "of8_delete_where" ->
       ("Read path after a file-granular DELETE. Look for: the scan's " +
         "file list mixing v=1 (manifest-referenced untouched files) " +

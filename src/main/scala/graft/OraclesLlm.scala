@@ -417,6 +417,33 @@ object OraclesLlm {
          |QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_a
          |  ORDER BY jaccard DESC, doc_b) <= 8
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // x18d: per-bin counts exact, share_delta a deterministic division
+    // of exact counts, the drift flag an integer cross-multiplication
+    // (>10 share-points) — no logarithms anywhere.
+    "x18d_filter_drift" ->
+      """WITH d AS (SELECT n_chars >= 280 AS kept,
+        |             CAST(LEAST(n_chars // 64, 7) AS VARCHAR) AS len_bin,
+        |             lang
+        |           FROM documents),
+        |     per AS (SELECT 'len_bin' AS feature, len_bin AS bin,
+        |               COUNT(*) AS n_all,
+        |               SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS n_kept
+        |             FROM d GROUP BY len_bin
+        |             UNION ALL
+        |             SELECT 'lang', lang, COUNT(*),
+        |               SUM(CASE WHEN kept THEN 1 ELSE 0 END)
+        |             FROM d GROUP BY lang),
+        |     tot AS (SELECT COUNT(*) AS total_all,
+        |               SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS total_kept
+        |             FROM d)
+        |SELECT feature, bin, CAST(n_all AS BIGINT) AS n_all,
+        |       CAST(n_kept AS BIGINT) AS n_kept,
+        |       CAST(n_kept AS DOUBLE)/total_kept
+        |         - CAST(n_all AS DOUBLE)/total_all AS share_delta,
+        |       ABS(n_kept*total_all - n_all*total_kept) * 10
+        |         > total_all*total_kept AS drifted
+        |FROM per, tot
+        |ORDER BY feature, bin""".stripMargin,
     // x26: per-domain signals + an integer-cross-multiplied gate —
     // no float threshold anywhere, so the flag replays exactly.
     "x26_domain_curation" ->
@@ -469,6 +496,76 @@ object OraclesLlm {
          |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
          |LEFT JOIN top t ON d.doc_id = t.doc_id
          |ORDER BY d.doc_id, t.partner""".stripMargin,
+    // x09r: both detectors replayed in full (the x09b and x09f
+    // pipelines verbatim), fused with a FULL JOIN on the pair key —
+    // a pair in the wrong signal class cannot hash-match.
+    "x09r_ensemble_dedup" ->
+      s"""WITH $toks,
+         |$shingleCtes,
+         |params AS (SELECT CAST(i AS INT) AS i,
+         |             (1103515245*(i+1)) % 2147483647 AS a,
+         |             (12345 + 2654435761*i) % 2147483647 AS b
+         |           FROM range(0,16) t(i)),
+         |mh AS (SELECT doc_id, i, MIN((a*sid+b) % 2147483647) AS mh
+         |       FROM ds, params GROUP BY doc_id, i),
+         |mbands AS (SELECT doc_id, i//4 AS band,
+         |            SUM(mh * (CASE i%4 WHEN 0 THEN 1 WHEN 1 THEN 31
+         |                      WHEN 2 THEN 961 ELSE 29791 END)) AS bandkey
+         |          FROM mh GROUP BY doc_id, i//4),
+         |mcand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |          FROM mbands x JOIN mbands y
+         |            ON x.band=y.band AND x.bandkey=y.bandkey
+         |           AND x.doc_id<y.doc_id),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY doc_id),
+         |inters AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+         |           FROM mcand c JOIN ds da ON c.doc_a=da.doc_id
+         |                        JOIN ds db ON c.doc_b=db.doc_id
+         |                                  AND da.sid=db.sid
+         |           GROUP BY c.doc_a, c.doc_b),
+         |lexp AS (SELECT i.doc_a, i.doc_b,
+         |           CAST(i.inter AS DOUBLE)/(sa.n + sb.n - i.inter) AS jaccard
+         |         FROM inters i JOIN sizes sa ON i.doc_a=sa.doc_id
+         |                       JOIN sizes sb ON i.doc_b=sb.doc_id
+         |         WHERE CAST(i.inter AS DOUBLE)/(sa.n + sb.n - i.inter) >= 0.5),
+         |$vecCtes,
+         |hyp AS (SELECT j, pos,
+         |          2*((1103515245*(j*64+pos)+12345) % 1000003) - 1000003 AS wnum
+         |        FROM range(0,16) t(j), range(1,65) r(pos)),
+         |proj AS (SELECT e.vec_id, h.j, CAST(SUM(e.q*h.wnum) AS BIGINT) AS p
+         |         FROM exq e JOIN hyp h ON e.pos = h.pos GROUP BY 1, 2),
+         |buck AS (SELECT vec_id, j//8 AS band,
+         |           CAST(SUM(CASE WHEN p >= 0
+         |               THEN (CAST(1 AS BIGINT) << CAST(j%8 AS INT))
+         |               ELSE 0 END) AS BIGINT) AS bandkey
+         |         FROM proj GROUP BY vec_id, j//8),
+         |vpairs AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |           FROM buck a JOIN buck b
+         |             ON a.band = b.band AND a.bandkey = b.bandkey
+         |            AND a.vec_id < b.vec_id),
+         |vdots AS (SELECT p.vec_a, p.vec_b, CAST(SUM(qa.q*qb.q) AS BIGINT) AS dot
+         |          FROM vpairs p JOIN exq qa ON qa.vec_id = p.vec_a
+         |                       JOIN exq qb ON qb.vec_id = p.vec_b
+         |                                  AND qb.pos = qa.pos
+         |          GROUP BY 1, 2),
+         |semp AS (SELECT vec_a, vec_b,
+         |           CAST(dot AS DOUBLE) /
+         |             (SQRT(CAST(na.n2 AS DOUBLE))
+         |              *SQRT(CAST(nb.n2 AS DOUBLE))) AS cosine
+         |         FROM vdots JOIN norms na ON vec_a = na.vec_id
+         |                    JOIN norms nb ON vec_b = nb.vec_id
+         |         WHERE CAST(dot AS DOUBLE) /
+         |             (SQRT(CAST(na.n2 AS DOUBLE))
+         |              *SQRT(CAST(nb.n2 AS DOUBLE))) >= 0.45)
+         |SELECT COALESCE(l.doc_a, s.vec_a) AS doc_a,
+         |       COALESCE(l.doc_b, s.vec_b) AS doc_b,
+         |       l.jaccard, s.cosine,
+         |       CASE WHEN l.doc_a IS NOT NULL AND s.vec_a IS NOT NULL
+         |              THEN 'both'
+         |            WHEN l.doc_a IS NOT NULL THEN 'lexical'
+         |            ELSE 'semantic' END AS signal
+         |FROM lexp l FULL JOIN semp s
+         |  ON l.doc_a = s.vec_a AND l.doc_b = s.vec_b
+         |ORDER BY doc_a, doc_b""".stripMargin,
     // x09p: asymmetric containment over width-4 rare-gram candidates —
     // the integer τ-filter (inter·5 ≥ n·3) and the per-doc top-8 bound
     // replay exactly; floats only in the emitted cont_a/cont_b.

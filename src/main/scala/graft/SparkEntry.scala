@@ -124,6 +124,10 @@ object SparkEntry {
     "x09q_incremental_dedup" -> (Dedup.incrementalMinhash(_, _)),
     // domain-level curation: integer-gated per-source flags, O(domains)
     "x26_domain_curation"  -> (TextAnalysis.domainCuration(_, _)),
+    // lexical ∪ semantic near-dup pairs with the agreement recorded
+    "x09r_ensemble_dedup"  -> (Dedup.ensembleDedup(_, _)),
+    // what did the filter DO to the distribution? per-bin drift audit
+    "x18d_filter_drift"    -> (TextAnalysis.filterDrift(_, _)),
     // CCNet-style corpus-trained bigram-LM fluency scoring: exact
     // ratio-of-sums surprisal, head/middle/tail perplexity buckets
     "x11n_lm_score"       -> (TextAnalysis.lmScore(_, _)),

@@ -268,6 +268,34 @@ object Dedup {
       .orderBy("doc_id", "partner")
   }
 
+  /** X9r: ENSEMBLE near-dup verdict — the lexical and semantic
+    * detectors fused per pair, because they catch DIFFERENT things:
+    * MinHash-verified Jaccard finds verbatim/near-verbatim overlap and
+    * is blind to paraphrase; embedding cosine finds semantic
+    * near-duplicates and is blind to how they are worded. A production
+    * dedup wave runs both and keeps the union with the agreement
+    * recorded (pairs flagged by BOTH are the highest-confidence drops;
+    * single-signal pairs get the cheaper re-check). The fixture's
+    * documents and embeddings share an id space (row i of each), so
+    * the fusion is a FULL OUTER join on the pair key — both inputs are
+    * already-bounded pair sets (banded candidates, verified), tiny
+    * relative to the corpus at any scale, so the fusion join is noise
+    * next to the detectors it combines. */
+  def ensembleDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val lex = minhashLsh(spark, sfDir)
+    val sem = Similarity.embeddingNearDup(spark, sfDir)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"),
+        col("cosine"))
+    lex.join(sem, Seq("doc_a", "doc_b"), "full_outer")
+      .withColumn("signal",
+        when(col("jaccard").isNotNull && col("cosine").isNotNull,
+          "both")
+          .when(col("jaccard").isNotNull, "lexical")
+          .otherwise("semantic"))
+      .select("doc_a", "doc_b", "jaccard", "cosine", "signal")
+      .orderBy("doc_a", "doc_b")
+  }
+
   def simhash(spark: SparkSession, sfDir: String): DataFrame = {
     graft.plans.PolyHash.register(spark)
     val P2 = 4294967291L // prime < 2^32 → 32 usable bits per half

@@ -980,6 +980,48 @@ object TextAnalysis {
     * doc-level keep/drop is a broadcast semi/anti-join of the tiny
     * flagged-domain list back against the corpus — here folded into
     * the same aggregate (`n_kept`), so the corpus is touched once. */
+  /** X18d: FILTER-IMPACT drift audit (`x18d_filter_drift`) — the
+    * question every curation step must answer before it ships: what
+    * did the gate DO to the corpus distribution? Compares the full
+    * corpus against the gate's survivors (here the length gate
+    * `n_chars ≥ 280`) per feature bin — length in 8 fixed-width bins,
+    * language as categorical — and flags drifted bins with an INTEGER
+    * cross-multiplication (`|n_kept·total_all − n_all·total_kept| >
+    * total_all·total_kept/10`, i.e. share moved by >10 points), the
+    * same no-float-gate discipline as [[domainCuration]]. `share_delta`
+    * (kept-share minus all-share) is emitted as a double for reading,
+    * computed from exact counts so it replays bit-for-bit — no
+    * PSI/KL logarithms, whose libm last-ulp behavior is not portable
+    * across engines. One pass over the corpus: both sides aggregate
+    * from the same scan (kept is a conditional count), output is
+    * O(bins). */
+  def filterDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("kept", col("n_chars") >= 280)
+    val binned = docs.select(
+      col("kept"),
+      least(expr("n_chars div 64"), lit(7)).cast("long").as("len_bin"),
+      col("lang"))
+    def oneFeature(feature: String, bin: org.apache.spark.sql.Column) =
+      binned.groupBy(bin.as("bin"))
+        .agg(count(lit(1)).as("n_all"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+        .withColumn("feature", lit(feature))
+    val perBin = oneFeature("len_bin", col("len_bin").cast("string"))
+      .unionByName(oneFeature("lang", col("lang")))
+    val totals = binned.agg(count(lit(1)).as("total_all"),
+      sum(when(col("kept"), 1L).otherwise(0L)).as("total_kept"))
+    perBin.crossJoin(broadcast(totals))
+      .select(col("feature"), col("bin"), col("n_all"), col("n_kept"),
+        (col("n_kept").cast("double") / col("total_kept")
+          - col("n_all").cast("double") / col("total_all"))
+          .as("share_delta"),
+        (abs(col("n_kept") * col("total_all")
+          - col("n_all") * col("total_kept")) * 10
+          > col("total_all") * col("total_kept")).as("drifted"))
+      .orderBy("feature", "bin")
+  }
+
   def domainCuration(spark: SparkSession, sfDir: String): DataFrame = {
     val perSource = Tables.documents(spark, sfDir)
       .groupBy(col("source"))

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 class DedupSimilaritySpec extends SparkSuite {
@@ -592,6 +592,52 @@ class DedupSimilaritySpec extends SparkSuite {
     }
     // the graph covers well beyond the 8-query set
     assert(rows.map(_._1).distinct.length > 8)
+  }
+
+  test("ensemble dedup is exactly the full-outer fusion of the two detectors") {
+    val lex = Dedup.minhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sem = Similarity.embeddingNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = Dedup.ensembleDedup(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getString(4),
+        !r.isNullAt(2), !r.isNullAt(3)))
+    assert(rows.map(_._1).toSet == (lex ++ sem))
+    rows.foreach { case (p, signal, hasJ, hasC) =>
+      val expect =
+        if (lex(p) && sem(p)) "both"
+        else if (lex(p)) "lexical" else "semantic"
+      assert(signal == expect, s"pair $p: $signal != $expect")
+      assert(hasJ == lex(p) && hasC == sem(p), s"pair $p NULL pattern")
+    }
+    // the point of the ensemble: the two detectors genuinely disagree
+    // (at sf0.01 both directions are populated — the driver's oracle
+    // venue shows 25 lexical-only + 1 semantic-only; this smaller
+    // fixture pins at least one side)
+    assert((lex -- sem).nonEmpty || (sem -- lex).nonEmpty)
+  }
+
+  test("filter drift audit: bins partition the corpus, the integer gate is the >10-point rule") {
+    val rows = TextAnalysis.filterDrift(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getBoolean(5)))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val total = docs.count()
+    val kept = docs.filter(col("n_chars") >= 280).count()
+    Seq("len_bin", "lang").foreach { f =>
+      val g = rows.filter(_._1 == f)
+      assert(g.map(_._3).sum == total, s"$f bins must partition all docs")
+      assert(g.map(_._4).sum == kept, s"$f bins must partition kept docs")
+    }
+    rows.foreach { case (f, b, nAll, nKept, delta, drifted) =>
+      val exact = nKept.toDouble / kept - nAll.toDouble / total
+      assert(math.abs(exact - delta) < 1e-12, s"($f,$b) delta")
+      assert(drifted ==
+        (math.abs(nKept * total - nAll * kept) * 10 > total * kept),
+        s"($f,$b) gate")
+    }
+    // the length gate must visibly drift the length feature
+    assert(rows.exists(r => r._1 == "len_bin" && r._6))
   }
 
   test("JL distortion audit: quantiles well-formed, error shrinks with projection width") {

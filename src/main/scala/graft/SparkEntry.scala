@@ -208,6 +208,8 @@ object SparkEntry {
     "xm3_image_resize"     -> ((s, d) => Multimodal.resizedImages(s, d)),
     // PCM frame split + abs-amplitude sums (the RMS/VAD featurizer core)
     "xm4_audio_frames"     -> ((s, d) => Multimodal.audioFrames(s, d)),
+    // image near-dup: aHash fingerprints + pigeonhole band join
+    "xm5_image_phash"      -> (Multimodal.imagePhashDedup(_, _)),
     // hot-key (Zipf 80/20) salted join certified vs the unsalted oracle
     "x21_salted_join"      -> ((s, d) => Layout.skewedEventsJoin(s, d)),
     // bloom semi-join reduction certified vs the un-reduced join oracle
@@ -1225,6 +1227,73 @@ object SparkEntry {
         |       CAST(8 AS INT) AS resized_h,
         |       CAST(SUM(byte) AS BIGINT) AS resized_sum
         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // xm5: every fingerprint BIT replayed from the cycled-payload
+    // arithmetic (cell sums → integer mean threshold), then the same
+    // banded pigeonhole + hamming verify as the engine — a wrong
+    // sample index, threshold tie, or band split cannot hash-match.
+    "xm5_image_phash" ->
+      """WITH d AS (SELECT doc_id, text,
+        |             CAST(length(text) AS BIGINT) AS nc,
+        |             CAST(length(text) % 64 + 1 AS INT) AS w,
+        |             CAST((length(text)*7) % 48 + 1 AS INT) AS h
+        |           FROM documents WHERE doc_id % 3 < 2),
+        |g AS (SELECT y2.g AS y2, x2.g AS x2, c.g AS c
+        |      FROM generate_series(0,7) AS y2(g),
+        |           generate_series(0,7) AS x2(g),
+        |           generate_series(0,2) AS c(g)),
+        |px AS (SELECT d.doc_id, g.y2, g.x2,
+        |         ascii(substr(d.text,
+        |           CAST((((CAST(g.y2 * d.h AS BIGINT) // 8) * d.w
+        |                  + CAST(g.x2 * d.w AS BIGINT) // 8) * 3 + g.c)
+        |                % d.nc AS INT) + 1, 1)) AS byte
+        |       FROM d CROSS JOIN g),
+        |cells AS (SELECT doc_id, y2, x2, CAST(SUM(byte) AS BIGINT) AS cell
+        |          FROM px GROUP BY 1, 2, 3),
+        |tot AS (SELECT doc_id, CAST(SUM(cell) AS BIGINT) AS total
+        |        FROM cells GROUP BY 1),
+        |hash AS (SELECT c.doc_id,
+        |           CAST(SUM(CASE WHEN c.cell*64 > t.total
+        |                          AND (c.y2*8+c.x2) < 32
+        |             THEN (CAST(1 AS BIGINT) << CAST(c.y2*8+c.x2 AS INT))
+        |             ELSE 0 END) AS BIGINT) AS phash_lo,
+        |           CAST(SUM(CASE WHEN c.cell*64 > t.total
+        |                          AND (c.y2*8+c.x2) >= 32
+        |             THEN (CAST(1 AS BIGINT) << CAST(c.y2*8+c.x2-32 AS INT))
+        |             ELSE 0 END) AS BIGINT) AS phash_hi
+        |         FROM cells c JOIN tot t ON c.doc_id = t.doc_id
+        |         GROUP BY c.doc_id),
+        |bnd AS (SELECT doc_id, b.band,
+        |          CASE WHEN b.band < 8
+        |               THEN (phash_lo >> (4*b.band)) & 15
+        |               ELSE (phash_hi >> (4*(b.band-8))) & 15
+        |          END AS bandkey
+        |        FROM hash, (SELECT UNNEST(range(0,16)) AS band) b),
+        |cand AS (SELECT DISTINCT x.doc_id, y.doc_id AS partner
+        |         FROM bnd x JOIN bnd y
+        |           ON x.band = y.band AND x.bandkey = y.bandkey
+        |          AND x.doc_id <> y.doc_id),
+        |hm AS (SELECT c.doc_id, c.partner,
+        |         CAST(bit_count(xor(a.phash_lo, b.phash_lo))
+        |            + bit_count(xor(a.phash_hi, b.phash_hi)) AS INT)
+        |           AS hamming
+        |       FROM cand c JOIN hash a ON a.doc_id = c.doc_id
+        |                   JOIN hash b ON b.doc_id = c.partner
+        |       WHERE bit_count(xor(a.phash_lo, b.phash_lo))
+        |           + bit_count(xor(a.phash_hi, b.phash_hi)) <= 12),
+        |best AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+        |           MAX(CASE WHEN rn = 1 THEN partner END) AS best_partner,
+        |           MAX(CASE WHEN rn = 1 THEN hamming END) AS best_hamming
+        |         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                 ORDER BY hamming, partner) AS rn FROM hm)
+        |         GROUP BY doc_id)
+        |SELECT h.doc_id,
+        |       CASE WHEN h.doc_id % 3 = 0 THEN 'image/ppm'
+        |            ELSE 'image/bmp' END AS media_type,
+        |       h.phash_lo, h.phash_hi,
+        |       COALESCE(b.n_matches, 0) AS n_matches,
+        |       b.best_partner, b.best_hamming
+        |FROM hash h LEFT JOIN best b ON h.doc_id = b.doc_id
+        |ORDER BY h.doc_id""".stripMargin,
     // xm4: per-frame abs-amplitude sums replayed sample-by-sample from
     // the cycled little-endian PCM bytes (16-bit signed reconstruction
     // included), with the exact integer frame bounds.

@@ -307,6 +307,133 @@ object Multimodal {
       .orderBy("doc_id", "frame")
   }
 
+  case class ImageHash(doc_id: Long, media_type: String,
+                       phash_lo: Long, phash_hi: Long)
+
+  /** Per-image 64-bit AVERAGE HASH (the aHash perceptual fingerprint):
+    * decode, 8×8 nearest-neighbor downsample (the [[resizedImagesOf]]
+    * sampling), per-cell gray = r+g+b, bit = cell·64 > total — pure
+    * integer, so the oracle replays every bit from the cycled-payload
+    * arithmetic. Emitted as two 32-bit halves ([[graft.operators
+    * .Dedup.simhash]]'s discipline — a single BIGINT would wrap on
+    * bit 63 differently across engines' shift semantics). */
+  private[operators] def imageHashes(spark: SparkSession,
+                                     sfDir: String): DataFrame = {
+    import spark.implicits._
+    encodeBlobs(spark, sfDir)
+      .select(col("doc_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, b) =>
+          val parsed: Option[(String, Int, Int, Int, Int)] =
+            if (b.length >= 2 && b(0) == 'P' && b(1) == '6') {
+              val header = new String(b, 0, math.min(b.length, 32),
+                StandardCharsets.US_ASCII)
+              val m = """P6\n(\d+) (\d+)\n255\n""".r
+                .findPrefixMatchOf(header)
+                .getOrElse(throw new IllegalArgumentException(
+                  s"doc $id: malformed PPM header"))
+              val w = m.group(1).toInt
+              Some(("image/ppm", w, m.group(2).toInt, m.end, w * 3))
+            } else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') {
+              val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+              val w = bb.getInt(18)
+              Some(("image/bmp", w, bb.getInt(22), bb.getInt(10),
+                w * 3 + (4 - (w * 3) % 4) % 4))
+            } else None
+          parsed.map { case (mt, w, h, off, stride) =>
+            val cells = new Array[Long](64)
+            var total = 0L
+            var y2 = 0
+            while (y2 < 8) {
+              val sy = y2 * h / 8
+              var x2 = 0
+              while (x2 < 8) {
+                val sx = x2 * w / 8
+                var g = 0L
+                var c = 0
+                while (c < 3) {
+                  g += (b(off + sy * stride + sx * 3 + c) & 0xff); c += 1
+                }
+                cells(y2 * 8 + x2) = g
+                total += g
+                x2 += 1
+              }
+              y2 += 1
+            }
+            var lo = 0L; var hi = 0L
+            var i = 0
+            while (i < 64) {
+              if (cells(i) * 64 > total) {
+                if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+              }
+              i += 1
+            }
+            ImageHash(id, mt, lo, hi)
+          }
+        }
+      }.toDF()
+  }
+
+  /** XM5: IMAGE near-dup via perceptual hash (`xm5_image_phash`) —
+    * the multimodal twin of [[graft.operators.Dedup.simhashPairs]]:
+    * aHash fingerprints, 16×4-bit pigeonhole bands (complete for
+    * hamming ≤ 15: sixteen bands, at most fifteen differing bits —
+    * one band must match exactly), candidates from the band
+    * equi-join — never image×image — and the exact hamming verify
+    * (τ = 12) on candidates only. The venue's planted image near-dups
+    * measure at hamming 8-12 against a ≥ 15 background (the
+    * text-cycled pixels are adversarially noisy — a few edited tokens
+    * shift the whole payload), hence the loose τ and the narrow
+    * bands; production images cluster much tighter under aHash, and
+    * at 100 TB you keep the SAME τ/bits ratio by widening the
+    * fingerprint (256-bit pHash, 16-bit bands) rather than narrowing
+    * the bands. Output is one row per image with its fingerprint
+    * halves (fully certifying the hash) plus its best partner and
+    * match count; decode and hash are per-row map work, the only
+    * shuffle is the band key. */
+  def imagePhashDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = imageHashes(spark, sfDir).cache()
+    val bands = h.select(col("doc_id"), explode(array(
+        (0 until 16).map { i =>
+          val half = if (i < 8) col("phash_lo") else col("phash_hi")
+          struct(lit(i).as("band"),
+            shiftright(half, 4 * (i % 8)).bitwiseAND(15).as("bandkey"))
+        }: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"),
+        col("bb.bandkey").as("bandkey"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band")
+          && col("x.bandkey") === col("y.bandkey")
+          && col("x.doc_id") =!= col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_id"),
+        col("y.doc_id").as("partner"))
+      .distinct()
+    val ham = cand
+      .join(h.select(col("doc_id"), col("phash_lo").as("lo_a"),
+        col("phash_hi").as("hi_a")), "doc_id")
+      .join(h.select(col("doc_id").as("partner"),
+        col("phash_lo").as("lo_b"), col("phash_hi").as("hi_b")), "partner")
+      .select(col("doc_id"), col("partner"),
+        (bit_count(expr("lo_a ^ lo_b")) + bit_count(expr("hi_a ^ hi_b")))
+          .cast(IntegerType).as("hamming"))
+      .filter(col("hamming") <= 12)
+    val best = ham
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+          .orderBy(col("hamming"), col("partner"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matches"),
+        max(when(col("rn") === 1, col("partner"))).as("best_partner"),
+        max(when(col("rn") === 1, col("hamming"))).as("best_hamming"))
+    h.join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("media_type"),
+        col("phash_lo"), col("phash_hi"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        col("best_partner"), col("best_hamming"))
+      .orderBy("doc_id")
+  }
+
   /** Oracle-checkable metadata query over the binary content: byte
     * length, content hash, and derived dimensions expressed as native
     * columnar functions (codegen'd, pruned to the two columns read).

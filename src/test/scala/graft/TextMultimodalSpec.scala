@@ -477,6 +477,39 @@ class TextMultimodalSpec extends SparkSuite {
     assert(docs(1) == enDocs, "funnel lang stage diverged from langId")
   }
 
+  test("image phash dedup: banding finds exactly the brute-force hamming<=12 pairs, symmetrically") {
+    val rows = Multimodal.imagePhashDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)),
+        if (r.isNullAt(6)) None else Some(r.getInt(6))))
+    assert(rows.nonEmpty)
+    // fingerprint halves are clean 32-bit values
+    rows.foreach { case (_, lo, hi, _, _, _) =>
+      assert(lo >= 0 && lo < (1L << 32) && hi >= 0 && hi < (1L << 32))
+    }
+    // pigeonhole completeness: the banded candidates must recover the
+    // FULL brute-force hamming<=12 pair set (16 bands cover <=15)
+    val hashes = rows.map(r => r._1 -> (r._2 | (r._3 << 32))).toMap
+    def hamming(a: Long, b: Long) =
+      java.lang.Long.bitCount(hashes(a) ^ hashes(b))
+    val ids = hashes.keys.toSeq.sorted
+    val brute = (for {
+      a <- ids; b <- ids if a < b && hamming(a, b) <= 12
+    } yield (a, b)).toSet
+    val found = rows.filter(_._4 > 0).map(_._1).toSet
+    assert(brute.flatMap(p => Seq(p._1, p._2)) == found,
+      s"banded match set diverged from brute force: $brute vs $found")
+    // best partner is the true minimum, matches are symmetric
+    rows.filter(_._4 > 0).foreach { case (id, _, _, _, Some(p), Some(hm)) =>
+      assert(hamming(id, p) == hm)
+      val best = ids.filter(o => o != id && hamming(id, o) <= 12)
+        .map(o => (hamming(id, o), o)).min
+      assert((hm, p) == best, s"doc $id best partner")
+      assert(rows.exists(r => r._1 == p && r._5.isDefined))
+    case _ => fail()
+    }
+  }
+
   test("source quota caps every source deterministically") {
     val rows = TextAnalysis.sourceQuota(spark, sf).collect()
     val perSource = spark.read.parquet(s"$sf/documents.parquet")

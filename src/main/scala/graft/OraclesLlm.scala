@@ -417,6 +417,54 @@ object OraclesLlm {
          |QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_a
          |  ORDER BY jaccard DESC, doc_b) <= 8
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // x17e: clusters replayed (recursive reach), both split policies
+    // from the same Knuth bucket rule, leak endpoints counted per side
+    // — a pair crossing the cluster split anywhere cannot hash-match
+    // the pinned zeros.
+    "x17e_leakage_safe_split" ->
+      s"""WITH RECURSIVE $toks,
+         |$clusterCtes,
+         |assigned AS (SELECT d.doc_id,
+         |    COALESCE(c.cluster_id, d.doc_id) AS unit
+         |  FROM documents d LEFT JOIN clus c ON d.doc_id = c.doc_id),
+         |sp AS (SELECT doc_id, unit,
+         |    CASE WHEN (unit*2654435761) % 2147483647 % 10 < 8 THEN 'train'
+         |         WHEN (unit*2654435761) % 2147483647 % 10 = 8 THEN 'val'
+         |         ELSE 'test' END AS split,
+         |    CASE WHEN (doc_id*2654435761) % 2147483647 % 10 < 8 THEN 'train'
+         |         WHEN (doc_id*2654435761) % 2147483647 % 10 = 8 THEN 'val'
+         |         ELSE 'test' END AS doc_split
+         |  FROM assigned),
+         |base AS (SELECT split, COUNT(*) AS n_docs,
+         |           COUNT(DISTINCT unit) AS n_units
+         |         FROM sp GROUP BY split),
+         |lc AS (SELECT side AS split, COUNT(*) AS n FROM (
+         |         SELECT a.split AS side FROM npairs p
+         |           JOIN sp a ON p.doc_a = a.doc_id
+         |           JOIN sp b ON p.doc_b = b.doc_id
+         |         WHERE a.split <> b.split
+         |         UNION ALL
+         |         SELECT b.split FROM npairs p
+         |           JOIN sp a ON p.doc_a = a.doc_id
+         |           JOIN sp b ON p.doc_b = b.doc_id
+         |         WHERE a.split <> b.split) GROUP BY side),
+         |ld AS (SELECT side AS split, COUNT(*) AS n FROM (
+         |         SELECT a.doc_split AS side FROM npairs p
+         |           JOIN sp a ON p.doc_a = a.doc_id
+         |           JOIN sp b ON p.doc_b = b.doc_id
+         |         WHERE a.doc_split <> b.doc_split
+         |         UNION ALL
+         |         SELECT b.doc_split FROM npairs p
+         |           JOIN sp a ON p.doc_a = a.doc_id
+         |           JOIN sp b ON p.doc_b = b.doc_id
+         |         WHERE a.doc_split <> b.doc_split) GROUP BY side)
+         |SELECT b.split, CAST(b.n_docs AS BIGINT) AS n_docs,
+         |       CAST(b.n_units AS BIGINT) AS n_units,
+         |       CAST(COALESCE(lc.n, 0) AS BIGINT) AS n_leaky_cluster,
+         |       CAST(COALESCE(ld.n, 0) AS BIGINT) AS n_leaky_doc
+         |FROM base b LEFT JOIN lc ON b.split = lc.split
+         |            LEFT JOIN ld ON b.split = ld.split
+         |ORDER BY b.split""".stripMargin,
     // x18d: per-bin counts exact, share_delta a deterministic division
     // of exact counts, the drift flag an integer cross-multiplication
     // (>10 share-points) — no logarithms anywhere.

@@ -128,6 +128,9 @@ object SparkEntry {
     "x09r_ensemble_dedup"  -> (Dedup.ensembleDedup(_, _)),
     // what did the filter DO to the distribution? per-bin drift audit
     "x18d_filter_drift"    -> (TextAnalysis.filterDrift(_, _)),
+    // split by near-dup CLUSTER, not doc: zero cross-split pairs, with
+    // the doc-split counter-factual's leak count measured beside it
+    "x17e_leakage_safe_split" -> (TextAnalysis.leakageSafeSplit(_, _)),
     // CCNet-style corpus-trained bigram-LM fluency scoring: exact
     // ratio-of-sums surprisal, head/middle/tail perplexity buckets
     "x11n_lm_score"       -> (TextAnalysis.lmScore(_, _)),

@@ -980,6 +980,58 @@ object TextAnalysis {
     * doc-level keep/drop is a broadcast semi/anti-join of the tiny
     * flagged-domain list back against the corpus — here folded into
     * the same aggregate (`n_kept`), so the corpus is touched once. */
+  /** X17e: LEAKAGE-SAFE train/val/test split
+    * (`x17e_leakage_safe_split`) — the split no one notices is wrong
+    * until eval day: hashing DOC ids sends near-duplicate documents to
+    * opposite sides, so the model is evaluated on paraphrases of its
+    * own training data (the classic benchmark-leakage mechanism).
+    * The fix is to hash the near-dup CLUSTER id (singletons hash their
+    * own id), so every connected component of the pair graph lands on
+    * ONE side. Output certifies both policies side by side: under the
+    * cluster split the cross-split pair count is ZERO by construction,
+    * and the doc-split counter-factual's leak count measures exactly
+    * the contamination the operator prevents. Same deterministic
+    * bucket rule as the corpus funnel's train gate (Knuth
+    * multiplicative hash, 8/1/1). At 100 TB: cluster labels come from
+    * the dedup pass you already ran; the split itself is a pure
+    * projection, and the certification joins are O(pairs). */
+  def leakageSafeSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    def bucketOf(c: org.apache.spark.sql.Column) =
+      c * 2654435761L % 2147483647L % 10
+    def splitOf(c: org.apache.spark.sql.Column) =
+      when(bucketOf(c) < 8, "train")
+        .when(bucketOf(c) === 8, "val").otherwise("test")
+    val assigned = Tables.documents(spark, sfDir).select(col("doc_id"))
+      .join(Dedup.dedupClusters(spark, sfDir), Seq("doc_id"), "left")
+      .withColumn("unit", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("split", splitOf(col("unit")))
+      .withColumn("doc_split", splitOf(col("doc_id")))
+      .cache()
+    val pairs = Dedup.ngramJaccard(spark, sfDir)
+      .select("doc_a", "doc_b")
+    def leakEndpoints(splitCol: String) = {
+      val sa = assigned.select(col("doc_id").as("doc_a"),
+        col(splitCol).as("sa"))
+      val sb = assigned.select(col("doc_id").as("doc_b"),
+        col(splitCol).as("sb"))
+      pairs.join(sa, "doc_a").join(sb, "doc_b")
+        .filter(col("sa") =!= col("sb"))
+        .select(explode(array(col("sa"), col("sb"))).as("split"))
+        .groupBy("split").agg(count(lit(1)).as("n"))
+    }
+    assigned.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("unit")).as("n_units"))
+      .join(leakEndpoints("split")
+        .withColumnRenamed("n", "n_leaky_cluster"), Seq("split"), "left")
+      .join(leakEndpoints("doc_split")
+        .withColumnRenamed("n", "n_leaky_doc"), Seq("split"), "left")
+      .select(col("split"), col("n_docs"), col("n_units"),
+        coalesce(col("n_leaky_cluster"), lit(0L)).as("n_leaky_cluster"),
+        coalesce(col("n_leaky_doc"), lit(0L)).as("n_leaky_doc"))
+      .orderBy("split")
+  }
+
   /** X18d: FILTER-IMPACT drift audit (`x18d_filter_drift`) — the
     * question every curation step must answer before it ships: what
     * did the gate DO to the corpus distribution? Compares the full

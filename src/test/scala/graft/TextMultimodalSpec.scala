@@ -477,6 +477,31 @@ class TextMultimodalSpec extends SparkSuite {
     assert(docs(1) == enDocs, "funnel lang stage diverged from langId")
   }
 
+  test("leakage-safe split: clusters never straddle, the naive split's leak is measured") {
+    val rows = TextAnalysis.leakageSafeSplit(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_._2).sum == total, "splits must partition the corpus")
+    // the operator's contract: ZERO cross-split near-dup pairs
+    assert(rows.forall(_._4 == 0L), s"cluster split leaked: $rows")
+    // the counter-factual proves the operator matters on this corpus
+    assert(rows.map(_._5).sum > 0, "doc-split should leak on this fixture")
+    // endpoint counts are even in total (each leaky pair has 2 sides)
+    assert(rows.map(_._5).sum % 2 == 0)
+    // cross-check against the raw cluster labels: every cluster's docs
+    // share one split under the unit rule
+    val clus = graft.operators.Dedup.dedupClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def splitOf(u: Long) = (u * 2654435761L % 2147483647L % 10) match {
+      case b if b < 8 => "train"; case 8 => "val"; case _ => "test"
+    }
+    clus.groupBy(_._2).foreach { case (cid, members) =>
+      val sides = members.map(m => splitOf(cid)).toSet
+      assert(sides.size == 1, s"cluster $cid split across $sides")
+    }
+  }
+
   test("image phash dedup: banding finds exactly the brute-force hamming<=12 pairs, symmetrically") {
     val rows = Multimodal.imagePhashDedup(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4),

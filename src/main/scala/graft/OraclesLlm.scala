@@ -417,6 +417,36 @@ object OraclesLlm {
          |QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_a
          |  ORDER BY jaccard DESC, doc_b) <= 8
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // x11s: the same manufacture→extract pipeline in RE2; the
+    // `lossless` boolean is the cross-engine certificate that neither
+    // regex dialect ate or leaked a character.
+    "x11s_markup_strip" ->
+      """WITH b AS (SELECT doc_id, text,
+        |             string_split(text, ' ')[1] AS tok1
+        |           FROM documents),
+        |h AS (SELECT doc_id, text, tok1,
+        |        '<html><head><title>' || tok1 ||
+        |        '</title><script>var x=1;</script></head><body><p>' ||
+        |        replace(text, ' ', '</p> <p>') ||
+        |        '</p><div class="nav">menu home about</div></body></html>'
+        |          AS html
+        |      FROM b),
+        |x AS (SELECT doc_id, text, tok1, html,
+        |        trim(regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(
+        |              regexp_replace(html, '<script>.*?</script>', ' ', 'g'),
+        |              '<div class="nav">.*?</div>', ' ', 'g'),
+        |            '<[^>]*>', ' ', 'g'),
+        |          ' +', ' ', 'g')) AS extract
+        |      FROM h)
+        |SELECT doc_id,
+        |       CAST(length(html) AS INT) AS html_len,
+        |       CAST(length(extract) AS INT) AS extract_len,
+        |       CAST(length(html) - length(replace(html, '<', ''))
+        |         AS INT) AS n_tags,
+        |       extract = tok1 || ' ' || text AS lossless
+        |FROM x ORDER BY doc_id""".stripMargin,
     // x17e: clusters replayed (recursive reach), both split policies
     // from the same Knuth bucket rule, leak endpoints counted per side
     // — a pair crossing the cluster split anywhere cannot hash-match

@@ -131,6 +131,8 @@ object SparkEntry {
     // split by near-dup CLUSTER, not doc: zero cross-split pairs, with
     // the doc-split counter-factual's leak count measured beside it
     "x17e_leakage_safe_split" -> (TextAnalysis.leakageSafeSplit(_, _)),
+    // WET extraction: manufactured markup stripped, losslessness pinned
+    "x11s_markup_strip"    -> (TextAnalysis.markupStrip(_, _)),
     // CCNet-style corpus-trained bigram-LM fluency scoring: exact
     // ratio-of-sums surprisal, head/middle/tail perplexity buckets
     "x11n_lm_score"       -> (TextAnalysis.lmScore(_, _)),

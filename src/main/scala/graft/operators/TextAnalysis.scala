@@ -980,6 +980,43 @@ object TextAnalysis {
     * doc-level keep/drop is a broadcast semi/anti-join of the tiny
     * flagged-domain list back against the corpus — here folded into
     * the same aggregate (`n_kept`), so the corpus is touched once. */
+  /** X11s: MARKUP STRIP / boilerplate extraction
+    * (`x11s_markup_strip`) — the WET-extraction step every web-crawl
+    * pipeline runs before any text filter: drop script blocks, drop
+    * navigation boilerplate, strip tags, collapse whitespace. The
+    * fixture corpus is plain text, so (the [[unicodeCanon]]
+    * discipline) the query MANUFACTURES its markup deterministically —
+    * title from the first token, a script block, the body re-wrapped
+    * in per-token paragraph tags, a nav div — then extracts, and
+    * certifies LOSSLESSNESS: the extract must equal title + original
+    * text exactly (boolean column, oracle-replayed), so a regex that
+    * eats a character or leaves a tag cannot hash-match. Patterns
+    * stay inside the Java∩RE2 common subset (non-greedy `.*?`,
+    * `[^>]*`, `' +'` — no `\\s` classes, no dotall) so both engines
+    * read them identically. Pure per-row projection at any scale. */
+  def markupStrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok1 = split_part(col("text"), lit(" "), lit(1))
+    val html = concat(
+      lit("<html><head><title>"), tok1,
+      lit("</title><script>var x=1;</script></head><body><p>"),
+      regexp_replace(col("text"), " ", "</p> <p>"),
+      lit("</p><div class=\"nav\">menu home about</div></body></html>"))
+    val noScript = regexp_replace(html, "<script>.*?</script>", " ")
+    val noNav = regexp_replace(noScript,
+      "<div class=\"nav\">.*?</div>", " ")
+    val noTags = regexp_replace(noNav, "<[^>]*>", " ")
+    val extract = trim(regexp_replace(noTags, " +", " "))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        length(html).cast(IntegerType).as("html_len"),
+        length(extract).cast(IntegerType).as("extract_len"),
+        (length(html) - length(regexp_replace(html, "<", "")))
+          .cast(IntegerType).as("n_tags"),
+        (extract === concat(tok1, lit(" "), col("text")))
+          .as("lossless"))
+      .orderBy("doc_id")
+  }
+
   /** X17e: LEAKAGE-SAFE train/val/test split
     * (`x17e_leakage_safe_split`) — the split no one notices is wrong
     * until eval day: hashing DOC ids sends near-duplicate documents to

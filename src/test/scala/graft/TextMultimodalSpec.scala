@@ -477,6 +477,26 @@ class TextMultimodalSpec extends SparkSuite {
     assert(docs(1) == enDocs, "funnel lang stage diverged from langId")
   }
 
+  test("markup strip: extraction is lossless on every document") {
+    val rows = TextAnalysis.markupStrip(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getBoolean(4)))
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == texts.size)
+    rows.foreach { case (id, htmlLen, exLen, nTags, lossless) =>
+      assert(lossless, s"doc $id extraction not lossless")
+      val text = texts(id)
+      val tok1 = text.split(" ")(0)
+      // extract == title + ' ' + text, so its length is fully pinned
+      assert(exLen == tok1.length + 1 + text.length, s"doc $id length")
+      assert(htmlLen > exLen)
+      // 14 structural tags + 2 per inter-token boundary (</p> <p>)
+      assert(nTags == 14 + 2 * (text.count(_ == ' ')), s"doc $id tags")
+    }
+  }
+
   test("leakage-safe split: clusters never straddle, the naive split's leak is measured") {
     val rows = TextAnalysis.leakageSafeSplit(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),

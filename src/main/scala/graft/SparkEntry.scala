@@ -272,6 +272,9 @@ object SparkEntry {
     // commit-time CHECK constraints: bad batch rejected atomically with
     // the exact violation count; bad constraint refused on existing data
     "of19_check_constraint" -> (operators.Snapshot.checkConstraintDemo(_, _)),
+    // metadata-only DROP COLUMN: zero data I/O, tombstoned physical
+    // name, time travel keeps the column, append-reintroduction refused
+    "of20_drop_column"     -> (operators.Snapshot.dropDemo(_, _)),
     // metadata-only column rename (column mapping): physical files
     // frozen; old versions read under old names, skipping survives
     "of18_rename_column"   -> (operators.Snapshot.renameDemo(_, _)),
@@ -289,6 +292,15 @@ object SparkEntry {
     // mergeable per-day HLL sketches; rows-only (no DuckDB HLL) —
     // error bound + merge consistency are spec-pinned
     "x24_sketch_rollup"    -> (Relational.sketchRollup(_, _)),
+    // iterative graph centrality (domain-authority curation): 3 exact
+    // integer PageRank rounds over the customer↔supplier trade graph
+    "x27_pagerank"         -> (Graph.pageRank(_, _)),
+    // budgeted data selection: histogram-threshold plan certified
+    // equal to the oracle's corpus-wide cumulative window
+    "x28_token_budget"     -> (Curation.tokenBudgetSelect(_, _)),
+    // deterministic global shuffle + shard assignment (LCG permutation,
+    // bucketed two-phase ranking, order-sensitive fingerprint)
+    "x29_corpus_shuffle"   -> (Curation.corpusShuffle(_, _)),
   )
 
   // 30-minute-gap batch sessions (mirrors Relational.batchSessions /
@@ -322,6 +334,9 @@ object SparkEntry {
     s"CAST(FLOOR(${davg(c)}) AS BIGINT)"
 
   def oracleSql: Map[String, String] = OraclesLlm.sql ++ Map(
+    "x27_pagerank" -> Graph.pageRankOracle,
+    "x28_token_budget" -> Curation.tokenBudgetOracle,
+    "x29_corpus_shuffle" -> Curation.corpusShuffleOracle,
     "o02_etl_extract" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
         |       l_extendedprice, l_discount, l_returnflag,
@@ -587,6 +602,37 @@ object SparkEntry {
         |       (SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)))
         |               AS BIGINT) FROM fin)
         |ORDER BY step""".stripMargin,
+    // of20: all three read paths + the refusal replayed from the
+    // fixture — a drop that leaked the column into current reads, ate
+    // it from time travel, rewrote data (v1 sum), or let the retired
+    // name back in (refused count) cannot hash-match.
+    "of20_drop_column" ->
+      """WITH cut AS (SELECT CAST(FLOOR(MAX(o_orderkey) / 5) AS BIGINT)
+        |            AS c FROM orders),
+        |     cur AS (SELECT 'current' AS part, o_orderstatus,
+        |               COUNT(*) AS n_rows, 2 AS n_cols,
+        |               CAST(NULL AS DOUBLE) AS sum_price
+        |             FROM orders GROUP BY o_orderstatus),
+        |     v1 AS (SELECT 'v1_predrop' AS part, o_orderstatus,
+        |              COUNT(*) AS n_rows, 3 AS n_cols,
+        |              CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+        |                AS DOUBLE) AS sum_price
+        |            FROM orders WHERE o_orderkey % 10 <> 3
+        |            GROUP BY o_orderstatus),
+        |     pr AS (SELECT 'pruned' AS part, o_orderstatus,
+        |              COUNT(*) AS n_rows, 2 AS n_cols,
+        |              CAST(NULL AS DOUBLE) AS sum_price
+        |            FROM orders
+        |            WHERE o_orderkey BETWEEN 1 AND (SELECT c FROM cut)
+        |            GROUP BY o_orderstatus),
+        |     rf AS (SELECT 'refused' AS part,
+        |              CAST(NULL AS VARCHAR) AS o_orderstatus,
+        |              CAST(1 AS BIGINT) AS n_rows, 2 AS n_cols,
+        |              CAST(NULL AS DOUBLE) AS sum_price)
+        |SELECT part, o_orderstatus, n_rows, n_cols, sum_price
+        |FROM (SELECT * FROM cur UNION ALL SELECT * FROM v1
+        |      UNION ALL SELECT * FROM pr UNION ALL SELECT * FROM rf)
+        |ORDER BY part, o_orderstatus NULLS FIRST""".stripMargin,
     // of13: the oracle replays the 2-D box read as a plain double-range
     // filter — a box prune that dropped an overlapping file (rows
     // missing) or a leaked residual cannot hash-match.

@@ -1,0 +1,121 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Iterative graph analytics over relationship data — the
+  * domain-authority half of corpus curation (CommonCrawl-class pipelines
+  * rank registered domains by link centrality and gate document quality
+  * on it; the reference's star schema has no link table, so the graph
+  * here is the customer↔supplier trade graph its `lineitem ⋈ orders`
+  * relation implies).
+  *
+  * Exactness discipline: ranks are integers at a fixed scale and every
+  * per-edge contribution is a floored rational computed with the
+  * identity `⌊r·w/W⌋ = (r div W)·w + ((r mod W)·w) div W` — all
+  * intermediates non-negative and < 2^63, so the trajectory replays
+  * bit-for-bit on any engine with 64-bit integer division (the DuckDB
+  * oracle unrolls the same three iterations as CTEs).
+  *
+  * 100 TB shape: edges are the corpus-sized relation and are touched
+  * once per iteration through a hash join on `src` against the
+  * O(nodes) rank relation — both sides hash-partition on the node key,
+  * so every iteration is one co-partitioned join + one reduce, the
+  * textbook Pregel round expressed relationally. Nothing is collected
+  * to the driver; the rank relation is never broadcast (at web scale,
+  * nodes = domains ≈ 10^8 — small next to the edge set but not
+  * driver-small). The aggregated edge relation is persisted across
+  * iterations (one shuffle, three reuses); a longer-running job would
+  * checkpoint ranks every ~5 rounds to truncate lineage.
+  */
+object Graph {
+
+  private val Scale = 1000000000L // 1e9: 9 fractional digits of rank
+
+  /** PageRank (damping 0.85, 3 synchronous iterations) over the
+    * symmetric customer↔supplier graph: an edge per (custkey, suppkey)
+    * pair weighted by its lineitem count, both directions, so every
+    * node has out-mass and the dangling-mass term vanishes. Emits the
+    * top-20 nodes by final rank with a total order. */
+  def pageRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .agg(count(lit(1)).as("w"))
+    // node encoding: customer 2k, supplier 2k+1 — one integer key space
+    val edges = pairs.select((col("c") * 2).as("src"),
+        (col("s") * 2 + 1).as("dst"), col("w"))
+      .unionByName(pairs.select((col("s") * 2 + 1).as("src"),
+        (col("c") * 2).as("dst"), col("w")))
+    // fold edge weights + out-mass into one relation so each iteration
+    // joins ONE corpus-sized side; persisted because three iterations
+    // reuse it (at cluster scale: cache to disk-backed storage levels)
+    val outw = edges.groupBy("src").agg(sum("w").as("ow"))
+    val linked = edges.join(outw, "src")
+      .select("src", "dst", "w", "ow")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = linked.select(col("src").as("node")).distinct()
+    val r0 = nodes.select(col("node"), lit(Scale).as("rank"))
+    val rFinal = (1 to 3).foldLeft(r0) { (r, _) =>
+      linked.join(r, linked("src") === r("node"))
+        .select(col("dst"),
+          // ⌊rank·w/ow⌋ without the 128-bit product (overflow-safe)
+          (expr("rank div ow") * col("w")
+            + expr("((rank % ow) * w) div ow")).as("contrib"))
+        .groupBy(col("dst").as("node"))
+        .agg((lit(15L * Scale / 100)
+          + expr("85 * sum(contrib) div 100")).as("rank"))
+    }
+    // top-20 via sort+limit (TakeOrderedAndProject — a distributed
+    // partial top-k, no global sort); the rank window then runs over
+    // the 20 surviving rows, never the O(nodes) relation
+    val out = rFinal
+      .orderBy(col("rank").desc, col("node")).limit(20)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("rank").desc, col("node"))))
+      .select(col("rnk"),
+        when(col("node") % 2 === 0, "customer").otherwise("supplier")
+          .as("node_type"),
+        expr("node div 2").as("orig_key"), col("rank"))
+      .orderBy("rnk")
+    out
+  }
+
+  /** The unrolled DuckDB twin of [[pageRank]] — same constants, same
+    * floored-rational contribution, three iterations as chained CTEs. */
+  val pageRankOracle: String = {
+    def iter(prev: String, cur: String) =
+      s"""$cur AS (SELECT e.dst AS node,
+         |  CAST(150000000 + (85 * SUM((r.rank // e.ow) * e.w
+         |    + ((r.rank % e.ow) * e.w) // e.ow)) // 100 AS BIGINT) AS rank
+         |FROM linked e JOIN $prev r ON e.src = r.node GROUP BY 1)"""
+        .stripMargin
+    s"""WITH pairs AS (
+       |  SELECT o_custkey AS c, l_suppkey AS s, COUNT(*) AS w
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2),
+       |edges AS (SELECT c*2 AS src, s*2+1 AS dst, w FROM pairs
+       |          UNION ALL SELECT s*2+1, c*2, w FROM pairs),
+       |outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS ow
+       |         FROM edges GROUP BY 1),
+       |linked AS (SELECT e.src, e.dst, CAST(e.w AS BIGINT) AS w, o.ow
+       |           FROM edges e JOIN outw o ON e.src = o.src),
+       |r0 AS (SELECT DISTINCT src AS node,
+       |         CAST(1000000000 AS BIGINT) AS rank FROM linked),
+       |${iter("r0", "r1")},
+       |${iter("r1", "r2")},
+       |${iter("r2", "r3")},
+       |rk AS (SELECT node, rank,
+       |         ROW_NUMBER() OVER (ORDER BY rank DESC, node) AS rnk
+       |       FROM r3)
+       |SELECT CAST(rnk AS INT) AS rnk,
+       |       CASE WHEN node % 2 = 0 THEN 'customer'
+       |            ELSE 'supplier' END AS node_type,
+       |       node // 2 AS orig_key, rank
+       |FROM rk WHERE rnk <= 20 ORDER BY rnk""".stripMargin
+  }
+}

@@ -330,12 +330,21 @@ object Snapshot {
     * add-column evolution surface the new columns as NULL, and no
     * footer is read for inference (O(1) planning instead of O(files)
     * mergeSchema). */
-  private def readResolved(spark: SparkSession, root: String,
-                           v: Long): DataFrame = {
-    val reader = schemaOf(spark, root, v) match {
+  /** Parquet reader pinned to version `v`'s RECORDED physical schema
+    * when one exists (inference otherwise). Every file-granular read
+    * path must go through this: a raw `spark.read.parquet(files)`
+    * infers the FILES' physical columns, which resurrects
+    * [[dropColumn]]-removed columns and footer-reads for schema. */
+  private def physReader(spark: SparkSession, root: String,
+                         v: Long): org.apache.spark.sql.DataFrameReader =
+    schemaOf(spark, root, v) match {
       case Some(s) => spark.read.schema(s)
       case None => spark.read
     }
+
+  private def readResolved(spark: SparkSession, root: String,
+                           v: Long): DataFrame = {
+    val reader = physReader(spark, root, v)
     val physical = manifestFiles(spark, root, v) match {
       case Some(files) if files.nonEmpty => reader.parquet(files: _*)
       case Some(_) => // degenerate: a delete emptied the whole table —
@@ -892,9 +901,10 @@ object Snapshot {
       val between = col(physCol) >= lo && col(physCol) <= hi
       val files = prunedFiles(spark, root, v, physCol, lo, hi)
       if (files.isEmpty) // no overlap: empty result, correct schema, no scan
-        toLogical(spark.read.parquet(s"$root/v=$v")
+        toLogical(physReader(spark, root, v).parquet(s"$root/v=$v")
           .filter(between).filter(lit(false)), cmap)
-      else toLogical(spark.read.parquet(files: _*).filter(between), cmap)
+      else toLogical(physReader(spark, root, v).parquet(files: _*)
+        .filter(between), cmap)
     }
   }
 
@@ -930,10 +940,10 @@ object Snapshot {
         prunedFiles(spark, root, v, p1, lo1, hi1).toSet
           .intersect(prunedFiles(spark, root, v, p2, lo2, hi2).toSet)
       if (files.isEmpty)
-        toLogical(spark.read.parquet(s"$root/v=$v")
+        toLogical(physReader(spark, root, v).parquet(s"$root/v=$v")
           .filter(box).filter(lit(false)), cmap)
-      else toLogical(
-        spark.read.parquet(files.toSeq.sorted: _*).filter(box), cmap)
+      else toLogical(physReader(spark, root, v)
+        .parquet(files.toSeq.sorted: _*).filter(box), cmap)
     }
   }
 
@@ -991,9 +1001,10 @@ object Snapshot {
         // the whole table (measured 2.3 s vs 0.1 s at 1000 files)
         val any = spark.read.parquet(s"$root/$StatsDir/v=$v")
           .select("file").head().getString(0)
-        toLogical(spark.read.parquet(any).filter(eq).filter(lit(false)),
-          cmap)
-      } else toLogical(spark.read.parquet(files: _*).filter(eq), cmap)
+        toLogical(physReader(spark, root, v).parquet(any)
+          .filter(eq).filter(lit(false)), cmap)
+      } else toLogical(physReader(spark, root, v).parquet(files: _*)
+        .filter(eq), cmap)
     }
   }
 
@@ -1340,6 +1351,111 @@ object Snapshot {
       s"renameColumn on $root did not win a claim in $maxRetries attempts")
   }
 
+  private val DroppedDir = "_dropped"
+
+  /** PHYSICAL names retired by [[dropColumn]] as of version `v` —
+    * full-set-per-change, nearest-at-or-below resolution, exactly the
+    * [[columnMapOf]] protocol. O(1) metadata read. */
+  private[graft] def droppedOf(spark: SparkSession, root: String,
+                               v: Long): Set[String] = {
+    val dir = new org.apache.hadoop.fs.Path(root, DroppedDir)
+    val fs = fsOf(spark, dir)
+    if (!fs.exists(dir)) return Set.empty
+    val vs = fs.listStatus(dir).map(_.getPath.getName)
+      .collect { case n if n.matches("v=\\d+") => n.stripPrefix("v=").toLong }
+      .filter(_ <= v)
+    if (vs.isEmpty) Set.empty
+    else spark.read.parquet(s"$root/$DroppedDir/v=${vs.max}")
+      .select("physical").collect().map(_.getString(0)).toSet
+  }
+
+  private def writeDropped(spark: SparkSession, root: String, v: Long,
+                           s: Set[String]): Unit = {
+    import spark.implicits._
+    s.toSeq.sorted.toDF("physical").coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/$DroppedDir/v=$v")
+  }
+
+  /** METADATA-ONLY column DROP (the other half of the column-mapping
+    * story beside [[renameColumn]]): the new version records the
+    * table's physical schema WITHOUT the column plus a manifest
+    * carrying every file by reference — zero data I/O at any table
+    * size. Carried files still physically contain the bytes, but the
+    * recorded schema governs every read, so the vectorized reader
+    * never materializes the column (dropping is also a read-cost
+    * optimization, not just a logical one); old versions read under
+    * the schema they had, so time travel still sees the column.
+    *
+    * The dropped PHYSICAL name is tombstoned: an [[appendCommit]]
+    * batch that reintroduces it is refused, because the merged schema
+    * would otherwise resurrect the carried files' old values next to
+    * the batch's new ones — silent corruption. A retired name stays
+    * retired (the Iceberg/Delta field-id discipline — ids are never
+    * reused); evolve under a fresh logical name instead.
+    * [[mergeCommit]] needs no guard: it rewrites the table from the
+    * resolved (post-drop) read, so a change batch re-adding the name
+    * is an ordinary add-column evolution with NULLs for kept rows.
+    * Refused when the column is missing, is the table's last column,
+    * or an active CHECK constraint references it. */
+  def dropColumn(spark: SparkSession, root: String, colName: String,
+                 maxRetries: Int = 16): Long = {
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val base = currentVersion(spark, root).getOrElse(
+        throw new java.util.NoSuchElementException(
+          s"snapshot table $root has no committed version to drop from"))
+      val resolved = readResolved(spark, root, base)
+      val logicalNames = resolved.columns.toSet
+      require(logicalNames.contains(colName),
+        s"no column `$colName` in $root (have: ${logicalNames.mkString(", ")})")
+      require(logicalNames.size > 1,
+        s"refusing to drop `$colName`: it is the last column of $root")
+      checkConstraintsOf(spark, root, base).foreach { case (n, e) =>
+        require(!e.contains(colName),
+          s"drop of `$colName` refused: CHECK constraint `$n` ($e) " +
+            "references it — drop the constraint first")
+      }
+      // a stats/bloom key cannot be dropped in place: later appends
+      // re-derive fresh per-file stats over the manifest's columns and
+      // would aggregate a column the new files no longer have
+      val physKey = physicalOf(spark, root, base, colName)
+      require(!(statsColsOf(spark, root, base) ++
+          bloomColsOf(spark, root, base)).contains(physKey),
+        s"drop of `$colName` refused: it keys the data-skipping index " +
+          "— recommit with different stats columns first")
+      if (claimVersion(spark, root, base + 1)) {
+        val next = base + 1
+        fsOf(spark, new org.apache.hadoop.fs.Path(root))
+          .mkdirs(new org.apache.hadoop.fs.Path(root, s"v=$next"))
+        writeManifestAndStats(spark, root, next, base,
+          fileInventory(spark, root, base).map(_._1))
+        val cmap = columnMapOf(spark, root, base)
+        val phys = physicalOf(spark, root, base, colName)
+        // the base's PHYSICAL schema (logical fields mapped back
+        // through the column map — toLogical only renames, so this is
+        // exact) minus the dropped field, recorded for `next`. This
+        // OVERWRITES whatever writeManifestAndStats recorded.
+        val byLogical = cmap.map(_.swap).toMap
+        val physSchema = org.apache.spark.sql.types.StructType(
+          resolved.schema.fields
+            .map(f => f.copy(name = byLogical.getOrElse(f.name, f.name)))
+            .filterNot(_.name == phys))
+        writeSchema(spark, root, next, physSchema)
+        // the mapping entry (if any) retires with the column
+        writeColumnMap(spark, root, next, cmap.filterNot(_._1 == phys))
+        writeDropped(spark, root, next, droppedOf(spark, root, base) + phys)
+        if (pointerAdvance(spark, root, next)) return next
+      } else {
+        val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+        while (currentVersion(spark, root).getOrElse(0L) <= base
+               && System.nanoTime() < deadline) Thread.sleep(20)
+      }
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"dropColumn on $root did not win a claim in $maxRetries attempts")
+  }
+
   /** Manifest-referenced APPEND: commit `df` as NEW files while every
     * existing file rides into the new version by reference — an
     * O(batch) write at any table size, vs [[commit]]'s full rewrite
@@ -1378,12 +1494,33 @@ object Snapshot {
                    && System.nanoTime() < deadline) Thread.sleep(20)
           }
         case Some(base) =>
+          // tombstone guard (see [[dropColumn]]): a batch whose
+          // physical names include a dropped column would make the
+          // merged schema resurrect carried files' old values. Only
+          // names ABSENT from the base's live schema are refused — a
+          // [[restore]] to a pre-drop version puts the column back in
+          // the schema, and appending it there is consistent (carried
+          // files all hold real values again).
+          val physBatch = toPhysical(df, columnMapOf(spark, root, base))
+          val livePhys = schemaOf(spark, root, base)
+            .map(_.fieldNames.toSet)
+            .getOrElse {
+              val byLogical =
+                columnMapOf(spark, root, base).map(_.swap).toMap
+              readResolved(spark, root, base).columns
+                .map(c => byLogical.getOrElse(c, c)).toSet
+            }
+          val revived = physBatch.columns.toSet
+            .intersect(droppedOf(spark, root, base)) -- livePhys
+          require(revived.isEmpty,
+            s"append to $root refused: column(s) ${revived.mkString(", ")} " +
+              "were dropped and their physical names are retired — " +
+              "use a fresh logical name")
           if (claimVersion(spark, root, base + 1)) {
             val next = base + 1
             val carried = fileInventory(spark, root, base).map(_._1)
             // column mapping: logical batch → frozen physical names
-            toPhysical(df, columnMapOf(spark, root, base))
-              .write.mode("overwrite").parquet(s"$root/v=$next")
+            physBatch.write.mode("overwrite").parquet(s"$root/v=$next")
             // enforce on the APPENDED files only — carried rows were
             // validated by the commits that wrote them
             enforceOrRelease(spark, root, next, base)
@@ -1846,6 +1983,60 @@ object Snapshot {
         "o_price", "pruned"))
       .select("part", "o_orderstatus", "n_rows", "sum_price")
       .orderBy("part", "o_orderstatus")
+  }
+
+  /** The DROP-COLUMN venue (`of20_drop_column`): commit a
+    * stats-carrying orders slice, DROP `o_totalprice` (pure metadata —
+    * files and skipping index untouched), land an append WITHOUT the
+    * column, certify the tombstone guard (an append reintroducing the
+    * retired name is refused, counted in the result), and read three
+    * ways: the current 2-column table, version 1 still showing the
+    * column with its full pre-drop sum (zero data was rewritten), and
+    * a stats-pruned range read. Each side carries its observed column
+    * COUNT, so a drop that leaked the column into current reads — or
+    * ate it from time travel — cannot hash-match. */
+  def dropDemo(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val orders = graft.sources.Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_drop_").toString
+    commitWithStats(
+      orders.filter(col("o_orderkey") % 10 =!= 3)
+        .repartitionByRange(4, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"),
+      root, Seq("o_orderkey"))
+    dropColumn(spark, root, "o_totalprice")
+    appendCommit(
+      orders.filter(col("o_orderkey") % 10 === 3).drop("o_totalprice"),
+      root)
+    // the guard: reintroducing the retired physical name must refuse
+    val refused =
+      try { appendCommit(orders.limit(1), root); 0L }
+      catch { case _: IllegalArgumentException => 1L }
+    val cut = orders.agg(max(col("o_orderkey"))).head().getLong(0) / 5
+    def side(df: DataFrame, label: String) = {
+      val priceAgg =
+        if (df.columns.contains("o_totalprice"))
+          sum(col("o_totalprice").cast("decimal(12,2)")).cast("double")
+        else max(lit(null).cast("double"))
+      df.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"), priceAgg.as("sum_price"))
+        .withColumn("n_cols", lit(df.columns.length))
+        .withColumn("part", lit(label))
+    }
+    side(readCurrent(spark, root), "current")
+      .unionByName(side(readVersion(spark, root, 1L), "v1_predrop"))
+      .unionByName(side(
+        readCurrentPruned(spark, root, "o_orderkey", lit(1L), lit(cut)),
+        "pruned"))
+      .unionByName(spark.range(1).select(
+        lit(null).cast("string").as("o_orderstatus"),
+        lit(refused).as("n_rows"),
+        lit(null).cast("double").as("sum_price"),
+        lit(2).as("n_cols"), lit("refused").as("part")))
+      .select("part", "o_orderstatus", "n_rows", "n_cols", "sum_price")
+      .orderBy(asc("part"), asc_nulls_first("o_orderstatus"))
   }
 
   /** The CHECK-constraint venue (`of19_check_constraint`): commit a

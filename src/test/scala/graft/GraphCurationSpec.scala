@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators.{Curation, Graph}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Pins for the round-8 curation additions: PageRank's exact integer
+  * trajectory (shape + partitioning-independence; exact values are the
+  * DuckDB oracle's job), the token-budget histogram-threshold plan's
+  * EQUALITY with the naive corpus-wide window it replaces, and the
+  * deterministic corpus shuffle's permutation invariants. */
+class GraphCurationSpec extends SparkSuite {
+
+  test("pageRank: top-20 shape, positive ranks, strict rank order") {
+    val out = Graph.pageRank(spark, sf).collect()
+    assert(out.length == 20)
+    assert(out.map(_.getInt(0)).toSeq == (1 to 20))
+    val ranks = out.map(_.getLong(3))
+    assert(ranks.forall(_ > 0))
+    // rnk is ordered by (rank desc, node) — ranks must be non-increasing
+    assert(ranks.zip(ranks.tail).forall { case (a, b) => a >= b })
+    assert(out.map(_.getString(1)).forall(
+      t => t == "customer" || t == "supplier"))
+  }
+
+  test("pageRank is partitioning-independent (exact integer trajectory)") {
+    val a = Graph.pageRank(spark, sf).collect().toSeq
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "3")
+      val b = Graph.pageRank(spark, sf).collect().toSeq
+      assert(a == b)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
+  test("tokenBudgetSelect equals the naive corpus-wide cumulative window") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        size(array_distinct(split(col("text"), " "))).cast("long")
+          .as("n_distinct"))
+      .withColumn("score", expr("(n_distinct * 1000) div n_tokens"))
+    val budget = docs.agg(expr("2 * sum(n_tokens) div 5")).head().getLong(0)
+    // the naive form: ONE window over the whole corpus order
+    val naive = docs
+      .withColumn("cum", sum("n_tokens").over(
+        Window.orderBy(col("score").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("source")
+      .agg(sum(when(col("cum") <= budget, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("cum") <= budget, 0L).otherwise(1L)).as("n_dropped"),
+        sum(when(col("cum") <= budget, col("n_tokens")).otherwise(0L))
+          .as("kept_tokens"))
+      .orderBy("source").collect().toSeq
+    val dist = Curation.tokenBudgetSelect(spark, sf).collect().toSeq
+    assert(dist == naive)
+    // and the budget actually bites: something kept, something dropped
+    assert(dist.map(_.getLong(1)).sum > 0 && dist.map(_.getLong(2)).sum > 0)
+  }
+
+  test("corpusShuffle: permutation covers every doc exactly once") {
+    val docs = graft.sources.Tables.documents(spark, sf).count()
+    val out = Curation.corpusShuffle(spark, sf).collect()
+    assert(out.map(_.getLong(1)).sum == docs)
+    // all 8 shards populated, keys within the LCG modulus
+    assert(out.map(_.getLong(0)).toSet == (0L to 7L).toSet)
+    assert(out.forall(r => r.getLong(2) >= 0 && r.getLong(3) < 2147483647L))
+    // deterministic: a rerun (different partition count) is identical
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "3")
+      assert(Curation.corpusShuffle(spark, sf).collect().toSeq
+        == out.toSeq)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+}

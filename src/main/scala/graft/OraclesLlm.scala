@@ -259,6 +259,41 @@ object OraclesLlm {
       s"SELECT $r AS merge_rank, l AS left_sym, r AS right_sym, pf AS pair_freq FROM b_$r")
       .mkString("\nUNION ALL ")
 
+  /** The corpus-funnel stage-flag CTE chain shared by x20 (cumulative
+    * yields) and x20b (first-failing-stage attribution) — mirrors
+    * TextAnalysis.funnelFlags. Expects `$toks` and `$clusterCtes` in
+    * scope. */
+  private lazy val funnelCtes =
+    """feat AS (SELECT doc_id, source, text,
+      |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+      |    len(list_distinct(string_split(text,' '))) AS n_distinct,
+      |    len(list_filter(string_split(text,' '), t -> t='the'))
+      |      + len(list_filter(string_split(text,' '), t -> t='a')) AS en,
+      |    len(list_filter(string_split(text,' '), t -> t='data'))
+      |      + len(list_filter(string_split(text,' '), t -> t='table')) AS es,
+      |    len(list_filter(string_split(text,' '), t -> t='window'))
+      |      + len(list_filter(string_split(text,' '), t -> t='row')) AS de,
+      |    len(list_filter(string_split(text,' '), t -> t='filter'))
+      |      + len(list_filter(string_split(text,' '), t -> t='stream')) AS fr,
+      |    len(list_filter(string_split(text,' '), t -> t='spark'))
+      |      + len(list_filter(string_split(text,' '), t -> t='query')) AS zh
+      |  FROM documents),
+      |f3 AS (SELECT *,
+      |    (en>=es AND en>=de AND en>=fr AND en>=zh) AS s2,
+      |    (en>=es AND en>=de AND en>=fr AND en>=zh
+      |      AND n_tokens >= 20 AND n_distinct/n_tokens >= 0.25) AS s3
+      |  FROM feat),
+      |f4 AS (SELECT *, (s3 AND doc_id = MIN(CASE WHEN s3 THEN doc_id END)
+      |    OVER (PARTITION BY text)) AS s4 FROM f3),
+      |f6 AS (SELECT f.*, (f.s4 AND (c.cluster_id IS NULL OR
+      |      f.doc_id = MIN(CASE WHEN f.s4 THEN f.doc_id END)
+      |        OVER (PARTITION BY COALESCE(c.cluster_id, f.doc_id)))) AS s5,
+      |    (f.s4 AND (c.cluster_id IS NULL OR
+      |      f.doc_id = MIN(CASE WHEN f.s4 THEN f.doc_id END)
+      |        OVER (PARTITION BY COALESCE(c.cluster_id, f.doc_id)))
+      |      AND ((f.doc_id * 2654435761) % 2147483647) % 10 < 8) AS s6
+      |  FROM f4 f LEFT JOIN clus c ON f.doc_id = c.doc_id)""".stripMargin
+
   val sql: Map[String, String] = Map(
     // The sketch query's final output is EXACT by construction (the MG
     // candidates are a guaranteed superset, then re-counted exactly),
@@ -280,35 +315,7 @@ object OraclesLlm {
     "x20_corpus_funnel" ->
       s"""WITH RECURSIVE $toks,
          |$clusterCtes,
-         |feat AS (SELECT doc_id, text,
-         |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
-         |    len(list_distinct(string_split(text,' '))) AS n_distinct,
-         |    len(list_filter(string_split(text,' '), t -> t='the'))
-         |      + len(list_filter(string_split(text,' '), t -> t='a')) AS en,
-         |    len(list_filter(string_split(text,' '), t -> t='data'))
-         |      + len(list_filter(string_split(text,' '), t -> t='table')) AS es,
-         |    len(list_filter(string_split(text,' '), t -> t='window'))
-         |      + len(list_filter(string_split(text,' '), t -> t='row')) AS de,
-         |    len(list_filter(string_split(text,' '), t -> t='filter'))
-         |      + len(list_filter(string_split(text,' '), t -> t='stream')) AS fr,
-         |    len(list_filter(string_split(text,' '), t -> t='spark'))
-         |      + len(list_filter(string_split(text,' '), t -> t='query')) AS zh
-         |  FROM documents),
-         |f3 AS (SELECT *,
-         |    (en>=es AND en>=de AND en>=fr AND en>=zh) AS s2,
-         |    (en>=es AND en>=de AND en>=fr AND en>=zh
-         |      AND n_tokens >= 20 AND n_distinct/n_tokens >= 0.25) AS s3
-         |  FROM feat),
-         |f4 AS (SELECT *, (s3 AND doc_id = MIN(CASE WHEN s3 THEN doc_id END)
-         |    OVER (PARTITION BY text)) AS s4 FROM f3),
-         |f6 AS (SELECT f.*, (f.s4 AND (c.cluster_id IS NULL OR
-         |      f.doc_id = MIN(CASE WHEN f.s4 THEN f.doc_id END)
-         |        OVER (PARTITION BY COALESCE(c.cluster_id, f.doc_id)))) AS s5,
-         |    (f.s4 AND (c.cluster_id IS NULL OR
-         |      f.doc_id = MIN(CASE WHEN f.s4 THEN f.doc_id END)
-         |        OVER (PARTITION BY COALESCE(c.cluster_id, f.doc_id)))
-         |      AND ((f.doc_id * 2654435761) % 2147483647) % 10 < 8) AS s6
-         |  FROM f4 f LEFT JOIN clus c ON f.doc_id = c.doc_id)
+         |$funnelCtes
          |SELECT 1 AS stage_ord, 'raw' AS stage,
          |       CAST(COUNT(*) AS BIGINT) AS n_docs,
          |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
@@ -324,6 +331,20 @@ object OraclesLlm {
          |UNION ALL SELECT 6, 'train_split', COUNT(*), CAST(SUM(n_tokens) AS BIGINT)
          |FROM f6 WHERE s6 HAVING COUNT(*) > 0
          |ORDER BY stage_ord""".stripMargin,
+    "x20b_funnel_attribution" ->
+      s"""WITH RECURSIVE $toks,
+         |$clusterCtes,
+         |$funnelCtes
+         |SELECT source,
+         |  CASE WHEN NOT s2 THEN '2_lang_en'
+         |       WHEN NOT s3 THEN '3_quality'
+         |       WHEN NOT s4 THEN '4_exact_dedup'
+         |       WHEN NOT s5 THEN '5_near_dedup'
+         |       WHEN NOT s6 THEN '6_train_split'
+         |       ELSE '7_kept' END AS dropped_at,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+         |FROM f6 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "x11o_bpe_merges" ->
       s"""WITH $toks,
          |$bpeCtes
@@ -736,6 +757,25 @@ object OraclesLlm {
          |           ORDER BY cosine DESC, vec_id) AS rkn FROM cosv)
          |SELECT query_id, CAST(rkn AS INT) AS rnk, vec_id, cosine
          |FROM rk WHERE rkn <= 5 ORDER BY query_id, rnk""".stripMargin,
+    // x10l: the int8 PTQ export replayed per element — same shifted
+    // non-negative round-half formula, exact error numerator
+    "x10l_int8_export" ->
+      s"""WITH $vecCtes,
+         |mx AS (SELECT vec_id, CAST(MAX(ABS(q)) AS BIGINT) AS maxabs
+         |       FROM exq GROUP BY 1),
+         |codes AS (SELECT e.vec_id, e.q, m.maxabs,
+         |    CASE WHEN m.maxabs = 0 THEN CAST(0 AS BIGINT)
+         |         ELSE ((e.q + m.maxabs) * 254 + m.maxabs)
+         |                // (2 * m.maxabs) - 127 END AS code
+         |  FROM exq e JOIN mx m ON e.vec_id = m.vec_id)
+         |SELECT vec_id, maxabs,
+         |  CAST(MIN(code) AS BIGINT) AS min_code,
+         |  CAST(MAX(code) AS BIGINT) AS max_code,
+         |  CAST(SUM(code) AS BIGINT) AS sum_code,
+         |  CAST(MAX(ABS(q*127 - code*maxabs)) AS BIGINT) AS max_err_num,
+         |  CAST(MAX(ABS(q*127 - code*maxabs)) AS BIGINT) * 2 <= maxabs
+         |    AS within_half
+         |FROM codes GROUP BY vec_id, maxabs ORDER BY vec_id""".stripMargin,
     "x10b_ann_lsh" ->
       s"""WITH $vecCtes,
          |hyp AS (SELECT j, pos,

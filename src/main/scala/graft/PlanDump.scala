@@ -142,7 +142,25 @@ object PlanDump {
         "This venue's key (the smallest part key) recurs across most " +
         "files, so skipping is modest here; SnapshotSpec's " +
         "scattered-unique-key venue pins the sharp case — bloom picks " +
-        "~1 file of 8 where min/max bounds touch all 8."))
+        "~1 file of 8 where min/max bounds touch all 8."),
+    "x27_pagerank" ->
+      ("Iterative PageRank (3 synchronous rounds). Look for: the " +
+        "persisted edge relation (InMemoryTableScan) reused by every " +
+        "round; each round is ONE hash join (edges ⋈ ranks on src) + " +
+        "ONE partial/final aggregate on dst — the relational Pregel " +
+        "round. The rank relation is never broadcast (O(nodes) at web " +
+        "scale) and nothing collects to the driver; the final top-20 " +
+        "is TakeOrderedAndProject, not a global sort."),
+    "x28_token_budget" ->
+      ("Budgeted data selection via histogram threshold. Look for: " +
+        "the corpus scanned a bounded number of times with NO " +
+        "corpus-wide window anywhere — the only unpartitioned windows " +
+        "run over the ≤1001-row score histogram and the O(chunks) " +
+        "boundary relation; the full-bucket keep is a BroadcastExchange " +
+        "semi-join; the boundary bucket's per-doc rank windows " +
+        "partition by 1024-doc chunks. The naive form this replaces is " +
+        "one window over the whole corpus order — a single-task sort " +
+        "at 100 TB."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -153,6 +153,8 @@ object SparkEntry {
     // the composed corpus-build pipeline as ONE query: lang → quality
     // → exact dedup → near-dedup survivor → split, per-stage yields
     "x20_corpus_funnel"   -> (TextAnalysis.corpusFunnel(_, _)),
+    // why was each doc dropped? first-failing-stage histogram by source
+    "x20b_funnel_attribution" -> (TextAnalysis.funnelAttribution(_, _)),
     // which copy survives dedup: per-cluster canonical representative
     "x09k_canonical"      -> (Dedup.canonicalDocs(_, _)),
     "x11i_pii_redaction"  -> (TextAnalysis.piiRedaction(_, _)),
@@ -173,6 +175,9 @@ object SparkEntry {
     "x10g_kmeans_cells"   -> ((s, d) => Similarity.kmeansCells(s, d)),
     // recall@3 of every ANN index vs the brute-force ground truth
     "x10j_ann_recall"     -> ((s, d) => Similarity.annRecall(s, d)),
+    // per-vector symmetric int8 export + exact reconstruction-error
+    // certificate (max |q·127 − code·maxabs| bounded by maxabs/2)
+    "x10l_int8_export"    -> (Similarity.int8Export(_, _)),
     // CDC batch -> snapshot merge: delta-only assignment against the
     // frozen codebook, certified equal to a full reassignment
     "x10k_incremental_ivf" -> ((s, d) => Similarity.incrementalIvfAssign(s, d)),

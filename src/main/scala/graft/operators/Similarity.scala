@@ -868,4 +868,38 @@ object Similarity {
       .groupBy("vec_id")
       .agg(max_by(col("cell"),
         struct(col("score"), (-col("cell")).as("nc"))).as("cell"))
+
+  /** Per-vector symmetric int8 post-training quantization — the export
+    * step that turns a float corpus into the serving/packing format —
+    * with an EXACT reconstruction-error certificate. Per vector:
+    * scale = maxabs/127 (maxabs on the shared 1e-6 integer grid), code
+    * = round(q·127/maxabs) computed entirely in non-negative integer
+    * arithmetic (`((q+maxabs)·254 + maxabs) div (2·maxabs) − 127`, the
+    * shift keeping trunc = floor on both engines), and the certificate
+    * max|q·127 − code·maxabs| — the max reconstruction error as an
+    * exact rational numerator over denominator `maxabs` — which
+    * correct rounding bounds by maxabs/2 (`within_half`). One narrow
+    * projection per row, all codegen'd HOFs, no shuffle until the
+    * final O(vectors) sort: the 100 TB shape is a pure map job. */
+  def int8Export(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("q"))
+      .withColumn("maxabs",
+        expr("array_max(transform(q, v -> abs(v)))"))
+      .withColumn("codes", expr(
+        """CASE WHEN maxabs = 0 THEN transform(q, v -> CAST(0 AS BIGINT))
+          |ELSE transform(q, v ->
+          |  ((v + maxabs) * 254 + maxabs) div (2 * maxabs) - 127)
+          |END""".stripMargin))
+      .withColumn("max_err_num", expr(
+        "array_max(zip_with(q, codes, (a, c) -> abs(a*127 - c*maxabs)))"))
+      .select(col("vec_id"), col("maxabs"),
+        expr("array_min(codes)").as("min_code"),
+        expr("array_max(codes)").as("max_code"),
+        expr("aggregate(codes, CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+          .as("sum_code"),
+        col("max_err_num"),
+        (col("max_err_num") * 2 <= col("maxabs")).as("within_half"))
+      .orderBy("vec_id")
+  }
 }

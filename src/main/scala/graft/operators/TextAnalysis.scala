@@ -859,12 +859,16 @@ object TextAnalysis {
     * broadcast. Stages multiply the scan by 6 row-copies of ONE long
     * column, not of the text.
     */
-  def corpusFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The per-document stage-survival flags shared by [[corpusFunnel]]
+    * (cumulative yields) and [[funnelAttribution]] (first-failing-stage
+    * histogram): s2 lang → s3 quality → s4 exact dedup → s5 near-dup
+    * survivor → s6 train split, each conjoined with its predecessor. */
+  private def funnelFlags(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toksArr = split(col("text"), " ")
     def score(ws: Seq[String]) = markerCount(toksArr, ws)
     val feat = Tables.documents(spark, sfDir).select(
-      col("doc_id"), col("text"),
+      col("doc_id"), col("source"), col("text"),
       size(toksArr).cast(LongType).as("n_tokens"),
       size(array_distinct(toksArr)).as("n_distinct"),
       score(Seq("the", "a")).as("en"), score(Seq("data", "table")).as("es"),
@@ -888,12 +892,16 @@ object TextAnalysis {
     // coalesce key each unclustered doc is its own singleton partition
     // (its min-surviving member is itself, so the predicate reduces to
     // s4 — same result, sharded plan).
-    val flag6 = flag4.join(broadcast(clus), Seq("doc_id"), "left")
+    flag4.join(broadcast(clus), Seq("doc_id"), "left")
       .withColumn("s5", col("s4") && (col("cluster_id").isNull ||
         col("doc_id") === min(when(col("s4"), col("doc_id")))
           .over(Window.partitionBy(
             coalesce(col("cluster_id"), col("doc_id"))))))
       .withColumn("s6", col("s5") && splitOf(col("doc_id")) === "train")
+  }
+
+  def corpusFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val flag6 = funnelFlags(spark, sfDir)
     flag6.select(col("n_tokens"), explode(array(
         struct(lit(1).as("o"), lit("raw").as("st"), lit(true).as("kept")),
         struct(lit(2).as("o"), lit("lang_en").as("st"), col("s2").as("kept")),
@@ -908,6 +916,27 @@ object TextAnalysis {
       .groupBy(col("stg.o").as("stage_ord"), col("stg.st").as("stage"))
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
       .orderBy("stage_ord")
+  }
+
+  /** "Why was this document dropped?" — the funnel's per-document
+    * attribution: every doc labeled with its FIRST failing stage (or
+    * kept), histogrammed by source. The debuggability query every
+    * production pipeline runs after a yield drop: one scan over the
+    * shared [[funnelFlags]] relation, one case-when projection, one
+    * O(sources × stages) aggregate. Labels carry the stage ordinal so
+    * lexicographic order IS pipeline order. */
+  def funnelAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    funnelFlags(spark, sfDir)
+      .withColumn("dropped_at",
+        when(!col("s2"), "2_lang_en")
+          .when(!col("s3"), "3_quality")
+          .when(!col("s4"), "4_exact_dedup")
+          .when(!col("s5"), "5_near_dedup")
+          .when(!col("s6"), "6_train_split")
+          .otherwise("7_kept"))
+      .groupBy("source", "dropped_at")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+      .orderBy("source", "dropped_at")
   }
 
   def sourceQuota(spark: SparkSession, sfDir: String,

@@ -361,4 +361,37 @@ class PlanSpec extends SparkSuite {
     assert(ptrain.contains(s"LessThan(vec_id,$t"),
       s"historical bound not pushed to the training scan:\n$ptrain")
   }
+
+  test("pageRank: edges persist across rounds, top-20 never global-sorts") {
+    val p = plan(graft.operators.Graph.pageRank(spark, sf))
+    assert(p.contains("InMemoryTableScan"),
+      s"the per-round edge relation should read from cache:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"final top-20 should be a distributed partial top-k:\n$p")
+  }
+
+  test("token budget: no corpus-wide window — histogram and chunked ranks only") {
+    val p = plan(graft.operators.Curation.tokenBudgetSelect(spark, sf))
+    // the per-doc rank window partitions by 1024-doc chunk, and the
+    // full-bucket keep arrives as a broadcast semi-join — the naive
+    // corpus-order window (windowspec over score desc with no
+    // partition on a corpus relation) must not appear over doc rows
+    assert(p.contains("windowspecdefinition(chunk#") ||
+      p.contains("windowspecdefinition(chunk"),
+      s"boundary-bucket rank should partition by chunk:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"full-bucket keep should broadcast the tiny score set:\n$p")
+  }
+
+  test("corpus shuffle: rank windows partition by (shard, bucket)") {
+    val p = plan(graft.operators.Curation.corpusShuffle(spark, sf))
+    assert(p.contains("windowspecdefinition(shard"),
+      s"positions must be assigned per (shard, bucket) window:\n$p")
+  }
+
+  test("int8 export is a pure map job: no hash shuffle before the sort") {
+    val p = plan(Similarity.int8Export(spark, sf))
+    assert(!p.contains("hashpartitioning"),
+      s"per-vector quantization must not shuffle:\n$p")
+  }
 }

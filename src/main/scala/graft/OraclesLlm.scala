@@ -1506,6 +1506,23 @@ object OraclesLlm {
         |FROM d JOIN th ON d.tier = th.tier
         |WHERE (d.doc_id * 2654435761) % 2147483647 < th.threshold
         |ORDER BY d.tier, d.doc_id""".stripMargin,
+    // x17f: the exact cross-multiplied Poisson inclusion test replayed
+    // verbatim — u·Σw < n*·w·P, all BIGINT
+    "x17f_weighted_sample" ->
+      """WITH d AS (SELECT doc_id, source, n_chars,
+        |             ((doc_id % 2147483647) * 1103515245) % 2147483647
+        |               AS u
+        |           FROM documents),
+        |t AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS s_w,
+        |             COUNT(*) // 5 AS n_star FROM d)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN u * t.s_w < t.n_star * n_chars * 2147483647
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN u * t.s_w < t.n_star * n_chars * 2147483647
+        |    THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
+        |  CAST(SUM(CASE WHEN t.n_star * n_chars >= t.s_w
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_certain
+        |FROM d, t GROUP BY source ORDER BY source""".stripMargin,
     // Repeated-substring spans: stride-1 width-8 gram ids (char-level
     // content hash of the gram string), cross-doc repeated grams
     // (min<>max doc), islands interval merge (mirrors

@@ -192,6 +192,8 @@ object SparkEntry {
     // temperature-weighted (α=1/2) training-mix sampling over skewed
     // source tiers — all-integer thresholds, shuffle-free membership
     "x17d_mixture_sample" -> ((s, d) => TextAnalysis.mixtureSample(s, d)),
+    // exact-integer Poisson sampling ∝ weight: one scan, no sort/RNG
+    "x17f_weighted_sample" -> (TextAnalysis.weightedSample(_, _)),
     "x19_seq_packing"     -> ((s, d) => TextAnalysis.seqPacking(s, d)),
     // ---- streaming (SURVEY §2.4 X12-X13), typed UDAF (X14), multimodal ----
     "x12a_stream_tumbling" -> (graft.streaming.Streaming.tumbling(_, _)),

@@ -577,6 +577,43 @@ object TextAnalysis {
       .orderBy("tier", "doc_id")
   }
 
+  /** Deterministic WEIGHTED (Poisson) sampling — include each document
+    * with probability proportional to its weight (n_chars here; any
+    * quality score in production), expected size one fifth of the
+    * corpus — in ONE scan with no sort and no RNG. The inclusion test
+    * is the exact integer cross-multiplication
+    * `u·Σw < n*·w·P` (u = the membership hash in [0, P)), which is
+    * `u/P < n*·w/Σw` with zero rounding — any engine replays the
+    * identical sample. Docs with `n*·w ≥ Σw` (truncated π = 1) are
+    * certainly kept and counted separately, the Horvitz-Thompson
+    * bookkeeping a weighted estimator needs.
+    *
+    * 100 TB shape: the totals are one map-side-combined aggregate
+    * broadcast back over the scan — a pure filter, embarrassingly
+    * parallel, where the classic weighted-reservoir alternative
+    * (exp-keyed top-k) costs a corpus-wide ordering and engine-bound
+    * `log()` floats. Overflow headroom: u·Σw < 2^31·Σw needs Σw <
+    * 2^32 — at larger corpus mass pre-divide Σw and every w by a
+    * common 2^k (the test is scale-invariant up to the truncation). */
+  def weightedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("u", keyHash(col("doc_id"), a = 1103515245L))
+    val tot = docs.agg(sum("n_chars").as("s_w"),
+      expr("count(1) div 5").as("n_star"))
+    docs.crossJoin(broadcast(tot))
+      .withColumn("kept",
+        col("u") * col("s_w") < col("n_star") * col("n_chars") * lit(P))
+      .withColumn("certain", col("n_star") * col("n_chars") >= col("s_w"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("n_chars")).otherwise(0L))
+          .as("kept_chars"),
+        sum(when(col("certain"), 1L).otherwise(0L)).as("n_certain"))
+      .orderBy("source")
+  }
+
   /** Corpus-trained bigram-LM fluency scoring — the CCNet-style
     * perplexity filter every LLM-data pipeline runs before training,
     * re-expressed without transcendental functions so the oracle can

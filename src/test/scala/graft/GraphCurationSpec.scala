@@ -58,6 +58,24 @@ class GraphCurationSpec extends SparkSuite {
     assert(dist.map(_.getLong(1)).sum > 0 && dist.map(_.getLong(2)).sum > 0)
   }
 
+  test("weightedSample: ~20% kept, long docs overrepresented, deterministic") {
+    val out = graft.operators.TextAnalysis.weightedSample(spark, sf).collect()
+    val nDocs = out.map(_.getLong(1)).sum
+    val nKept = out.map(_.getLong(2)).sum
+    val keptChars = out.map(_.getLong(3)).sum
+    assert(nKept > nDocs / 10 && nKept < nDocs / 2,
+      s"kept $nKept of $nDocs — inclusion rule off")
+    // weight bias: mean chars of a KEPT doc exceeds the corpus mean
+    // (that is the point of ∝-weight sampling)
+    val totalChars = graft.sources.Tables.documents(spark, sf)
+      .agg(sum("n_chars")).head().getLong(0)
+    assert(keptChars * nDocs > totalChars * nKept,
+      s"kept-doc mean ${keptChars / nKept} not above corpus mean " +
+        s"${totalChars / nDocs}")
+    assert(graft.operators.TextAnalysis.weightedSample(spark, sf)
+      .collect().toSeq == out.toSeq)
+  }
+
   test("corpusShuffle: permutation covers every doc exactly once") {
     val docs = graft.sources.Tables.documents(spark, sf).count()
     val out = Curation.corpusShuffle(spark, sf).collect()

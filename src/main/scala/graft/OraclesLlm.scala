@@ -1506,6 +1506,20 @@ object OraclesLlm {
         |FROM d JOIN th ON d.tier = th.tier
         |WHERE (d.doc_id * 2654435761) % 2147483647 < th.threshold
         |ORDER BY d.tier, d.doc_id""".stripMargin,
+    // x09s: the near-dup pair graph attributed to source pairs —
+    // replays the full pair pipeline, then two provenance joins
+    "x09s_cross_source" ->
+      s"""WITH $toks,
+         |$ngramPairCtes,
+         |att AS (SELECT LEAST(da.source, db.source) AS source_a,
+         |               GREATEST(da.source, db.source) AS source_b,
+         |               p.jaccard
+         |        FROM npairs p
+         |        JOIN documents da ON p.doc_a = da.doc_id
+         |        JOIN documents db ON p.doc_b = db.doc_id)
+         |SELECT source_a, source_b, COUNT(*) AS n_pairs,
+         |       MAX(jaccard) AS max_jaccard
+         |FROM att GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // x17f: the exact cross-multiplied Poisson inclusion test replayed
     // verbatim — u·Σw < n*·w·P, all BIGINT
     "x17f_weighted_sample" ->

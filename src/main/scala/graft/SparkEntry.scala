@@ -126,6 +126,8 @@ object SparkEntry {
     "x26_domain_curation"  -> (TextAnalysis.domainCuration(_, _)),
     // lexical ∪ semantic near-dup pairs with the agreement recorded
     "x09r_ensemble_dedup"  -> (Dedup.ensembleDedup(_, _)),
+    // which sources copy from which: near-dup pairs → source×source
+    "x09s_cross_source"    -> (Dedup.crossSourceMatrix(_, _)),
     // what did the filter DO to the distribution? per-bin drift audit
     "x18d_filter_drift"    -> (TextAnalysis.filterDrift(_, _)),
     // split by near-dup CLUSTER, not doc: zero cross-split pairs, with

@@ -27,6 +27,43 @@ object Dedup {
                       (build: => DataFrame): DataFrame =
     graft.util.SessionMemo.memoized(spark, key)(build)
 
+  /** Does the corpus id domain escape [0, 2^31)? One min/max over the
+    * single pruned `doc_id` column of the documents scan — probing the
+    * SOURCE relation, not a mid-pipeline cached one, so the probe
+    * neither materializes the gram pipeline early nor perturbs its
+    * caching (an earlier kept-relation probe tripled x09p's bench
+    * line). Memoized per fixture dir. Decides the pair-key
+    * representation in [[pairCounts]]. */
+  private def wideIds(spark: SparkSession, sfDir: String): Boolean =
+    graft.util.SessionMemo.memoizedValue(spark, s"wideIds|$sfDir") {
+      val r = Tables.documents(spark, sfDir)
+        .agg(min("doc_id"), max("doc_id")).head()
+      // empty corpus → NULL bounds → packed path (vacuously narrow)
+      !r.isNullAt(0) &&
+        (r.getLong(0) < 0L || r.getLong(1) > 2147483647L)
+    }
+
+  /** Ordered-pair co-occurrence count — the hot stage of every
+    * CountJoin-family dedup (Σ df² candidate rows into up to
+    * |docs|²/2 keys). For ids in [0, 2^31) the pair fuses into ONE
+    * BIGINT key (`doc_a << 32 | doc_b`) so hash-map keys, compares,
+    * and shuffle rows are half-width, decoded by arithmetic shift
+    * after the aggregate. Wider ids (negative, or ≥ 2^31 — real at
+    * 100 TB, and exercised by the replica-shifted scale fixtures)
+    * would alias in the pack / shift into the sign bit, so the SAME
+    * aggregate runs on a two-column key instead — identical results,
+    * one extra long per row in the hot hash map. The choice is a
+    * plan-time branch on an O(1) min/max probe, not a per-row check. */
+  private def pairCounts(cand: DataFrame, wide: Boolean): DataFrame =
+    if (wide)
+      cand.groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    else
+      cand.select((shiftleft(col("doc_a"), 32) + col("doc_b")).as("pk"))
+        .groupBy("pk").agg(count(lit(1)).as("inter"))
+        .select(shiftright(col("pk"), 32).as("doc_a"),
+          col("pk").bitwiseAND(lit(4294967295L)).as("doc_b"),
+          col("inter"))
+
   /** Exact dedup by full content: one shuffle on the text (in practice
     * on its hash — we also emit sha256 as the content key a 100 TB
     * pipeline would group by instead of the raw text).
@@ -281,6 +318,33 @@ object Dedup {
     * already-bounded pair sets (banded candidates, verified), tiny
     * relative to the corpus at any scale, so the fusion join is noise
     * next to the detectors it combines. */
+  /** Cross-SOURCE contamination matrix — which domains copy from which:
+    * the verified near-dup pair graph aggregated to unordered
+    * (source_a ≤ source_b) cells with pair counts and the strongest
+    * overlap per cell. The provenance audit a curation team runs before
+    * deciding domain weights (a mirror site shows up as an off-diagonal
+    * spike; boilerplate as a dense diagonal). O(pairs) on the memoized
+    * pair relation — the corpus is not re-scanned, and the doc→source
+    * attachment is two broadcast-sized joins against the O(docs)
+    * projection (at 100 TB: a keyed shuffle join; the pair set is
+    * already bounded by the dedup wave that produced it). */
+  def crossSourceMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = ngramJaccard(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val src = Tables.documents(spark, sfDir).select("doc_id", "source")
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"),
+        col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"),
+        col("source").as("sb")), "doc_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"),
+        col("jaccard"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"), max(col("jaccard")).as("max_jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
   def ensembleDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val lex = minhashLsh(spark, sfDir)
     val sem = Similarity.embeddingNearDup(spark, sfDir)
@@ -984,20 +1048,12 @@ object Dedup {
     val kept = grams.join(broadcast(hot), Seq("gid"), "left_anti").cache()
     val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // packed-pair count aggregate — the x09e CountJoin discipline
-    // (31-bit id domain enforced per row, arithmetic-shift decode)
-    val packed = when(
-      col("x.doc_id") >= 0 && col("y.doc_id") <= lit(2147483647L),
-      shiftleft(col("x.doc_id"), 32) + col("y.doc_id"))
-      .otherwise(raise_error(lit(
-        "containmentPairs: doc ids outside [0, 2^31) would alias in " +
-          "the packed pair key; use a struct key for wider ids")))
-    kept.as("x").join(kept.as("y"),
+    // (packed 64-bit key for 31-bit ids, struct key for wider ones)
+    pairCounts(
+      kept.as("x").join(kept.as("y"),
         col("x.gid") === col("y.gid") && col("x.doc_id") < col("y.doc_id"))
-      .select(packed.as("pk"))
-      .groupBy("pk").agg(count(lit(1)).as("inter"))
-      .select(shiftright(col("pk"), 32).as("doc_a"),
-        (col("pk").bitwiseAND(lit(4294967295L))).as("doc_b"),
-        col("inter"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b")),
+      wideIds(spark, sfDir))
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
       .filter(col("inter") * 5 >= col("n_a") * 3
@@ -1042,29 +1098,14 @@ object Dedup {
       case CountJoin =>
         val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
         // The pair-count aggregate is the hot stage (Σ df² rows into up
-        // to |docs|²/2 keys): fuse the ordered pair into ONE BIGINT key
-        // so the hash map keys, compares, and shuffle rows are
-        // half-width; unpack after the aggregate. The pack is
-        // collision-free for ids in [0, 2^31) — the same 31-bit id
-        // domain the P-modulus hashes assume — and the bound must stay
-        // at 2^31-1 because the decode is an ARITHMETIC shiftright:
-        // a doc_a ≥ 2^31 would shift into the sign bit and decode
-        // negative. The range is ENFORCED per row (two codegen'd
-        // compares on the already-ordered pair; wider ids → group by a
-        // struct(doc_a, doc_b) key instead).
-        val packed = when(
-          col("x.doc_id") >= 0 && col("y.doc_id") <= lit(2147483647L),
-          shiftleft(col("x.doc_id"), 32) + col("y.doc_id"))
-          .otherwise(raise_error(lit(
-            "ngramJaccard CountJoin: doc ids outside [0, 2^31) would alias" +
-              " in the packed pair key; use a struct key for wider ids")))
-        val inter = kept.as("x").join(kept.as("y"),
+        // to |docs|²/2 keys) — see [[pairCounts]] for the packed-key
+        // optimization and its wide-id fallback.
+        val inter = pairCounts(
+          kept.as("x").join(kept.as("y"),
             col("x.gid") === col("y.gid") && col("x.doc_id") < col("y.doc_id"))
-          .select(packed.as("pk"))
-          .groupBy("pk").agg(count(lit(1)).as("inter"))
-          .select(shiftright(col("pk"), 32).as("doc_a"),
-            (col("pk").bitwiseAND(lit(4294967295L))).as("doc_b"),
-            col("inter"))
+            .select(col("x.doc_id").as("doc_a"),
+              col("y.doc_id").as("doc_b")),
+          wideIds(spark, sfDir))
         inter
           .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
           .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))

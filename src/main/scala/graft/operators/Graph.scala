@@ -54,8 +54,14 @@ object Graph {
     // joins ONE corpus-sized side; persisted because three iterations
     // reuse it (at cluster scale: cache to disk-backed storage levels)
     val outw = edges.groupBy("src").agg(sum("w").as("ow"))
+    // hash-partition the edge relation on the JOIN key before caching:
+    // the cached relation then carries HashPartitioning(src), so every
+    // iteration's edges⋈ranks join reuses it and only the O(nodes)
+    // rank relation moves per round — the corpus-sized side is
+    // shuffled ONCE for the whole computation, the Pregel invariant
     val linked = edges.join(outw, "src")
       .select("src", "dst", "w", "ow")
+      .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = linked.select(col("src").as("node")).distinct()
     val r0 = nodes.select(col("node"), lit(Scale).as("rank"))

@@ -1099,8 +1099,12 @@ object TextAnalysis {
     * the dedup pass you already ran; the split itself is a pure
     * projection, and the certification joins are O(pairs). */
   def leakageSafeSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    // keyHash's reduced form `((k mod P)·a) mod P` — identical to the
+    // raw product for every key < 2^31 (the oracle keeps the raw form)
+    // and overflow-free for the wide ids a 100 TB corpus (or the
+    // sf-scaled fixtures' replica-shifted ids) actually carries
     def bucketOf(c: org.apache.spark.sql.Column) =
-      c * 2654435761L % 2147483647L % 10
+      keyHash(c) % 10
     def splitOf(c: org.apache.spark.sql.Column) =
       when(bucketOf(c) < 8, "train")
         .when(bucketOf(c) === 8, "val").otherwise("test")

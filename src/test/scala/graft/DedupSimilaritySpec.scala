@@ -715,4 +715,38 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(planStr.contains("graft_mhidx_"),
       "signature-index parquet scan missing from the plan")
   }
+
+  test("wide doc ids (≥ 2^31): pair counting and the split survive, results shift-equivariant") {
+    import org.apache.spark.sql.functions._
+    // a fixture whose doc ids escape the packed-key domain — what the
+    // replica-shifted scale fixtures (and any 100 TB corpus) carry
+    val tmp = java.nio.file.Files.createTempDirectory("graft_wideid_")
+      .toString
+    val shift = 5000000000L
+    graft.sources.Tables.documents(spark, sf)
+      .withColumn("doc_id", col("doc_id") + shift)
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // CountJoin jaccard: identical pairs, ids shifted (struct-key path)
+    val base = graft.operators.Dedup.ngramJaccardTop(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val wide = graft.operators.Dedup.ngramJaccardTop(spark, tmp).collect()
+      .map(r => (r.getLong(0) - shift, r.getLong(1) - shift,
+        r.getDouble(2))).toSeq
+    assert(wide == base, "struct-key pair counting diverged from packed")
+    // containment: same equivariance
+    val cBase = graft.operators.Dedup.containmentPairs(spark, sf)
+      .select("doc_a", "doc_b", "inter").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val cWide = graft.operators.Dedup.containmentPairs(spark, tmp)
+      .select("doc_a", "doc_b", "inter").collect()
+      .map(r => (r.getLong(0) - shift, r.getLong(1) - shift,
+        r.getLong(2))).toSeq
+    assert(cWide == cBase, "containment struct-key path diverged")
+    // the leakage-safe split's bucket hash must not overflow on wide
+    // ids (regression: raw `id·a` product blew past 2^63 at sf1)
+    val split = graft.operators.TextAnalysis.leakageSafeSplit(spark, tmp)
+      .collect()
+    assert(split.map(_.getLong(1)).sum ==
+      graft.sources.Tables.documents(spark, sf).count())
+  }
 }

@@ -159,4 +159,29 @@ class LayoutSpec extends SparkSuite {
     assert(spark.read.parquet(zOut).count() == src.count())
   }
 
+  test("magic-mask zorderKey equals the definitional bit-interleave sum") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // definitional form: Σ bit_i(a)·4^i + Σ bit_i(b)·2·4^i — the
+    // term-sum the production key replaced for JIT reasons; values
+    // must be IDENTICAL (committed layouts stay valid)
+    def defSum(a: org.apache.spark.sql.Column,
+               b: org.apache.spark.sql.Column, bits: Int) =
+      (0 until bits).map { i =>
+        (shiftright(a, i) % 2) * lit(1L << (2 * i)) +
+          (shiftright(b, i) % 2) * lit(1L << (2 * i + 1))
+      }.reduce(_ + _)
+    // keys spanning the whole 31-bit domain incl. the edges
+    val rows = (Seq(0L, 1L, 2L, 3L, (1L << 31) - 1, (1L << 30) + 12345L) ++
+      (1 to 200).map(i => (i * 10738471L + 977L) % ((1L << 31) - 1)))
+    val df = rows.zip(rows.reverse).toDF("a", "b")
+    for (bits <- Seq(1, 7, 16, 31)) {
+      val bad = df.select(
+          graft.operators.Layout.zorderKey(col("a"), col("b"), bits)
+            .as("fast"),
+          defSum(col("a"), col("b"), bits).as("def"))
+        .filter(col("fast") =!= col("def")).count()
+      assert(bad == 0L, s"zorderKey mismatch at bits=$bits")
+    }
+  }
 }

@@ -1631,6 +1631,43 @@ object OraclesLlm {
          |            WHEN sden < snum*31 THEN 'middle'
          |            ELSE 'tail' END AS bucket
          |FROM s ORDER BY doc_id""".stripMargin,
+    // x19b: both batching strategies replayed shard-for-shard — the
+    // same per-shard rank windows, exact token arithmetic
+    "x19b_padding_audit" ->
+      """WITH d AS (SELECT doc_id,
+        |    LEAST(CAST(len(string_split(text, ' ')) AS BIGINT), 512) AS t,
+        |    (((doc_id % 2147483647) * 2654435761) % 2147483647) % 16
+        |      AS shard
+        |  FROM documents),
+        |ab AS (SELECT shard,
+        |         (ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id)
+        |           - 1) // 8 AS batch, t
+        |       FROM d),
+        |ag AS (SELECT shard, batch, COUNT(*) AS n_docs, MAX(t) AS mx,
+        |         CAST(SUM(t) AS BIGINT) AS rtok
+        |       FROM ab GROUP BY 1, 2),
+        |ares AS (SELECT 'arrival' AS strategy,
+        |           COUNT(*) AS n_batches,
+        |           CAST(SUM(rtok) AS BIGINT) AS real_tokens,
+        |           CAST(SUM(n_docs * mx) AS BIGINT) AS padded_slots
+        |         FROM ag),
+        |sb AS (SELECT shard,
+        |         (ROW_NUMBER() OVER (PARTITION BY shard ORDER BY t, doc_id)
+        |           - 1) // 8 AS batch, t
+        |       FROM d),
+        |sg AS (SELECT shard, batch, COUNT(*) AS n_docs, MAX(t) AS mx,
+        |         CAST(SUM(t) AS BIGINT) AS rtok
+        |       FROM sb GROUP BY 1, 2),
+        |sres AS (SELECT 'length_sorted' AS strategy,
+        |           COUNT(*) AS n_batches,
+        |           CAST(SUM(rtok) AS BIGINT) AS real_tokens,
+        |           CAST(SUM(n_docs * mx) AS BIGINT) AS padded_slots
+        |         FROM sg)
+        |SELECT strategy, n_batches, real_tokens, padded_slots,
+        |       CAST(padded_slots - real_tokens AS DOUBLE) / padded_slots
+        |         AS waste_share
+        |FROM (SELECT * FROM ares UNION ALL SELECT * FROM sres)
+        |ORDER BY strategy""".stripMargin,
     "x19_seq_packing" ->
       """WITH d AS (SELECT doc_id,
         |             CAST(len(string_split(text, ' ')) AS BIGINT)

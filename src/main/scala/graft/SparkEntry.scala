@@ -155,6 +155,8 @@ object SparkEntry {
     // the composed corpus-build pipeline as ONE query: lang → quality
     // → exact dedup → near-dedup survivor → split, per-stage yields
     "x20_corpus_funnel"   -> (TextAnalysis.corpusFunnel(_, _)),
+    // padding-efficiency audit: arrival vs length-sorted batching waste
+    "x19b_padding_audit"  -> (TextAnalysis.paddingAudit(_, _)),
     // why was each doc dropped? first-failing-stage histogram by source
     "x20b_funnel_attribution" -> (TextAnalysis.funnelAttribution(_, _)),
     // which copy survives dedup: per-cluster canonical representative
@@ -284,6 +286,9 @@ object SparkEntry {
     // metadata-only DROP COLUMN: zero data I/O, tombstoned physical
     // name, time travel keeps the column, append-reintroduction refused
     "of20_drop_column"     -> (operators.Snapshot.dropDemo(_, _)),
+    // generated-column pruning: base-key range queries prune files via
+    // the derived bucket column's stats (Delta GENERATED ALWAYS AS)
+    "of21_generated_column" -> (operators.Snapshot.generatedDemo(_, _)),
     // metadata-only column rename (column mapping): physical files
     // frozen; old versions read under old names, skipping survives
     "of18_rename_column"   -> (operators.Snapshot.renameDemo(_, _)),
@@ -642,6 +647,23 @@ object SparkEntry {
         |FROM (SELECT * FROM cur UNION ALL SELECT * FROM v1
         |      UNION ALL SELECT * FROM pr UNION ALL SELECT * FROM rf)
         |ORDER BY part, o_orderstatus NULLS FIRST""".stripMargin,
+    // of21: the oracle recomputes the generated bucket and replays the
+    // base-range filter — a prune that dropped an overlapping file or
+    // a mistranslated bucket bound cannot hash-match.
+    "of21_generated_column" ->
+      """WITH b AS (SELECT CAST(FLOOR(MAX(o_orderkey) / 4) AS BIGINT) AS lo,
+        |            CAST(FLOOR(MAX(o_orderkey) / 2) AS BIGINT) AS hi
+        |          FROM orders)
+        |SELECT o_orderstatus, COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+        |         AS sum_price,
+        |       MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+        |       CAST(COUNT(DISTINCT o_orderkey // 1000) AS BIGINT)
+        |         AS n_buckets
+        |FROM orders
+        |WHERE o_orderkey BETWEEN (SELECT lo FROM b) AND (SELECT hi FROM b)
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     // of13: the oracle replays the 2-D box read as a plain double-range
     // filter — a box prune that dropped an overlapping file (rows
     // missing) or a leaked residual cannot hash-match.

@@ -148,7 +148,11 @@ object Curation {
     val keyed = Tables.documents(spark, sfDir)
       .select(col("doc_id"))
       .withColumn("key",
-        expr("(doc_id * 1664525 + 1013904223) % 2147483647"))
+        // reduced form ((id mod P)·a + c) mod P — identical to the raw
+        // product for ids < 2^31, overflow-free for wider ones (the
+        // raw product would escape 2^63 past id ≈ 5.5e12; snowflake-
+        // style ids do)
+        expr("((doc_id % 2147483647) * 1664525 + 1013904223) % 2147483647"))
       .withColumn("shard", col("key") % 8)
       .withColumn("bucket", expr("key div 2097152"))
     keyed
@@ -164,7 +168,8 @@ object Curation {
 
   val corpusShuffleOracle: String =
     """WITH k AS (SELECT doc_id,
-      |    (doc_id * 1664525 + 1013904223) % 2147483647 AS key
+      |    ((doc_id % 2147483647) * 1664525 + 1013904223) % 2147483647
+      |      AS key
       |  FROM documents),
       |p AS (SELECT doc_id, key, key % 8 AS shard, key // 2097152 AS bucket,
       |        ROW_NUMBER() OVER (PARTITION BY key % 8, key // 2097152

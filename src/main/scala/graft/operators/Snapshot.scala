@@ -2169,6 +2169,114 @@ object Snapshot {
       .orderBy(asc_nulls_first("o_audit_src"))
   }
 
+  private val GenDir = "_gencol"
+
+  /** GENERATED-COLUMN commit (the Delta `GENERATED ALWAYS AS` pruning
+    * motion): materialize `genName = baseCol div bucket` at write time,
+    * lay the files out by range on it, keep per-file stats on the
+    * GENERATED column, and record the generation rule as versioned
+    * table metadata. [[readCurrentWhereBase]] then serves predicates on
+    * the BASE column by translating them through the (monotone) rule —
+    * `base ∈ [lo, hi] ⇒ gen ∈ [lo div b, hi div b]` — pruning files
+    * with the generated column's stats before any file is opened, and
+    * keeping the exact base predicate as the residual. The point at
+    * 100 TB: one coarse derived column (day-of-timestamp, key-bucket)
+    * gives partition-pruning economics to range queries on a
+    * high-cardinality base column whose raw min/max would make every
+    * file overlap. `bucket` must be positive and the rule is applied
+    * with `div` (floor for the non-negative keys it is meant for). */
+  def commitGenerated(df: DataFrame, root: String, baseCol: String,
+                      bucket: Long, genName: String,
+                      nFiles: Int = 8): Long = {
+    import org.apache.spark.sql.functions.{col, expr}
+    require(bucket > 0, s"generation bucket must be positive: $bucket")
+    val spark = df.sparkSession
+    val withG = df
+      .withColumn(genName, expr(s"$baseCol div $bucket"))
+      .repartitionByRange(nFiles, col(genName), col(baseCol))
+      .sortWithinPartitions(genName, baseCol)
+    val v = commitWithStats(withG, root, Seq(genName))
+    val p = new org.apache.hadoop.fs.Path(root, s"$GenDir/v=$v.json")
+    val out = fsOf(spark, p).create(p, true)
+    try out.write(
+      s"""{"gen":"$genName","base":"$baseCol","bucket":$bucket}"""
+        .getBytes("UTF-8"))
+    finally out.close()
+    v
+  }
+
+  /** The generation rule in force at version `v` (nearest at or below,
+    * the [[columnMapOf]] protocol): (genName, baseCol, bucket). */
+  private[graft] def genRuleOf(spark: SparkSession, root: String,
+                               v: Long): Option[(String, String, Long)] = {
+    val dir = new org.apache.hadoop.fs.Path(root, GenDir)
+    val fs = fsOf(spark, dir)
+    if (!fs.exists(dir)) return None
+    val vs = fs.listStatus(dir).map(_.getPath.getName)
+      .collect { case n if n.matches("v=\\d+\\.json") =>
+        n.stripPrefix("v=").stripSuffix(".json").toLong }
+      .filter(_ <= v)
+    if (vs.isEmpty) None
+    else {
+      val p = new org.apache.hadoop.fs.Path(root, s"$GenDir/v=${vs.max}.json")
+      val in = fs.open(p)
+      val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                 finally in.close()
+      val re = """\{"gen":"([^"]+)","base":"([^"]+)","bucket":(\d+)\}""".r
+      json match {
+        case re(g, b, k) => Some((g, b, k.toLong))
+        case _ => None
+      }
+    }
+  }
+
+  /** Range read on the BASE column of a [[commitGenerated]] table: the
+    * bounds translate through the recorded monotone rule and the
+    * GENERATED column's stats prune the file set; the exact base
+    * predicate stays as the residual (pushed into the surviving
+    * parquet scans). Base-column semantics, generated-column pruning
+    * economics. */
+  def readCurrentWhereBase(spark: SparkSession, root: String,
+                           baseCol: String, lo: Long, hi: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val v = currentVersion(spark, root).getOrElse(
+      throw new java.util.NoSuchElementException(
+        s"snapshot table $root has no committed version"))
+    val (gen, base, bucket) = genRuleOf(spark, root, v).getOrElse(
+      throw new java.util.NoSuchElementException(
+        s"snapshot table $root has no generated-column rule"))
+    require(base == baseCol,
+      s"generated rule on $root derives from `$base`, not `$baseCol`")
+    readCurrentPruned(spark, root, gen,
+        lit(Math.floorDiv(lo, bucket)), lit(Math.floorDiv(hi, bucket)))
+      .filter(col(baseCol) >= lo && col(baseCol) <= hi)
+  }
+
+  /** The oracle-certified [[commitGenerated]] venue
+    * (`of21_generated_column`): orders committed with a derived
+    * thousand-key bucket column, then a BASE-key range query served
+    * through the generated-column prune — the result must equal the
+    * plain fixture filter (the generated column rides along,
+    * recomputed by the oracle), and SnapshotSpec pins that the prune
+    * opened a strict subset of the files. */
+  def generatedDemo(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val orders = graft.sources.Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_gencol_").toString
+    commitGenerated(orders, root, "o_orderkey", 1000L, "ok_bucket")
+    val mx = orders.agg(max("o_orderkey")).head().getLong(0)
+    readCurrentWhereBase(spark, root, "o_orderkey", mx / 4, mx / 2)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast("decimal(12,2)")).cast("double")
+          .as("sum_price"),
+        min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"),
+        countDistinct(col("ok_bucket")).as("n_buckets"))
+      .orderBy("o_orderstatus")
+  }
+
   /** The oracle-certified [[commitClustered]] venue
     * (`of13_zorder_commit`): lineitem laid on the Morton curve of
     * (l_partkey, l_suppkey) with min/max stats on both, then a 2-D box

@@ -482,6 +482,49 @@ object TextAnalysis {
       .orderBy("shard", "pack_id")
   }
 
+  /** Padding-efficiency audit (`x19b`): what fraction of a training
+    * batch's token slots are PADDING under (a) arrival-order batching
+    * vs (b) length-sorted batching — the FLOPs question behind every
+    * batching strategy (a batch pads every sequence to its longest
+    * member; sorting by length makes batches length-homogeneous).
+    * Per strategy: batch count, real tokens, padded slots, and the
+    * waste share as one division of exact integers. Sequences truncate
+    * at `maxLen` (the context window), batches are `batchSize` docs.
+    *
+    * 100 TB shape: batching is per-SHARD (hash lane), exactly like a
+    * distributed data loader — the rank windows partition by shard, so
+    * no corpus-wide order is ever materialized; everything after the
+    * one scan is per-shard windows + one O(batches) aggregate. */
+  def paddingAudit(spark: SparkSession, sfDir: String,
+                   maxLen: Int = 512, batchSize: Int = 8,
+                   shards: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        least(size(split(col("text"), " ")).cast(LongType), lit(maxLen.toLong))
+          .as("t"))
+      .withColumn("shard", keyHash(col("doc_id")) % shards)
+    def strategy(name: String, order: Seq[Column]) = {
+      val w = Window.partitionBy("shard").orderBy(order: _*)
+      docs
+        .withColumn("rn", row_number().over(w))
+        .withColumn("batch", expr(s"(rn - 1) div $batchSize"))
+        .groupBy("shard", "batch")
+        .agg(count(lit(1)).as("n_docs"), max("t").as("mx"),
+          sum("t").as("real"))
+        .agg(count(lit(1)).as("n_batches"),
+          sum("real").as("real_tokens"),
+          sum(col("n_docs") * col("mx")).as("padded_slots"))
+        .select(lit(name).as("strategy"), col("n_batches"),
+          col("real_tokens"), col("padded_slots"),
+          ((col("padded_slots") - col("real_tokens")).cast(DoubleType)
+            / col("padded_slots")).as("waste_share"))
+    }
+    strategy("arrival", Seq(col("doc_id")))
+      .unionByName(strategy("length_sorted", Seq(col("t"), col("doc_id"))))
+      .orderBy("strategy")
+  }
+
   /** Per-source quota sampling — cap every source's contribution to the
     * training mix at `quota` documents, chosen by deterministic hash
     * rank (not arrival order, so the sample is stable under re-ingest

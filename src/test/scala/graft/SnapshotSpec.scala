@@ -955,4 +955,30 @@ class SnapshotSpec extends SparkSuite {
     // updated; k=5 inserted — the rename itself is invisible to rows
     assert(feed == Set((2L, "update", 200L), (5L, "insert", 50L)))
   }
+
+  test("generated column: base-range reads prune via the derived bucket's stats") {
+    import spark.implicits._
+    val root = freshTable()
+    val df = (1L to 8000L).map(i => (i, s"v$i")).toDF("k", "v")
+    Snapshot.commitGenerated(df, root, "k", 1000L, "kb", nFiles = 8)
+    // rule recorded and resolvable
+    assert(Snapshot.genRuleOf(spark, root, 1L)
+      .contains(("kb", "k", 1000L)))
+    // a one-bucket base range opens a strict subset of the files even
+    // though stats exist only on the GENERATED column
+    val all = Snapshot.prunedFiles(spark, root, 1L, "kb",
+      lit(Long.MinValue), lit(Long.MaxValue)).toSet
+    val hit = Snapshot.prunedFiles(spark, root, 1L, "kb",
+      lit(2L), lit(2L)).toSet
+    assert(all.size == 8 && hit.size < all.size,
+      s"expected a strict prune: ${hit.size} of ${all.size}")
+    // values: base semantics exactly (bucket-boundary edges included)
+    val got = Snapshot.readCurrentWhereBase(spark, root, "k", 1999L, 3001L)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(got == (1999L to 3001L).toSet)
+    // rule mismatch refuses rather than scanning everything silently
+    intercept[IllegalArgumentException] {
+      Snapshot.readCurrentWhereBase(spark, root, "v", 1L, 2L)
+    }
+  }
 }

@@ -309,6 +309,8 @@ object SparkEntry {
     // iterative graph centrality (domain-authority curation): 3 exact
     // integer PageRank rounds over the customer↔supplier trade graph
     "x27_pagerank"         -> (Graph.pageRank(_, _)),
+    // seeded PageRank (TrustRank): teleport mass only to the whitelist
+    "x27b_trustrank"       -> (Graph.trustRank(_, _)),
     // budgeted data selection: histogram-threshold plan certified
     // equal to the oracle's corpus-wide cumulative window
     "x28_token_budget"     -> (Curation.tokenBudgetSelect(_, _)),
@@ -349,6 +351,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = OraclesLlm.sql ++ Map(
     "x27_pagerank" -> Graph.pageRankOracle,
+    "x27b_trustrank" -> Graph.trustRankOracle,
     "x28_token_budget" -> Curation.tokenBudgetOracle,
     "x29_corpus_shuffle" -> Curation.corpusShuffleOracle,
     "o02_etl_extract" ->

@@ -39,7 +39,13 @@ object Graph {
     * pair weighted by its lineitem count, both directions, so every
     * node has out-mass and the dangling-mass term vanishes. Emits the
     * top-20 nodes by final rank with a total order. */
-  def pageRank(spark: SparkSession, sfDir: String): DataFrame = {
+  def pageRank(spark: SparkSession, sfDir: String): DataFrame =
+    pageRankCore(linkedEdges(spark, sfDir))
+
+  /** The symmetric weighted trade graph folded with per-source
+    * out-mass, hash-partitioned on the join key and cached so the
+    * iteration joins reuse one shuffle (the Pregel invariant). */
+  private def linkedEdges(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = Tables.lineitem(spark, sfDir)
       .join(Tables.orders(spark, sfDir),
         col("l_orderkey") === col("o_orderkey"))
@@ -63,6 +69,10 @@ object Graph {
       .select("src", "dst", "w", "ow")
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    linked
+  }
+
+  private def pageRankCore(linked: DataFrame): DataFrame = {
     val nodes = linked.select(col("src").as("node")).distinct()
     val r0 = nodes.select(col("node"), lit(Scale).as("rank"))
     val rFinal = (1 to 3).foldLeft(r0) { (r, _) =>
@@ -89,6 +99,86 @@ object Graph {
         expr("node div 2").as("orig_key"), col("rank"))
       .orderBy("rnk")
     out
+  }
+
+  /** TrustRank (seeded/personalized PageRank) — the spam-demotion half
+    * of domain authority: teleport mass flows ONLY to a trusted seed
+    * set (here customers with `custkey mod 7 = 0`, a deterministic
+    * ~14% whitelist), so nodes reachable only through long untrusted
+    * paths rank near zero however densely they interlink — exactly how
+    * production link-spam demotion works (Gyöngyi et al.). Same exact
+    * integer trajectory discipline as [[pageRank]]: r0 = Scale on
+    * seeds, 0 elsewhere; each round `r' = [seed]·(0.15·Scale) +
+    * ⌊0.85·Σ⌊r·w/W⌋⌋. The seed predicate is pure node arithmetic
+    * (`node even ∧ (node div 2) mod 7 = 0`), so no seed relation joins
+    * the iteration. Emits the top-20 with seed flags. */
+  def trustRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val linked = linkedEdges(spark, sfDir)
+    val seed = (col("node") % 2 === 0) && (expr("node div 2") % 7 === 0)
+    val nodes = linked.select(col("src").as("node")).distinct()
+    val r0 = nodes.select(col("node"),
+      when(seed, Scale).otherwise(0L).as("rank"))
+    val rFinal = (1 to 3).foldLeft(r0) { (r, _) =>
+      linked.join(r, linked("src") === r("node"))
+        .select(col("dst"),
+          (expr("rank div ow") * col("w")
+            + expr("((rank % ow) * w) div ow")).as("contrib"))
+        .groupBy(col("dst").as("node"))
+        .agg(expr("85 * sum(contrib) div 100").as("flow"))
+        .select(col("node"),
+          (when(seed, 15L * Scale / 100).otherwise(0L) + col("flow"))
+            .as("rank"))
+    }
+    rFinal
+      .orderBy(col("rank").desc, col("node")).limit(20)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("rank").desc, col("node"))))
+      .select(col("rnk"),
+        when(col("node") % 2 === 0, "customer").otherwise("supplier")
+          .as("node_type"),
+        expr("node div 2").as("orig_key"),
+        seed.as("is_seed"), col("rank"))
+      .orderBy("rnk")
+  }
+
+  /** The unrolled DuckDB twin of [[trustRank]]. */
+  val trustRankOracle: String = {
+    val seedSql = "(node % 2 = 0 AND (node // 2) % 7 = 0)"
+    def iter(prev: String, cur: String) =
+      s"""$cur AS (SELECT e.dst AS node,
+         |  CAST(CASE WHEN (e.dst % 2 = 0 AND (e.dst // 2) % 7 = 0)
+         |         THEN 150000000 ELSE 0 END
+         |    + (85 * SUM((r.rank // e.ow) * e.w
+         |        + ((r.rank % e.ow) * e.w) // e.ow)) // 100
+         |    AS BIGINT) AS rank
+         |FROM linked e JOIN $prev r ON e.src = r.node GROUP BY 1)"""
+        .stripMargin
+    s"""WITH pairs AS (
+       |  SELECT o_custkey AS c, l_suppkey AS s, COUNT(*) AS w
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2),
+       |edges AS (SELECT c*2 AS src, s*2+1 AS dst, w FROM pairs
+       |          UNION ALL SELECT s*2+1, c*2, w FROM pairs),
+       |outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS ow
+       |         FROM edges GROUP BY 1),
+       |linked AS (SELECT e.src, e.dst, CAST(e.w AS BIGINT) AS w, o.ow
+       |           FROM edges e JOIN outw o ON e.src = o.src),
+       |r0 AS (SELECT node,
+       |         CAST(CASE WHEN $seedSql THEN 1000000000 ELSE 0 END
+       |           AS BIGINT) AS rank
+       |       FROM (SELECT DISTINCT src AS node FROM linked)),
+       |${iter("r0", "r1")},
+       |${iter("r1", "r2")},
+       |${iter("r2", "r3")},
+       |rk AS (SELECT node, rank,
+       |         ROW_NUMBER() OVER (ORDER BY rank DESC, node) AS rnk
+       |       FROM r3)
+       |SELECT CAST(rnk AS INT) AS rnk,
+       |       CASE WHEN node % 2 = 0 THEN 'customer'
+       |            ELSE 'supplier' END AS node_type,
+       |       node // 2 AS orig_key, $seedSql AS is_seed, rank
+       |FROM rk WHERE rnk <= 20 ORDER BY rnk""".stripMargin
   }
 
   /** The unrolled DuckDB twin of [[pageRank]] — same constants, same

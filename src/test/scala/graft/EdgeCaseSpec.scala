@@ -17,7 +17,7 @@ class EdgeCaseSpec extends SparkSuite {
     // generation; the µs-NTZ generation round-trips as NTZ) — either
     // way Tables.normalizeTs lands the slice on the certified type
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    for (t <- Seq("documents", "embeddings", "events"))
+    for (t <- Seq("documents", "embeddings", "events", "lineitem", "orders"))
       spark.read.parquet(s"$sf/$t.parquet").limit(n)
         .write.mode("overwrite").parquet(s"$dir/$t.parquet")
     dir
@@ -126,6 +126,34 @@ class EdgeCaseSpec extends SparkSuite {
     // an empty stream must not hang the outer join's eviction-flush wait
     assert(graft.streaming.Streaming
       .streamStreamOuterJoin(spark, emptySf).count() == 0)
+  }
+
+  test("round-8 ops are empty- and single-row-safe") {
+    import graft.operators.{Curation, Graph}
+    // graph centrality: empty trade graph → no nodes → empty top-20
+    assert(Graph.pageRank(spark, emptySf).count() == 0)
+    assert(Graph.trustRank(spark, emptySf).count() == 0)
+    // a single (lineitem, order) slice: at most one edge pair → ≤ 2
+    // ranked nodes, no crash either way (the rows may not even join)
+    assert(Graph.pageRank(spark, oneSf).count() <= 2)
+    // curation: empty in, empty (or zero-count) out
+    assert(Curation.tokenBudgetSelect(spark, emptySf).count() == 0)
+    assert(Curation.corpusShuffle(spark, emptySf).count() == 0)
+    assert(TextAnalysis.weightedSample(spark, emptySf).count() == 0)
+    assert(Similarity.int8Export(spark, emptySf).count() == 0)
+    assert(Dedup.crossSourceMatrix(spark, emptySf).count() == 0)
+    assert(TextAnalysis.funnelAttribution(spark, emptySf).count() == 0)
+    val pad = TextAnalysis.paddingAudit(spark, emptySf).collect()
+    assert(pad.length == 2 && pad.forall(_.getLong(1) == 0L),
+      "empty corpus must yield zero batches under both strategies")
+    // single doc: the budget (2/5 of its tokens) cannot fit it — one
+    // per-source row, nothing kept; shuffle/sample/export all 1-row
+    assert(Curation.tokenBudgetSelect(spark, oneSf).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((0L, 1L)))
+    assert(Curation.corpusShuffle(spark, oneSf)
+      .agg(org.apache.spark.sql.functions.sum("n_docs"))
+      .head().getLong(0) == 1L)
+    assert(Similarity.int8Export(spark, oneSf).count() == 1)
   }
 
   test("HLL sketch rollup: bounded error and merge == direct over all days") {

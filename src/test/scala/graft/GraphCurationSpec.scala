@@ -33,6 +33,26 @@ class GraphCurationSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
 
+  test("trustRank: teleport mass reaches only seed-connected nodes") {
+    val out = Graph.trustRank(spark, sf).collect()
+    assert(out.length == 20)
+    // every seed in the top-20 carries at least its own teleport mass
+    out.filter(_.getBoolean(3)).foreach { r =>
+      assert(r.getLong(4) >= 150000000L,
+        s"seed ${r.getLong(2)} below its teleport floor: ${r.getLong(4)}")
+    }
+    // the whitelist exists and the ranking is genuinely seeded: the
+    // top node must be seed-adjacent (rank > 0 requires a trusted path)
+    assert(out.exists(_.getBoolean(3)), "no seed reached the top-20")
+    assert(out.forall(_.getLong(4) > 0))
+    // deterministic under a different partitioning
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "3")
+      assert(Graph.trustRank(spark, sf).collect().toSeq == out.toSeq)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
   test("tokenBudgetSelect equals the naive corpus-wide cumulative window") {
     val docs = graft.sources.Tables.documents(spark, sf)
       .select(col("doc_id"), col("source"),

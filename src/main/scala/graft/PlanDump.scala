@@ -150,7 +150,14 @@ object PlanDump {
         "ONE partial/final aggregate on dst — the relational Pregel " +
         "round. The rank relation is never broadcast (O(nodes) at web " +
         "scale) and nothing collects to the driver; the final top-20 " +
-        "is TakeOrderedAndProject, not a global sort."),
+        "is TakeOrderedAndProject, not a global sort. NOTE the " +
+        "planning-time Exchange above each InMemoryTableScan below is " +
+        "elided at runtime: the cache is built with a pinned " +
+        "REPARTITION_BY_NUM on src, so once the cache stage " +
+        "materializes, AQE re-validates and the iteration joins " +
+        "consume it co-partitioned — PlanSpec pins the final adaptive " +
+        "plan mechanically (zero shuffles over the cache scan, " +
+        "broadcast disabled)."),
     "x28_token_budget" ->
       ("Budgeted data selection via histogram threshold. Look for: " +
         "the corpus scanned a bounded number of times with NO " +

@@ -64,10 +64,19 @@ object Graph {
     // the cached relation then carries HashPartitioning(src), so every
     // iteration's edges⋈ranks join reuses it and only the O(nodes)
     // rank relation moves per round — the corpus-sized side is
-    // shuffled ONCE for the whole computation, the Pregel invariant
+    // shuffled ONCE for the whole computation, the Pregel invariant.
+    // The partition COUNT must be pinned explicitly: a bare
+    // repartition(col) is removed as redundant with the join's output
+    // partitioning and the cached plan's final partition count is then
+    // AQE-chosen, so whether consumer joins can reuse it depends on
+    // runtime re-validation against whatever count AQE picked —
+    // planning inserts an Exchange over every cache scan and only
+    // sometimes elides it. REPARTITION_BY_NUM survives optimization
+    // and AQE renumbering, making the reuse deterministic.
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val linked = edges.join(outw, "src")
       .select("src", "dst", "w", "ow")
-      .repartition(col("src"))
+      .repartition(n, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     linked
   }

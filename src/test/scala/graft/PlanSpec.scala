@@ -383,6 +383,61 @@ class PlanSpec extends SparkSuite {
       s"full-bucket keep should broadcast the tiny score set:\n$p")
   }
 
+  test("pageRank at scale: iteration joins reuse the cached edge partitioning") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.{ColumnarToRowExec, FilterExec, InputAdapter, ProjectExec, SortExec, WholeStageCodegenExec}
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+
+    // broadcast off in a child session (isolated conf, shared context):
+    // at 100 TB the edge relation can never broadcast, so this is the
+    // representative shape — each iteration must be a shuffle join that
+    // consumes the cached HashPartitioning(src) WITHOUT re-exchanging
+    // the corpus-sized side. The invariant pinned here is the FINAL
+    // adaptive plan's shape; Graph.linkedEdges makes it deterministic
+    // by pinning the repartition count (a bare repartition(col) leaves
+    // reuse to runtime re-validation against an AQE-chosen count).
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    val df = graft.operators.Graph.pageRank(s2, sf)
+    df.collect() // materialize so AQE finalizes every stage
+
+    def kids(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec        => Seq(q.plan)
+      case o                        => o.children
+    }
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p +: kids(p).flatMap(nodes)
+    def isCacheScan(p: SparkPlan): Boolean =
+      p.nodeName.startsWith("InMemoryTableScan")
+    // true iff a cache scan is reachable through pass-through nodes only
+    // (no join/aggregate doing real work in between)
+    def cacheBelow(p: SparkPlan): Boolean = p match {
+      case p if isCacheScan(p)      => true
+      case q: QueryStageExec        => cacheBelow(q.plan)
+      case _: ProjectExec | _: FilterExec | _: SortExec |
+           _: WholeStageCodegenExec | _: InputAdapter |
+           _: ColumnarToRowExec     => p.children.exists(cacheBelow)
+      case _                        => false
+    }
+    val root = df.queryExecution.executedPlan
+    val offenders = nodes(root).collect {
+      case e: ShuffleExchangeLike if cacheBelow(e.child) => e
+    }
+    assert(offenders.isEmpty,
+      s"cached edge relation re-shuffled by:\n${offenders.mkString("\n")}")
+    val reused = nodes(root).exists {
+      case j: SortMergeJoinExec    => cacheBelow(j.left) || cacheBelow(j.right)
+      case j: ShuffledHashJoinExec => cacheBelow(j.left) || cacheBelow(j.right)
+      case _                       => false
+    }
+    assert(reused,
+      "no iteration join consumes the cached edges co-partitioned:\n" +
+        root.toString)
+  }
+
   test("corpus shuffle: rank windows partition by (shard, bucket)") {
     val p = plan(graft.operators.Curation.corpusShuffle(spark, sf))
     assert(p.contains("windowspecdefinition(shard"),

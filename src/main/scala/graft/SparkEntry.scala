@@ -252,6 +252,7 @@ object SparkEntry {
     "x15t_sql_q21"         -> (SqlApi.tpchQ21(_, _)),
     "x15u_sql_q22"         -> (SqlApi.tpchQ22(_, _)),
     "x15v_sql_q2"          -> (SqlApi.tpchQ2(_, _)),
+    "x15w_sql_recursive"   -> (SqlApi.recursiveReach(_, _)),
     "x16_asof_join"        -> (Relational.asofAttribution(_, _)),
     "x16b_interval_join"   -> (Relational.intervalJoin(_, _)),
     "x17_train_test_split" -> (TextAnalysis.trainTestSplit(_, _)),
@@ -1140,6 +1141,7 @@ object SparkEntry {
     "x15t_sql_q21" -> graft.operators.SqlApi.q21Sql,
     "x15u_sql_q22" -> graft.operators.SqlApi.q22Sql,
     "x15v_sql_q2" -> graft.operators.SqlApi.q2Sql,
+    "x15w_sql_recursive" -> graft.operators.SqlApi.recursiveReachSql,
     "x17_train_test_split" ->
       """SELECT CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'valid'
         |            ELSE 'test' END AS split,

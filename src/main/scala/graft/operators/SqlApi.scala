@@ -623,4 +623,47 @@ object SqlApi {
     Tables.table(spark, sfDir, "lineitem").createOrReplaceTempView("lineitem")
     spark.sql(groupingSetsSql)
   }
+
+  /** WITH RECURSIVE (iterative SQL, new surface in Spark 4.x): BFS
+    * reachability over the customer↔supplier trade graph from a
+    * deterministic seed set, depth-bounded. The recursive term applies
+    * DISTINCT per step, so the working table is the FRONTIER — each
+    * iteration is one co-partitionable join + one distinct, O(nodes)
+    * rows per step, never the path-enumeration explosion a naive
+    * UNION ALL recursion produces on a cyclic graph (paths through a
+    * degree-d graph grow d^k; distinct frontiers stay ≤ |nodes|, the
+    * difference between a bounded relational BFS and an unbounded one
+    * at 100 TB). min(hop) per node then collapses revisits to the true
+    * BFS distance; the output is the O(depth)-row reachability profile.
+    * Shared ANSI text — the same bytes run on DuckDB, which uses the
+    * identical frontier semantics, so the hash must match. */
+  val recursiveReachSql: String =
+    """WITH RECURSIVE
+      |pairs AS (
+      |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |edges AS (
+      |  SELECT c * 2 AS src, s * 2 + 1 AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT s * 2 + 1 AS src, c * 2 AS dst FROM pairs),
+      |reach(node, hop) AS (
+      |  SELECT DISTINCT c * 2 AS node, 0 AS hop FROM pairs
+      |  WHERE c % 97 = 0
+      |  UNION ALL
+      |  SELECT DISTINCT e.dst AS node, r.hop + 1 AS hop
+      |  FROM reach r JOIN edges e ON e.src = r.node
+      |  WHERE r.hop < 3)
+      |SELECT hops, COUNT(*) AS nodes,
+      |       CAST(MIN(node) AS BIGINT) AS min_node,
+      |       CAST(MAX(node) AS BIGINT) AS max_node
+      |FROM (SELECT node, MIN(hop) AS hops FROM reach GROUP BY node) d
+      |GROUP BY hops
+      |ORDER BY hops""".stripMargin
+
+  def recursiveReach(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("orders", "lineitem").foreach { t =>
+      Tables.table(spark, sfDir, t).createOrReplaceTempView(t)
+    }
+    spark.sql(recursiveReachSql)
+  }
 }

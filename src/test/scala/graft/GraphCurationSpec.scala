@@ -53,6 +53,46 @@ class GraphCurationSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
 
+  test("recursive CTE reachability equals an independent iterative BFS") {
+    // the SQL (x15w) accumulates per-step DISTINCT frontiers and takes
+    // min(hop); an independently-coded driver-side BFS over the same
+    // graph must produce the identical (hops, nodes, min, max) profile
+    val out = graft.operators.SqlApi.recursiveReach(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sortBy(_._1)
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val od = graft.sources.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val pairs = li.join(od, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .distinct()
+    val edges = pairs
+      .select((col("c") * 2).as("src"), (col("s") * 2 + 1).as("dst"))
+      .union(pairs.select((col("s") * 2 + 1).as("src"),
+        (col("c") * 2).as("dst")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = edges.groupBy(_._1).map { case (k, v) =>
+      k -> v.map(_._2).toSet
+    }
+    val seeds = pairs.select((col("c") * 2).as("n")).distinct()
+      .collect().map(_.getLong(0)).filter(n => (n / 2) % 97 == 0).toSet
+    var dist = seeds.map(_ -> 0).toMap
+    var frontier = seeds
+    for (h <- 1 to 3) {
+      val fresh = frontier.flatMap(n => adj.getOrElse(n, Set.empty[Long]))
+        .filterNot(dist.contains)
+      dist ++= fresh.map(_ -> h)
+      frontier = fresh
+    }
+    val expect = dist.groupBy(_._2).toSeq.map { case (h, m) =>
+      val ns = m.keys
+      (h, ns.size.toLong, ns.min, ns.max)
+    }.sortBy(_._1)
+    assert(out == expect, s"sql=$out bfs=$expect")
+    assert(out.head._1 == 0 && out.head._2 == seeds.size.toLong)
+  }
+
   test("tokenBudgetSelect equals the naive corpus-wide cumulative window") {
     val docs = graft.sources.Tables.documents(spark, sf)
       .select(col("doc_id"), col("source"),

@@ -158,6 +158,18 @@ object PlanDump {
         "consume it co-partitioned — PlanSpec pins the final adaptive " +
         "plan mechanically (zero shuffles over the cache scan, " +
         "broadcast disabled)."),
+    "x15w_sql_recursive" ->
+      ("WITH RECURSIVE BFS reachability (Spark 4.x iterative SQL). " +
+        "Look for: the UnionLoop node holding the anchor (seed " +
+        "predicate o_custkey % 97 = 0 pushed into the orders scan) " +
+        "and the recursive term (UnionLoopRef ⋈ edges, per-step " +
+        "DISTINCT as an Aggregate on (node, hop)) — the working table " +
+        "is the frontier, bounded by |nodes| per step, never the d^k " +
+        "path enumeration. Honest cost note: the edges CTE subtree " +
+        "sits INSIDE the loop body, so the bounded depth (4 steps) " +
+        "re-derives it per step — the SQL-surface form; the " +
+        "materialized-once iterative form of the same graph is x27 " +
+        "(Graph.linkedEdges' pinned-partition cache)."),
     "x28_token_budget" ->
       ("Budgeted data selection via histogram threshold. Look for: " +
         "the corpus scanned a bounded number of times with NO " +

@@ -45,12 +45,33 @@ object Graph {
   /** The symmetric weighted trade graph folded with per-source
     * out-mass, hash-partitioned on the join key and cached so the
     * iteration joins reuse one shuffle (the Pregel invariant). */
-  private def linkedEdges(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = Tables.lineitem(spark, sfDir)
-      .join(Tables.orders(spark, sfDir),
-        col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
-      .agg(count(lit(1)).as("w"))
+  private def linkedEdges(spark: SparkSession, sfDir: String): DataFrame =
+    graft.util.SessionMemo.memoized(spark, s"linkedEdges|$sfDir") {
+      buildLinkedEdges(spark, sfDir)
+    }
+
+  /** The weighted distinct trade-pair relation (custkey, suppkey,
+    * lineitem-count) — the ONE corpus scan behind every graph-shaped
+    * query (pageRank/trustRank edges here, the recursive-reach BFS in
+    * [[SqlApi.recursiveReach]]). Session-memoized so the three queries
+    * share a single lineitem⋈orders pass: pair-scale (≤ one row per
+    * distinct trading relationship), persisted and materialized. */
+  private[operators] def tradePairs(spark: SparkSession, sfDir: String)
+      : DataFrame =
+    graft.util.SessionMemo.memoized(spark, s"tradePairs|$sfDir") {
+      val p = Tables.lineitem(spark, sfDir)
+        .join(Tables.orders(spark, sfDir),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+        .agg(count(lit(1)).as("w"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      p.count()
+      p
+    }
+
+  private def buildLinkedEdges(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    val pairs = tradePairs(spark, sfDir)
     // node encoding: customer 2k, supplier 2k+1 — one integer key space
     val edges = pairs.select((col("c") * 2).as("src"),
         (col("s") * 2 + 1).as("dst"), col("w"))
@@ -78,6 +99,11 @@ object Graph {
       .select("src", "dst", "w", "ow")
       .repartition(n, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // materialize before the memo retains it: callers then share one
+    // realized cache; without the memo, every pageRank/trustRank call
+    // persisted a fresh copy that was never unpersisted (cache bloat
+    // until LRU eviction under repeated invocation in one session)
+    linked.count()
     linked
   }
 

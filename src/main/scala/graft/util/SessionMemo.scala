@@ -40,9 +40,14 @@ object SessionMemo {
       _ => scala.collection.mutable.Map.empty[String, Any])
   }
 
-  /** `build` must return an already-materialized frame (an eager
-    * `localCheckpoint`) so it can unpersist its own corpus-sized
-    * intermediates before handing the result over. */
+  /** `build` must return an already-materialized frame: either an
+    * eager `localCheckpoint` of a tiny result, or — for the iterative
+    * graph/recursion operators — a `persist(MEMORY_AND_DISK)`ed edge
+    * relation materialized with a `count()`. The latter is node-pair
+    * scale (not corpus scale) and deliberately retained so repeated
+    * pageRank/trustRank/recursive-reach calls in one session reuse ONE
+    * cached copy instead of accumulating a fresh persisted relation
+    * per call (cache-bloat until eviction). */
   def memoized(spark: SparkSession, key: String)
               (build: => DataFrame): DataFrame = {
     val m = perSessionMap(spark)

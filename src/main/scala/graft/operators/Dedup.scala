@@ -27,15 +27,44 @@ object Dedup {
                       (build: => DataFrame): DataFrame =
     graft.util.SessionMemo.memoized(spark, key)(build)
 
+  /** Driver-side fingerprint of the documents table's files (name,
+    * length, mtime per leaf file) — pure namenode metadata, no data
+    * read. Keys the [[wideIds]] memo so a fixture dir whose CONTENTS
+    * change mid-session (files rewritten/appended) re-probes instead of
+    * silently reusing a stale id-domain decision: a stale "narrow"
+    * verdict would alias packed 64-bit pair keys, which is a silent
+    * wrong-answer class, not a perf bug. */
+  private def docsFingerprint(spark: SparkSession, sfDir: String): String = {
+    val path = new org.apache.hadoop.fs.Path(s"$sfDir/documents.parquet")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) "absent"
+    else {
+      var h = 1125899906842597L
+      val it = fs.listFiles(path, true)
+      while (it.hasNext) {
+        val f = it.next()
+        h = h * 31 + f.getPath.getName.hashCode
+        h = h * 31 + f.getLen
+        h = h * 31 + f.getModificationTime
+      }
+      java.lang.Long.toHexString(h)
+    }
+  }
+
   /** Does the corpus id domain escape [0, 2^31)? One min/max over the
     * single pruned `doc_id` column of the documents scan — probing the
     * SOURCE relation, not a mid-pipeline cached one, so the probe
     * neither materializes the gram pipeline early nor perturbs its
     * caching (an earlier kept-relation probe tripled x09p's bench
-    * line). Memoized per fixture dir. Decides the pair-key
-    * representation in [[pairCounts]]. */
+    * line). Memoized per fixture dir AND per file-level fingerprint of
+    * that dir, so a mid-session rewrite of the fixture re-probes rather
+    * than aliasing packed keys on a stale verdict. Decides the pair-key
+    * representation in [[pairCounts]]; every caller feeds it pair ids
+    * drawn from this same documents relation (the dedup family's only
+    * id domain), which is what makes the source-table probe sufficient. */
   private def wideIds(spark: SparkSession, sfDir: String): Boolean =
-    graft.util.SessionMemo.memoizedValue(spark, s"wideIds|$sfDir") {
+    graft.util.SessionMemo.memoizedValue(
+        spark, s"wideIds|$sfDir|${docsFingerprint(spark, sfDir)}") {
       val r = Tables.documents(spark, sfDir)
         .agg(min("doc_id"), max("doc_id")).head()
       // empty corpus → NULL bounds → packed path (vacuously narrow)

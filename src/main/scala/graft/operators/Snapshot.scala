@@ -529,8 +529,18 @@ object Snapshot {
     */
   private val PtrLockTimeoutMs = 60000L
 
+  /** `expectedPrev >= 0` makes the swap a strict CAS: advance only if
+    * the pointer names exactly `expectedPrev` (0 = no pointer) at swap
+    * time. Commits that claimed MORE than one version ahead of the
+    * pointer need this — between their base observation and their swap
+    * another claimant below them can publish, and an unconditional
+    * "advance if higher" would then overwrite that commit's place in
+    * the carry chain with a manifest that never carried it (the
+    * two-process bootstrap race the r9 soak caught: append's bootstrap
+    * claimed v2 over a concurrent v1 and published a full-replace —
+    * v1's batch vanished with every invariant green). */
   private def pointerAdvance(spark: SparkSession, root: String,
-                             v: Long): Boolean = {
+                             v: Long, expectedPrev: Long = -1L): Boolean = {
     val lock = new org.apache.hadoop.fs.Path(root, "_ptrlock")
     val fs = fsOf(spark, lock)
     var held = false
@@ -559,6 +569,7 @@ object Snapshot {
     try {
       val cur = currentVersion(spark, root).getOrElse(0L)
       if (cur >= v) false
+      else if (expectedPrev >= 0L && cur != expectedPrev) false
       else {
         setPointer(spark, root, v)
         // still under _ptrlock, so markers are strictly serialized and
@@ -1485,9 +1496,43 @@ object Snapshot {
           if (claimVersion(spark, root, next)) {
             df.write.mode("overwrite").parquet(s"$root/v=$next")
             writeSchema(spark, root, next, df.schema)
-            if (pointerAdvance(spark, root, next)) return next
-            // out-versioned by a concurrent commit before our swap: the
-            // appended rows never became current — retry on the new head
+            // Publish is a strict CAS against the EMPTY table: when
+            // `next > 1` this claim sits ahead of other claimants still
+            // mid-bootstrap, and one of them can publish between our
+            // None observation and our swap. An unconditional advance
+            // then replaced their batch with ours — silent loss under a
+            // perfectly contiguous version history (caught by the
+            // two-JVM SnapshotRace soak). On CAS failure the table is
+            // no longer empty: UPGRADE this commit in place to an
+            // append — we still hold the claim on `next`, the data dir
+            // is written, so carry the now-current head's inventory and
+            // CAS against that head; re-carry if it moves again (each
+            // retry means a version below `next` published — finite).
+            var outcome = 0L // >0: committed; <0: out-versioned
+            while (outcome == 0L) {
+              currentVersion(spark, root) match {
+                case None =>
+                  if (pointerAdvance(spark, root, next, expectedPrev = 0L))
+                    outcome = next
+                  // else a concurrent bootstrap published: loop — the
+                  // re-read sees Some and upgrades to an append
+                case Some(base2) if base2 < next =>
+                  enforceOrRelease(spark, root, next, base2)
+                  writeManifestAndStats(spark, root, next, base2,
+                    fileInventory(spark, root, base2).map(_._1))
+                  if (pointerAdvance(spark, root, next,
+                      expectedPrev = base2))
+                    outcome = next
+                  // else the head moved again — re-carry from it
+                case Some(_) =>
+                  // the pointer PASSED our claim while we wrote (a
+                  // later claimant's CAS won): this version can never
+                  // publish — abandon (orphan dir + decided claim are
+                  // vacuum's to clean) and retry on the new head
+                  outcome = -1L
+              }
+            }
+            if (outcome > 0L) return outcome
           } else {
             val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
             while (currentVersion(spark, root).isEmpty
@@ -2190,6 +2235,17 @@ object Snapshot {
                       nFiles: Int = 8): Long = {
     import org.apache.spark.sql.functions.{col, expr}
     require(bucket > 0, s"generation bucket must be positive: $bucket")
+    // the sidecar is a hand-built one-line JSON parsed by a fixed
+    // pattern in [[genRuleOf]]; restrict names to plain identifiers at
+    // COMMIT time so no committed rule can ever contain a quote,
+    // backslash, or other char the reader would mis-parse (and plain
+    // identifiers are also what `expr`/`repartitionByRange` expect —
+    // anything fancier would need backtick-quoting anyway)
+    Seq("generated" -> genName, "base" -> baseCol).foreach { case (what, n) =>
+      require(n.matches("[A-Za-z_][A-Za-z0-9_]*"),
+        s"$what column name must be a plain identifier " +
+          s"[A-Za-z_][A-Za-z0-9_]*, got: `$n`")
+    }
     val spark = df.sparkSession
     val withG = df
       .withColumn(genName, expr(s"$baseCol div $bucket"))
@@ -2225,7 +2281,12 @@ object Snapshot {
       val re = """\{"gen":"([^"]+)","base":"([^"]+)","bucket":(\d+)\}""".r
       json match {
         case re(g, b, k) => Some((g, b, k.toLong))
-        case _ => None
+        // a sidecar EXISTS but doesn't parse → corruption or format
+        // drift, never "no rule": fail loudly with the evidence
+        // instead of returning None and letting the caller report the
+        // misleading "table has no generated-column rule"
+        case _ => throw new IllegalStateException(
+          s"malformed generated-column rule sidecar $p: $json")
       }
     }
   }

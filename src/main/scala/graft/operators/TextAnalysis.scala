@@ -636,14 +636,36 @@ object TextAnalysis {
     * parallel, where the classic weighted-reservoir alternative
     * (exp-keyed top-k) costs a corpus-wide ordering and engine-bound
     * `log()` floats. Overflow headroom: u·Σw < 2^31·Σw needs Σw <
-    * 2^32 — at larger corpus mass pre-divide Σw and every w by a
-    * common 2^k (the test is scale-invariant up to the truncation). */
+    * 2^32, and (n*·w)·P < 2^63 needs n*·max(w) < 2^32 — ENFORCED (not
+    * just documented) by an `assert_true` riding the one-row totals
+    * relation, because non-ANSI Spark would otherwise wrap the product
+    * negative and silently drop every row while the DuckDB oracle
+    * errors. At larger corpus mass pre-divide Σw and every w by a
+    * common 2^k in BOTH engines' texts (the test is scale-invariant up
+    * to the truncation); the guard is what tells you it's time. */
   def weightedSample(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"), col("n_chars"))
       .withColumn("u", keyHash(col("doc_id"), a = 1103515245L))
+    val lim = 4294967296L // 2^32
     val tot = docs.agg(sum("n_chars").as("s_w"),
-      expr("count(1) div 5").as("n_star"))
+        expr("count(1) div 5").as("n_star"),
+        max("n_chars").as("max_w"))
+      // assert_true yields NULL when the bound holds (row passes) and
+      // raises with the measured values when it doesn't; expressed as a
+      // filter so the optimizer can never prune it as an unused column
+      // empty corpus: SUM/MAX are NULL and assert_true treats a NULL
+      // condition as failure, so the bounds coalesce to 0 (vacuously in
+      // headroom — the downstream filter keeps nothing anyway)
+      .filter(coalesce(assert_true(
+        coalesce(col("s_w"), lit(0L)) < lim &&
+          coalesce(col("n_star") * col("max_w"), lit(0L)) < lim,
+        concat(lit("weightedSample 64-bit headroom exceeded: s_w="),
+          col("s_w"), lit(" n_star*max_w="),
+          col("n_star") * col("max_w"),
+          lit(" (right-shift weights by a common 2^k in operator AND oracle)"))),
+        lit(true)))
+      .select("s_w", "n_star")
     docs.crossJoin(broadcast(tot))
       .withColumn("kept",
         col("u") * col("s_w") < col("n_star") * col("n_chars") * lit(P))

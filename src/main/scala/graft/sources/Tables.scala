@@ -73,4 +73,29 @@ object Tables {
       .option("url", url).option("dbtable", dbtable)
     options.foldLeft(reader) { case (r, (k, v)) => r.option(k, v) }.load()
   }
+
+  /** The MySQL entry the reference actually deploys against (reference
+    * `server.py:29`: `mysql+mysqlconnector://root:…@mysql:3306/testdb`;
+    * `docker-compose.yml:16` wires the `mysql` host): standard JDBC URL
+    * plus the Connector/J driver class. Spark resolves the MySQL
+    * DIALECT from the `jdbc:mysql:` URL prefix alone — identifier
+    * quoting (backticks), pushdown WHERE text, and type mapping are all
+    * dialect-generated, so first contact with a live server is
+    * config-only: host/port/db/credentials (and the connector jar on
+    * the classpath — not shipped in this sandbox, which the spec pins
+    * as a fail-fast naming the missing class rather than a silent
+    * fallback). Pass the same `partitionColumn`/`lowerBound`/
+    * `upperBound`/`numPartitions` options as any [[jdbc]] call to shard
+    * the scan across executors. */
+  val MySqlDriverClass = "com.mysql.cj.jdbc.Driver"
+
+  def mysqlUrl(host: String, port: Int, database: String): String =
+    s"jdbc:mysql://$host:$port/$database"
+
+  def mysql(spark: SparkSession, host: String, port: Int, database: String,
+            dbtable: String, user: String, password: String,
+            options: Map[String, String] = Map.empty): DataFrame =
+    jdbc(spark, mysqlUrl(host, port, database), dbtable,
+      Map("driver" -> MySqlDriverClass,
+        "user" -> user, "password" -> password) ++ options)
 }

@@ -60,6 +60,7 @@ object Streaming {
       case "files" =>
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+        deriveStateWidth(spark, sfDir)
         // The file stream source needs a directory; pathGlobFilter
         // narrows the listing to just the events table.
         graft.sources.Tables.normalizeTs(
@@ -68,8 +69,10 @@ object Streaming {
       case "memory" =>
         require(injected != null,
           "memory format is caller-constructed: pass injected=<stream>")
+        spark.conf.unset(DerivedWidthKey) // unknown volume → default
         graft.sources.Tables.normalizeTs(injected)
       case "rate" =>
+        spark.conf.unset(DerivedWidthKey) // unbounded source → default
         val perBatch = spark.conf
           .getOption("graft.streaming.rate.rowsPerBatch").getOrElse("50")
         val start = spark.conf
@@ -87,6 +90,7 @@ object Streaming {
               col("timestamp").as("ts"),
               col("value").cast("double").as("value")))
       case "kafka" =>
+        spark.conf.unset(DerivedWidthKey) // unbounded source → default
         val bootstrap = spark.conf
           .getOption("graft.streaming.kafka.bootstrap")
           .getOrElse(throw new IllegalArgumentException(
@@ -135,12 +139,55 @@ object Streaming {
     * either way. */
   private val StatePartitions = 8
 
+  /** The sf10 soak's deployment rule, promoted to CODE: state width
+    * must track state-key VOLUME. At 10.0M distinct dedup keys the
+    * 8-partition venue width meant 1.25M RocksDB keys per store
+    * (34.9× the sf1 wall); 32 partitions restored linearity (9.8×).
+    * One state partition per million source rows reproduces exactly
+    * that schedule — ≤8M rows stays at the measured small-state
+    * optimum of 8 (store setup/commit is per-partition per-batch, so
+    * narrow small states win), and the sf10 venue derives 32 with no
+    * env override. Row count is an upper bound on keys (dedup/agg
+    * keys ≤ rows), which errs toward more partitions exactly when
+    * state is large — the safe direction. */
+  private val RowsPerStatePartition = 1000000L
+
+  /** Session conf carrying the width derived from the OBSERVED source
+    * volume (set by [[eventSource]] when the transport exposes one,
+    * cleared when it doesn't). Separate from
+    * `graft.streaming.statePartitions` so an explicit deployment
+    * override always wins over the derivation. */
+  private val DerivedWidthKey = "graft.streaming.derivedStatePartitions"
+
+  /** width(rows) = clamp(ceil(rows / [[RowsPerStatePartition]]),
+    * [[StatePartitions]], spark.sql.shuffle.partitions) — pure so the
+    * spec can pin the whole schedule without 10M-row fixtures. */
+  private[graft] def stateWidthFor(rows: Long, cap: Int): Int = {
+    val want = (rows + RowsPerStatePartition - 1) / RowsPerStatePartition
+    math.min(cap.toLong, math.max(StatePartitions.toLong, want)).toInt
+  }
+
+  /** Probe the events table's row count (parquet footer metadata — a
+    * count() over a zero-column projection reads no data pages) once
+    * per (session, fixture dir) and publish the derived width. */
+  private def deriveStateWidth(spark: SparkSession, sfDir: String): Unit = {
+    val w = graft.util.SessionMemo.memoizedValue(
+        spark, s"stateWidth|$sfDir") {
+      val rows = spark.read.parquet(s"$sfDir/events.parquet").count()
+      val cap = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      stateWidthFor(rows, cap)
+    }
+    spark.conf.set(DerivedWidthKey, w.toString)
+  }
+
   /** Start-time scope for the state width AND the state-store provider:
     * both bind when the streaming query is planned (`start()`), not when
     * the transformations are built, so wrapping start/drain is
     * sufficient — and the batch session conf is restored after. The
-    * width is overridable per deployment (state volume is a property of
-    * the workload, not the code) via `graft.streaming.statePartitions`.
+    * width is overridable per deployment via
+    * `graft.streaming.statePartitions`; absent that, the width DERIVED
+    * from the observed source volume ([[deriveStateWidth]]) applies, so
+    * matching state width to state volume is code, not operator lore.
     *
     * Every stateful query here runs on the RocksDB provider — the one
     * production state volumes require (state spills to native memory /
@@ -157,6 +204,7 @@ object Streaming {
     val was = spark.conf.get(key)
     val provWas = spark.conf.get(provKey)
     val width = spark.conf.getOption("graft.streaming.statePartitions")
+      .orElse(spark.conf.getOption(DerivedWidthKey))
       .getOrElse(StatePartitions.toString)
     spark.conf.set(key, width)
     spark.conf.set(provKey,
@@ -703,12 +751,117 @@ object Streaming {
     * a delete/compact/restore REWRITES files and would re-emit rows —
     * the same caveat as Delta streaming reads without `ignoreChanges`;
     * feed those through [[graft.operators.Snapshot.changeFeed]]
-    * instead. */
+    * instead.
+    *
+    * VACUUM interplay (the documented contract, spec-pinned):
+    *  - Pure append chains are SAFE under vacuum at any lag: every
+    *    older version directory the current manifest carries files
+    *    from is `referenced` and survives the sweep, so a lagging tail
+    *    always finds its unread files and catches up exactly — pinned,
+    *    not assumed.
+    *  - A REWRITE commit (compact/deleteWhere/restore) followed by
+    *    vacuum is the dangerous pair: ancestors become unreferenced
+    *    and are reclaimed, and the rows now live only inside rewritten
+    *    files interleaved with rows this tail already emitted. The
+    *    file source discovers only files that EXIST at listing time,
+    *    so an unchecked resume either silently skips (files gone,
+    *    nothing re-listed) or silently duplicates (rewritten files
+    *    re-emit everything) — no error surfaces in either direction.
+    * Resuming a checkpointed tail against a table that may have been
+    * vacuumed therefore goes through [[tailVacuumAudit]]: it diffs the
+    * checkpoint's seen-file log against the table's full commit
+    * history (the `_history` markers outlive vacuum) and classes every
+    * committed version as seen/available/vacuumed_seen/
+    * vacuumed_unseen. `vacuumed_unseen` means exactly-once resume is
+    * impossible for THIS tail — [[resumeTailChecked]] fails fast with
+    * the full inventory; rebuild the tail (fresh checkpoint over
+    * `readCurrent`, then stream) or consume rewrites through
+    * [[graft.operators.Snapshot.changeFeed]]. The operational rule at
+    * 100 TB is Delta's: vacuum retention must exceed maximum tail lag. */
   def snapshotAppends(spark: SparkSession, root: String,
                       schema: StructType): DataFrame =
     spark.readStream.schema(schema)
       .option("pathGlobFilter", "*.parquet")
       .parquet(s"$root/v=*")
+
+  /** Inventory of every committed version of `root` as the tail at
+    * `checkpointDir` would account for it:
+    *  - `seen`            — the checkpoint's file log covers it;
+    *  - `available`       — never listed, directory still on disk (the
+    *                        tail will catch up normally);
+    *  - `vacuumed_seen`   — directory gone, but the tail emitted it
+    *                        before vacuum (harmless alone: processed
+    *                        files are never re-read);
+    *  - `vacuumed_unseen` — directory gone AND never listed: those
+    *                        rows survive (if at all) only inside a
+    *                        rewrite commit's files, interleaved with
+    *                        rows already emitted — exactly-once resume
+    *                        is impossible; the guard refuses on these.
+    * Driver-side metadata only: the checkpoint's seen-file log and the
+    * table's `_history`/directory listings — no data files open. */
+  def tailVacuumAudit(spark: SparkSession, root: String,
+                      checkpointDir: String): DataFrame = {
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the file source's seen-file log: sources/<i>/<batch> files of
+    // JSON lines carrying the listed paths
+    val seenVersions: Set[Long] = {
+      val src = new org.apache.hadoop.fs.Path(checkpointDir, "sources")
+      if (!fs.exists(src)) Set.empty
+      else {
+        val logFiles = fs.listStatus(src).toSeq.map(_.getPath)
+          .filter(p => fs.getFileStatus(p).isDirectory)
+          .flatMap(d => fs.listStatus(d).toSeq.map(_.getPath))
+          .filter(_.getName.matches("\\d+"))
+        val pathRe = """"path":"([^"]+)"""".r
+        val vRe = """v=(\d+)/""".r
+        logFiles.flatMap { p =>
+          val in = fs.open(p)
+          val txt = try scala.io.Source.fromInputStream(in, "UTF-8")
+            .mkString finally in.close()
+          pathRe.findAllMatchIn(txt).map(_.group(1)).flatMap(f =>
+            vRe.findAllMatchIn(f).toSeq.lastOption.map(_.group(1).toLong))
+        }.toSet
+      }
+    }
+    val onDisk: Set[Long] = fs
+      .listStatus(new org.apache.hadoop.fs.Path(root)).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.matches("v=\\d+") => n.drop(2).toLong }
+      .toSet
+    val committed = graft.operators.Snapshot
+      .commitHistory(spark, root).map(_._1)
+    committed.map { v =>
+      val status = (seenVersions.contains(v), onDisk.contains(v)) match {
+        case (true, true)   => "seen"
+        case (true, false)  => "vacuumed_seen"
+        case (false, true)  => "available"
+        case (false, false) => "vacuumed_unseen"
+      }
+      (v, status)
+    }.toDF("version", "status").orderBy("version")
+  }
+
+  /** The fail-fast resume guard: audit, refuse with the full inventory
+    * if any committed version was vacuumed before this tail saw it,
+    * otherwise hand back the restartable stream. */
+  def resumeTailChecked(spark: SparkSession, root: String,
+                        checkpointDir: String,
+                        schema: StructType): DataFrame = {
+    val audit = tailVacuumAudit(spark, root, checkpointDir).collect()
+    val lost = audit.filter(_.getString(1) == "vacuumed_unseen")
+    if (lost.nonEmpty) throw new IllegalStateException(
+      s"tail at $checkpointDir cannot resume exactly-once: versions " +
+        lost.map(_.getLong(0)).mkString("[", ",", "]") +
+        " were vacuumed before this tail listed them (their rows now " +
+        "exist only in rewritten files that would also re-emit " +
+        "already-seen rows); rebuild the tail from readCurrent or " +
+        "consume rewrites via changeFeed. Inventory: " +
+        audit.map(r => s"v=${r.getLong(0)}:${r.getString(1)}")
+          .mkString(", "))
+    snapshotAppends(spark, root, schema)
+  }
 
   /** of11: the certified append-tail venue — three deterministic
     * slices of orders land via commit + two

@@ -136,6 +136,25 @@ class GraphCurationSpec extends SparkSuite {
       .collect().toSeq == out.toSeq)
   }
 
+  test("weightedSample: 64-bit headroom violation fails loudly, not wrap-to-empty") {
+    // a corpus whose total weight crosses 2^32 used to wrap the
+    // u·Σw product negative in non-ANSI mode and silently keep zero
+    // rows while the DuckDB oracle errored; the operator now raises
+    // with the measured values instead
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_wsoverflow_").toString
+    (1L to 3L).map(i => (i, s"src$i", 2147483647L))
+      .toDF("doc_id", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val e = intercept[Exception] {
+      graft.operators.TextAnalysis.weightedSample(spark, dir).collect()
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("headroom"), s"unexpected failure: $e")
+  }
+
   test("corpusShuffle: permutation covers every doc exactly once") {
     val docs = graft.sources.Tables.documents(spark, sf).count()
     val out = Curation.corpusShuffle(spark, sf).collect()

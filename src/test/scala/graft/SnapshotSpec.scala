@@ -981,4 +981,36 @@ class SnapshotSpec extends SparkSuite {
       Snapshot.readCurrentWhereBase(spark, root, "v", 1L, 2L)
     }
   }
+
+  test("generated column: unsafe names refused at commit, corrupt sidecar loud at read") {
+    import spark.implicits._
+    val root = freshTable()
+    val df = (1L to 10L).map(i => (i, s"v$i")).toDF("k", "v")
+    // a name the sidecar's fixed-format JSON could not round-trip is
+    // rejected BEFORE anything commits (quote, space, backtick)
+    for (bad <- Seq("""k"b""", "k b", "`kb`")) {
+      intercept[IllegalArgumentException] {
+        Snapshot.commitGenerated(df, root, "k", 1000L, bad)
+      }
+    }
+    intercept[IllegalArgumentException] {
+      Snapshot.commitGenerated(df, root, """base"col""", 1000L, "kb")
+    }
+    // a sidecar that EXISTS but doesn't parse is corruption, not
+    // "no rule": the reader must fail loudly with the evidence rather
+    // than degrade into the misleading no-rule NoSuchElementException
+    Snapshot.commitGenerated(df, root, "k", 1000L, "kb", nFiles = 2)
+    val sidecar = new java.io.File(root, "_gencol/v=1.json")
+    assert(sidecar.isFile, s"no rule sidecar at $sidecar")
+    java.nio.file.Files.write(sidecar.toPath,
+      """{"gen":bogus}""".getBytes("UTF-8"))
+    // drop the local-FS checksum shadow so the corruption reaches the
+    // PARSER (a CRC mismatch is the other, already-loud failure mode)
+    new java.io.File(sidecar.getParent, s".${sidecar.getName}.crc").delete()
+    val e = intercept[IllegalStateException] {
+      Snapshot.readCurrentWhereBase(spark, root, "k", 1L, 5L)
+    }
+    assert(e.getMessage.contains("malformed") &&
+      e.getMessage.contains("bogus"), e.getMessage)
+  }
 }

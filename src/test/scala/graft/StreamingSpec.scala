@@ -8,6 +8,33 @@ class StreamingSpec extends SparkSuite {
 
   private lazy val nEvents = Tables.events(spark, sf).count()
 
+  test("state width derives from observed source volume (deployment rule is code)") {
+    // the pure schedule: small states stay at the measured 8-partition
+    // optimum, one partition per 1M rows beyond that, capped at the
+    // batch shuffle width — the exact rule the sf10 soak validated
+    // (10M-key dedup: 8 partitions → 34.9× decade ratio, 32 → 9.8×)
+    assert(Streaming.stateWidthFor(0L, 32) == 8)
+    assert(Streaming.stateWidthFor(600000L, 32) == 8)
+    assert(Streaming.stateWidthFor(8000000L, 32) == 8)
+    assert(Streaming.stateWidthFor(10000000L, 32) == 10)
+    assert(Streaming.stateWidthFor(60000000L, 32) == 32)
+    assert(Streaming.stateWidthFor(60000000L, 64) == 60)
+    // building the file-transport stream publishes the derived width
+    // on the session; a volume-blind transport clears it (default 8)
+    Streaming.eventSource(spark, sf)
+    val derivedKey = "graft.streaming.derivedStatePartitions"
+    assert(spark.conf.getOption(derivedKey).contains(
+      Streaming.stateWidthFor(nEvents,
+        spark.conf.get("spark.sql.shuffle.partitions").toInt).toString))
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val mem = MemoryStream[(java.sql.Timestamp, Long)](spark)
+    Streaming.eventSource(spark, sf, format = "memory",
+      injected = mem.toDF.toDF("ts", "user_id"))
+    assert(spark.conf.getOption(derivedKey).isEmpty,
+      "memory transport must clear the derived width")
+  }
+
   test("tumbling windows partition the stream (each event in exactly one window)") {
     val agg = Streaming.tumbling(spark, sf).collect()
     assert(agg.map(_.getLong(2)).sum == nEvents)
@@ -334,6 +361,84 @@ class StreamingSpec extends SparkSuite {
       graft.operators.Snapshot.appendCommit(mk(250L, 400L), root)
       assert(total() == 400L, "second mid-stream append not picked up")
     } finally q.stop()
+  }
+
+  test("vacuum x append tail: unchecked resume is silently lossy; the audited resume fails fast") {
+    import graft.operators.Snapshot
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory("graft_tailvac_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_tailvac_c_").toString
+    val out  = java.nio.file.Files.createTempDirectory("graft_tailvac_o_").toString
+    val mk = (lo: Long) => spark.range(lo, lo + 10L)
+      .select(col("id").as("k"), (col("id") % 7).as("v"))
+    Snapshot.commit(mk(0L), root)        // v1
+    Snapshot.appendCommit(mk(10L), root) // v2
+    val schema = Snapshot.readCurrent(spark, root).schema
+    def drain(): Unit = {
+      val q = Streaming.snapshotAppends(spark, root, schema)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000), "tail drain timed out")
+    }
+    drain() // checkpoint now covers v1, v2
+    assert(spark.read.parquet(out).count() == 20L)
+    // CONTRACT HALF 1 — pure append chain: vacuum cannot reclaim
+    // carried live data (the current manifest references every older
+    // dir), so a lagging tail is always recoverable, at any lag
+    Snapshot.appendCommit(mk(20L), root) // v3
+    Snapshot.appendCommit(mk(30L), root) // v4
+    Snapshot.vacuum(spark, root, retain = 1)
+    val a1 = Streaming.tailVacuumAudit(spark, root, ckpt).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a1 == Map(1L -> "seen", 2L -> "seen",
+      3L -> "available", 4L -> "available"), s"audit: $a1")
+    // the audited resume hands the stream back; catch-up is exact
+    Streaming.resumeTailChecked(spark, root, ckpt, schema)
+    drain()
+    assert(spark.read.parquet(out).count() == 40L,
+      "lagging tail must catch up exactly after an append-only vacuum")
+    // CONTRACT HALF 2 — a REWRITE (compact) makes ancestors
+    // unreferenced; vacuum then reclaims them. A tail that had NOT yet
+    // listed the pre-compact appends can no longer resume exactly-once
+    val ckpt2 = java.nio.file.Files
+      .createTempDirectory("graft_tailvac_c2_").toString
+    val out2 = java.nio.file.Files
+      .createTempDirectory("graft_tailvac_o2_").toString
+    val root2 = java.nio.file.Files
+      .createTempDirectory("graft_tailvac_r2_").toString
+    Snapshot.commit(mk(0L), root2)        // v1
+    Snapshot.appendCommit(mk(10L), root2) // v2
+    def drain2(): Unit = {
+      val q = Streaming.snapshotAppends(spark, root2, schema)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out2).option("checkpointLocation", ckpt2)
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000), "tail drain timed out")
+    }
+    drain2() // saw v1, v2
+    Snapshot.appendCommit(mk(20L), root2) // v3 — never listed by tail
+    Snapshot.compact(spark, root2)        // v4 rewrites ALL rows
+    Snapshot.vacuum(spark, root2, retain = 1) // v1..v3 reclaimed
+    val a2 = Streaming.tailVacuumAudit(spark, root2, ckpt2).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a2 == Map(1L -> "vacuumed_seen", 2L -> "vacuumed_seen",
+      3L -> "vacuumed_unseen", 4L -> "available"), s"audit: $a2")
+    // the guard refuses with the lost version and the full inventory
+    val e = intercept[IllegalStateException] {
+      Streaming.resumeTailChecked(spark, root2, ckpt2, schema)
+    }
+    assert(e.getMessage.contains("[3]") &&
+      e.getMessage.contains("v=4:available"), e.getMessage)
+    // and THIS is why it must refuse: the unchecked restart re-lists
+    // the rewritten v4 and silently re-emits the 20 already-seen rows
+    // alongside v3's 10 — duplicates, with no error anywhere
+    drain2()
+    val ks = spark.read.parquet(out2).select("k").collect()
+      .map(_.getLong(0)).toSeq
+    assert(ks.size == 50 && ks.distinct.size == 30,
+      s"expected 20 silent duplicates after rewrite+vacuum resume; " +
+        s"got ${ks.size} rows, ${ks.distinct.size} distinct")
   }
 
   test("streaming CDC upserts land atomically in the snapshot table across micro-batches") {

@@ -56,7 +56,7 @@ object Graph {
     * [[SqlApi.recursiveReach]]). Session-memoized so the three queries
     * share a single lineitem⋈orders pass: pair-scale (≤ one row per
     * distinct trading relationship), persisted and materialized. */
-  private[operators] def tradePairs(spark: SparkSession, sfDir: String)
+  private[graft] def tradePairs(spark: SparkSession, sfDir: String)
       : DataFrame =
     graft.util.SessionMemo.memoized(spark, s"tradePairs|$sfDir") {
       val p = Tables.lineitem(spark, sfDir)

@@ -2326,7 +2326,16 @@ object Snapshot {
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
     val root = java.nio.file.Files
       .createTempDirectory("graft_gencol_").toString
-    commitGenerated(orders, root, "o_orderkey", 1000L, "ok_bucket")
+    // file count tracks data volume (~2M rows/file, clamped to
+    // [8, 32]): a FIXED 8-file layout made the write venue the 18.7×
+    // line of the sf10 soak — 10× the rows through the same 8 writers.
+    // At 100 TB this is the table's target-file-size policy; deriving
+    // it from the observed row count is that policy as code. Finer
+    // files also prune finer, so the read path only gains.
+    val rows = orders.count()
+    val nF = math.min(32L, math.max(8L, rows / 2000000L)).toInt
+    commitGenerated(orders, root, "o_orderkey", 1000L, "ok_bucket",
+      nFiles = nF)
     val mx = orders.agg(max("o_orderkey")).head().getLong(0)
     readCurrentWhereBase(spark, root, "o_orderkey", mx / 4, mx / 2)
       .groupBy(col("o_orderstatus"))

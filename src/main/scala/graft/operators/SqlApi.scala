@@ -693,8 +693,8 @@ object SqlApi {
 
   def recursiveReach(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val edges = graft.util.SessionMemo.memoized(
-        spark, s"reachEdges|$sfDir") {
+    val (edges, edgeCount) = graft.util.SessionMemo.memoizedValue[
+        (DataFrame, Long)](spark, s"reachEdges|$sfDir") {
       // distinct pairs = the key columns of the shared weighted-pair
       // relation (groupBy output is distinct by construction), so this
       // build is a cheap projection of the memoized cache — pageRank,
@@ -713,10 +713,24 @@ object SqlApi {
           (col("c") * 2).as("dst")))
         .repartition(n, col("src"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      e.count() // materialize: the loop body must hit cache, not corpus
-      e
+      // materialize: the loop body must hit cache, not corpus; the
+      // count doubles as the recursion-limit derivation below
+      (e, e.count())
     }
     edges.createOrReplaceTempView("reach_edges_m")
+    // Spark guards WITH RECURSIVE with a TOTAL accumulated-row valve
+    // (spark.sql.cteRecursionRowLimit, default 1M) — the sf10 soak hit
+    // it: a graph with >250k nodes legitimately accumulates more than
+    // 1M frontier rows over 4 DISTINCT-bounded steps. The bound is a
+    // workload property, so derive it from the measured relation
+    // instead of shipping the default as operator lore: accumulated
+    // rows ≤ (depth+1)·|nodes| ≤ (depth+1)·|edges|; 6·|edges| covers
+    // depth 4 with headroom while still tripping on a genuinely
+    // runaway (path-enumerating) recursion. Session-level because the
+    // valve is read at EXECUTION time — a scoped set/restore around
+    // construction would be gone before the loop runs.
+    val lim = math.max(1000000L, 6L * edgeCount)
+    spark.conf.set("spark.sql.cteRecursionRowLimit", lim.toString)
     spark.sql(recursiveReachHoistedSql)
   }
 }

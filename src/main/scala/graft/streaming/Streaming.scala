@@ -59,13 +59,27 @@ object Streaming {
     fmt match {
       case "files" =>
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+        val evPath = s"$sfDir/events.parquet"
+        val schema = spark.read.parquet(evPath).schema
         deriveStateWidth(spark, sfDir)
-        // The file stream source needs a directory; pathGlobFilter
-        // narrows the listing to just the events table.
-        graft.sources.Tables.normalizeTs(
-          spark.readStream.schema(schema)
-            .option("pathGlobFilter", "events.parquet").parquet(sfDir))
+        // The file stream source needs a directory to list. Two
+        // landing shapes exist: the fixture ships events.parquet as a
+        // SINGLE file (list the parent, pathGlobFilter narrows to the
+        // events table), while a production appender lands a DIRECTORY
+        // of part files under events.parquet/ (list it directly — the
+        // shape the restart soak exercises, new files picked up
+        // incrementally by the offset log).
+        val evHPath = new org.apache.hadoop.fs.Path(evPath)
+        val evIsDir = evHPath
+          .getFileSystem(spark.sessionState.newHadoopConf())
+          .getFileStatus(evHPath).isDirectory
+        val src =
+          if (evIsDir)
+            spark.readStream.schema(schema).parquet(evPath)
+          else
+            spark.readStream.schema(schema)
+              .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+        graft.sources.Tables.normalizeTs(src)
       case "memory" =>
         require(injected != null,
           "memory format is caller-constructed: pass injected=<stream>")
@@ -143,13 +157,16 @@ object Streaming {
     * must track state-key VOLUME. At 10.0M distinct dedup keys the
     * 8-partition venue width meant 1.25M RocksDB keys per store
     * (34.9× the sf1 wall); 32 partitions restored linearity (9.8×).
-    * One state partition per million source rows reproduces exactly
-    * that schedule — ≤8M rows stays at the measured small-state
+    * One state partition per million source rows keeps every store
+    * under that knee — ≤8M rows stays at the measured small-state
     * optimum of 8 (store setup/commit is per-partition per-batch, so
-    * narrow small states win), and the sf10 venue derives 32 with no
-    * env override. Row count is an upper bound on keys (dedup/agg
-    * keys ≤ rows), which errs toward more partitions exactly when
-    * state is large — the safe direction. */
+    * narrow small states win), and the sf10 venue derives 10 with no
+    * env override, measured at 61.5 s — BEATING the manual width-32
+    * override it replaced (79.1 s): 1M keys/store sits under the
+    * RocksDB compaction knee while per-batch store overhead drops 3×.
+    * Row count is an upper bound on keys (dedup/agg keys ≤ rows),
+    * which errs toward more partitions exactly when state is large —
+    * the safe direction. */
   private val RowsPerStatePartition = 1000000L
 
   /** Session conf carrying the width derived from the OBSERVED source
@@ -344,6 +361,22 @@ object Streaming {
   def dedupToFileSink(spark: SparkSession, sfDir: String): DataFrame = {
     val out = java.nio.file.Files.createTempDirectory("graft_dsink_").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_dsink_ck_").toString
+    dedupRunToFileSink(spark, sfDir, out, ckpt)
+  }
+
+  /** One RUN (start → drain → stop) of the file-sink dedup pipeline
+    * against caller-owned sink + checkpoint paths — the restartable
+    * form of [[dedupToFileSink]]. Calling it again after more source
+    * files land under `sfDir/events.parquet` RESUMES the query: the
+    * file-source offset log skips already-ingested files and the
+    * RocksDB key state reloads from the checkpoint, so a key first
+    * seen before the stop is NOT re-emitted after it. That is the
+    * crash/deploy contract a 100 TB pipeline actually runs under —
+    * exactly-once output across process deaths, state carried in the
+    * checkpoint, nothing driver-side (StreamingSpec kills between
+    * micro-batches and pins the overlap keys emit exactly once). */
+  def dedupRunToFileSink(spark: SparkSession, sfDir: String,
+                         out: String, ckpt: String): DataFrame = {
     val dd = eventsStream(spark, sfDir)
       .withWatermark("ts", "1 hour")
       .withColumn("minute_ts", date_trunc("minute", col("ts")))

@@ -202,6 +202,40 @@ class StreamingSpec extends SparkSuite {
     assert(file.toSeq == mem.toSeq)
   }
 
+  test("stateful restart: RocksDB dedup state survives a kill (exactly-once across runs)") {
+    // The crash/deploy contract of the production path: stop the query
+    // between micro-batches (a process death at a batch boundary),
+    // land MORE source files — half of them carrying keys the first
+    // incarnation already emitted — and restart against the same
+    // checkpoint. The file-source offset log must skip ingested files
+    // and the reloaded RocksDB key state must keep suppressing the
+    // pre-kill keys: every key emits exactly once ACROSS runs. If the
+    // state did not survive, keys 50-99 would be "first seen" again in
+    // run 2 and the sink would hold 200 rows, not 150.
+    val srcRoot = java.nio.file.Files.createTempDirectory("graft_rs_").toString
+    val out  = java.nio.file.Files.createTempDirectory("graft_rs_o_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_rs_c_").toString
+    val evDir = s"$srcRoot/events.parquet"
+    def mk(users: Range) = spark.range(users.start, users.end)
+      .select(col("id").as("event_id"), col("id").as("user_id"),
+        lit("click").as("event_type"),
+        to_timestamp(lit("2025-01-01 00:01:00")).as("ts"),
+        col("id").cast("double").as("value"))
+    // run 1: keys 0-99, each written twice (in-run duplicates)
+    mk(0 until 100).union(mk(0 until 100))
+      .write.mode("append").parquet(evDir)
+    val r1 = Streaming.dedupRunToFileSink(spark, srcRoot, out, ckpt)
+    assert(r1.count() == 100L, "in-run duplicates must collapse")
+    // the process dies; keys 50-149 land (50-99 are pre-kill repeats)
+    mk(50 until 150).write.mode("append").parquet(evDir)
+    val r2 = Streaming.dedupRunToFileSink(spark, srcRoot, out, ckpt)
+    val users = r2.collect().map(_.getLong(0))
+    assert(users.toSet == (0L until 150L).toSet,
+      "run 2 must ingest the new files and emit the genuinely new keys")
+    assert(users.length == 150,
+      s"every key exactly once across the restart, got ${users.length}")
+  }
+
   test("the tumbling aggregate runs from a rate source (third source shape)") {
     // x12a's transform over format("rate-micro-batch") — a generator
     // source with none of the file source's schema/layout — proving the

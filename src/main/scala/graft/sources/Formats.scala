@@ -19,25 +19,38 @@ object Formats {
     * textual round-trips — Spark emits shortest-roundtrip literals.)
     */
   def roundtrip(spark: SparkSession, sfDir: String): DataFrame = {
-    // Cache the extract: three sinks consume it, and without the cache
-    // each write replays the join from the source (3× the scan+shuffle).
     val base = graft.operators.Etl.extractUnsorted(spark, sfDir)
       .select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
-      .cache()
     val dir = java.nio.file.Files.createTempDirectory("graft_formats_").toString
 
-    // Size the writer task count to the data, not the shuffle width: at
-    // fixture scale 4 formats × 32 shuffle partitions is 128 writer
-    // tasks emitting 128 tiny files — task/commit overhead, not I/O. At
-    // 100 TB the same line targets file size (rows/target per file).
-    val w = base.coalesce(4)
+    // Sizing probe: one un-cached pass over the extract. Runs at the
+    // scan's full width (nothing narrowed below it).
+    val rows = base.count()
+    // Size the writer task count to the DATA, not the shuffle width —
+    // and size it for the least-splittable format in the fan-out: XML
+    // reads whole files (one file = one read task), so file size IS the
+    // read-side parallelism unit. ~250k rows/file ≈ 50 MB of XML keeps
+    // both sides healthy; floor 4 avoids single-file sinks at toy SF,
+    // cap 32 = local core count (a cluster would cap at its width).
+    // repartition, NOT coalesce: the extract's width is
+    // venue-dependent (a broadcast join rides the scan width — 1-2
+    // partitions at fixture scale), and coalesce can only narrow. The
+    // measured cost of widening here was a 539 MB single XML file whose
+    // unsplittable read ran one-task serial: 8.6 s where 12-wide
+    // parallel parse takes <2 s (sf1).
+    val nFiles = math.max(4L, math.min(32L, (rows + 249999) / 250000)).toInt
+    // Cache ABOVE the repartition, so the exchange runs once: four
+    // sinks consume the same 12-or-so in-memory partitions instead of
+    // each replaying cache-scan + 200 MB shuffle (measured 3× that
+    // cost at sf1 with the cache below the exchange).
+    val w = base.repartition(nFiles).cache()
     w.write.mode("overwrite").option("header", "true").csv(s"$dir/csv")
     w.write.mode("overwrite").json(s"$dir/json")
     w.write.mode("overwrite").orc(s"$dir/orc")
     // XML is a native data source since Spark 4 — no external module.
     w.write.mode("overwrite").option("rowTag", "row").xml(s"$dir/xml")
 
-    base.unpersist() // downstream reads come from the written files
+    w.unpersist() // downstream reads come from the written files
 
     val csv = spark.read.option("header", "true")
       .schema(base.schema).csv(s"$dir/csv")

@@ -58,14 +58,29 @@ object Etl {
     */
   def sinkRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     val out = java.nio.file.Files.createTempDirectory("graft_sink_").toString
-    extractUnsorted(spark, sfDir)
-      // Align the shuffle with the sink layout: without this every
-      // upstream task writes one file into every partition directory
-      // (tasks × keys small files — the classic small-files failure at
-      // scale); repartitioning on the partition key gives each directory
-      // a handful of full-size files. At 100 TB you'd repartition(n, key)
-      // to target file size.
-      .repartition(col("l_returnflag"))
+    val ext = extractUnsorted(spark, sfDir)
+    // Align the shuffle with the sink layout: without this every
+    // upstream task writes one file into every partition directory
+    // (tasks × keys small files — the classic small-files failure at
+    // scale). But a bare repartition(key) is the OPPOSITE failure: each
+    // key lands in ONE task → one ever-growing file per directory (and
+    // writer parallelism = key cardinality, 3 here) no matter the data.
+    // So target file size: derive files-per-key from the SOURCE row
+    // count — a parquet-footer-only probe (no data pages, no extract
+    // re-run) that upper-bounds the extract (the band filter only
+    // drops rows), which errs toward smaller-than-target files — the
+    // safe direction. ~2M source rows per file ≈ 100 MB parquet after
+    // the ~50% band selectivity; the salt spreads each key over fpk
+    // tasks deterministically (hash of the PK — no RNG, so re-runs
+    // produce identical row placement classes). The of21 lesson as a
+    // write-path policy: layout derives from data, never from a
+    // constant.
+    val rows = Tables.lineitem(spark, sfDir).count()
+    val keys = 3L // |l_returnflag| domain: A/N/R
+    val fpk = math.max(1L, math.min(32L, (rows / keys + 1999999) / 2000000)).toInt
+    ext
+      .repartition(col("l_returnflag"),
+        pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(fpk)))
       .write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
     spark.read.parquet(out)
       .groupBy("l_returnflag").agg(count(lit(1)).as("n_rows"))

@@ -232,7 +232,7 @@ object Etl {
     * snapshot WITH per-file min/max stats ([[Snapshot.commitWithStats]]),
     * then answer a one-year date-range aggregate through the pruned read
     * path ([[Snapshot.readCurrentPruned]]): the stats manifest — not the
-    * data — decides which files the scan opens, so on the 8-file range
+    * data — decides which files the scan opens, so on the range
     * layout only the ~files covering 1996 are read (pruning factor
     * asserted in SnapshotSpec; at 100 TB this is the difference between
     * scanning the table and scanning the selected year). The residual
@@ -244,7 +244,8 @@ object Etl {
     val orders = Tables.orders(spark, sfDir)
       .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
     Snapshot.commitWithStats(
-      orders.repartitionByRange(8, col("o_orderdate"))
+      orders.repartitionByRange(
+          Snapshot.derivedCommitFiles(orders.count()), col("o_orderdate"))
         .sortWithinPartitions("o_orderdate"),
       table, Seq("o_orderdate"))
     Snapshot.readCurrentPruned(spark, table, "o_orderdate",

@@ -381,6 +381,30 @@ object Snapshot {
     readResolved(spark, root, v)
   }
 
+  /** `numFiles` sentinel for [[compact]]: derive the rewrite width
+    * from the bytes the current version actually references. */
+  val DerivedWidth: Int = 0
+
+  /** Target bytes per compacted file (parquet-encoded). One writer
+    * per ~this many referenced bytes keeps rewrite parallelism
+    * tracking data volume while still producing scan-efficient files —
+    * the table's target-file-size policy as code. */
+  private val TargetCompactBytes = 128L * 1024 * 1024
+
+  /** The clamp itself, separated for spec pinning: referenced bytes
+    * over [[TargetCompactBytes]], ceiling, clamped to [1, cap]. */
+  private[graft] def compactWidthFor(bytes: Long, cap: Int): Int =
+    math.min(cap.toLong, math.max(1L,
+      (bytes + TargetCompactBytes - 1) / TargetCompactBytes)).toInt
+
+  /** Rewrite width for version `v`: referenced bytes (manifest-aware
+    * [[fileInventory]] — an O(files) metadata read, no data scan) over
+    * [[TargetCompactBytes]], clamped to [1, shuffle.partitions]. */
+  private def derivedCompactFiles(spark: SparkSession, root: String,
+                                  v: Long): Int =
+    compactWidthFor(fileInventory(spark, root, v).map(_._2).sum,
+      spark.sessionState.conf.numShufflePartitions)
+
   /** Compaction: rewrite the CURRENT version's files into `numFiles`
     * and commit the result as a new version — the small-file
     * maintenance pass every incrementally-ingested table needs (a CDC
@@ -391,8 +415,16 @@ object Snapshot {
     * lost and the compaction retries on the new head. Readers are
     * never disturbed: content is byte-identical by construction
     * (repartition only moves rows between files), and the old version
-    * remains until vacuumed. */
-  def compact(spark: SparkSession, root: String, numFiles: Int = 1,
+    * remains until vacuumed.
+    *
+    * `numFiles` defaults to [[DerivedWidth]]: one writer per
+    * ~128 MB of referenced bytes, clamped to [1, shuffle.partitions].
+    * A FIXED width is the of21-class scale defect in maintenance
+    * form — 10× the rows through the same k writer tasks; deriving it
+    * per-attempt (the referenced set changes if a concurrent commit
+    * wins the claim race) keeps rewrite parallelism tracking volume. */
+  def compact(spark: SparkSession, root: String,
+              numFiles: Int = DerivedWidth,
               maxRetries: Int = 16): Long = {
     var attempt = 0
     while (attempt < maxRetries) {
@@ -405,7 +437,9 @@ object Snapshot {
         // chain so vacuum can reclaim the referenced ancestors
         val resolved = toPhysical(readResolved(spark, root, base),
           columnMapOf(spark, root, base))
-        resolved.repartition(numFiles)
+        val nF = if (numFiles > 0) numFiles
+                 else derivedCompactFiles(spark, root, base)
+        resolved.repartition(nF)
           .write.mode("overwrite").parquet(s"$root/v=${base + 1}")
         // a stats-carrying table keeps its data-skipping index across
         // maintenance passes: re-derive the manifest for the new files
@@ -1876,11 +1910,14 @@ object Snapshot {
     import org.apache.spark.sql.functions._
     val li = graft.sources.Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
-    val hi = li.agg(floor(max(col("l_orderkey")) / 5)).head().getLong(0)
+    // one probe pass feeds both the delete bound and the commit width
+    val probe = li.agg(floor(max(col("l_orderkey")) / 5),
+      count(lit(1))).head()
+    val (hi, rows) = (probe.getLong(0), probe.getLong(1))
     val root = java.nio.file.Files
       .createTempDirectory("graft_del_").toString
     commitWithStats(
-      li.repartitionByRange(8, col("l_orderkey"))
+      li.repartitionByRange(derivedCommitFiles(rows), col("l_orderkey"))
         .sortWithinPartitions("l_orderkey"),
       root, Seq("l_orderkey"))
     deleteWhere(spark, root, "l_orderkey", lit(1L), lit(hi))
@@ -1907,7 +1944,8 @@ object Snapshot {
     val root = java.nio.file.Files
       .createTempDirectory("graft_restore_").toString
     commitWithStats(
-      o.repartitionByRange(4, col("o_orderkey"))
+      o.repartitionByRange(derivedCommitFiles(o.count()),
+          col("o_orderkey"))
         .sortWithinPartitions("o_orderkey"),
       root, Seq("o_orderkey"))
     deleteWhere(spark, root, "o_orderkey", lit(1L), lit(1000L))
@@ -1934,11 +1972,13 @@ object Snapshot {
     import org.apache.spark.sql.functions._
     val li = graft.sources.Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
-    val pk = li.agg(min(col("l_partkey"))).head().getLong(0)
+    // one probe pass feeds both the lookup key and the commit width
+    val probe = li.agg(min(col("l_partkey")), count(lit(1))).head()
+    val (pk, rows) = (probe.getLong(0), probe.getLong(1))
     val root = java.nio.file.Files
       .createTempDirectory("graft_point_").toString
     commitWithStats(
-      li.repartitionByRange(8, col("l_orderkey"))
+      li.repartitionByRange(derivedCommitFiles(rows), col("l_orderkey"))
         .sortWithinPartitions("l_orderkey"),
       root, Seq("l_orderkey"), bloomCols = Seq("l_partkey"))
     readCurrentPoint(spark, root, "l_partkey", pk)
@@ -1969,9 +2009,10 @@ object Snapshot {
       .select(col("o_orderkey"), col("o_totalprice"))
     val root = java.nio.file.Files
       .createTempDirectory("graft_evo_").toString
+    val keep = o.filter(col("o_orderkey") % 10 =!= 3)
     commitWithStats(
-      o.filter(col("o_orderkey") % 10 =!= 3)
-        .repartitionByRange(4, col("o_orderkey"))
+      keep.repartitionByRange(derivedCommitFiles(keep.count()),
+          col("o_orderkey"))
         .sortWithinPartitions("o_orderkey"),
       root, Seq("o_orderkey"))
     appendCommit(
@@ -2003,9 +2044,10 @@ object Snapshot {
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
     val root = java.nio.file.Files
       .createTempDirectory("graft_rename_").toString
+    val keep = orders.filter(col("o_orderkey") % 10 =!= 3)
     commitWithStats(
-      orders.filter(col("o_orderkey") % 10 =!= 3)
-        .repartitionByRange(4, col("o_orderkey"))
+      keep.repartitionByRange(derivedCommitFiles(keep.count()),
+          col("o_orderkey"))
         .sortWithinPartitions("o_orderkey"),
       root, Seq("o_orderkey"))
     renameColumn(spark, root, "o_totalprice", "o_price")
@@ -2046,9 +2088,10 @@ object Snapshot {
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
     val root = java.nio.file.Files
       .createTempDirectory("graft_drop_").toString
+    val keep = orders.filter(col("o_orderkey") % 10 =!= 3)
     commitWithStats(
-      orders.filter(col("o_orderkey") % 10 =!= 3)
-        .repartitionByRange(4, col("o_orderkey"))
+      keep.repartitionByRange(derivedCommitFiles(keep.count()),
+          col("o_orderkey"))
         .sortWithinPartitions("o_orderkey"),
       root, Seq("o_orderkey"))
     dropColumn(spark, root, "o_totalprice")
@@ -2162,12 +2205,15 @@ object Snapshot {
       .createTempDirectory("graft_clone_").toString
     val src = s"$base/src"
     val dst = s"$base/clone"
+    // one probe pass feeds both the delete cut and the commit width
+    val probe = orders.agg(max(col("o_orderkey")), count(lit(1))).head()
+    val (cut, rows) = (probe.getLong(0) / 6, probe.getLong(1))
     commitWithStats(
-      orders.repartitionByRange(8, col("o_orderkey"))
+      orders.repartitionByRange(derivedCommitFiles(rows),
+          col("o_orderkey"))
         .sortWithinPartitions("o_orderkey"),
       src, Seq("o_orderkey"))
     shallowClone(spark, src, dst)
-    val cut = orders.agg(max(col("o_orderkey"))).head().getLong(0) / 6
     deleteWhere(spark, dst, "o_orderkey", lit(1L), lit(cut))
     def side(root: String, label: String) =
       readCurrent(spark, root)
@@ -2313,6 +2359,15 @@ object Snapshot {
       .filter(col(baseCol) >= lo && col(baseCol) <= hi)
   }
 
+  /** Commit width for a demo venue writing `rows` rows: ~2M rows per
+    * file, clamped to [8, 32]. The table's target-file-size policy as
+    * code — a FIXED width is the sf10-soak defect class (10× the rows
+    * through the same k writer tasks); deriving it from the observed
+    * row count keeps write parallelism tracking data volume, and finer
+    * files also prune finer on the read side. */
+  private[graft] def derivedCommitFiles(rows: Long): Int =
+    math.min(32L, math.max(8L, rows / 2000000L)).toInt
+
   /** The oracle-certified [[commitGenerated]] venue
     * (`of21_generated_column`): orders committed with a derived
     * thousand-key bucket column, then a BASE-key range query served
@@ -2326,14 +2381,11 @@ object Snapshot {
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
     val root = java.nio.file.Files
       .createTempDirectory("graft_gencol_").toString
-    // file count tracks data volume (~2M rows/file, clamped to
-    // [8, 32]): a FIXED 8-file layout made the write venue the 18.7×
-    // line of the sf10 soak — 10× the rows through the same 8 writers.
-    // At 100 TB this is the table's target-file-size policy; deriving
-    // it from the observed row count is that policy as code. Finer
-    // files also prune finer, so the read path only gains.
+    // file count tracks data volume: a FIXED 8-file layout made the
+    // write venue the 18.7× line of the sf10 soak — 10× the rows
+    // through the same 8 writers (see [[derivedCommitFiles]]).
     val rows = orders.count()
-    val nF = math.min(32L, math.max(8L, rows / 2000000L)).toInt
+    val nF = derivedCommitFiles(rows)
     commitGenerated(orders, root, "o_orderkey", 1000L, "ok_bucket",
       nFiles = nF)
     val mx = orders.agg(max("o_orderkey")).head().getLong(0)
@@ -2362,11 +2414,14 @@ object Snapshot {
     val li = graft.sources.Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
         col("l_quantity"))
-    val maxes = li.agg(max(col("l_partkey")), max(col("l_suppkey"))).head()
+    // one probe pass feeds the box bounds and the commit width
+    val maxes = li.agg(max(col("l_partkey")), max(col("l_suppkey")),
+      count(lit(1))).head()
     val (pMax, sMax) = (maxes.getLong(0), maxes.getLong(1))
     val root = java.nio.file.Files
       .createTempDirectory("graft_zorder_").toString
-    commitClustered(li, root, "l_partkey", "l_suppkey", 16)
+    commitClustered(li, root, "l_partkey", "l_suppkey",
+      derivedCommitFiles(maxes.getLong(2)))
     readCurrentPrunedBox(spark, root,
         "l_partkey", lit(pMax / 4), lit(pMax / 2),
         "l_suppkey", lit(sMax / 4), lit(sMax / 2))
@@ -2395,15 +2450,18 @@ object Snapshot {
     import org.apache.spark.sql.functions._
     val li = graft.sources.Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
-    val hi = li.agg(floor(max(col("l_orderkey")) / 5)).head().getLong(0)
+    // one probe pass feeds both the delete bound and the commit width
+    val probe = li.agg(floor(max(col("l_orderkey")) / 5),
+      count(lit(1))).head()
+    val (hi, rows) = (probe.getLong(0), probe.getLong(1))
     val root = java.nio.file.Files
       .createTempDirectory("graft_vacuum_").toString
     commitWithStats(
-      li.repartitionByRange(8, col("l_orderkey"))
+      li.repartitionByRange(derivedCommitFiles(rows), col("l_orderkey"))
         .sortWithinPartitions("l_orderkey"),
       root, Seq("l_orderkey"))
     deleteWhere(spark, root, "l_orderkey", lit(1L), lit(hi))
-    compact(spark, root, 4)
+    compact(spark, root) // width from the referenced bytes
     vacuum(spark, root)
     readCurrent(spark, root)
       .groupBy((col("l_orderkey") % 9).as("bucket"))
@@ -2428,11 +2486,14 @@ object Snapshot {
     import org.apache.spark.sql.functions._
     val o = graft.sources.Tables.table(spark, sfDir, "orders")
       .select(col("o_orderkey"), col("o_totalprice"))
-    val hi = o.agg(floor(max(col("o_orderkey")) / 3)).head().getLong(0)
+    // one probe pass feeds both the delete bound and the commit width
+    val probe = o.agg(floor(max(col("o_orderkey")) / 3),
+      count(lit(1))).head()
+    val (hi, rows) = (probe.getLong(0), probe.getLong(1))
     val root = java.nio.file.Files
       .createTempDirectory("graft_asof_").toString
     commitWithStats(
-      o.repartitionByRange(4, col("o_orderkey"))
+      o.repartitionByRange(derivedCommitFiles(rows), col("o_orderkey"))
         .sortWithinPartitions("o_orderkey"),
       root, Seq("o_orderkey"))
     deleteWhere(spark, root, "o_orderkey", lit(1L), lit(hi))

@@ -236,6 +236,20 @@ class SnapshotSpec extends SparkSuite {
     assert(v == 5L && Snapshot.currentVersion(spark, root).contains(5L))
     assert(fileCount(5L) == 1, "compaction must coalesce the files")
     assert(rows(root) == before, "compaction must not change content")
+    // the default (DerivedWidth) rewrite width is the target-file-size
+    // policy as code: bytes/128MB ceiling, clamped to
+    // [1, shuffle.partitions] — a fixture-scale table derives 1 file,
+    // a 10-GB referenced set derives 80 writers (or the cap if lower)
+    assert(Snapshot.compactWidthFor(0L, 32) == 1)
+    assert(Snapshot.compactWidthFor(128L * 1024 * 1024, 32) == 1)
+    assert(Snapshot.compactWidthFor(128L * 1024 * 1024 + 1, 32) == 2)
+    assert(Snapshot.compactWidthFor(10L << 30, 200) == 80)
+    assert(Snapshot.compactWidthFor(10L << 30, 32) == 32,
+      "width must clamp to the session's shuffle parallelism")
+    val dv = Snapshot.compact(spark, root)
+    assert(fileCount(dv) == 1,
+      "fixture-scale derived width must stay single-file")
+    assert(rows(root) == before)
   }
 
   test("time travel: retained versions stay readable, vacuumed ones fail fast") {

@@ -451,37 +451,80 @@ object Dedup {
     * bounded to the [[MaxPairsPerDoc]] closest partners per left doc
     * (hamming asc, partner id asc) — see [[topPairsPerDoc]]; the
     * edit-distance verifier (x09j) inherits the same bounded contract.
+    *
+    * The band join runs over DISTINCT signatures, not documents. A
+    * doc-level band self-join carries each duplicate group's full
+    * membership through the shuffle and then pays a candidate-pair
+    * `distinct` that is multiplicity² in every dup-dense bucket — at
+    * the sf10 soak (3.2× measured exact-dup multiplicity) that stage
+    * wrote 30 GB of shuffle, spilled 368 GB, and died on disk
+    * exhaustion. Identical texts hash to identical fingerprints, so
+    * collapsing first makes bucket population count distinct
+    * *signatures*; the doc-level pair set is recovered afterwards by
+    * an output-bounded expansion (≤ [[MaxPairsPerDoc]] emissions per
+    * doc per side, sorted-array `slice∘filter`, no doc×doc join) that
+    * provably contains the true top-k: a partner outside its group's
+    * (or neighbor-group's) k smallest larger ids is outranked by k
+    * same-hamming-or-better pairs and can never surface.
     */
   def simhashPairs(spark: SparkSession, sfDir: String): DataFrame =
     memoized(spark, s"simhashPairs|$sfDir") {
-      val fp = simhash(spark, sfDir).cache()
-      val bandExprs = Seq(
-        ("simhash_lo", 0), ("simhash_lo", 16), ("simhash_hi", 0), ("simhash_hi", 16))
-      val banded = fp.select(col("doc_id"),
+      // one row per distinct 64-bit fingerprint: sorted member ids +
+      // the min id as the signature's join key
+      val sigs = simhash(spark, sfDir)
+        .groupBy(col("simhash_lo").as("lo"), col("simhash_hi").as("hi"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("members"))
+        .withColumn("sig_id", element_at(col("members"), 1))
+        .cache()
+      // hamming-0 pairs never cross groups: each member pairs with its
+      // next ≤k larger co-members — already the per-doc best possible
+      // partners, so emitting only those k loses nothing
+      val intra = sigs
+        .select(explode(col("members")).as("doc_a"), col("members"))
+        .select(col("doc_a"), explode(expr(
+          s"slice(filter(members, m -> m > doc_a), 1, $MaxPairsPerDoc)"))
+          .as("doc_b"))
+        .withColumn("hamming", lit(0))
+      val bandExprs = Seq(("lo", 0), ("lo", 16), ("hi", 0), ("hi", 16))
+      val banded = sigs.select(col("sig_id"), col("lo"), col("hi"),
           explode(array(bandExprs.zipWithIndex.map { case ((c, sh), i) =>
             struct(lit(i).as("bb"),
               expr(s"shiftright($c, $sh) % 65536").as("bv"))
           }: _*)).as("s"))
-        .select(col("doc_id"), col("s.bb").as("bb"), col("s.bv").as("bv"))
-      val cand = banded.as("x").join(banded.as("y"),
+        .select(col("sig_id"), col("lo"), col("hi"),
+          col("s.bb").as("bb"), col("s.bv").as("bv"))
+      // candidate SIGNATURE pairs (hamming 1..3; 0 is impossible across
+      // distinct signatures); distinct collapses multi-band matches on
+      // the signature-pair set, orders of magnitude below doc pairs
+      val sigCand = banded.as("x").join(banded.as("y"),
           col("x.bb") === col("y.bb") && col("x.bv") === col("y.bv") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
-      val pairs = cand
-        .join(fp.select(col("doc_id").as("doc_a"),
-          col("simhash_lo").as("lo_a"), col("simhash_hi").as("hi_a")), "doc_a")
-        .join(fp.select(col("doc_id").as("doc_b"),
-          col("simhash_lo").as("lo_b"), col("simhash_hi").as("hi_b")), "doc_b")
-        .select(col("doc_a"), col("doc_b"),
-          expr("CAST(bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b) AS INT)")
+            col("x.sig_id") < col("y.sig_id"))
+        .select(col("x.sig_id").as("sa"), col("y.sig_id").as("sb"),
+          expr("CAST(bit_count(x.lo ^ y.lo) + bit_count(x.hi ^ y.hi) AS INT)")
             .as("hamming"))
         .filter(col("hamming") <= 3)
+        .distinct()
+      // recover doc pairs from each surviving signature pair: every
+      // member of one side takes the ≤k smallest larger ids of the
+      // other (both directions — id order is independent of grouping)
+      val withArrs = sigCand
+        .join(sigs.select(col("sig_id").as("sa"),
+          col("members").as("arr_a")), "sa")
+        .join(sigs.select(col("sig_id").as("sb"),
+          col("members").as("arr_b")), "sb")
+      def expand(from: String, into: String): DataFrame = withArrs
+        .select(col("hamming"), explode(col(from)).as("doc_a"), col(into))
+        .select(col("doc_a"), explode(expr(
+          s"slice(filter($into, m -> m > doc_a), 1, $MaxPairsPerDoc)"))
+          .as("doc_b"), col("hamming"))
+      val pairs = intra
+        .unionByName(expand("arr_a", "arr_b"))
+        .unionByName(expand("arr_b", "arr_a"))
       val bounded = topPairsPerDoc(pairs, col("hamming"), col("doc_b"))
       // the memo's localCheckpoint materializes the bounded set here;
-      // the fingerprint cache is corpus-sized and must not outlive the
+      // the signature cache is corpus-keyed and must not outlive the
       // build
-      try bounded.localCheckpoint() finally fp.unpersist()
+      try bounded.localCheckpoint() finally sigs.unpersist()
     }.orderBy("doc_a", "doc_b")
 
   /** Edit-distance verification of the SimHash candidate pairs — the

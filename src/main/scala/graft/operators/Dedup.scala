@@ -179,55 +179,95 @@ object Dedup {
     * verification of candidates only. Emits verified pairs with
     * jaccard ≥ 0.5 (the fixture's planted near-dups sit at ≥ 0.8 with a
     * clean gap below — see SURVEY §5 methodology).
+    *
+    * The LSH machinery runs over DISTINCT shingle SETS, not documents.
+    * Jaccard, all 16 min-hashes, and every band key are functions of
+    * the set alone, so docs with identical sets form equivalence
+    * classes that behave identically through the whole pipeline; a
+    * doc-level band join carries each class's full membership through
+    * the shuffle and pays a multiplicity² candidate distinct in every
+    * dup-dense bucket (the x09d sf10 failure mode — the ensemble's
+    * lexical half spilled 113 GB through exactly this stage). Grouping
+    * by the sorted shingle-id array first makes candidate mass track
+    * distinct CONTENT; the doc-level pair set — which is contractually
+    * unbounded and genuinely multiplicity² for exact-dup groups — is
+    * recovered at the END by pure array expansion (explode over the
+    * already-joined member lists, no join, no shuffle): intra-class
+    * pairs at jaccard exactly 1.0, cross-class pairs at their class
+    * pair's verified jaccard. Output is byte-identical to the
+    * doc-level formulation.
     */
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
     graft.plans.PolyHash.register(spark)
-    val ds = shingleIds(spark, sfDir).cache()
+    graft.plans.MinHashAgg.register(spark)
+    val ds = shingleIds(spark, sfDir)
+
+    // identical-set equivalence classes: sorted member ids + the min id
+    // as the class key; n cached for the Jaccard denominator
+    val groups = ds.groupBy("doc_id")
+      .agg(sort_array(collect_list("sid")).as("sids"))
+      .groupBy("sids")
+      .agg(sort_array(collect_list("doc_id")).as("members"))
+      .withColumn("sig_id", element_at(col("members"), 1))
+      .withColumn("n", size(col("sids")))
+      .cache()
 
     // All 16 min-hashes in ONE aggregation pass via the sketch-style
     // custom aggregate (graft.plans.MinHashAgg): the shingle-id set
-    // collapses map-side into a 16-long buffer per document — no 16×
-    // row blow-up, no extra shuffle, 128 bytes per doc on the wire.
-    graft.plans.MinHashAgg.register(spark)
-    val mhWide = ds.groupBy("doc_id")
+    // collapses map-side into a 16-long buffer per CLASS — no 16×
+    // row blow-up, 128 bytes per distinct set on the wire.
+    val mhWide = groups
+      .select(col("sig_id").as("doc_id"), explode(col("sids")).as("sid"))
+      .groupBy("doc_id")
       .agg(expr(s"${graft.plans.MinHashAgg.name}(sid)").as("mh"))
 
     // Band signature: order-free weighted sum of the band's 4 min-hashes
-    // (weights 31^k) — one BIGINT key per (doc, band), join-able without
-    // any array/string aggregation.
+    // (weights 31^k) — one BIGINT key per (class, band), join-able
+    // without any array/string aggregation.
     val bands = bandsOf(mhWide)
 
-    val cand = bands.as("x").join(bands.as("y"),
+    val sigCand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bandkey") === col("y.bandkey")
           && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .select(col("x.doc_id").as("sa"), col("y.doc_id").as("sb"))
       .distinct()
 
-    // Exact-Jaccard verification against per-doc shingle-set ARRAYS
-    // (sorted, so the relation is deterministic): one keyed aggregate
-    // builds the doc → set relation, then the candidate pair set (tiny:
-    // band-collision rate × corpus) joins it twice and intersects
-    // per-row. This replaces two corpus-sized shuffle joins + a pair
-    // aggregate with joins against a relation of |docs| rows — and at
-    // 100 TB the array relation shards by doc_id while each verification
-    // stays a single-row operation.
-    val setArrs = ds.groupBy("doc_id")
-      .agg(sort_array(collect_list("sid")).as("sids"))
-      .select(col("doc_id"), col("sids"), size(col("sids")).as("n"))
+    // Exact-Jaccard verification ONCE per class pair against the class
+    // set arrays; every doc pair across the two classes inherits the
+    // value exactly. The candidate relation is tiny (band-collision
+    // rate × distinct sets) and each verification is a single-row
+    // array intersect.
     val inter = size(array_intersect(col("sids_a"), col("sids_b")))
-    val verified = cand
-      .join(setArrs.select(col("doc_id").as("doc_a"), col("sids").as("sids_a"),
-        col("n").as("n_a")), "doc_a")
-      .join(setArrs.select(col("doc_id").as("doc_b"), col("sids").as("sids_b"),
-        col("n").as("n_b")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
+    val verified = sigCand
+      .join(groups.select(col("sig_id").as("sa"), col("sids").as("sids_a"),
+        col("n").as("n_a"), col("members").as("arr_a")), "sa")
+      .join(groups.select(col("sig_id").as("sb"), col("sids").as("sids_b"),
+        col("n").as("n_b"), col("members").as("arr_b")), "sb")
+      .select(col("arr_a"), col("arr_b"),
         (inter.cast(DoubleType)
           / (col("n_a") + col("n_b") - inter)).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
-    // materialize the (tiny) verified pair set, then release the
-    // corpus-sized shingle-id cache — same discipline as ngramJaccard
-    val out = verified.localCheckpoint()
-    ds.unpersist()
+    // doc-pair recovery, both directions (id order is independent of
+    // class assignment): a < b with a ∈ A pairs against every larger
+    // member of B, and vice versa — each unordered pair surfaces once
+    def expand(from: String, into: String): DataFrame = verified
+      .select(col("jaccard"), explode(col(from)).as("doc_a"), col(into))
+      .select(col("doc_a"),
+        explode(expr(s"filter($into, m -> m > doc_a)")).as("doc_b"),
+        col("jaccard"))
+    // intra-class pairs: identical sets, jaccard exactly 1.0
+    val intra = groups
+      .select(explode(col("members")).as("doc_a"), col("members"))
+      .select(col("doc_a"), explode(expr(
+        "filter(members, m -> m > doc_a)")).as("doc_b"))
+      .withColumn("jaccard", lit(1.0))
+    val pairs = intra
+      .unionByName(expand("arr_a", "arr_b"))
+      .unionByName(expand("arr_b", "arr_a"))
+    // materialize the verified pair set, then release the class cache —
+    // same discipline as ngramJaccard
+    val out = pairs.localCheckpoint()
+    groups.unpersist()
     out.orderBy("doc_a", "doc_b")
   }
 
@@ -1141,6 +1181,25 @@ object Dedup {
     * physical shape the memo's checkpoint scan would otherwise hide,
     * with the lazily-registered caches deregistered so none leak into
     * later plans. */
+  /** Both strategies run over identical-gram-set equivalence CLASSES,
+    * not documents (the simhashPairs/minhashLsh discipline): Jaccard is
+    * a function of a doc's distinct-gram SET alone, so docs with equal
+    * sets traverse candidate generation and verification once. A
+    * doc-level formulation pays multiplicity² candidate mass in every
+    * dup-dense bucket — the sf10 soak's 44 GB-spill (x09e2) /
+    * 11×-decade (x09e) signature at the fixture's 3.2× exact-dup
+    * multiplicity. df keeps its DOC-level meaning via the class-size
+    * weight (the maxDf ceiling and the rarest-first prefix order are
+    * unchanged), and the doc-pair relation — contractually unbounded,
+    * genuinely multiplicity² for exact-dup groups — is recovered at
+    * the END by pure array expansion over two small localCheckpoints
+    * (class pairs with member lists; dup-group member lists), so the
+    * materialized memo footprint is O(class pairs + duplicated docs),
+    * never O(doc pairs). Output is byte-identical to the doc-level
+    * formulation: intra-class pairs score exactly 1.0 (identical kept
+    * sets; classes whose kept set is EMPTY are excluded, matching the
+    * doc-level join that required a shared kept gram), and every
+    * cross-class doc pair inherits its class pair's verified value. */
   private[graft] def ngramJaccardBuild(spark: SparkSession, sfDir: String,
                                        maxDf: Long = 300L,
                                        strategy: JaccardStrategy = CountJoin,
@@ -1158,30 +1217,41 @@ object Dedup {
         explode(transform(shingleArrOf(col("arr"), width),
           s => TextAnalysis.polyHash(s))).as("gid"))
       .distinct()
+    // identical-set classes: sorted member ids, min id as class key
+    val classes = grams.groupBy("doc_id")
+      .agg(sort_array(collect_list("gid")).as("gset"))
+      .groupBy("gset")
+      .agg(sort_array(collect_list("doc_id")).as("members"))
+      .withColumn("cid", element_at(col("members"), 1))
       .cache()
-    val dfreq = grams.groupBy("gid").agg(count(lit(1)).as("df"))
+    val cgrams = classes.select(col("cid"),
+      size(col("members")).as("w"), explode(col("gset")).as("gid"))
+    // doc-level df exactly: each class contributes its member count
+    val dfreq = cgrams.groupBy("gid").agg(sum("w").as("df"))
     val hot = dfreq.filter(col("df") > maxDf).select("gid")
-    val kept = grams.join(broadcast(hot), Seq("gid"), "left_anti").cache()
+    val kept = cgrams.select("cid", "gid")
+      .join(broadcast(hot), Seq("gid"), "left_anti").cache()
 
     var strategyCache: Option[DataFrame] = None
+    // class pairs (ca, cb, jaccard), unordered-covered-once
     val scored = strategy match {
       case Auto => throw new IllegalStateException(
         "Auto must be resolved before the build (ngramJaccard does this)")
       case CountJoin =>
-        val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        // The pair-count aggregate is the hot stage (Σ df² rows into up
-        // to |docs|²/2 keys) — see [[pairCounts]] for the packed-key
-        // optimization and its wide-id fallback.
+        val sizes = kept.groupBy("cid").agg(count(lit(1)).as("n"))
+        // The pair-count aggregate is the hot stage (Σ df_c² rows with
+        // df_c counting distinct SETS) — see [[pairCounts]] for the
+        // packed-key optimization and its wide-id fallback.
         val inter = pairCounts(
           kept.as("x").join(kept.as("y"),
-            col("x.gid") === col("y.gid") && col("x.doc_id") < col("y.doc_id"))
-            .select(col("x.doc_id").as("doc_a"),
-              col("y.doc_id").as("doc_b")),
+            col("x.gid") === col("y.gid") && col("x.cid") < col("y.cid"))
+            .select(col("x.cid").as("doc_a"),
+              col("y.cid").as("doc_b")),
           wideIds(spark, sfDir))
         inter
-          .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-          .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
-          .select(col("doc_a"), col("doc_b"),
+          .join(sizes.as("sa"), col("doc_a") === col("sa.cid"))
+          .join(sizes.as("sb"), col("doc_b") === col("sb.cid"))
+          .select(col("doc_a").as("ca"), col("doc_b").as("cb"),
             (col("inter").cast(DoubleType)
               / (col("sa.n") + col("sb.n") - col("inter"))).as("jaccard"))
 
@@ -1189,10 +1259,10 @@ object Dedup {
         // τ = 3/5 in exact integer arithmetic throughout (0.6 is not
         // dyadic: float `ceil(n*0.6)` mis-sizes the prefix when 5 | n).
         val arrs = kept.join(dfreq, "gid")
-          .groupBy("doc_id")
+          .groupBy("cid")
           .agg(sort_array(collect_list(struct(col("df"), col("gid"))))
             .as("sarr"))
-          .select(col("doc_id"),
+          .select(col("cid"),
             transform(col("sarr"), s => s.getField("gid")).as("arr"),
             size(col("sarr")).as("n"))
           // prefix length p = n − ⌈3n/5⌉ + 1. `div`, NOT `/`: Column./
@@ -1202,43 +1272,70 @@ object Dedup {
           .withColumn("p", col("n") - expr("(n * 3 + 4) div 5") + 1)
           .cache()
         strategyCache = Some(arrs)
-        val prefixRows = arrs.select(col("doc_id"), col("n"),
+        val prefixRows = arrs.select(col("cid"), col("n"),
           explode(slice(col("arr"), lit(1), col("p"))).as("gid"))
-        val fullRows = arrs.select(col("doc_id"), col("n"),
+        val fullRows = arrs.select(col("cid"), col("n"),
           explode(col("arr")).as("gid"))
         val cand = prefixRows.as("x").join(fullRows.as("y"),
             col("x.gid") === col("y.gid")
-              && col("x.doc_id") =!= col("y.doc_id")
+              && col("x.cid") =!= col("y.cid")
               && col("y.n") * 5 >= col("x.n") * 3  // |B| ≥ τ|A|
               && col("y.n") * 3 <= col("x.n") * 5) // |B| ≤ |A|/τ
-          .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
-            greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
+          .select(least(col("x.cid"), col("y.cid")).as("ca"),
+            greatest(col("x.cid"), col("y.cid")).as("cb"))
           .distinct()
         // Exact verification: true intersection via array_intersect over
-        // the per-doc gram arrays (distinct gids — set semantics).
+        // the per-class gram arrays (distinct gids — set semantics).
         val inter2 = size(array_intersect(col("arr_a"), col("arr_b")))
         cand
-          .join(arrs.select(col("doc_id").as("doc_a"), col("arr").as("arr_a"),
-            col("n").as("n_a")), "doc_a")
-          .join(arrs.select(col("doc_id").as("doc_b"), col("arr").as("arr_b"),
-            col("n").as("n_b")), "doc_b")
-          .select(col("doc_a"), col("doc_b"),
+          .join(arrs.select(col("cid").as("ca"), col("arr").as("arr_a"),
+            col("n").as("n_a")), "ca")
+          .join(arrs.select(col("cid").as("cb"), col("arr").as("arr_b"),
+            col("n").as("n_b")), "cb")
+          .select(col("ca"), col("cb"),
             (inter2.cast(DoubleType)
               / (col("n_a") + col("n_b") - inter2)).as("jaccard"))
     }
 
-    // Materialize the thresholded pair set NOW (tiny: near-dup rate ×
-    // corpus — it's what every consumer iterates over) and release the
-    // corpus-sized intermediates: the distinct gram set is the largest
-    // relation of the whole text pipeline and must not stay pinned for
-    // the session lifetime. The localCheckpoint also cuts lineage, so
+    // Materialize the thresholded CLASS pair set with member lists, and
+    // the dup-group member lists (classes with ≥2 members and a
+    // nonempty kept set — all-hot classes never met the shared-kept-
+    // gram requirement in the doc-level join), then release the
+    // corpus-sized intermediates: the class/kept relations are the
+    // largest of the whole text pipeline and must not stay pinned for
+    // the session lifetime. The localCheckpoints also cut lineage, so
     // the memoized frame can't replay the candidate join after the
-    // unpersists.
-    val thresholded = scored.filter(col("jaccard") >= 0.6)
-    val npairs = if (materialize) thresholded.localCheckpoint() else thresholded
+    // unpersists. Doc pairs expand from the checkpoints per consumer —
+    // explode-only, no join, no shuffle.
+    val crossArrs = scored.filter(col("jaccard") >= 0.6)
+      .join(classes.select(col("cid").as("ca"),
+        col("members").as("arr_a")), "ca")
+      .join(classes.select(col("cid").as("cb"),
+        col("members").as("arr_b")), "cb")
+      .select(col("jaccard"), col("arr_a"), col("arr_b"))
+    val dupGroups = classes
+      .filter(size(col("members")) > 1)
+      .join(kept.select("cid").distinct(), "cid")
+      .select(col("members"))
+    def expand(src: DataFrame, from: String, into: String): DataFrame =
+      src.select(col("jaccard"), explode(col(from)).as("doc_a"), col(into))
+        .select(col("doc_a"),
+          explode(expr(s"filter($into, m -> m > doc_a)")).as("doc_b"),
+          col("jaccard"))
+    def assemble(cross: DataFrame, intraGroups: DataFrame): DataFrame =
+      intraGroups
+        .select(explode(col("members")).as("doc_a"), col("members"))
+        .select(col("doc_a"), explode(expr(
+          "filter(members, m -> m > doc_a)")).as("doc_b"))
+        .withColumn("jaccard", lit(1.0))
+        .unionByName(expand(cross, "arr_a", "arr_b"))
+        .unionByName(expand(cross, "arr_b", "arr_a"))
+    val npairs =
+      if (!materialize) assemble(crossArrs, dupGroups)
+      else assemble(crossArrs.localCheckpoint(), dupGroups.localCheckpoint())
     strategyCache.foreach(_.unpersist())
     kept.unpersist()
-    grams.unpersist()
+    classes.unpersist()
     npairs
   }
 }

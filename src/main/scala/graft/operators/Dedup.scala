@@ -197,7 +197,16 @@ object Dedup {
     * pair's verified jaccard. Output is byte-identical to the
     * doc-level formulation.
     */
-  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame =
+    // memoized: x09b and the ensemble's lexical half (x09r) share one
+    // build per (session, fixture) — same discipline as the jaccard
+    // and simhash pair memos
+    memoized(spark, s"minhashLsh|$sfDir") {
+      minhashLshBuild(spark, sfDir)
+    }.orderBy("doc_a", "doc_b")
+
+  private def minhashLshBuild(spark: SparkSession,
+                              sfDir: String): DataFrame = {
     graft.plans.PolyHash.register(spark)
     graft.plans.MinHashAgg.register(spark)
     val ds = shingleIds(spark, sfDir)
@@ -247,28 +256,33 @@ object Dedup {
         (inter.cast(DoubleType)
           / (col("n_a") + col("n_b") - inter)).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
+    // Materialize the small class-level relations (verified class pairs
+    // with member lists; dup-group member lists), release the
+    // corpus-keyed class cache, and expand to doc pairs FROM the
+    // checkpoints — explode-only, no join, so the memo footprint is
+    // O(class pairs + duplicated docs) even though the contractually
+    // unbounded doc-pair set is multiplicity² for exact-dup groups.
+    val chkCross = verified.localCheckpoint()
+    val chkDups = groups.filter(size(col("members")) > 1)
+      .select("members").localCheckpoint()
+    groups.unpersist()
     // doc-pair recovery, both directions (id order is independent of
     // class assignment): a < b with a ∈ A pairs against every larger
     // member of B, and vice versa — each unordered pair surfaces once
-    def expand(from: String, into: String): DataFrame = verified
+    def expand(from: String, into: String): DataFrame = chkCross
       .select(col("jaccard"), explode(col(from)).as("doc_a"), col(into))
       .select(col("doc_a"),
         explode(expr(s"filter($into, m -> m > doc_a)")).as("doc_b"),
         col("jaccard"))
     // intra-class pairs: identical sets, jaccard exactly 1.0
-    val intra = groups
+    val intra = chkDups
       .select(explode(col("members")).as("doc_a"), col("members"))
       .select(col("doc_a"), explode(expr(
         "filter(members, m -> m > doc_a)")).as("doc_b"))
       .withColumn("jaccard", lit(1.0))
-    val pairs = intra
+    intra
       .unionByName(expand("arr_a", "arr_b"))
       .unionByName(expand("arr_b", "arr_a"))
-    // materialize the verified pair set, then release the class cache —
-    // same discipline as ngramJaccard
-    val out = pairs.localCheckpoint()
-    groups.unpersist()
-    out.orderBy("doc_a", "doc_b")
   }
 
   /** SimHash fingerprints (64-bit, as two 32-bit halves from two

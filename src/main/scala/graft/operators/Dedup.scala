@@ -1190,12 +1190,11 @@ object Dedup {
         (col("inter").cast(DoubleType) / col("n_b")).as("cont_b"))
   }
 
-  /** The un-memoized pipeline. `materialize = false` (plan inspection
+  /** The un-memoized pipeline; `materialize = false` (plan inspection
     * only — PlanSpec) returns the raw un-checkpointed pipeline, whose
-    * physical shape the memo's checkpoint scan would otherwise hide,
-    * with the lazily-registered caches deregistered so none leak into
-    * later plans. */
-  /** Both strategies run over identical-gram-set equivalence CLASSES,
+    * physical shape the memo's checkpoint scan would otherwise hide.
+    *
+    * Both strategies run over identical-gram-set equivalence CLASSES,
     * not documents (the simhashPairs/minhashLsh discipline): Jaccard is
     * a function of a doc's distinct-gram SET alone, so docs with equal
     * sets traverse candidate generation and verification once. A

@@ -30,6 +30,40 @@ object Similarity {
   private val NQueries = 8
   private val Dims = 64
 
+  /** Target expected LSH bucket population for the corpus-level banded
+    * ops — in-bucket pairing is quadratic in population, so this is
+    * the knob that keeps candidate mass linear in N. */
+  private val LshTargetBucket = 64L
+
+  /** Corpus-derived LSH geometry `(planes, bands)` for the banded ops
+    * whose candidate set is corpus×bucket ([[embeddingNearDup]],
+    * [[knnJoin]]) — the family's two dials set from data instead of
+    * constants. A FIXED band key width turns linear corpus growth into
+    * quadratic candidate mass (256 buckets at 200k vectors = 780 per
+    * bucket; measured 41×/decade on the ensemble's semantic half), so
+    * bits-per-band grows to bound the expected population at
+    * ~[[LshTargetBucket]]; the band count rises geometrically with the
+    * extra bits to hold ≥-threshold recall roughly constant (per-band
+    * collision ≈ p^bits with p = 1 − θ/π ≈ 0.8 at the 0.45-cosine
+    * operating point, so each extra bit costs ×0.8 recall ⇒ ×1.25
+    * bands). Floors at the documented 8-bit × 2-band geometry — the
+    * historical (16, 2) — so oracle-scale fixtures (≤ 16k vectors)
+    * keep byte-identical output; caps at 16 bits × 8 bands (the
+    * population knee returns ~N/4M per bucket, ample headroom past the
+    * soak scales). The probe is one parquet count-star (footer
+    * metadata, no data pages), memoized per (session, fixture). */
+  private[operators] def derivedLshGeometry(spark: SparkSession,
+                                            sfDir: String): (Int, Int) =
+    graft.util.SessionMemo.memoizedValue(spark, s"lshGeom|$sfDir") {
+      val n = Tables.embeddings(spark, sfDir).count()
+      val bits = math.min(16, math.max(8,
+        math.ceil(math.log(math.max(1L, n).toDouble / LshTargetBucket)
+          / math.log(2.0)).toInt))
+      val bands = math.min(8, math.max(2,
+        math.ceil(2.0 * math.pow(1.25, (bits - 8).toDouble)).toInt))
+      (bits * bands, bands)
+    }
+
   /** vec_id, float vector, exact integer squared norm — norm and all
     * pair dots use the fused native [[graft.plans.QuantizedDot]]
     * expression (single codegen'd loop, no intermediate arrays);
@@ -124,12 +158,17 @@ object Similarity {
     * any LSH band (not just the query set) scored with the fused dot and
     * thresholded. This is vector-level corpus dedup: at 100 TB the
     * (band, bandkey) key partitions the similarity join so each task
-    * scores one bucket's O(k²) pairs instead of the corpus's O(N²).
+    * scores one bucket's O(k²) pairs instead of the corpus's O(N²) —
+    * PROVIDED the bucket count tracks the corpus, which is what the
+    * default [[derivedLshGeometry]] guarantees (`planes = 0` = derive;
+    * explicit values pin the geometry, as the spec's recall pins do).
     */
   def embeddingNearDup(spark: SparkSession, sfDir: String,
                        threshold: Double = 0.45,
-                       planes: Int = 16, bands: Int = 2): DataFrame = {
-    val bk = bandedBuckets(spark, sfDir, planes, bands)
+                       planes: Int = 0, bands: Int = 0): DataFrame = {
+    val (p, b) = if (planes > 0) (planes, bands)
+                 else derivedLshGeometry(spark, sfDir)
+    val bk = bandedBuckets(spark, sfDir, p, b)
     val cand = bk.as("x").join(bk.as("y"),
         col("x.band") === col("y.band") && col("x.bandkey") === col("y.bandkey")
           && col("x.vec_id") < col("y.vec_id"))
@@ -510,8 +549,10 @@ object Similarity {
     * replays buckets, candidates, cosines, and ranks bit-for-bit.
     */
   def knnJoin(spark: SparkSession, sfDir: String, k: Int = 3,
-              planes: Int = 16, bands: Int = 2): DataFrame = {
-    val bk = bandedBuckets(spark, sfDir, planes, bands)
+              planes: Int = 0, bands: Int = 0): DataFrame = {
+    val (p, b) = if (planes > 0) (planes, bands)
+                 else derivedLshGeometry(spark, sfDir)
+    val bk = bandedBuckets(spark, sfDir, p, b)
     val cand = bk.as("x").join(bk.as("y"),
         col("x.band") === col("y.band") && col("x.bandkey") === col("y.bandkey")
           && col("x.vec_id") =!= col("y.vec_id"))

@@ -115,7 +115,8 @@ object Similarity {
     * in the DuckDB oracle, no RNG state and no float comparisons.
     */
   private[operators] def bandedBuckets(spark: SparkSession, sfDir: String,
-                                       planes: Int, bands: Int): DataFrame = {
+                                       planes: Int, bands: Int,
+                                       extraBits: Int = 0): DataFrame = {
     require(planes % bands == 0, "bands must divide planes")
     val perBand = planes / bands
     graft.plans.QuantizedDot.register(spark)
@@ -137,7 +138,7 @@ object Similarity {
         val r = (1103515245L * (j.toLong * Dims + pos) + 12345L) % 1000003L
         ((2L * r - 1000003L).toDouble / 1e6).toFloat
       }.toArray
-    val pCols = (0 until planes).map(j =>
+    val pCols = (0 until planes + extraBits).map(j =>
       call_function(graft.plans.QuantizedDot.name,
         col("embedding"), lit(wvec(j))).as(s"p$j"))
     val withP = Tables.embeddings(spark, sfDir)
@@ -149,9 +150,71 @@ object Similarity {
       }.reduce(_ + _)
       struct(lit(b.toLong).as("band"), key.as("bandkey"))
     }
-    withP.select(col("vec_id"), explode(array(bandStructs: _*)).as("s"))
+    // reserve-plane key for hot-bucket refinement ([[refinedBuckets]]):
+    // one extra sign word per vector, computed in the SAME projection
+    // pass (planes j ≥ `planes` — deterministic, disjoint hyperplanes)
+    val xkey =
+      if (extraBits == 0) lit(0L)
+      else (0 until extraBits).map { r =>
+        when(col(s"p${planes + r}") >= 0, lit(1L << r)).otherwise(0L)
+      }.reduce(_ + _)
+    withP.select(col("vec_id"), xkey.as("xkey"),
+        explode(array(bandStructs: _*)).as("s"))
       .select(col("vec_id"), col("s.band").as("band"),
-        col("s.bandkey").as("bandkey"))
+        col("s.bandkey").as("bandkey"), col("xkey"))
+  }
+
+  /** Population cap for one LSH bucket in the corpus-level banded ops,
+    * and the reserve-bit budget for splitting buckets above it. The
+    * measured fixtures put oracle-scale maxima far below the cap
+    * (33/147/1115/7722 at sf0.01/0.1/1/10 under their derived
+    * geometries), so refinement is a no-op at oracle scale — output
+    * there is byte-identical with or without it. */
+  private val LshBucketCap = 256L
+  private val LshMaxExtraBits = 16
+
+  /** [[bandedBuckets]] with HOT buckets adaptively split: geometry
+    * alone cannot bound bucket population, because real embeddings are
+    * direction-skewed — at 200k fixture vectors the 12-bit bands
+    * average 53 per bucket but peak at 7 722, and Σpop² (the candidate
+    * mass) is ~20× the uniform estimate. Measured, those hot buckets
+    * are hash ARTIFACTS, not cosine clusters (true-pair density inside
+    * the worst bucket ≈ the global background: 0.04% ≥ 0.45 vs 0.01%),
+    * so splitting them loses almost nothing while removing the
+    * quadratic hot-bucket term: every bucket with population > cap is
+    * subdivided by `depth = ⌈log2(pop/cap)⌉` reserve sign bits
+    * (disjoint hyperplanes, same exact-integer scheme), bringing the
+    * expected sub-bucket population back under the cap. Pairs in a
+    * refined bucket must also agree on the sub-key — a recall cost of
+    * ~p^depth confined to the artifact buckets. The population
+    * relation is ≤ bands·2^bits rows (broadcast side); buckets at or
+    * under the cap keep sub = 0 on both sides, so plans and results
+    * below the cap are untouched. */
+  private[operators] def refinedBuckets(spark: SparkSession, sfDir: String,
+                                        planes: Int, bands: Int): DataFrame = {
+    val bk = bandedBuckets(spark, sfDir, planes, bands,
+      extraBits = LshMaxExtraBits)
+    // the hot-bucket list is tiny (≤ #buckets over the cap) and feeds
+    // BOTH sides of the candidate self-join — materialize it once per
+    // (session, fixture, geometry) so the population aggregate doesn't
+    // replay per join branch
+    val depths = graft.util.SessionMemo.memoized(spark,
+        s"lshDepths|$sfDir|$planes|$bands") {
+      bk.groupBy("band", "bandkey")
+        .agg(count(lit(1)).as("pop"))
+        .filter(col("pop") > LshBucketCap)
+        // smallest d with pop/2^d ≤ cap; q ≤ 2^40 keeps log2 exact at
+        // the integer boundaries (powers of two are exact doubles)
+        .withColumn("depth", least(lit(LshMaxExtraBits),
+          ceil(log2(ceil(col("pop").cast(DoubleType) / LshBucketCap)))
+            .cast(IntegerType)))
+        .select("band", "bandkey", "depth")
+        .localCheckpoint()
+    }
+    bk.join(broadcast(depths), Seq("band", "bandkey"), "left")
+      .withColumn("sub", when(col("depth").isNull, lit(0L))
+        .otherwise(expr("xkey & (shiftleft(1L, depth) - 1L)")))
+      .select("vec_id", "band", "bandkey", "sub")
   }
 
   /** X9/X10: embedding-cosine near-duplicate pairs — ALL pairs sharing
@@ -168,9 +231,10 @@ object Similarity {
                        planes: Int = 0, bands: Int = 0): DataFrame = {
     val (p, b) = if (planes > 0) (planes, bands)
                  else derivedLshGeometry(spark, sfDir)
-    val bk = bandedBuckets(spark, sfDir, p, b)
+    val bk = refinedBuckets(spark, sfDir, p, b)
     val cand = bk.as("x").join(bk.as("y"),
         col("x.band") === col("y.band") && col("x.bandkey") === col("y.bandkey")
+          && col("x.sub") === col("y.sub")
           && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
       .distinct()
@@ -552,9 +616,10 @@ object Similarity {
               planes: Int = 0, bands: Int = 0): DataFrame = {
     val (p, b) = if (planes > 0) (planes, bands)
                  else derivedLshGeometry(spark, sfDir)
-    val bk = bandedBuckets(spark, sfDir, p, b)
+    val bk = refinedBuckets(spark, sfDir, p, b)
     val cand = bk.as("x").join(bk.as("y"),
         col("x.band") === col("y.band") && col("x.bandkey") === col("y.bandkey")
+          && col("x.sub") === col("y.sub")
           && col("x.vec_id") =!= col("y.vec_id"))
       .select(col("x.vec_id").as("src_id"), col("y.vec_id").as("nbr_id"))
       .distinct()

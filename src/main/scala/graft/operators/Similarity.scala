@@ -181,41 +181,68 @@ object Similarity {
     * are hash ARTIFACTS, not cosine clusters (true-pair density inside
     * the worst bucket ≈ the global background: 0.04% ≥ 0.45 vs 0.01%),
     * so splitting them loses almost nothing while removing the
-    * quadratic hot-bucket term: every bucket with population > cap is
-    * subdivided by `depth = ⌈log2(pop/cap)⌉` reserve sign bits
-    * (disjoint hyperplanes, same exact-integer scheme), bringing the
-    * expected sub-bucket population back under the cap. Pairs in a
-    * refined bucket must also agree on the sub-key — a recall cost of
-    * ~p^depth confined to the artifact buckets. The population
-    * relation is ≤ bands·2^bits rows (broadcast side); buckets at or
-    * under the cap keep sub = 0 on both sides, so plans and results
-    * below the cap are untouched. */
+    * quadratic hot-bucket term.
+    *
+    * The split is ITERATIVE, because the one-shot
+    * `depth = ⌈log2(pop/cap)⌉` rule under-splits exactly where it
+    * matters: skew recurses (the hottest 12-bit bucket's 5-bit sub
+    * split left a 3 647-member sub-bucket — reserve-plane signs
+    * correlate inside a direction cluster), while the data itself
+    * separates fine at full width (max 76-plane sign-pattern
+    * multiplicity is 78). Each round re-measures (band, bandkey, sub)
+    * populations and splits the still-hot groups by that rule's bit
+    * increment from the shared reserve word — monotone progress, at
+    * most [[LshMaxExtraBits]] total bits, converging in ≤ 4 rounds on
+    * anything short of mass sign-pattern duplication. Pairs in a
+    * refined bucket must agree on the sub-key — a recall cost of
+    * ~p^depth confined to the artifact buckets. Per round the hot
+    * list is ≤ N/cap rows (broadcast side); sub stays 0 for every
+    * bucket at or under the cap, so plans and results below the cap
+    * are untouched. The FINAL bucket relation (N·bands rows of four
+    * longs — the signature table, tiny next to the vectors) is
+    * memoized per (session, fixture, geometry): the near-dup, kNN,
+    * and ensemble queries share one build, and the candidate
+    * self-join's two branches scan the checkpoint instead of
+    * replaying projection + refinement. */
   private[operators] def refinedBuckets(spark: SparkSession, sfDir: String,
-                                        planes: Int, bands: Int): DataFrame = {
-    val bk = bandedBuckets(spark, sfDir, planes, bands,
-      extraBits = LshMaxExtraBits)
-    // the hot-bucket list is tiny (≤ #buckets over the cap) and feeds
-    // BOTH sides of the candidate self-join — materialize it once per
-    // (session, fixture, geometry) so the population aggregate doesn't
-    // replay per join branch
-    val depths = graft.util.SessionMemo.memoized(spark,
-        s"lshDepths|$sfDir|$planes|$bands") {
-      bk.groupBy("band", "bandkey")
-        .agg(count(lit(1)).as("pop"))
-        .filter(col("pop") > LshBucketCap)
-        // smallest d with pop/2^d ≤ cap; q ≤ 2^40 keeps log2 exact at
-        // the integer boundaries (powers of two are exact doubles)
-        .withColumn("depth", least(lit(LshMaxExtraBits),
-          ceil(log2(ceil(col("pop").cast(DoubleType) / LshBucketCap)))
-            .cast(IntegerType)))
-        .select("band", "bandkey", "depth")
+                                        planes: Int, bands: Int): DataFrame =
+    graft.util.SessionMemo.memoized(spark,
+        s"lshRefined|$sfDir|$planes|$bands") {
+      var cur = bandedBuckets(spark, sfDir, planes, bands,
+          extraBits = LshMaxExtraBits)
+        .select(col("vec_id"), col("band"), col("bandkey"), col("xkey"),
+          lit(0L).as("sub"), lit(0).as("used"))
         .localCheckpoint()
+      var round = 0
+      var done = false
+      while (round < 4 && !done) {
+        // `used` is uniform within a (band, bandkey, sub) group by
+        // construction (every member took the same splits), so max()
+        // reads the common value
+        val hot = cur.groupBy("band", "bandkey", "sub")
+          .agg(count(lit(1)).as("pop"), max("used").as("u"))
+          .filter(col("pop") > LshBucketCap && col("u") < LshMaxExtraBits)
+          // smallest d with pop/2^d ≤ cap (log2 is exact at the power-
+          // of-two boundaries), clamped to the remaining bit budget
+          .withColumn("inc", least(lit(LshMaxExtraBits) - col("u"),
+            ceil(log2(ceil(col("pop").cast(DoubleType) / LshBucketCap)))
+              .cast(IntegerType)))
+          .select("band", "bandkey", "sub", "inc")
+          .localCheckpoint()
+        if (hot.isEmpty) done = true
+        else {
+          cur = cur
+            .join(broadcast(hot), Seq("band", "bandkey", "sub"), "left")
+            .withColumn("used", when(col("inc").isNull, col("used"))
+              .otherwise(col("used") + col("inc")))
+            .withColumn("sub", expr("xkey & (shiftleft(1L, used) - 1L)"))
+            .drop("inc")
+            .localCheckpoint()
+          round += 1
+        }
+      }
+      cur.select("vec_id", "band", "bandkey", "sub")
     }
-    bk.join(broadcast(depths), Seq("band", "bandkey"), "left")
-      .withColumn("sub", when(col("depth").isNull, lit(0L))
-        .otherwise(expr("xkey & (shiftleft(1L, depth) - 1L)")))
-      .select("vec_id", "band", "bandkey", "sub")
-  }
 
   /** X9/X10: embedding-cosine near-duplicate pairs — ALL pairs sharing
     * any LSH band (not just the query set) scored with the fused dot and

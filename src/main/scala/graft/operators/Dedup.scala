@@ -1160,6 +1160,19 @@ object Dedup {
       greatest(col("cont_a"), col("cont_b")).desc, col("doc_b"))
       .orderBy("doc_a", "doc_b")
 
+  /** Candidate generation and scoring run over identical-gram-set
+    * CLASSES (the family discipline — see [[ngramJaccardBuild]]):
+    * containment, like Jaccard, is a function of the two distinct-gram
+    * sets alone, so the Σ df² pair-count stage pays distinct CONTENT,
+    * not replica count (doc-level it was the 14×/decade line of the
+    * sf10 soak at 3.2× dup multiplicity). Doc pairs are recovered by a
+    * BOUNDED expansion — per class pair, per side, each doc emits its
+    * ≤[[MaxPairsPerDoc]] smallest larger partner ids — which provably
+    * contains the final per-doc top-k: scores are uniform within a
+    * class pair (and exactly 1.0 within a class), so any omitted row
+    * is outranked by k same-score-smaller-id rows from its own class
+    * pair. Side labels swap with the expansion direction so n_a/cont_a
+    * always describe doc_a's class. */
   private def containmentBuild(spark: SparkSession, sfDir: String,
                                maxDf: Long, width: Int): DataFrame = {
     graft.plans.PolyHash.register(spark)
@@ -1168,26 +1181,70 @@ object Dedup {
         explode(transform(shingleArrOf(col("arr"), width),
           s => TextAnalysis.polyHash(s))).as("gid"))
       .distinct()
+    val classes = grams.groupBy("doc_id")
+      .agg(sort_array(collect_list("gid")).as("gset"))
+      .groupBy("gset")
+      .agg(sort_array(collect_list("doc_id")).as("members"))
+      .withColumn("cid", element_at(col("members"), 1))
       .cache()
-    val hot = grams.groupBy("gid").agg(count(lit(1)).as("df"))
+    val cgrams = classes.select(col("cid"),
+      size(col("members")).as("w"), explode(col("gset")).as("gid"))
+    // doc-level df exactly: each class contributes its member count
+    val hot = cgrams.groupBy("gid").agg(sum("w").as("df"))
       .filter(col("df") > maxDf).select("gid")
-    val kept = grams.join(broadcast(hot), Seq("gid"), "left_anti").cache()
-    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val kept = cgrams.select("cid", "gid")
+      .join(broadcast(hot), Seq("gid"), "left_anti").cache()
+    val sizes = kept.groupBy("cid").agg(count(lit(1)).as("n"))
     // packed-pair count aggregate — the x09e CountJoin discipline
     // (packed 64-bit key for 31-bit ids, struct key for wider ones)
-    pairCounts(
+    val scored = pairCounts(
       kept.as("x").join(kept.as("y"),
-        col("x.gid") === col("y.gid") && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b")),
+        col("x.gid") === col("y.gid") && col("x.cid") < col("y.cid"))
+        .select(col("x.cid").as("doc_a"), col("y.cid").as("doc_b")),
       wideIds(spark, sfDir))
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .join(sizes.select(col("cid").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sizes.select(col("cid").as("doc_b"), col("n").as("n_b")), "doc_b")
       .filter(col("inter") * 5 >= col("n_a") * 3
         || col("inter") * 5 >= col("n_b") * 3)
-      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
-        col("inter"),
-        (col("inter").cast(DoubleType) / col("n_a")).as("cont_a"),
-        (col("inter").cast(DoubleType) / col("n_b")).as("cont_b"))
+    val crossChk = scored
+      .join(classes.select(col("cid").as("doc_a"),
+        col("members").as("arr_a")), "doc_a")
+      .join(classes.select(col("cid").as("doc_b"),
+        col("members").as("arr_b")), "doc_b")
+      .select(col("n_a"), col("n_b"), col("inter"),
+        col("arr_a"), col("arr_b"))
+      .localCheckpoint()
+    // dup-group classes with a NONEMPTY kept set (all-hot classes never
+    // met the shared-kept-gram requirement of the doc-level join);
+    // intra pairs score n/n = 1.0 on both sides
+    val dupChk = classes.filter(size(col("members")) > 1)
+      .join(sizes, "cid")
+      .select(col("members"), col("n"))
+      .localCheckpoint()
+    classes.unpersist()
+    kept.unpersist()
+    // bounded both-direction expansion; (from → into) keeps doc_a's
+    // class stats in (n_a, cont_a)
+    def expand(from: String, into: String,
+               nFrom: String, nInto: String): DataFrame = crossChk
+      .select(col(nFrom).as("na"), col(nInto).as("nb"), col("inter"),
+        explode(col(from)).as("doc_a"), col(into))
+      .select(col("doc_a"), explode(expr(
+        s"slice(filter($into, m -> m > doc_a), 1, $MaxPairsPerDoc)"))
+        .as("doc_b"), col("na"), col("nb"), col("inter"))
+    val intra = dupChk
+      .select(col("n"), explode(col("members")).as("doc_a"), col("members"))
+      .select(col("doc_a"), explode(expr(
+        s"slice(filter(members, m -> m > doc_a), 1, $MaxPairsPerDoc)"))
+        .as("doc_b"), col("n").as("na"), col("n").as("nb"),
+        col("n").as("inter"))
+    intra
+      .unionByName(expand("arr_a", "arr_b", "n_a", "n_b"))
+      .unionByName(expand("arr_b", "arr_a", "n_b", "n_a"))
+      .select(col("doc_a"), col("doc_b"), col("na").as("n_a"),
+        col("nb").as("n_b"), col("inter"),
+        (col("inter").cast(DoubleType) / col("na")).as("cont_a"),
+        (col("inter").cast(DoubleType) / col("nb")).as("cont_b"))
   }
 
   /** The un-memoized pipeline; `materialize = false` (plan inspection

@@ -28,10 +28,16 @@ object PlanDump {
       ("Top-k. Look for: `TakeOrderedAndProject` — per-partition heaps + " +
         "a k-row driver merge, never a global sort."),
     "x09b_minhash_lsh" ->
-      ("MinHash-LSH near-dup. Look for: the banded signature equi-join — " +
-        "candidate pairs come from a hash join on (band, bucket), never " +
-        "an all-pairs comparison; the MinHash signatures build in one " +
-        "map-side-combined aggregate over the shared tokenize pass."),
+      ("MinHash-LSH near-dup. The build (session-memoized) band-joins " +
+        "DISTINCT shingle-set classes — candidates come from a hash " +
+        "join on (band, bucket) over one row per distinct set, never an " +
+        "all-pairs comparison and never multiplicity² in dup-dense " +
+        "buckets; the signatures build in one map-side-combined " +
+        "aggregate over the shared tokenize pass. The visible plan is " +
+        "the doc-pair recovery: explode-only expansion over the two " +
+        "class-level checkpoints (cross pairs with member lists; " +
+        "dup-group members at jaccard 1.0) — no join, no shuffle until " +
+        "the presentation sort."),
     "x09m_benchmark_decontam" ->
       ("Benchmark decontamination, broadcast side of the size gate. Look " +
         "for: the eval-gram set behind a `BroadcastExchange` probing the " +
@@ -83,20 +89,25 @@ object PlanDump {
         "in dim; false positives are re-verified by the join itself."),
     "x10l_knn_join" ->
       ("k-NN graph join. Look for: candidates born from the banded " +
-        "bucket SELF-equi-join (hash join on (band, bandkey) — never " +
-        "corpus×corpus; the signatures are per-row fused quantized-dot " +
-        "projections with no exchange of their own), the two embedding " +
-        "joins shuffling only the candidate relation, and the per-source " +
-        "rank cut running as `WindowGroupLimit` (partial + final) so " +
-        "each shuffle side keeps at most k rows per source before the " +
-        "full sort."),
+        "bucket SELF-equi-join (hash join on (band, bandkey, sub) — " +
+        "never corpus×corpus; the bucket relation is the session-" +
+        "memoized checkpoint of fused quantized-dot sign projections " +
+        "with HOT buckets iteratively split by reserve sign bits, so " +
+        "both join branches scan it instead of replaying projection + " +
+        "refinement), the two embedding joins shuffling only the " +
+        "candidate relation, and the per-source rank cut running as " +
+        "`WindowGroupLimit` (partial + final) so each shuffle side " +
+        "keeps at most k rows per source before the full sort."),
     "x09p_containment" ->
-      ("Asymmetric containment dedup. Look for: the rare-gram candidate " +
-        "self-join on `gid` with the hot-gram ceiling applied BELOW it " +
-        "(broadcast anti-join — df > 300 grams never enter the pair " +
-        "join), the pair count aggregating a packed BIGINT key (one " +
-        "shuffle column, map-side combined), and the integer τ filter " +
-        "sitting under the top-8 `WindowGroupLimit`."),
+      ("Asymmetric containment dedup. The build (session-memoized) " +
+        "runs the rare-gram candidate self-join on `gid` over " +
+        "identical-gram-set CLASSES with the hot-gram ceiling applied " +
+        "below it (broadcast anti-join, class-size-weighted df), the " +
+        "pair count aggregating a packed BIGINT key (one shuffle " +
+        "column, map-side combined) and the integer τ filter at class " +
+        "level. The visible plan is the bounded doc-pair recovery " +
+        "(explode over the class-pair checkpoints, ≤8 partners per doc " +
+        "per side) under the final top-8 `WindowGroupLimit`."),
     "x09q_incremental_dedup" ->
       ("Incremental dedup against a persisted signature index. Look " +
         "for: documents.parquet appearing ONLY doc_id-pruned (the " +

@@ -143,6 +143,45 @@ object Dedup {
       df
     }
 
+  /** Identical-TEXT equivalence classes of the corpus, derived from
+    * the family-shared token arrays and persisted alongside them: one
+    * row per distinct token array, with the sorted member ids, the
+    * class key `cid` (min member id), and the multiplicity `w`.
+    * Identical texts are indistinguishable to every content-derived
+    * measure in this family (gram/shingle sets, Jaccard, containment,
+    * min-hashes), so the pipelines below collapse onto these classes
+    * BEFORE their expensive derivations — shingling, hashing, banding,
+    * and the candidate joins all pay one row per distinct text, never
+    * per replica — and recover doc pairs at the end by pure array
+    * expansion. The classes are FINER than identical-gram-set classes
+    * (token order separates texts with equal sets); equal-set
+    * distinct-class pairs still meet in every candidate join and score
+    * exactly 1.0, so outputs are unchanged. Corpus-sized like
+    * [[tokArrShared]] (one row per distinct text) — same persistence
+    * discipline, one build per (session, fixture), shared by the
+    * x09b/x09e/x09e2/x09p family. */
+  private[operators] def arrClasses(spark: SparkSession,
+                                    sfDir: String): DataFrame =
+    graft.util.SessionMemo.memoizedValue(spark, s"arrClasses|$sfDir") {
+      val df = tokArrShared(spark, sfDir)
+        .groupBy("arr")
+        .agg(sort_array(collect_list("doc_id")).as("members"))
+        .withColumn("cid", element_at(col("members"), 1))
+        .withColumn("w", size(col("members")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count() // materialize eagerly — same discipline as tokArrShared
+      df
+    }
+
+  /** The un-persisted twin of [[arrClasses]] for plan-audit builds
+    * (`materialize = false`): same classes, raw scan underneath. */
+  private def arrClassesRaw(docs: DataFrame): DataFrame =
+    tokArr(docs)
+      .groupBy("arr")
+      .agg(sort_array(collect_list("doc_id")).as("members"))
+      .withColumn("cid", element_at(col("members"), 1))
+      .withColumn("w", size(col("members")))
+
   /** All n-token shingles as one array column, built directly from the
     * materialized token array (`transform` over positions) — pure
     * columnar projection; round 1 used two `lead()` window passes over
@@ -158,21 +197,6 @@ object Dedup {
       .select(col("doc_id"), explode(shingleArrOf(col("arr"), 3)).as("shingle"))
       .distinct()
 
-  /** Shingle ids by content hash ([[TextAnalysis.polyHash]]): a pure
-    * projection — no vocabulary relation, no global window, no join-back.
-    * Round 1 assigned dense ids via `row_number` over an un-partitioned
-    * window, which funnels every distinct shingle through ONE task;
-    * shingle cardinality grows near-linearly with corpus size, so that
-    * was the hard 100 TB bottleneck of the MinHash path. Hashing before
-    * the distinct also makes the dedup shuffle carry (long, long) pairs
-    * instead of shingle strings. */
-  private def shingleIds(spark: SparkSession, sfDir: String): DataFrame =
-    tokArrShared(spark, sfDir).filter(size(col("arr")) >= 3)
-      .select(col("doc_id"),
-        explode(transform(shingleArrOf(col("arr"), 3),
-          s => TextAnalysis.polyHash(s))).as("sid"))
-      .distinct()
-
   /** MinHash + LSH near-dedup:
     * 16 linear min-hashes over shingle ids → 4 bands × 4 rows → band
     * signature keys → candidate pairs by band equi-join → exact Jaccard
@@ -180,22 +204,24 @@ object Dedup {
     * jaccard ≥ 0.5 (the fixture's planted near-dups sit at ≥ 0.8 with a
     * clean gap below — see SURVEY §5 methodology).
     *
-    * The LSH machinery runs over DISTINCT shingle SETS, not documents.
-    * Jaccard, all 16 min-hashes, and every band key are functions of
-    * the set alone, so docs with identical sets form equivalence
-    * classes that behave identically through the whole pipeline; a
+    * The LSH machinery runs over identical-TEXT classes
+    * ([[arrClasses]]), not documents. Jaccard, all 16 min-hashes, and
+    * every band key are functions of the shingle SET alone, so
+    * replicas behave identically through the whole pipeline; a
     * doc-level band join carries each class's full membership through
     * the shuffle and pays a multiplicity² candidate distinct in every
     * dup-dense bucket (the x09d sf10 failure mode — the ensemble's
-    * lexical half spilled 113 GB through exactly this stage). Grouping
-    * by the sorted shingle-id array first makes candidate mass track
-    * distinct CONTENT; the doc-level pair set — which is contractually
-    * unbounded and genuinely multiplicity² for exact-dup groups — is
-    * recovered at the END by pure array expansion (explode over the
-    * already-joined member lists, no join, no shuffle): intra-class
-    * pairs at jaccard exactly 1.0, cross-class pairs at their class
-    * pair's verified jaccard. Output is byte-identical to the
-    * doc-level formulation.
+    * lexical half spilled 113 GB through exactly this stage).
+    * Collapsing first makes shingling and candidate mass track
+    * distinct CONTENT (equal-set order-permuted classes band-collide —
+    * identical min-hashes — and verify at exactly 1.0, so nothing is
+    * lost to the finer text-level classing); the doc-level pair set —
+    * contractually unbounded and genuinely multiplicity² for
+    * exact-dup groups — is recovered at the END by pure array
+    * expansion (explode over the already-joined member lists, no
+    * join, no shuffle): intra-class pairs at jaccard exactly 1.0,
+    * cross-class pairs at their class pair's verified jaccard. Output
+    * is byte-identical to the doc-level formulation.
     */
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame =
     // memoized: x09b and the ensemble's lexical half (x09r) share one
@@ -209,26 +235,30 @@ object Dedup {
                               sfDir: String): DataFrame = {
     graft.plans.PolyHash.register(spark)
     graft.plans.MinHashAgg.register(spark)
-    val ds = shingleIds(spark, sfDir)
+    // identical-text classes ([[arrClasses]]): shingling, hashing, and
+    // the whole LSH pipeline pay one row per distinct text; equal-set
+    // order-permuted classes band-collide (identical min-hashes) and
+    // verify at exactly 1.0, so the doc-pair output is unchanged
+    val classes = arrClasses(spark, sfDir)
+      .filter(size(col("arr")) >= 3)
+    val ds = classes
+      .select(col("cid"),
+        explode(transform(shingleArrOf(col("arr"), 3),
+          s => TextAnalysis.polyHash(s))).as("sid"))
+      .distinct()
 
-    // identical-set equivalence classes: sorted member ids + the min id
-    // as the class key; n cached for the Jaccard denominator
-    val groups = ds.groupBy("doc_id")
-      .agg(sort_array(collect_list("sid")).as("sids"))
-      .groupBy("sids")
-      .agg(sort_array(collect_list("doc_id")).as("members"))
-      .withColumn("sig_id", element_at(col("members"), 1))
+    // The sorted shingle-set array (exact-Jaccard verifier input) and
+    // all 16 min-hashes (the sketch-style custom aggregate
+    // graft.plans.MinHashAgg — map-side combined, 128 bytes per class
+    // on the wire) assemble in ONE aggregation pass per class.
+    val groups = ds.groupBy("cid")
+      .agg(sort_array(collect_list("sid")).as("sids"),
+        expr(s"${graft.plans.MinHashAgg.name}(sid)").as("mh"))
       .withColumn("n", size(col("sids")))
+      .join(classes.select(col("cid"), col("members")), "cid")
+      .withColumnRenamed("cid", "sig_id")
       .cache()
-
-    // All 16 min-hashes in ONE aggregation pass via the sketch-style
-    // custom aggregate (graft.plans.MinHashAgg): the shingle-id set
-    // collapses map-side into a 16-long buffer per CLASS — no 16×
-    // row blow-up, 128 bytes per distinct set on the wire.
-    val mhWide = groups
-      .select(col("sig_id").as("doc_id"), explode(col("sids")).as("sid"))
-      .groupBy("doc_id")
-      .agg(expr(s"${graft.plans.MinHashAgg.name}(sid)").as("mh"))
+    val mhWide = groups.select(col("sig_id").as("doc_id"), col("mh"))
 
     // Band signature: order-free weighted sum of the band's 4 min-hashes
     // (weights 31^k) — one BIGINT key per (class, band), join-able
@@ -446,9 +476,13 @@ object Dedup {
   def simhash(spark: SparkSession, sfDir: String): DataFrame = {
     graft.plans.PolyHash.register(spark)
     val P2 = 4294967291L // prime < 2^32 → 32 usable bits per half
-    // only (doc_id, tok) is needed — derive from the shared token arrays
-    val t = tokArrShared(spark, sfDir)
-      .select(col("doc_id"), explode(col("arr")).as("tok"))
+    // the fingerprint is a function of the token array alone, so the
+    // 64-bit vote aggregation runs once per identical-text class
+    // ([[arrClasses]]) and the per-doc rows explode from the member
+    // lists afterwards — byte-identical, replicas never re-aggregate
+    val classes = arrClasses(spark, sfDir)
+    val t = classes
+      .select(col("cid").as("doc_id"), explode(col("arr")).as("tok"))
     val hashed = t
       .withColumn("token_id", TextAnalysis.polyHash(col("tok")))
       .withColumn("g1", (lit(982451653L) * col("token_id") + lit(12345L)) % P2)
@@ -468,7 +502,11 @@ object Dedup {
       when(col(s"$prefix$b") > 0, lit(1L << b)).otherwise(0L)
     }.reduce(_ + _)
     hashed.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
-      .select(col("doc_id"), half("s").as("simhash_lo"), half("t").as("simhash_hi"))
+      .select(col("doc_id").as("cid"),
+        half("s").as("simhash_lo"), half("t").as("simhash_hi"))
+      .join(classes.select("cid", "members"), "cid")
+      .select(explode(col("members")).as("doc_id"),
+        col("simhash_lo"), col("simhash_hi"))
       .orderBy("doc_id")
   }
 
@@ -1160,12 +1198,14 @@ object Dedup {
       greatest(col("cont_a"), col("cont_b")).desc, col("doc_b"))
       .orderBy("doc_a", "doc_b")
 
-  /** Candidate generation and scoring run over identical-gram-set
-    * CLASSES (the family discipline — see [[ngramJaccardBuild]]):
-    * containment, like Jaccard, is a function of the two distinct-gram
-    * sets alone, so the Σ df² pair-count stage pays distinct CONTENT,
-    * not replica count (doc-level it was the 14×/decade line of the
-    * sf10 soak at 3.2× dup multiplicity). Doc pairs are recovered by a
+  /** Candidate generation and scoring run over identical-TEXT CLASSES
+    * ([[arrClasses]] — the family discipline, see
+    * [[ngramJaccardBuild]]): containment, like Jaccard, is a function
+    * of the two distinct-gram sets alone, so the Σ df² pair-count
+    * stage pays distinct CONTENT, not replica count (doc-level it was
+    * the 14×/decade line of the sf10 soak at 3.2× dup multiplicity);
+    * equal-set order-permuted classes share all grams, meet in the
+    * candidate join, and score 1.0/1.0. Doc pairs are recovered by a
     * BOUNDED expansion — per class pair, per side, each doc emits its
     * ≤[[MaxPairsPerDoc]] smallest larger partner ids — which provably
     * contains the final per-doc top-k: scores are uniform within a
@@ -1176,19 +1216,14 @@ object Dedup {
   private def containmentBuild(spark: SparkSession, sfDir: String,
                                maxDf: Long, width: Int): DataFrame = {
     graft.plans.PolyHash.register(spark)
-    val grams = tokArrShared(spark, sfDir).filter(size(col("arr")) >= width)
-      .select(col("doc_id"),
+    // family-shared identical-text classes — shingling and the pair
+    // join pay one row per distinct text ([[arrClasses]])
+    val classes = arrClasses(spark, sfDir)
+    val cgrams = classes.filter(size(col("arr")) >= width)
+      .select(col("cid"), col("w"),
         explode(transform(shingleArrOf(col("arr"), width),
           s => TextAnalysis.polyHash(s))).as("gid"))
       .distinct()
-    val classes = grams.groupBy("doc_id")
-      .agg(sort_array(collect_list("gid")).as("gset"))
-      .groupBy("gset")
-      .agg(sort_array(collect_list("doc_id")).as("members"))
-      .withColumn("cid", element_at(col("members"), 1))
-      .cache()
-    val cgrams = classes.select(col("cid"),
-      size(col("members")).as("w"), explode(col("gset")).as("gid"))
     // doc-level df exactly: each class contributes its member count
     val hot = cgrams.groupBy("gid").agg(sum("w").as("df"))
       .filter(col("df") > maxDf).select("gid")
@@ -1221,7 +1256,7 @@ object Dedup {
       .join(sizes, "cid")
       .select(col("members"), col("n"))
       .localCheckpoint()
-    classes.unpersist()
+    // `classes` is the family-shared session memo — it stays persisted
     kept.unpersist()
     // bounded both-direction expansion; (from → into) keeps doc_a's
     // class stats in (n_a, cont_a)
@@ -1251,25 +1286,27 @@ object Dedup {
     * only — PlanSpec) returns the raw un-checkpointed pipeline, whose
     * physical shape the memo's checkpoint scan would otherwise hide.
     *
-    * Both strategies run over identical-gram-set equivalence CLASSES,
-    * not documents (the simhashPairs/minhashLsh discipline): Jaccard is
-    * a function of a doc's distinct-gram SET alone, so docs with equal
-    * sets traverse candidate generation and verification once. A
-    * doc-level formulation pays multiplicity² candidate mass in every
-    * dup-dense bucket — the sf10 soak's 44 GB-spill (x09e2) /
-    * 11×-decade (x09e) signature at the fixture's 3.2× exact-dup
-    * multiplicity. df keeps its DOC-level meaning via the class-size
-    * weight (the maxDf ceiling and the rarest-first prefix order are
-    * unchanged), and the doc-pair relation — contractually unbounded,
-    * genuinely multiplicity² for exact-dup groups — is recovered at
-    * the END by pure array expansion over two small localCheckpoints
-    * (class pairs with member lists; dup-group member lists), so the
-    * materialized memo footprint is O(class pairs + duplicated docs),
-    * never O(doc pairs). Output is byte-identical to the doc-level
-    * formulation: intra-class pairs score exactly 1.0 (identical kept
-    * sets; classes whose kept set is EMPTY are excluded, matching the
-    * doc-level join that required a shared kept gram), and every
-    * cross-class doc pair inherits its class pair's verified value. */
+    * Both strategies run over identical-TEXT equivalence CLASSES
+    * ([[arrClasses]]), not documents: Jaccard is a function of a doc's
+    * distinct-gram SET alone, so replicas traverse shingling, candidate
+    * generation, and verification once. A doc-level formulation pays
+    * multiplicity² candidate mass in every dup-dense bucket — the sf10
+    * soak's 44 GB-spill (x09e2) / 11×-decade (x09e) signature at the
+    * fixture's 3.2× exact-dup multiplicity. df keeps its DOC-level
+    * meaning via the class-size weight (the maxDf ceiling and the
+    * rarest-first prefix order are unchanged), and the doc-pair
+    * relation — contractually unbounded, genuinely multiplicity² for
+    * exact-dup groups — is recovered at the END by pure array
+    * expansion over two small localCheckpoints (class pairs with
+    * member lists; dup-group member lists), so the materialized memo
+    * footprint is O(class pairs + duplicated docs), never O(doc
+    * pairs). Output is byte-identical to the doc-level formulation:
+    * intra-class pairs score exactly 1.0 (identical kept sets; classes
+    * whose kept set is EMPTY are excluded, matching the doc-level join
+    * that required a shared kept gram); cross-class doc pairs inherit
+    * their class pair's verified value, including the 1.0 of equal-set
+    * order-permuted texts, which share all grams and so always meet in
+    * the candidate join. */
   private[graft] def ngramJaccardBuild(spark: SparkSession, sfDir: String,
                                        maxDf: Long = 300L,
                                        strategy: JaccardStrategy = CountJoin,
@@ -1277,25 +1314,17 @@ object Dedup {
                                        width: Int = 2)
       : DataFrame = {
     graft.plans.PolyHash.register(spark)
-    // family-shared tokenize on the real path; raw scan on the
-    // plan-audit path (materialize = false) so PlanSpec sees the true
-    // scan shape rather than an InMemoryTableScan
-    val tokSrc = if (materialize) tokArrShared(spark, sfDir)
-                 else tokArr(Tables.documents(spark, sfDir))
-    val grams = tokSrc.filter(size(col("arr")) >= width)
-      .select(col("doc_id"),
+    // family-shared identical-text classes on the real path; raw scan
+    // on the plan-audit path (materialize = false) so PlanSpec sees
+    // the true scan shape rather than an InMemoryTableScan. Shingling
+    // and everything after pay one row per distinct text.
+    val classes = if (materialize) arrClasses(spark, sfDir)
+                  else arrClassesRaw(Tables.documents(spark, sfDir))
+    val cgrams = classes.filter(size(col("arr")) >= width)
+      .select(col("cid"), col("w"),
         explode(transform(shingleArrOf(col("arr"), width),
           s => TextAnalysis.polyHash(s))).as("gid"))
       .distinct()
-    // identical-set classes: sorted member ids, min id as class key
-    val classes = grams.groupBy("doc_id")
-      .agg(sort_array(collect_list("gid")).as("gset"))
-      .groupBy("gset")
-      .agg(sort_array(collect_list("doc_id")).as("members"))
-      .withColumn("cid", element_at(col("members"), 1))
-      .cache()
-    val cgrams = classes.select(col("cid"),
-      size(col("members")).as("w"), explode(col("gset")).as("gid"))
     // doc-level df exactly: each class contributes its member count
     val dfreq = cgrams.groupBy("gid").agg(sum("w").as("df"))
     val hot = dfreq.filter(col("df") > maxDf).select("gid")
@@ -1405,7 +1434,7 @@ object Dedup {
       else assemble(crossArrs.localCheckpoint(), dupGroups.localCheckpoint())
     strategyCache.foreach(_.unpersist())
     kept.unpersist()
-    classes.unpersist()
+    // `classes` is the family-shared session memo — it stays persisted
     npairs
   }
 }

@@ -182,6 +182,30 @@ object Dedup {
       .withColumn("cid", element_at(col("members"), 1))
       .withColumn("w", size(col("members")))
 
+  /** Distinct width-`width` gram ids per identical-text class
+    * `(cid, w, gid)` — the shingle+hash+distinct pass is the gram
+    * family's hottest projection, and BOTH x09e strategies plus the
+    * containment build start from exactly this relation, so it stages
+    * once per (session, fixture, width) like [[tokArrShared]] /
+    * [[arrClasses]]. Gram ids are content hashes (no vocabulary
+    * relation, no global window — round 1's `row_number` id
+    * assignment funnelled every distinct shingle through ONE task,
+    * the hard 100 TB bottleneck of this family). */
+  private def classGrams(spark: SparkSession, sfDir: String,
+                         width: Int): DataFrame =
+    graft.util.SessionMemo.memoizedValue(
+        spark, s"classGrams|$sfDir|$width") {
+      val df = arrClasses(spark, sfDir)
+        .filter(size(col("arr")) >= width)
+        .select(col("cid"), col("w"),
+          explode(transform(shingleArrOf(col("arr"), width),
+            s => TextAnalysis.polyHash(s))).as("gid"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count()
+      df
+    }
+
   /** All n-token shingles as one array column, built directly from the
     * materialized token array (`transform` over positions) — pure
     * columnar projection; round 1 used two `lead()` window passes over
@@ -1216,14 +1240,11 @@ object Dedup {
   private def containmentBuild(spark: SparkSession, sfDir: String,
                                maxDf: Long, width: Int): DataFrame = {
     graft.plans.PolyHash.register(spark)
-    // family-shared identical-text classes — shingling and the pair
-    // join pay one row per distinct text ([[arrClasses]])
+    // family-shared identical-text classes + staged class-gram
+    // relation — shingling and the pair join pay one row per distinct
+    // text ([[arrClasses]], [[classGrams]])
     val classes = arrClasses(spark, sfDir)
-    val cgrams = classes.filter(size(col("arr")) >= width)
-      .select(col("cid"), col("w"),
-        explode(transform(shingleArrOf(col("arr"), width),
-          s => TextAnalysis.polyHash(s))).as("gid"))
-      .distinct()
+    val cgrams = classGrams(spark, sfDir, width)
     // doc-level df exactly: each class contributes its member count
     val hot = cgrams.groupBy("gid").agg(sum("w").as("df"))
       .filter(col("df") > maxDf).select("gid")
@@ -1314,17 +1335,20 @@ object Dedup {
                                        width: Int = 2)
       : DataFrame = {
     graft.plans.PolyHash.register(spark)
-    // family-shared identical-text classes on the real path; raw scan
-    // on the plan-audit path (materialize = false) so PlanSpec sees
-    // the true scan shape rather than an InMemoryTableScan. Shingling
-    // and everything after pay one row per distinct text.
+    // family-shared identical-text classes + staged class-gram
+    // relation on the real path; raw scans on the plan-audit path
+    // (materialize = false) so PlanSpec sees the true scan shape
+    // rather than an InMemoryTableScan. Shingling and everything
+    // after pay one row per distinct text.
     val classes = if (materialize) arrClasses(spark, sfDir)
                   else arrClassesRaw(Tables.documents(spark, sfDir))
-    val cgrams = classes.filter(size(col("arr")) >= width)
-      .select(col("cid"), col("w"),
-        explode(transform(shingleArrOf(col("arr"), width),
-          s => TextAnalysis.polyHash(s))).as("gid"))
-      .distinct()
+    val cgrams =
+      if (materialize) classGrams(spark, sfDir, width)
+      else classes.filter(size(col("arr")) >= width)
+        .select(col("cid"), col("w"),
+          explode(transform(shingleArrOf(col("arr"), width),
+            s => TextAnalysis.polyHash(s))).as("gid"))
+        .distinct()
     // doc-level df exactly: each class contributes its member count
     val dfreq = cgrams.groupBy("gid").agg(sum("w").as("df"))
     val hot = dfreq.filter(col("df") > maxDf).select("gid")

@@ -749,4 +749,99 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(split.map(_.getLong(1)).sum ==
       graft.sources.Tables.documents(spark, sf).count())
   }
+
+  test("class-collapsed builds equal the doc-level reference on a dup-dense corpus") {
+    // The oracle fixtures are nearly dup-free, so they barely exercise
+    // the identical-text class expansion (intra-class 1.0 pairs, both-
+    // direction cross expansion, equal-set order-permuted classes,
+    // side-label swaps, per-class-pair top-8 slices). This corpus is
+    // built to stress exactly those paths: exact-dup groups of
+    // multiplicity 5, 3, and 12; a cross-group pair at J = 0.6 exactly;
+    // and two DIFFERENT texts with EQUAL bigram sets.
+    import spark.implicits._
+    val g1 = (1L to 5L).map(i => (i, "alpha beta gamma delta epsilon"))
+    val g2 = (6L to 8L).map(i => (i, "alpha beta gamma delta zeta"))
+    val perm = Seq((9L, "a b a b a"), (10L, "b a b a b"))
+    val solo = (11L to 13L).map(i => (i, s"u$i v$i w$i x$i y$i"))
+    val big = (30L to 41L).map(i => (i, "omega psi chi phi upsilon"))
+    val docs = g1 ++ g2 ++ perm ++ solo ++ big
+    val dir = java.nio.file.Files.createTempDirectory("graft_dup_").toString
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // doc-level reference: distinct bigram sets, J ≥ 0.6, a < b
+    val gsets = docs.map { case (id, t) =>
+      id -> t.split(" ").sliding(2).map(_.mkString(" ")).toSet
+    }.toMap
+    val ids = docs.map(_._1)
+    val refPairs = (for {
+      a <- ids; b <- ids if a < b
+      ia = gsets(a).intersect(gsets(b)).size
+      j = ia.toDouble / (gsets(a).size + gsets(b).size - ia)
+      if j >= 0.6
+    } yield (a, b, j)).toSet
+    for (st <- Seq(Dedup.CountJoin, Dedup.PrefixFilter)) {
+      val got = Dedup.ngramJaccard(spark, dir, strategy = st).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == refPairs,
+        s"$st: ${(got -- refPairs)} unexpected; ${(refPairs -- got)} missing")
+    }
+    // spot shape: the 12-copy group alone contributes C(12,2)=66 pairs,
+    // the equal-set permuted pair (9,10) verifies at exactly 1.0, and
+    // the G1×G2 boundary pairs land at exactly 0.6
+    assert(refPairs.count { case (a, b, _) => a >= 30 && b >= 30 } == 66)
+    assert(refPairs.contains((9L, 10L, 1.0)))
+    assert(refPairs.count { case (a, b, j) => a <= 5 && b >= 6 && b <= 8 }
+      == 15 && refPairs.filter { case (a, b, _) =>
+        a <= 5 && b >= 6 && b <= 8 }.forall(_._3 == 0.6))
+
+    // containment: doc-level reference with the per-doc top-8 contract
+    val tau = (ia: Int, n: Int) => ia * 5 >= n * 3
+    val contRef = (for {
+      a <- ids; b <- ids if a < b
+      ia = gsets(a).intersect(gsets(b)).size if ia > 0
+      (na, nb) = (gsets(a).size, gsets(b).size)
+      if tau(ia, na) || tau(ia, nb)
+    } yield (a, b, ia.toDouble / na, ia.toDouble / nb)).toSeq
+    val contTop = contRef.groupBy(_._1).flatMap { case (_, rows) =>
+      rows.sortBy(r => (-math.max(r._3, r._4), r._2)).take(8)
+    }.toSet
+    val gotCont = Dedup.containmentPairs(spark, dir, width = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(5), r.getDouble(6)))
+      .toSet
+    assert(gotCont == contTop,
+      s"containment: ${(gotCont -- contTop)} unexpected; ${(contTop -- gotCont)} missing")
+
+    // simhash pairs: identical texts fingerprint identically, and the
+    // 12-copy group's first member emits EXACTLY MaxPairsPerDoc
+    // hamming-0 partners (the per-class-pair top-8-by-id slice)
+    val fp = Dedup.simhash(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert((30L to 41L).map(fp).toSet.size == 1, "identical texts, one fingerprint")
+    val sp = Dedup.simhashPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val from30 = sp.filter(_._1 == 30L)
+    assert(from30.length == 8 && from30.forall(_._3 == 0)
+      && from30.map(_._2).sorted.sameElements(31L to 38L),
+      s"doc 30 must emit the 8 smallest co-members at hamming 0: ${from30.toList}")
+
+    // minhash-LSH: every jaccard-1.0 pair is banding-proof (identical
+    // signatures always collide) — all intra-group pairs and the
+    // equal-set permuted pair must surface at exactly 1.0
+    val mh = Dedup.minhashLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val ones = refPairs.filter(_._3 == 1.0)
+      .filter { case (a, b, _) => // 3-shingle eligibility: ≥ 3 tokens
+        docs.toMap.apply(a).split(" ").length >= 3 }
+    assert(ones.subsetOf(mh),
+      s"jaccard-1.0 pairs missing from minhash: ${(ones -- mh)}")
+    // note: refPairs J is over bigrams, minhash J over 3-shingles —
+    // they agree at 1.0 (identical sets) which is all this pin uses
+    mh.foreach { case (a, b, j) =>
+      val (sa, sb) = (docs.toMap.apply(a).split(" ").sliding(3).map(_.mkString(" ")).toSet,
+        docs.toMap.apply(b).split(" ").sliding(3).map(_.mkString(" ")).toSet)
+      val expect = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      assert(math.abs(j - expect) < 1e-12, s"($a,$b): $j vs $expect")
+    }
+  }
 }

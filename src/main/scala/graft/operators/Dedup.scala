@@ -966,48 +966,62 @@ object Dedup {
     // no faster — the scan+tokenize dominates the projection at sf0.1.
     // Cached: the stream feeds BOTH the repeated-set aggregate and the
     // join-back side (same treatment as minhashLsh's shingle relation).
-    // The token arrays come from the family-shared tokenize pass; the
-    // plan-audit path keeps the raw scan so PlanSpec sees the true shape.
-    val tokSrc = if (materialize) tokArrShared(spark, sfDir)
-                 else tokArr(Tables.documents(spark, sfDir))
-    val spansBare = tokSrc
+    // The whole pipeline — gram stream, repeated-set aggregate, hit
+    // join, per-entity interval merge — runs once per identical-text
+    // class ([[arrClasses]]): identical texts have identical span
+    // layouts, so per-doc rows explode from the member lists at the
+    // end (at 3.2× dup multiplicity the doc-level window carried 3.2×
+    // identical rows). "Occurs in ≥2 documents" becomes class-aware:
+    // a gram repeats iff two classes contain it OR any containing
+    // class has multiplicity ≥ 2 (its replicas are distinct docs) —
+    // the same predicate the doc-level min≠max computed. The
+    // plan-audit path keeps the raw scan so PlanSpec sees the true
+    // shape.
+    val classes = if (materialize) arrClasses(spark, sfDir)
+                  else arrClassesRaw(Tables.documents(spark, sfDir))
+    val spansBare = classes
       .filter(size(col("arr")) >= width)
-      .select(col("doc_id"),
+      .select(col("cid"), col("w"),
         posexplode(transform(shingleArrOf(col("arr"), width),
           s => TextAnalysis.polyHash(s))).as(Seq("pos0", "gid")))
-      .select(col("doc_id"), (col("pos0") + 1).cast(LongType).as("start"),
-        col("gid"))
+      .select(col("cid"), col("w"),
+        (col("pos0") + 1).cast(LongType).as("start"), col("gid"))
     val spans = if (materialize) spansBare.cache() else spansBare
     val rep = spans.groupBy("gid")
-      .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
-      .filter(col("mn") =!= col("mx"))
+      .agg(min("cid").as("mn"), max("cid").as("mx"), max("w").as("mw"))
+      .filter(col("mn") =!= col("mx") || col("mw") >= 2)
       .select("gid")
     val hit = spans.join(rep, "gid")
-      .select(col("doc_id"), col("start"),
+      .select(col("cid"), col("start"),
         (col("start") + (width - 1)).as("e"))
     // islands: a span opens a new interval iff it starts past the
     // running max end of everything before it (overlap-merge semantics;
     // adjacent-but-disjoint spans stay separate)
-    val w = Window.partitionBy("doc_id").orderBy("start")
+    val win = Window.partitionBy("cid").orderBy("start")
     val flagged = hit
       .withColumn("pm", max("e").over(
-        w.rowsBetween(Window.unboundedPreceding, -1)))
+        win.rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn("news",
         when(col("pm").isNull || col("start") > col("pm"), 1L).otherwise(0L))
       .withColumn("isl", sum("news").over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val merged = flagged.groupBy("doc_id", "isl")
+        win.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val merged = flagged.groupBy("cid", "isl")
       .agg(min("start").as("span_start"), max("e").as("span_end"),
         (max("e") - min("start") + 1).as("span_tokens"),
         count(lit(1)).as("n_grams"))
-      .select("doc_id", "span_start", "span_end", "span_tokens", "n_grams")
-    // materialize the (duplicated-mass-only) span set, then release the
-    // corpus-sized gram cache — same discipline as minhashLsh
-    if (!materialize) merged
+      .select("cid", "span_start", "span_end", "span_tokens", "n_grams")
+    def perDoc(m: DataFrame): DataFrame = m
+      .join(classes.select("cid", "members"), "cid")
+      .select(explode(col("members")).as("doc_id"), col("span_start"),
+        col("span_end"), col("span_tokens"), col("n_grams"))
+    // materialize the (duplicated-CONTENT-only) class-level span set,
+    // then release the corpus-sized gram cache — same discipline as
+    // minhashLsh; doc rows explode from the checkpoint per consumer
+    if (!materialize) perDoc(merged)
     else {
       val out = merged.localCheckpoint()
       spans.unpersist()
-      out
+      perDoc(out)
     }
   }
 

@@ -133,14 +133,15 @@ class PlanSpec extends SparkSuite {
   test("repeated spans and LM scoring keep their scale-shape plans") {
     import graft.operators.{Dedup, TextAnalysis}
     // repeated spans: gram extraction is a projection (no self-join of
-    // the token stream), every window partitions by doc_id — no global
+    // the token stream), every window partitions by the identical-text
+    // class key (per-entity, bounded per document) — no global
     // single-partition stage anywhere (un-materialized build: the
     // checkpointed query plans as a checkpoint scan)
     val rsPlan = plan(Dedup.repeatedSpans(spark, sf, materialize = false))
     assert(!rsPlan.contains("SinglePartition"),
       s"single-partition stage in repeated-spans plan:\n$rsPlan")
-    assert(rsPlan.contains("hashpartitioning(doc_id"),
-      s"island windows must shard by doc:\n$rsPlan")
+    assert(rsPlan.contains("hashpartitioning(cid"),
+      s"island windows must shard by text class:\n$rsPlan")
     // LM scoring: the vocab size is a one-row broadcast; the count
     // relations join by integer key; no window at all in the plan
     val lmPlan = plan(TextAnalysis.lmScore(spark, sf))

@@ -1045,26 +1045,32 @@ object Dedup {
     */
   def spanScrub(spark: SparkSession, sfDir: String,
                 width: Int = 8): DataFrame = {
-    // positional token stream derived from the family-shared tokenize
-    // pass (posexplode of the cached arrays ≡ TextAnalysis.tokens)
-    val t = tokArrShared(spark, sfDir)
-      .select(col("doc_id"), posexplode(col("arr")).as(Seq("ord0", "tok")))
-      .select(col("doc_id"), (col("ord0") + 1).cast(LongType).as("ord"),
+    // the rewrite is class-invariant — identical texts carry identical
+    // span layouts, cut identically, and hash identically — so the
+    // positional anti-join and the reassembly aggregate run once per
+    // identical-text class ([[arrClasses]]), keyed on the class key's
+    // own span rows (the class key IS its min member's doc id); per-doc
+    // report rows explode from the member lists at the end
+    val classes = arrClasses(spark, sfDir)
+    val t = classes
+      .select(col("cid"), posexplode(col("arr")).as(Seq("ord0", "tok")))
+      .select(col("cid"), (col("ord0") + 1).cast(LongType).as("ord"),
         col("tok"))
     val sp = repeatedSpans(spark, sfDir, width)
       .select(col("doc_id").as("sdoc"), col("span_start"), col("span_end"))
-    val kept = t.join(sp, col("doc_id") === col("sdoc") &&
+    val kept = t.join(sp, col("cid") === col("sdoc") &&
         col("ord") >= col("span_start") && col("ord") <= col("span_end"),
       "left_anti")
-    val agg = kept.groupBy("doc_id").agg(
+    val agg = kept.groupBy("cid").agg(
       count(lit(1)).as("n_tokens_kept"),
       sha2(TextAnalysis.orderedConcat(col("ord"), col("tok")), 256)
         .as("cleaned_hash"))
-    val before = tokArrShared(spark, sfDir)
-      .select(col("doc_id"), size(col("arr")).cast(LongType).as("n_tokens"))
-    before.join(agg, Seq("doc_id"), "left")
+    classes
+      .select(col("cid"), col("members"),
+        size(col("arr")).cast(LongType).as("n_tokens"))
+      .join(agg, Seq("cid"), "left")
       .filter(coalesce(col("n_tokens_kept"), lit(0L)) < col("n_tokens"))
-      .select(col("doc_id"), col("n_tokens"),
+      .select(explode(col("members")).as("doc_id"), col("n_tokens"),
         coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"),
         col("cleaned_hash"))
       .orderBy("doc_id")

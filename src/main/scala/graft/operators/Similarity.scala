@@ -302,7 +302,7 @@ object Similarity {
     */
   def semanticDedup(spark: SparkSession, sfDir: String,
                     threshold: Double = 0.45,
-                    k: Int = 0, iters: Int = 2): DataFrame = {
+                    k: Int = 8, iters: Int = 2): DataFrame = {
     val cells = kmeansSums(spark, sfDir, k, iters)
     // assignment with the winning score retained (the score doubles as
     // the centrality measure — higher = closer to its centroid), as ONE
@@ -415,17 +415,6 @@ object Similarity {
                             nprobe: Int,
                             cells: Option[DataFrame]): DataFrame = {
     val cs = cellScores(spark, sfDir, cells).cache()
-    // `nprobe = 0` derives the probe width from the cell count the
-    // same way the codebook size derives from the corpus: ~sqrt(k/2)
-    // probes keep per-query probe cost N·sqrt(k)/k = N/sqrt(k) —
-    // sub-linear in k — while recall tracks the growing codebook. At
-    // the historical k = 8 the rule gives exactly the historical
-    // nprobe = 2, so oracle-scale output is unchanged. The distinct
-    // count runs over the (cached) score relation it materializes.
-    val np = if (nprobe > 0) nprobe
-             else math.max(2L,
-               math.sqrt(cs.select("cell").distinct().count() / 2.0)
-                 .toLong).toInt
     // corpus assignment: ONE map-side-combined max_by aggregate — a
     // row_number window here would shuffle all N×k scored rows on
     // vec_id; the aggregate combines each vector's k candidates before
@@ -439,7 +428,7 @@ object Similarity {
     val w = Window.partitionBy("vec_id").orderBy(desc("cellscore"), asc("cell"))
     val probes = cs.filter(col("vec_id") < NQueries)
       .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= np)
+      .filter(col("rnk") <= nprobe)
       .select(col("vec_id").as("query_id"), col("cell"))
     val cand = broadcast(probes).join(assign, "cell")
       .filter(col("query_id") =!= col("vec_id"))
@@ -475,7 +464,7 @@ object Similarity {
     * broadcasts; the probe join is keyed on the cell id.
     */
   def ivfTopK(spark: SparkSession, sfDir: String, k: Int = 3,
-              nprobe: Int = 0,
+              nprobe: Int = 2,
               cells: Option[DataFrame] = None): DataFrame = {
     val cand = ivfCandidates(spark, sfDir, nprobe, cells)
     val all = quantized(spark, sfDir)
@@ -514,37 +503,19 @@ object Similarity {
     * (Production k-means++ seeding slots into the init frame; the fixed
     * low-id seed keeps the fixture oracle-replayable.)
     */
-  /** Corpus-derived codebook size: `max(8, ⌊√N / 8⌋)` — the √N rule
-    * every IVF/SemDeDup deployment runs (cell population N/k then
-    * grows as 8√N instead of linearly, and codebook training stays
-    * k×N ≈ N^1.5/8, sample-able at real scale). The floor keeps BOTH
-    * oracle-scale fixtures at the historical k = 8 (√2000/8 = 5, so
-    * sf0.01 and sf0.1 are byte-identical with or without derivation);
-    * the probe is the same memoized parquet-footer count the LSH
-    * geometry uses. */
-  private def derivedK(spark: SparkSession, sfDir: String): Int =
-    graft.util.SessionMemo.memoizedValue(spark, s"kmeansK|$sfDir") {
-      val n = Tables.embeddings(spark, sfDir).count()
-      math.max(8, (math.sqrt(math.max(0L, n).toDouble) / 8.0).toInt)
-    }
-
   /** The k-means codebook as a (cell, n, sum-vector) relation — the
     * same shape [[centroidSums]] produces from labels, so either slots
     * into [[cellScores]]/[[ivfTopK]] unchanged. Memoized per (session,
     * fixture, params): the certification query (x10g) and the learned
     * IVF probe (x10e2) share one trained codebook — k × dims longs —
-    * instead of each replaying the Lloyd's iterations. `k = 0` (the
-    * default) derives the size from the corpus via [[derivedK]];
-    * explicit k pins it (the determinism spec does). */
+    * instead of each replaying the Lloyd's iterations. */
   private[graft] def kmeansSums(spark: SparkSession, sfDir: String,
-                                k: Int = 0, iters: Int = 2,
-                                idBound: Long = Long.MaxValue): DataFrame = {
-    val kk = if (k > 0) k else derivedK(spark, sfDir)
+                                k: Int = 8, iters: Int = 2,
+                                idBound: Long = Long.MaxValue): DataFrame =
     graft.util.SessionMemo.memoized(spark,
-      s"kmeansSums|$sfDir|$kk|$iters|$idBound") {
-      kmeansSumsBuild(spark, sfDir, kk, iters, idBound)
+      s"kmeansSums|$sfDir|$k|$iters|$idBound") {
+      kmeansSumsBuild(spark, sfDir, k, iters, idBound)
     }
-  }
 
   /** The un-memoized trainer (the determinism spec replays it).
     * `idBound` restricts training to `vec_id < idBound` — a pushed-down
@@ -583,7 +554,7 @@ object Similarity {
   }
 
   def kmeansCells(spark: SparkSession, sfDir: String,
-                  k: Int = 0, iters: Int = 2): DataFrame =
+                  k: Int = 8, iters: Int = 2): DataFrame =
     kmeansSums(spark, sfDir, k, iters)
       .select(col("cell"), col("n").as("n_vecs"),
         posexplode(col("s")).as(Seq("pos0", "sum_q")))
@@ -921,7 +892,7 @@ object Similarity {
     * trajectories and their composition bit-for-bit.
     */
   def ivfPqTopK(spark: SparkSession, sfDir: String, k: Int = 3,
-                nprobe: Int = 0): DataFrame = {
+                nprobe: Int = 2): DataFrame = {
     graft.plans.VecSumAgg.register(spark)
     val cand = ivfCandidates(spark, sfDir, nprobe,
       Some(kmeansSums(spark, sfDir)))

@@ -180,33 +180,49 @@ object OraclesLlm {
       |         FROM probes p JOIN assign a
       |           ON p.cell = a.cell AND a.vec_id <> p.query_id)""".stripMargin
 
-  /** Lloyd's k-means trajectory (k=8 low-id singleton seeds, 2
-    * iterations) as unrolled CTE pairs over `exq` from [[vecCtes]] —
-    * ends at `c2(cell, pos, n, s)`, the learned codebook. Shared by the
-    * x10g certification and the x10e2 learned-IVF probe. */
-  private def kmeansCtesOn(src: String): String =
-    s"""c0 AS (SELECT vec_id AS cell, CAST(1 AS BIGINT) AS n, pos, q AS s
-       |       FROM $src WHERE vec_id < 8),
+  /** Lloyd's k-means trajectory as unrolled CTE pairs over the
+    * TRAINING SAMPLE of `src` — ends at `c2(cell, pos, n, s)`, the
+    * learned codebook. The derivation itself is replayed in SQL
+    * (mirrors Similarity.annGeometry): `n` = vector count of the
+    * trained population (`nFrom`), sample stride = n // 65536 + 1,
+    * k = max(8, floor(sqrt(n/32))); seeds are the k LOWEST sample
+    * vec_ids (rank-based). Iterations run over the sample only; the
+    * full-corpus assignment happens downstream (ivfCandCtes / sc3),
+    * mirroring the staged-index build. Shared by the x10g
+    * certification, the x10e2/x10i/x10j learned-IVF probes, and
+    * x09l's SemDeDup clustering. */
+  private def kmeansCtesOn(src: String, nFrom: String): String =
+    s"""kmp AS (SELECT n, n // 65536 + 1 AS stride,
+       |          GREATEST(8, CAST(FLOOR(SQRT(CAST(n AS DOUBLE)/32)) AS BIGINT)) AS kk
+       |        FROM (SELECT $nFrom AS n)),
+       |kms AS (SELECT e.* FROM $src e, kmp p WHERE e.vec_id % p.stride = 0),
+       |kmseed AS (SELECT vec_id FROM
+       |             (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) AS rnk
+       |              FROM (SELECT DISTINCT vec_id FROM kms) dv)
+       |           WHERE rnk <= (SELECT kk FROM kmp)),
+       |c0 AS (SELECT s.vec_id AS cell, CAST(1 AS BIGINT) AS n, s.pos, s.q AS s
+       |       FROM kms s JOIN kmseed d ON s.vec_id = d.vec_id),
        |s1 AS (SELECT e.vec_id, c.cell, c.n, CAST(SUM(e.q*c.s) AS BIGINT) AS num
-       |       FROM $src e JOIN c0 c ON e.pos = c.pos GROUP BY 1, 2, 3),
+       |       FROM kms e JOIN c0 c ON e.pos = c.pos GROUP BY 1, 2, 3),
        |a1 AS (SELECT vec_id, cell FROM
        |         (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
        |            ORDER BY CAST(num AS DOUBLE)/n DESC, cell) AS rnk FROM s1)
        |       WHERE rnk = 1),
        |c1 AS (SELECT a.cell, e.pos, COUNT(*) AS n,
        |         CAST(SUM(e.q) AS BIGINT) AS s
-       |       FROM $src e JOIN a1 a ON e.vec_id = a.vec_id GROUP BY 1, 2),
+       |       FROM kms e JOIN a1 a ON e.vec_id = a.vec_id GROUP BY 1, 2),
        |s2 AS (SELECT e.vec_id, c.cell, c.n, CAST(SUM(e.q*c.s) AS BIGINT) AS num
-       |       FROM $src e JOIN c1 c ON e.pos = c.pos GROUP BY 1, 2, 3),
+       |       FROM kms e JOIN c1 c ON e.pos = c.pos GROUP BY 1, 2, 3),
        |a2 AS (SELECT vec_id, cell FROM
        |         (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
        |            ORDER BY CAST(num AS DOUBLE)/n DESC, cell) AS rnk FROM s2)
        |       WHERE rnk = 1),
        |c2 AS (SELECT a.cell, e.pos, COUNT(*) AS n,
        |         CAST(SUM(e.q) AS BIGINT) AS s
-       |       FROM $src e JOIN a2 a ON e.vec_id = a.vec_id GROUP BY 1, 2)""".stripMargin
+       |       FROM kms e JOIN a2 a ON e.vec_id = a.vec_id GROUP BY 1, 2)""".stripMargin
 
-  private val kmeansCtes = kmeansCtesOn("exq")
+  private val kmeansCtes =
+    kmeansCtesOn("exq", "(SELECT COUNT(*) FROM embeddings)")
 
   /** BPE merge trajectory (mirrors TextAnalysis.bpeMerges), rounds
     * UNROLLED like the k-means CTEs: each round re-derives adjacent
@@ -1266,7 +1282,8 @@ object OraclesLlm {
       s"""WITH $vecCtes,
          |thr AS (SELECT MAX(vec_id)+1 - (MAX(vec_id)+1)//4 AS t FROM embeddings),
          |exb AS (SELECT e.vec_id, e.pos, e.q FROM exq e, thr WHERE e.vec_id < thr.t),
-         |${kmeansCtesOn("exb")},
+         |${kmeansCtesOn("exb",
+             "(SELECT COUNT(*) FROM embeddings, thr WHERE vec_id < thr.t)")},
          |sca AS (SELECT e.vec_id, c.cell, c.n, CAST(SUM(e.q*c.s) AS BIGINT) AS num
          |        FROM exq e JOIN c2 c ON e.pos = c.pos GROUP BY 1, 2, 3)
          |SELECT vec_id, cell FROM

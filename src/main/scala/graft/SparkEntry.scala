@@ -167,9 +167,10 @@ object SparkEntry {
     "x10d_nearest_centroid" -> (Similarity.nearestCentroid(_, _)),
     "x10e_ivf_topk"       -> ((s, d) => Similarity.ivfTopK(s, d)),
     // the production quantizer as the measured path: IVF probing over
-    // the LEARNED k-means codebook (x10g's trajectory feeds the cells)
-    "x10e2_ivf_learned"   -> ((s, d) =>
-      Similarity.ivfTopK(s, d, cells = Some(Similarity.kmeansSums(s, d)))),
+    // the LEARNED k-means codebook, probe-only against the staged
+    // on-disk index (codebook trained on a bounded sample, corpus
+    // assignment committed once as a snapshot)
+    "x10e2_ivf_learned"   -> ((s, d) => Similarity.ivfTopKLearned(s, d)),
     "x10f_class_separation" -> ((s, d) => Similarity.classSeparation(s, d)),
     // PQ-compressed ANN: asymmetric distance over 4x16-dim codebooks
     "x10h_pq_adc"         -> ((s, d) => Similarity.pqAdcTopK(s, d)),

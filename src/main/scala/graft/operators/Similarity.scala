@@ -35,6 +35,73 @@ object Similarity {
     * the knob that keeps candidate mass linear in N. */
   private val LshTargetBucket = 64L
 
+  /** Training-sample cap for the staged IVF codebook: Lloyd's
+    * iterations run on at most ~this many vectors (deterministic
+    * stride sample), so codebook TRAINING cost is bounded by a
+    * constant regardless of corpus size — the production discipline
+    * for a 100 TB corpus, where the full-corpus pass happens exactly
+    * once (the staged ASSIGNMENT, [[stagedIvfIndex]]), never per
+    * query and never per Lloyd's iteration. */
+  private val TrainSampleCap = 65536L
+
+  /** File-level fingerprint of the embeddings table (name/len/mtime
+    * per leaf file — namenode metadata only, no data read). Keys every
+    * ANN memo AND the on-disk staged index root, so a fixture whose
+    * contents change mid-session re-probes and re-stages instead of
+    * silently reusing a stale codebook/assignment (the [[graft.operators.Dedup]]
+    * `wideIds` discipline applied to the ANN family). */
+  private[operators] def embFingerprint(spark: SparkSession,
+                                        sfDir: String): String = {
+    val path = new org.apache.hadoop.fs.Path(s"$sfDir/embeddings.parquet")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) "absent"
+    else {
+      var h = 1125899906842597L
+      val it = fs.listFiles(path, true)
+      while (it.hasNext) {
+        val f = it.next()
+        h = h * 31 + f.getPath.getName.hashCode
+        h = h * 31 + f.getLen
+        h = h * 31 + f.getModificationTime
+      }
+      java.lang.Long.toHexString(h)
+    }
+  }
+
+  /** Vector count of the (optionally id-bounded) corpus — one count
+    * over the pruned scan, memoized per (fixture, fingerprint, bound).
+    * The returned literal seeds [[annGeometry]] on both the Spark and
+    * oracle sides, so the derived knobs are plan-time constants. */
+  private[graft] def corpusN(spark: SparkSession, sfDir: String,
+                             idBound: Long = Long.MaxValue): Long =
+    graft.util.SessionMemo.memoizedValue(spark,
+        s"annN|$sfDir|$idBound|${embFingerprint(spark, sfDir)}") {
+      Tables.embeddings(spark, sfDir)
+        .filter(col("vec_id") < idBound).select("vec_id").count()
+    }
+
+  /** Derived IVF geometry `(sample stride, codebook size k)` from the
+    * corpus vector count — both integer functions of `n` that the
+    * DuckDB oracle recomputes in SQL, so the derivation itself is part
+    * of the certified trajectory:
+    *   - `stride = n div 65536 + 1`: the training sample is every
+    *     stride-th vec_id, bounding Lloyd's per-iteration cost at
+    *     ~[[TrainSampleCap]] × k regardless of corpus size;
+    *   - `k = max(8, floor(sqrt(n / 32)))`: the codebook follows √N
+    *     (cell population ~5.7·√N stays sub-linear, so probe cost per
+    *     query is O(nprobe·√N) instead of O(N·nprobe/const)), floored
+    *     at the historical k=8 so oracle-scale fixtures (n ≤ 2592)
+    *     keep byte-identical output.
+    * The r9 derived-k experiment (BENCH_NOTES postmortem) proved that
+    * growing k WITHOUT staging makes things worse — the N×k assignment
+    * pass paid per run goes super-linear. Growing k is only safe
+    * because [[stagedIvfIndex]] pays that pass once, on disk. */
+  private[graft] def annGeometry(n: Long): (Long, Int) = {
+    val stride = n / TrainSampleCap + 1L
+    val k = math.max(8L, math.floor(math.sqrt(n.toDouble / 32.0)).toLong)
+    (stride, k.toInt)
+  }
+
   /** Corpus-derived LSH geometry `(planes, bands)` for the banded ops
     * whose candidate set is corpus×bucket ([[embeddingNearDup]],
     * [[knnJoin]]) — the family's two dials set from data instead of
@@ -54,8 +121,9 @@ object Similarity {
     * metadata, no data pages), memoized per (session, fixture). */
   private[operators] def derivedLshGeometry(spark: SparkSession,
                                             sfDir: String): (Int, Int) =
-    graft.util.SessionMemo.memoizedValue(spark, s"lshGeom|$sfDir") {
-      val n = Tables.embeddings(spark, sfDir).count()
+    graft.util.SessionMemo.memoizedValue(spark,
+        s"lshGeom|$sfDir|${embFingerprint(spark, sfDir)}") {
+      val n = corpusN(spark, sfDir)
       val bits = math.min(16, math.max(8,
         math.ceil(math.log(math.max(1L, n).toDouble / LshTargetBucket)
           / math.log(2.0)).toInt))
@@ -302,22 +370,19 @@ object Similarity {
     */
   def semanticDedup(spark: SparkSession, sfDir: String,
                     threshold: Double = 0.45,
-                    k: Int = 8, iters: Int = 2): DataFrame = {
-    val cells = kmeansSums(spark, sfDir, k, iters)
+                    k: Int = 0, iters: Int = 2): DataFrame = {
     // assignment with the winning score retained (the score doubles as
-    // the centrality measure — higher = closer to its centroid), as ONE
-    // map-side-combined max_by aggregate: a row_number window here
-    // would shuffle all N×k scored rows on vec_id; the aggregate
-    // combines the k candidates per vector before the exchange, so the
-    // shuffle carries one row per vector. The (score desc, cell asc)
-    // tiebreak is total, so the argmax is exactly the oracle's
-    // ROW_NUMBER() = 1 row.
-    val assign = cellScores(spark, sfDir, Some(cells))
-      .groupBy("vec_id")
-      .agg(max_by(struct(col("cell"), col("cellscore")),
-        struct(col("cellscore"), (-col("cell")).as("nc"))).as("w"))
-      .select(col("vec_id"), col("w.cell").as("cell"),
-        col("w.cellscore").as("cellscore"))
+    // the centrality measure — higher = closer to its centroid). The
+    // default path reads it straight from the staged index — SemDeDup's
+    // corpus-scale N×k pass is index maintenance, not query cost; an
+    // explicit k>0 (soak drivers sweeping codebook size) trains and
+    // assigns inline at that size.
+    val assign =
+      if (k > 0)
+        assignToCellsScored(
+          Tables.embeddings(spark, sfDir).select("vec_id", "embedding"),
+          kmeansSums(spark, sfDir, iters, kOverride = k))
+      else stagedIvfIndex(spark, sfDir).assign
     val wc = Window.partitionBy("cell").orderBy(desc("cellscore"), asc("vec_id"))
     val ranked = assign.withColumn("crnk", row_number().over(wc))
     val members = ranked.join(quantized(spark, sfDir), "vec_id")
@@ -465,8 +530,13 @@ object Similarity {
     */
   def ivfTopK(spark: SparkSession, sfDir: String, k: Int = 3,
               nprobe: Int = 2,
-              cells: Option[DataFrame] = None): DataFrame = {
-    val cand = ivfCandidates(spark, sfDir, nprobe, cells)
+              cells: Option[DataFrame] = None): DataFrame =
+    exactRescore(spark, sfDir, ivfCandidates(spark, sfDir, nprobe, cells), k)
+
+  /** Exact-cosine rescore of a `(query_id, vec_id)` candidate relation
+    * + per-query top-k — the shared tail of every IVF variant. */
+  private def exactRescore(spark: SparkSession, sfDir: String,
+                           cand: DataFrame, k: Int): DataFrame = {
     val all = quantized(spark, sfDir)
     val scored = cand
       .join(broadcast(all.filter(col("vec_id") < NQueries)
@@ -477,6 +547,42 @@ object Similarity {
         VectorOps.cosineFromQ(expr("quantized_dot(q_emb, embedding)"),
           col("q_n2"), col("n2")).as("cosine"))
     topkOf(scored, k)
+  }
+
+  /** x10e2: IVF top-k over the LEARNED codebook, probe-only — the
+    * assignment side reads the staged index ([[stagedIvfIndex]])
+    * instead of re-scoring the corpus against the cells; only the
+    * bounded query set is scored live (|Q| × k dots + a |Q|·k-row
+    * window). At 100 TB the per-query work is the nprobe best cells'
+    * populations (~nprobe·5.7·√N rows via the cell-keyed join), with
+    * the corpus-scale N×k pass amortized into index maintenance. */
+  def ivfTopKLearned(spark: SparkSession, sfDir: String, k: Int = 3,
+                     nprobe: Int = 2): DataFrame =
+    exactRescore(spark, sfDir, ivfLearnedCandidates(spark, sfDir, nprobe), k)
+
+  /** Candidate pairs from the staged index: score the bounded query
+    * set against the broadcast codebook, take each query's `nprobe`
+    * best cells, and join against the persisted assignment on the cell
+    * key. Byte-equal to the inline [[ivfCandidates]] over the same
+    * codebook (cell scores are per-(vector, cell) independent, so
+    * scoring ONLY the queries changes nothing). */
+  private def ivfLearnedCandidates(spark: SparkSession, sfDir: String,
+                                   nprobe: Int): DataFrame = {
+    val idx = stagedIvfIndex(spark, sfDir)
+    val probeScores = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < NQueries)
+      .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("qv"))
+      .crossJoin(broadcast(idx.cells))
+      .select(col("vec_id"), col("cell"),
+        (VectorOps.dotQ(col("qv"), col("s")).cast(DoubleType) / col("n"))
+          .as("cellscore"))
+    val w = Window.partitionBy("vec_id").orderBy(desc("cellscore"), asc("cell"))
+    val probes = probeScores.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("cell"))
+    broadcast(probes).join(idx.assign.select("vec_id", "cell"), "cell")
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id")).distinct()
   }
 
   /** Learned IVF codebook: Lloyd's k-means over the quantized vectors,
@@ -510,26 +616,37 @@ object Similarity {
     * IVF probe (x10e2) share one trained codebook — k × dims longs —
     * instead of each replaying the Lloyd's iterations. */
   private[graft] def kmeansSums(spark: SparkSession, sfDir: String,
-                                k: Int = 8, iters: Int = 2,
-                                idBound: Long = Long.MaxValue): DataFrame =
+                                iters: Int = 2,
+                                idBound: Long = Long.MaxValue,
+                                kOverride: Int = 0): DataFrame =
     graft.util.SessionMemo.memoized(spark,
-      s"kmeansSums|$sfDir|$k|$iters|$idBound") {
-      kmeansSumsBuild(spark, sfDir, k, iters, idBound)
+      s"kmeansSums|$sfDir|$iters|$idBound|$kOverride|" +
+        embFingerprint(spark, sfDir)) {
+      kmeansSumsBuild(spark, sfDir, iters, idBound, kOverride)
     }
 
   /** The un-memoized trainer (the determinism spec replays it).
     * `idBound` restricts training to `vec_id < idBound` — a pushed-down
     * range predicate, used by [[incrementalIvfAssign]] to train on the
-    * historical corpus only. */
+    * historical corpus only. Geometry (sample stride, k) is derived
+    * from the trained population via [[annGeometry]] unless
+    * `kOverride > 0` pins an explicit codebook size (soak drivers). */
   private[graft] def kmeansSumsBuild(spark: SparkSession, sfDir: String,
-                                     k: Int = 8, iters: Int = 2,
-                                     idBound: Long = Long.MaxValue): DataFrame = {
+                                     iters: Int = 2,
+                                     idBound: Long = Long.MaxValue,
+                                     kOverride: Int = 0): DataFrame = {
     graft.plans.VecSumAgg.register(spark)
+    val (stride, k) =
+      if (kOverride > 0) (1L, kOverride)
+      else annGeometry(corpusN(spark, sfDir, idBound))
     val vecs = Tables.embeddings(spark, sfDir)
       .filter(col("vec_id") < idBound)
+      .filter(col("vec_id") % stride === 0)
       .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("qv"))
       .cache()
-    var cells = vecs.filter(col("vec_id") < k)
+    // seeds: the k LOWEST sample vec_ids (rank-based, not `id < k` —
+    // robust to sparse/shifted id domains; equal on dense fixtures)
+    var cells = vecs.orderBy("vec_id").limit(k)
       .select(col("vec_id").as("cell"), lit(1L).as("n"), col("qv").as("s"))
     for (_ <- 1 to iters) {
       // argmax as a map-side-combined max_by (not a row_number window,
@@ -553,9 +670,75 @@ object Similarity {
     out
   }
 
-  def kmeansCells(spark: SparkSession, sfDir: String,
-                  k: Int = 8, iters: Int = 2): DataFrame =
-    kmeansSums(spark, sfDir, k, iters)
+  /** The staged ANN index: the sample-trained codebook plus the
+    * full-corpus cell assignment `(vec_id, cell, cellscore)`, committed
+    * ONCE as an on-disk snapshot table keyed by the corpus fingerprint
+    * and derived geometry, then read (column-pruned parquet scan) by
+    * every consumer — the learned-IVF probe (x10e2), IVF-PQ (x10i),
+    * recall certification (x10j), and SemDeDup (x09l). This is the
+    * r9-postmortem design: the N×k assignment pass — the binding
+    * constraint that made inline derived-k WORSE at scale — is index
+    * maintenance (paid once per corpus version, amortized across
+    * queries, sessions, and JVMs), not query cost; queries are
+    * probe-only. Arrival deltas merge in via the [[incrementalIvfAssign]]
+    * shape against the frozen codebook; a corpus whose files change
+    * gets a new fingerprint and a fresh index, so oracle replays (train
+    * on the CURRENT corpus sample, assign all) stay exact.
+    *
+    * Cross-process protocol: the first process to atomically create the
+    * index root builds and publishes it (`_COMPLETE` marker written
+    * last); a process that loses the claim builds a session-local copy
+    * rather than blocking on an in-flight (or dead) builder — identical
+    * bytes by determinism of the trajectory. Dead-builder residue is
+    * reclaimed after 30 minutes. */
+  private[graft] final case class IvfIndex(cells: DataFrame,
+                                           assign: DataFrame)
+
+  private[graft] def stagedIvfIndex(spark: SparkSession,
+                                    sfDir: String): IvfIndex = {
+    val fp = embFingerprint(spark, sfDir)
+    graft.util.SessionMemo.memoizedValue(spark, s"ivfIndex|$sfDir|$fp") {
+      buildOrOpenIvfIndex(spark, sfDir, fp)
+    }
+  }
+
+  private def buildOrOpenIvfIndex(spark: SparkSession, sfDir: String,
+                                  fp: String): IvfIndex = {
+    import java.nio.file.{Files, Paths}
+    val (stride, k) = annGeometry(corpusN(spark, sfDir))
+    val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft_annindex")
+    val root = base.resolve(s"idx-$fp-s$stride-k$k")
+    val complete = root.resolve("_COMPLETE")
+    def open(dir: java.nio.file.Path): IvfIndex = IvfIndex(
+      Snapshot.readCurrent(spark, dir.resolve("codebook").toString)
+        .select("cell", "n", "s"),
+      Snapshot.readCurrent(spark, dir.resolve("assign").toString)
+        .select("vec_id", "cell", "cellscore"))
+    if (Files.exists(complete)) return open(root)
+    Files.createDirectories(base)
+    if (Files.exists(root) && System.currentTimeMillis() -
+        Files.getLastModifiedTime(root).toMillis > 30L * 60 * 1000) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(root).iterator().asScala.toSeq.sortBy(-_.getNameCount)
+        .foreach(p => Files.deleteIfExists(p))
+    }
+    val claimed =
+      try { Files.createDirectory(root); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    val target =
+      if (claimed) root else Files.createTempDirectory("graft_annindex_local_")
+    val cb = kmeansSums(spark, sfDir)
+    Snapshot.commit(cb, target.resolve("codebook").toString)
+    Snapshot.commit(
+      assignToCellsScored(
+        Tables.embeddings(spark, sfDir).select("vec_id", "embedding"), cb),
+      target.resolve("assign").toString)
+    if (claimed) Files.createFile(complete)
+    open(target)
+  }
+
+  def kmeansCells(spark: SparkSession, sfDir: String): DataFrame =
+    stagedIvfIndex(spark, sfDir).cells
       .select(col("cell"), col("n").as("n_vecs"),
         posexplode(col("s")).as(Seq("pos0", "sum_q")))
       .select(col("cell"), (col("pos0") + 1).cast(LongType).as("pos"),
@@ -894,8 +1077,7 @@ object Similarity {
   def ivfPqTopK(spark: SparkSession, sfDir: String, k: Int = 3,
                 nprobe: Int = 2): DataFrame = {
     graft.plans.VecSumAgg.register(spark)
-    val cand = ivfCandidates(spark, sfDir, nprobe,
-      Some(kmeansSums(spark, sfDir)))
+    val cand = ivfLearnedCandidates(spark, sfDir, nprobe)
     // cand is |Q|·(corpus/cells)·nprobe rows of two longs — broadcast it
     // so the (big) code relation is never shuffled for the join
     val adc = broadcast(cand)
@@ -929,8 +1111,7 @@ object Similarity {
         .select(lit(name).as("method"), col("hits"))
     val denom = truth.agg(count(lit(1)).as("denom"))
     Seq(
-      hitsOf("ivf_learned",
-        ivfTopK(spark, sfDir, k, cells = Some(kmeansSums(spark, sfDir)))),
+      hitsOf("ivf_learned", ivfTopKLearned(spark, sfDir, k)),
       hitsOf("ivfpq", ivfPqTopK(spark, sfDir, k)),
       hitsOf("lsh", annLsh(spark, sfDir, k)))
       .reduce(_ unionByName _)
@@ -993,14 +1174,26 @@ object Similarity {
     * one map-side-combined `max_by` aggregate. */
   private[graft] def assignToCells(vecs: DataFrame,
                                    cells: DataFrame): DataFrame =
+    assignToCellsScored(vecs, cells).select("vec_id", "cell")
+
+  /** Argmax assignment with the winning score RETAINED — the staged
+    * index row shape: the score doubles as SemDeDup's centrality
+    * measure, so persisting it makes x09l probe-only too. The
+    * (score desc, cell asc) tiebreak is total, so the argmax equals
+    * the oracle's ROW_NUMBER() = 1 row exactly, and the double
+    * round-trips through parquet bit-for-bit. */
+  private[graft] def assignToCellsScored(vecs: DataFrame,
+                                         cells: DataFrame): DataFrame =
     vecs.select(col("vec_id"), VectorOps.quantize(col("embedding")).as("qv"))
       .crossJoin(broadcast(cells))
       .select(col("vec_id"), col("cell"),
         (VectorOps.dotQ(col("qv"), col("s")).cast(DoubleType) / col("n"))
-          .as("score"))
+          .as("cellscore"))
       .groupBy("vec_id")
-      .agg(max_by(col("cell"),
-        struct(col("score"), (-col("cell")).as("nc"))).as("cell"))
+      .agg(max_by(struct(col("cell"), col("cellscore")),
+        struct(col("cellscore"), (-col("cell")).as("nc"))).as("w"))
+      .select(col("vec_id"), col("w.cell").as("cell"),
+        col("w.cellscore").as("cellscore"))
 
   /** Per-vector symmetric int8 post-training quantization — the export
     * step that turns a float corpus into the serving/packing format —

@@ -692,7 +692,9 @@ object Similarity {
     * bytes by determinism of the trajectory. Dead-builder residue is
     * reclaimed after 30 minutes. */
   private[graft] final case class IvfIndex(cells: DataFrame,
-                                           assign: DataFrame)
+                                           assign: DataFrame,
+                                           pqCodebook: DataFrame,
+                                           pqCodes: DataFrame)
 
   private[graft] def stagedIvfIndex(spark: SparkSession,
                                     sfDir: String): IvfIndex = {
@@ -707,13 +709,17 @@ object Similarity {
     import java.nio.file.{Files, Paths}
     val (stride, k) = annGeometry(corpusN(spark, sfDir))
     val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft_annindex")
-    val root = base.resolve(s"idx-$fp-s$stride-k$k")
+    val root = base.resolve(s"idx-$fp-s$stride-k$k-pq")
     val complete = root.resolve("_COMPLETE")
     def open(dir: java.nio.file.Path): IvfIndex = IvfIndex(
       Snapshot.readCurrent(spark, dir.resolve("codebook").toString)
         .select("cell", "n", "s"),
       Snapshot.readCurrent(spark, dir.resolve("assign").toString)
-        .select("vec_id", "cell", "cellscore"))
+        .select("vec_id", "cell", "cellscore"),
+      Snapshot.readCurrent(spark, dir.resolve("pqcodebook").toString)
+        .select("sub", "cell", "cq"),
+      Snapshot.readCurrent(spark, dir.resolve("pqcodes").toString)
+        .select("vec_id", "sub", "code"))
     if (Files.exists(complete)) return open(root)
     Files.createDirectories(base)
     if (Files.exists(root) && System.currentTimeMillis() -
@@ -733,6 +739,15 @@ object Similarity {
       assignToCellsScored(
         Tables.embeddings(spark, sfDir).select("vec_id", "embedding"), cb),
       target.resolve("assign").toString)
+    // the PQ half of the ANN layout is index state too: the per-vector
+    // codes are the compressed corpus representation — written once at
+    // encode time in production, never re-derived per query
+    val pqcb = pqCodebooksBuild(spark, sfDir)
+    Snapshot.commit(pqcb, target.resolve("pqcodebook").toString)
+    Snapshot.commit(
+      pqAssign(pqSubVectors(spark, sfDir), pqcb)
+        .select(col("vec_id"), col("sub"), col("cell").as("code")),
+      target.resolve("pqcodes").toString)
     if (claimed) Files.createFile(complete)
     open(target)
   }
@@ -986,9 +1001,8 @@ object Similarity {
     * loops.
     */
   private[graft] def pqCodebooks(spark: SparkSession, sfDir: String): DataFrame =
-    graft.util.SessionMemo.memoized(spark, s"pqCodebooks|$sfDir") {
-      pqCodebooksBuild(spark, sfDir)
-    }
+    stagedIvfIndex(spark, sfDir).pqCodebook
+      .select(col("sub"), col("cell"), col("cq"))
 
   /** The un-memoized trainer (the determinism spec replays it). */
   private[graft] def pqCodebooksBuild(spark: SparkSession,
@@ -1012,10 +1026,10 @@ object Similarity {
   }
 
   /** `(vec_id, sub, code)` — the m-codes-per-vector compressed
-    * representation (argmin against the broadcast codebook). */
+    * representation, read from the staged index (encoded once at
+    * index-build time, column-pruned parquet scan per query). */
   private def pqCodes(spark: SparkSession, sfDir: String): DataFrame =
-    pqAssign(pqSubVectors(spark, sfDir), pqCodebooks(spark, sfDir))
-      .select(col("vec_id"), col("sub"), col("cell").as("code"))
+    stagedIvfIndex(spark, sfDir).pqCodes
 
   /** Per-query ADC lookup table: `(query_id, sub, code, d)` — the
     * query slice's exact L2 to every codeword; |Q|·m·k rows,

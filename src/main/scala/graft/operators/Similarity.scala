@@ -733,20 +733,29 @@ object Similarity {
       catch { case _: java.nio.file.FileAlreadyExistsException => false }
     val target =
       if (claimed) root else Files.createTempDirectory("graft_annindex_local_")
+    // writer widths derived from data (the of21 target-file-size
+    // discipline): codebooks are k×dims — always one file; the
+    // corpus-sized assignment/codes tables get ~2M rows per file so a
+    // toy corpus writes 1 file (no 32-way shuffle-write overhead) and
+    // a 10^9-vector corpus writes wide
+    val n = corpusN(spark, sfDir)
+    val corpusFiles = math.max(1L, math.min(64L, n / 2000000L + 1L)).toInt
     val cb = kmeansSums(spark, sfDir)
-    Snapshot.commit(cb, target.resolve("codebook").toString)
+    Snapshot.commit(cb.coalesce(1), target.resolve("codebook").toString)
     Snapshot.commit(
       assignToCellsScored(
-        Tables.embeddings(spark, sfDir).select("vec_id", "embedding"), cb),
+        Tables.embeddings(spark, sfDir).select("vec_id", "embedding"), cb)
+        .coalesce(corpusFiles),
       target.resolve("assign").toString)
     // the PQ half of the ANN layout is index state too: the per-vector
     // codes are the compressed corpus representation — written once at
     // encode time in production, never re-derived per query
     val pqcb = pqCodebooksBuild(spark, sfDir)
-    Snapshot.commit(pqcb, target.resolve("pqcodebook").toString)
+    Snapshot.commit(pqcb.coalesce(1), target.resolve("pqcodebook").toString)
     Snapshot.commit(
       pqAssign(pqSubVectors(spark, sfDir), pqcb)
-        .select(col("vec_id"), col("sub"), col("cell").as("code")),
+        .select(col("vec_id"), col("sub"), col("cell").as("code"))
+        .coalesce(corpusFiles),
       target.resolve("pqcodes").toString)
     if (claimed) Files.createFile(complete)
     open(target)

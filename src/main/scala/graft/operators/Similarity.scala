@@ -51,22 +51,8 @@ object Similarity {
     * silently reusing a stale codebook/assignment (the [[graft.operators.Dedup]]
     * `wideIds` discipline applied to the ANN family). */
   private[operators] def embFingerprint(spark: SparkSession,
-                                        sfDir: String): String = {
-    val path = new org.apache.hadoop.fs.Path(s"$sfDir/embeddings.parquet")
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(path)) "absent"
-    else {
-      var h = 1125899906842597L
-      val it = fs.listFiles(path, true)
-      while (it.hasNext) {
-        val f = it.next()
-        h = h * 31 + f.getPath.getName.hashCode
-        h = h * 31 + f.getLen
-        h = h * 31 + f.getModificationTime
-      }
-      java.lang.Long.toHexString(h)
-    }
-  }
+                                        sfDir: String): String =
+    graft.util.Fingerprint.of(spark, s"$sfDir/embeddings.parquet")
 
   /** Vector count of the (optionally id-bounded) corpus — one count
     * over the pruned scan, memoized per (fixture, fingerprint, bound).

@@ -1551,13 +1551,33 @@ object Snapshot {
                   // else a concurrent bootstrap published: loop — the
                   // re-read sees Some and upgrades to an append
                 case Some(base2) if base2 < next =>
-                  enforceOrRelease(spark, root, next, base2)
-                  writeManifestAndStats(spark, root, next, base2,
-                    fileInventory(spark, root, base2).map(_._1))
-                  if (pointerAdvance(spark, root, next,
-                      expectedPrev = base2))
-                    outcome = next
-                  // else the head moved again — re-carry from it
+                  // The data dir was written from RAW df (the
+                  // bootstrap assumed an empty table). If the
+                  // now-current head carries a column map or
+                  // tombstones, these files hold LOGICAL names the
+                  // head's physical schema may not match, and the
+                  // tombstone guard never ran — release the claim and
+                  // dir and retry through the normal Some(base) append
+                  // arm, which renames via toPhysical and enforces the
+                  // guard before writing.
+                  if (columnMapOf(spark, root, base2).nonEmpty
+                      || droppedOf(spark, root, base2).nonEmpty) {
+                    val fs = fsOf(spark,
+                      new org.apache.hadoop.fs.Path(root))
+                    fs.delete(
+                      new org.apache.hadoop.fs.Path(root, s"v=$next"), true)
+                    fs.delete(new org.apache.hadoop.fs.Path(root,
+                      s"$ClaimsDir/$next"), false)
+                    outcome = -1L
+                  } else {
+                    enforceOrRelease(spark, root, next, base2)
+                    writeManifestAndStats(spark, root, next, base2,
+                      fileInventory(spark, root, base2).map(_._1))
+                    if (pointerAdvance(spark, root, next,
+                        expectedPrev = base2))
+                      outcome = next
+                    // else the head moved again — re-carry from it
+                  }
                 case Some(_) =>
                   // the pointer PASSED our claim while we wrote (a
                   // later claimant's CAS won): this version can never

@@ -726,11 +726,17 @@ object SqlApi {
     // instead of shipping the default as operator lore: accumulated
     // rows ≤ (depth+1)·|nodes| ≤ (depth+1)·|edges|; 6·|edges| covers
     // depth 4 with headroom while still tripping on a genuinely
-    // runaway (path-enumerating) recursion. Session-level because the
-    // valve is read at EXECUTION time — a scoped set/restore around
-    // construction would be gone before the loop runs.
+    // runaway (path-enumerating) recursion. The valve is read at
+    // EXECUTION time, so the scope is set → materialize (eager
+    // localCheckpoint runs the loop NOW, under the derived valve) →
+    // restore: later unrelated WITH RECURSIVE queries in the same
+    // session keep the stock runaway protection instead of inheriting
+    // a tens-of-millions-row ceiling sized for this graph.
     val lim = math.max(1000000L, 6L * edgeCount)
-    spark.conf.set("spark.sql.cteRecursionRowLimit", lim.toString)
-    spark.sql(recursiveReachHoistedSql)
+    val limKey = "spark.sql.cteRecursionRowLimit"
+    val prev = spark.conf.getOption(limKey)
+    spark.conf.set(limKey, lim.toString)
+    try spark.sql(recursiveReachHoistedSql).localCheckpoint()
+    finally prev.fold(spark.conf.unset(limKey))(spark.conf.set(limKey, _))
   }
 }

@@ -61,7 +61,7 @@ object Streaming {
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val evPath = s"$sfDir/events.parquet"
         val schema = spark.read.parquet(evPath).schema
-        deriveStateWidth(spark, sfDir)
+        deriveStateWidth(spark, sfDir) // warm the width memo
         // The file stream source needs a directory to list. Two
         // landing shapes exist: the fixture ships events.parquet as a
         // SINGLE file (list the parent, pathGlobFilter narrows to the
@@ -83,10 +83,8 @@ object Streaming {
       case "memory" =>
         require(injected != null,
           "memory format is caller-constructed: pass injected=<stream>")
-        spark.conf.unset(DerivedWidthKey) // unknown volume → default
         graft.sources.Tables.normalizeTs(injected)
       case "rate" =>
-        spark.conf.unset(DerivedWidthKey) // unbounded source → default
         val perBatch = spark.conf
           .getOption("graft.streaming.rate.rowsPerBatch").getOrElse("50")
         val start = spark.conf
@@ -104,7 +102,6 @@ object Streaming {
               col("timestamp").as("ts"),
               col("value").cast("double").as("value")))
       case "kafka" =>
-        spark.conf.unset(DerivedWidthKey) // unbounded source → default
         val bootstrap = spark.conf
           .getOption("graft.streaming.kafka.bootstrap")
           .getOrElse(throw new IllegalArgumentException(
@@ -169,13 +166,6 @@ object Streaming {
     * the safe direction. */
   private val RowsPerStatePartition = 1000000L
 
-  /** Session conf carrying the width derived from the OBSERVED source
-    * volume (set by [[eventSource]] when the transport exposes one,
-    * cleared when it doesn't). Separate from
-    * `graft.streaming.statePartitions` so an explicit deployment
-    * override always wins over the derivation. */
-  private val DerivedWidthKey = "graft.streaming.derivedStatePartitions"
-
   /** width(rows) = clamp(ceil(rows / [[RowsPerStatePartition]]),
     * [[StatePartitions]], spark.sql.shuffle.partitions) — pure so the
     * spec can pin the whole schedule without 10M-row fixtures. */
@@ -186,15 +176,33 @@ object Streaming {
 
   /** Probe the events table's row count (parquet footer metadata — a
     * count() over a zero-column projection reads no data pages) once
-    * per (session, fixture dir) and publish the derived width. */
-  private def deriveStateWidth(spark: SparkSession, sfDir: String): Unit = {
-    val w = graft.util.SessionMemo.memoizedValue(
-        spark, s"stateWidth|$sfDir") {
+    * per (session, fixture dir, file fingerprint): the fingerprint key
+    * means a fixture that GROWS mid-session — exactly the restart
+    * contract, where more source files land between runs — re-probes
+    * and re-derives instead of reusing a width measured against the
+    * smaller corpus. */
+  private def deriveStateWidth(spark: SparkSession, sfDir: String): Int =
+    graft.util.SessionMemo.memoizedValue(spark,
+        s"stateWidth|$sfDir|" +
+          graft.util.Fingerprint.of(spark, s"$sfDir/events.parquet")) {
       val rows = spark.read.parquet(s"$sfDir/events.parquet").count()
       val cap = spark.conf.get("spark.sql.shuffle.partitions").toInt
       stateWidthFor(rows, cap)
     }
-    spark.conf.set(DerivedWidthKey, w.toString)
+
+  /** The derived width for the transport the venue would actually use
+    * (mirrors [[eventSource]]'s dispatch): only the file source has an
+    * observable bounded volume; memory/rate/kafka venues run at the
+    * deployment default. Threaded EXPLICITLY from each query's start
+    * scope — not through a session conf — so building one source never
+    * clobbers the width another query derived (the conf channel was a
+    * shared mutable slot: a memory/rate source constructed between
+    * building and start()ing a files query erased its derivation). */
+  private[graft] def sourceWidth(spark: SparkSession,
+                          sfDir: String): Option[Int] = {
+    val fmt = spark.conf.getOption("graft.streaming.source")
+      .getOrElse("files")
+    if (fmt == "files") Some(deriveStateWidth(spark, sfDir)) else None
   }
 
   /** Start-time scope for the state width AND the state-store provider:
@@ -215,13 +223,14 @@ object Streaming {
     * rather than ambushing whichever query would otherwise be the lone
     * RocksDB user (round 4's x13e drift was exactly that concentration).
     */
-  private def withStateWidth[T](spark: SparkSession)(f: => T): T = {
+  private def withStateWidth[T](spark: SparkSession,
+                                derived: Option[Int] = None)(f: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val provKey = "spark.sql.streaming.stateStore.providerClass"
     val was = spark.conf.get(key)
     val provWas = spark.conf.get(provKey)
     val width = spark.conf.getOption("graft.streaming.statePartitions")
-      .orElse(spark.conf.getOption(DerivedWidthKey))
+      .orElse(derived.map(_.toString))
       .getOrElse(StatePartitions.toString)
     spark.conf.set(key, width)
     spark.conf.set(provKey,
@@ -242,11 +251,14 @@ object Streaming {
     * result. NOT safe for append-mode window aggregates, whose emission
     * IS watermark-driven — [[tumblingToFileSink]] runs outside this
     * scope and keeps its finalizing no-data batch. */
-  private def withDataBatchesOnly[T](spark: SparkSession)(f: => T): T = {
+  private def withDataBatchesOnly[T](spark: SparkSession,
+                                     derived: Option[Int] = None)
+                                    (f: => T): T = {
     val key = "spark.sql.streaming.noDataMicroBatches.enabled"
     val was = spark.conf.get(key, "true")
     spark.conf.set(key, "false")
-    try withStateWidth(spark)(f) finally spark.conf.set(key, was)
+    try withStateWidth(spark, derived)(f)
+    finally spark.conf.set(key, was)
   }
 
   /** Run a streaming DataFrame to exhaustion into a memory sink and
@@ -259,7 +271,8 @@ object Streaming {
     * instead — that path is [[tumblingToFileSink]] (exactly-once,
     * resumable, nothing driver-side). */
   private def runToBatch(stream: DataFrame, mode: String,
-                         noDataBatches: Boolean = false): DataFrame = {
+                         noDataBatches: Boolean = false,
+                         derived: Option[Int] = None): DataFrame = {
     val name = s"graft_stream_${counter.incrementAndGet()}"
     def drain(): Unit = {
       val q = stream.writeStream.outputMode(mode)
@@ -285,8 +298,9 @@ object Streaming {
     // Most queries here are data-driven (skip the trailing no-data
     // batch); watermark-EVICTION outputs (outer joins) need it — it is
     // what flushes their final rows after the last file.
-    if (noDataBatches) withStateWidth(stream.sparkSession)(drain())
-    else withDataBatchesOnly(stream.sparkSession)(drain())
+    if (noDataBatches)
+      withStateWidth(stream.sparkSession, derived)(drain())
+    else withDataBatchesOnly(stream.sparkSession, derived)(drain())
     stream.sparkSession.table(name)
   }
 
@@ -307,8 +321,9 @@ object Streaming {
   /** Drive [[tumblingAggOf]] over an arbitrary source to completion and
     * project the stable output shape (the swappable-source entry point
     * the spec exercises). */
-  private[graft] def tumblingFrom(events: DataFrame): DataFrame =
-    runToBatch(tumblingAggOf(events), "complete")
+  private[graft] def tumblingFrom(events: DataFrame,
+                                  derived: Option[Int] = None): DataFrame =
+    runToBatch(tumblingAggOf(events), "complete", derived = derived)
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
           .as("window_start"),
@@ -318,7 +333,7 @@ object Streaming {
   /** X12: tumbling 1-hour event-time windows with a 1-hour watermark —
     * count + exact sum per (window, event_type). */
   def tumbling(spark: SparkSession, sfDir: String): DataFrame =
-    tumblingFrom(eventsStream(spark, sfDir))
+    tumblingFrom(eventsStream(spark, sfDir), sourceWidth(spark, sfDir))
 
   /** X12 production sink path: the same tumbling aggregate written to a
     * parquet FILE sink with a checkpoint location — exactly-once and
@@ -338,7 +353,7 @@ object Streaming {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
           .as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
-    withStateWidth(spark) {
+    withStateWidth(spark, sourceWidth(spark, sfDir)) {
       val q = agg.writeStream.outputMode("append").format("parquet")
         .option("path", out).option("checkpointLocation", ckpt).start()
       q.processAllAvailable()
@@ -384,7 +399,7 @@ object Streaming {
       .dropDuplicatesWithinWatermark("user_id", "event_type", "minute_ts")
       .select(col("user_id"), col("event_type"),
         date_format(col("minute_ts"), "yyyy-MM-dd HH:mm:ss").as("minute"))
-    withStateWidth(spark) {
+    withStateWidth(spark, sourceWidth(spark, sfDir)) {
       val q = dd.writeStream.outputMode("append").format("parquet")
         .option("path", out).option("checkpointLocation", ckpt).start()
       q.processAllAvailable()
@@ -449,7 +464,7 @@ object Streaming {
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
       .agg(count(lit(1)).as("n"))
-    runToBatch(agg, "complete")
+    runToBatch(agg, "complete", derived = sourceWidth(spark, sfDir))
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
           .as("window_start"), col("n"))
@@ -465,7 +480,7 @@ object Streaming {
       .withColumn("minute_ts", date_trunc("minute", col("ts")))
       .select(col("ts"), col("user_id"), col("event_type"), col("minute_ts"))
       .dropDuplicatesWithinWatermark("user_id", "event_type", "minute_ts")
-    runToBatch(dd, "append")
+    runToBatch(dd, "append", derived = sourceWidth(spark, sfDir))
       .select(col("user_id"), col("event_type"),
         date_format(col("minute_ts"), "yyyy-MM-dd HH:mm:ss").as("minute"))
       .orderBy("user_id", "event_type", "minute")
@@ -487,7 +502,7 @@ object Streaming {
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 day"), col("category"))
       .agg(count(lit(1)).as("n"), Exact.dsum(col("value")).as("sum_value"))
-    runToBatch(agg, "complete")
+    runToBatch(agg, "complete", derived = sourceWidth(spark, sfDir))
       .select(
         date_format(col("window.start"), "yyyy-MM-dd").as("day"),
         col("category"), col("n"), col("sum_value"))
@@ -516,7 +531,7 @@ object Streaming {
       col("p_user") === col("c_user") &&
         col("click_ts") <= col("purchase_ts") &&
         col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
-    runToBatch(joined, "append")
+    runToBatch(joined, "append", derived = sourceWidth(spark, sfDir))
       .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"))
       .orderBy("purchase_id", "click_id")
   }
@@ -552,7 +567,8 @@ object Streaming {
         col("click_ts") <= col("purchase_ts") &&
         col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"),
       "leftOuter")
-    runToBatch(joined, "append", noDataBatches = true)
+    runToBatch(joined, "append", noDataBatches = true,
+      derived = sourceWidth(spark, sfDir))
       .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"))
       .orderBy("purchase_id", "click_id")
   }
@@ -592,7 +608,8 @@ object Streaming {
     val agg = joined
       .groupBy(window(col("purchase_ts"), "1 hour"))
       .agg(count(lit(1)).as("n_attributed"))
-    runToBatch(agg, "append", noDataBatches = true)
+    runToBatch(agg, "append", noDataBatches = true,
+      derived = sourceWidth(spark, sfDir))
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
           .as("window_start"),
@@ -631,7 +648,7 @@ object Streaming {
           state.update(s)
           s
       }
-    runToBatch(out.toDF(), "update")
+    runToBatch(out.toDF(), "update", derived = sourceWidth(spark, sfDir))
       .select(col("user_id"), col("n_events"),
         date_format(timestamp_micros(col("first_us")),
           "yyyy-MM-dd HH:mm:ss.SSSSSS").as("first_ts"),
@@ -664,7 +681,8 @@ object Streaming {
           state.update(seen ++ fresh)
           fresh.toSeq.sorted.map(h => (uid, h)).iterator
       }
-    runToBatch(out.toDF("user_id", "hour_idx"), "append")
+    runToBatch(out.toDF("user_id", "hour_idx"), "append",
+      derived = sourceWidth(spark, sfDir))
       .select(col("user_id"),
         date_format(timestamp_micros(col("hour_idx") * 3600000000L),
           "yyyy-MM-dd HH:00").as("active_hour"))
@@ -719,7 +737,7 @@ object Streaming {
         OutputMode.Update())
     // the RocksDB provider transformWithState requires is the library-
     // wide streaming scope (withStateWidth) — no per-query swap needed
-    runToBatch(out.toDF(), "update")
+    runToBatch(out.toDF(), "update", derived = sourceWidth(spark, sfDir))
       .select(col("user_id"), col("n_events"),
         (col("sum_cents") / 100.0).as("sum_value"))
       .orderBy("user_id")
@@ -738,7 +756,7 @@ object Streaming {
       .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd")
         .as("day"))
       .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
-    runToBatch(agg, "complete")
+    runToBatch(agg, "complete", derived = sourceWidth(spark, sfDir))
       .select(col("day"), hll_sketch_estimate(col("sk")).as("est_users"))
       .orderBy("day")
   }
@@ -764,7 +782,7 @@ object Streaming {
       .withWatermark("ts", "1 hour")
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
       .agg(count(lit(1)).as("n_events"))
-    runToBatch(agg, "complete")
+    runToBatch(agg, "complete", derived = sourceWidth(spark, sfDir))
       .select(col("user_id"),
         date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
           .as("session_start"),
@@ -843,10 +861,17 @@ object Streaming {
       val src = new org.apache.hadoop.fs.Path(checkpointDir, "sources")
       if (!fs.exists(src)) Set.empty
       else {
+        // batch files are `<id>` OR `<id>.compact` — the file source
+        // compacts its log every fileSource.log.compactInterval batches
+        // and eventually DELETES the plain files it folded in, so a
+        // tail with ≥interval batches keeps older entries ONLY in the
+        // compact files; skipping them misclassifies seen versions as
+        // available/vacuumed_unseen and fails resumable tails spuriously
         val logFiles = fs.listStatus(src).toSeq.map(_.getPath)
           .filter(p => fs.getFileStatus(p).isDirectory)
           .flatMap(d => fs.listStatus(d).toSeq.map(_.getPath))
-          .filter(_.getName.matches("\\d+"))
+          .filter(p => p.getName.matches("\\d+")
+            || p.getName.matches("\\d+\\.compact"))
         val pathRe = """"path":"([^"]+)"""".r
         val vRe = """v=(\d+)/""".r
         logFiles.flatMap { p =>

@@ -19,20 +19,43 @@ class StreamingSpec extends SparkSuite {
     assert(Streaming.stateWidthFor(10000000L, 32) == 10)
     assert(Streaming.stateWidthFor(60000000L, 32) == 32)
     assert(Streaming.stateWidthFor(60000000L, 64) == 60)
-    // building the file-transport stream publishes the derived width
-    // on the session; a volume-blind transport clears it (default 8)
-    Streaming.eventSource(spark, sf)
-    val derivedKey = "graft.streaming.derivedStatePartitions"
-    assert(spark.conf.getOption(derivedKey).contains(
-      Streaming.stateWidthFor(nEvents,
-        spark.conf.get("spark.sql.shuffle.partitions").toInt).toString))
+    // the files transport derives its width from the observed volume —
+    // and the width is THREADED per venue, so constructing a
+    // volume-blind transport afterwards cannot clobber a files query's
+    // derivation (the old session-conf channel was a shared mutable
+    // slot with exactly that race)
+    val cap = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val w1 = Streaming.sourceWidth(spark, sf)
+    assert(w1.contains(Streaming.stateWidthFor(nEvents, cap)))
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
     val mem = MemoryStream[(java.sql.Timestamp, Long)](spark)
     Streaming.eventSource(spark, sf, format = "memory",
       injected = mem.toDF.toDF("ts", "user_id"))
-    assert(spark.conf.getOption(derivedKey).isEmpty,
-      "memory transport must clear the derived width")
+    assert(Streaming.sourceWidth(spark, sf) == w1,
+      "a memory transport must not disturb the files venue's width")
+    // a session dispatched to an unbounded transport has no derivation
+    spark.conf.set("graft.streaming.source", "rate")
+    try assert(Streaming.sourceWidth(spark, sf).isEmpty)
+    finally spark.conf.unset("graft.streaming.source")
+    // the width memo keys on the events FILE FINGERPRINT, so a fixture
+    // that grows mid-session (the restart contract: more source files
+    // land between runs) re-probes instead of reusing a stale width
+    val dir = java.nio.file.Files.createTempDirectory("graft_fp_")
+    try {
+      val ev = s"$dir/events.parquet"
+      spark.range(10).write.parquet(ev)
+      val f1 = graft.util.Fingerprint.of(spark, ev)
+      assert(f1 != "absent")
+      spark.range(10, 20).write.mode("append").parquet(ev)
+      assert(graft.util.Fingerprint.of(spark, ev) != f1,
+        "appended files must change the fingerprint (fresh memo key)")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 
   test("tumbling windows partition the stream (each event in exactly one window)") {
@@ -473,6 +496,69 @@ class StreamingSpec extends SparkSuite {
     assert(ks.size == 50 && ks.distinct.size == 30,
       s"expected 20 silent duplicates after rewrite+vacuum resume; " +
         s"got ${ks.size} rows, ${ks.distinct.size} distinct")
+  }
+
+  test("tail audit reads COMPACTED file-source logs (tails past the compact interval)") {
+    // Spark's file source compacts its seen-file log every
+    // compactInterval batches and deletes the folded-in plain files;
+    // a tail with more batches than the interval keeps its early
+    // history ONLY in <id>.compact files. The audit must read those,
+    // or long-lived tails get their earliest versions misclassified
+    // as never-seen (spurious exactly-once refusals after a vacuum).
+    import graft.operators.Snapshot
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory("graft_tailcmp_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_tailcmp_c_").toString
+    val out  = java.nio.file.Files.createTempDirectory("graft_tailcmp_o_").toString
+    val mk = (lo: Long) => spark.range(lo, lo + 5L)
+      .select(col("id").as("k"), (col("id") % 7).as("v"))
+    val ciKey = "spark.sql.streaming.fileSource.log.compactInterval"
+    val retKey = "spark.sql.streaming.minBatchesToRetain"
+    val delayKey = "spark.sql.streaming.fileSource.log.cleanupDelay"
+    val prevCi = spark.conf.getOption(ciKey)
+    val prevRet = spark.conf.getOption(retKey)
+    val prevDelay = spark.conf.getOption(delayKey)
+    spark.conf.set(ciKey, "3")
+    spark.conf.set(retKey, "2")
+    // expired plain log files are normally retained 10 min after
+    // compaction (concurrent-reader grace); zero it so the venue
+    // actually DELETES them and the audit must rely on the compacts
+    spark.conf.set(delayKey, "0")
+    try {
+      Snapshot.commit(mk(0L), root) // v1
+      val schema = Snapshot.readCurrent(spark, root).schema
+      def drain(): Unit = {
+        val q = Streaming.snapshotAppends(spark, root, schema)
+          .writeStream.outputMode("append").format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        assert(q.awaitTermination(120000), "tail drain timed out")
+      }
+      drain() // batch 0 sees v1
+      for (i <- 1 to 11) { // 11 more single-version batches
+        Snapshot.appendCommit(mk(i * 5L), root)
+        drain()
+      }
+      // the venue is real: compaction ran AND the earliest plain log
+      // file was cleaned up, so early entries live only in a .compact
+      val names = new java.io.File(s"$ckpt/sources/0")
+        .listFiles().map(_.getName).toSet
+      assert(names.exists(_.endsWith(".compact")),
+        s"expected compacted log files, got $names")
+      assert(!names.contains("0"),
+        s"expected batch-0 plain log to be compacted away, got $names")
+      val audit = Streaming.tailVacuumAudit(spark, root, ckpt).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(audit == (1L to 12L).map(_ -> "seen").toMap, s"audit: $audit")
+      // the audited resume hands the stream back (no spurious refusal)
+      Streaming.resumeTailChecked(spark, root, ckpt, schema)
+      assert(spark.read.parquet(out).count() == 60L)
+    } finally {
+      prevCi.fold(spark.conf.unset(ciKey))(spark.conf.set(ciKey, _))
+      prevRet.fold(spark.conf.unset(retKey))(spark.conf.set(retKey, _))
+      prevDelay.fold(spark.conf.unset(delayKey))(
+        spark.conf.set(delayKey, _))
+    }
   }
 
   test("streaming CDC upserts land atomically in the snapshot table across micro-batches") {

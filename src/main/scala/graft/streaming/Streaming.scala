@@ -166,11 +166,27 @@ object Streaming {
     * the safe direction. */
   private val RowsPerStatePartition = 1000000L
 
-  /** width(rows) = clamp(ceil(rows / [[RowsPerStatePartition]]),
-    * [[StatePartitions]], spark.sql.shuffle.partitions) — pure so the
-    * spec can pin the whole schedule without 10M-row fixtures. */
-  private[graft] def stateWidthFor(rows: Long, cap: Int): Int = {
-    val want = (rows + RowsPerStatePartition - 1) / RowsPerStatePartition
+  /** The CPU-bound schedule's finer step (see [[stateWidthFor]]'s
+    * `cpuBound`): the (flat)mapGroupsWithState / transformWithState
+    * operators run USER LOGIC per row inside each state partition's
+    * single task, so their wall is partition-parallelism-bound long
+    * before state-store overhead matters — measured at sf10 (10M rows,
+    * 150k keys): width 10 (the volume rule) = 65.9 s for x13d, width
+    * 32 = 26.6 s. Store-dominated ops (dropDuplicates, window aggs)
+    * keep the coarser 1M-row step: for THEM the r9 soak measured
+    * narrow beating wide (x13a: derived 10 = 61.5 s vs manual 32 =
+    * 79.1 s — per-partition per-batch store commit dominates). */
+  private val RowsPerCpuBoundPartition = 100000L
+
+  /** width(rows) = clamp(ceil(rows / step), [[StatePartitions]],
+    * spark.sql.shuffle.partitions), step = 1M rows for store-dominated
+    * ops, 100k for CPU-bound per-group operators — pure so the spec
+    * can pin the whole schedule without 10M-row fixtures. */
+  private[graft] def stateWidthFor(rows: Long, cap: Int,
+                                   cpuBound: Boolean = false): Int = {
+    val step =
+      if (cpuBound) RowsPerCpuBoundPartition else RowsPerStatePartition
+    val want = (rows + step - 1) / step
     math.min(cap.toLong, math.max(StatePartitions.toLong, want)).toInt
   }
 
@@ -181,13 +197,14 @@ object Streaming {
     * contract, where more source files land between runs — re-probes
     * and re-derives instead of reusing a width measured against the
     * smaller corpus. */
-  private def deriveStateWidth(spark: SparkSession, sfDir: String): Int =
+  private def deriveStateWidth(spark: SparkSession, sfDir: String,
+                               cpuBound: Boolean = false): Int =
     graft.util.SessionMemo.memoizedValue(spark,
-        s"stateWidth|$sfDir|" +
+        s"stateWidth|$sfDir|$cpuBound|" +
           graft.util.Fingerprint.of(spark, s"$sfDir/events.parquet")) {
       val rows = spark.read.parquet(s"$sfDir/events.parquet").count()
       val cap = spark.conf.get("spark.sql.shuffle.partitions").toInt
-      stateWidthFor(rows, cap)
+      stateWidthFor(rows, cap, cpuBound)
     }
 
   /** The derived width for the transport the venue would actually use
@@ -198,11 +215,12 @@ object Streaming {
     * clobbers the width another query derived (the conf channel was a
     * shared mutable slot: a memory/rate source constructed between
     * building and start()ing a files query erased its derivation). */
-  private[graft] def sourceWidth(spark: SparkSession,
-                          sfDir: String): Option[Int] = {
+  private[graft] def sourceWidth(spark: SparkSession, sfDir: String,
+                                 cpuBound: Boolean = false): Option[Int] = {
     val fmt = spark.conf.getOption("graft.streaming.source")
       .getOrElse("files")
-    if (fmt == "files") Some(deriveStateWidth(spark, sfDir)) else None
+    if (fmt == "files") Some(deriveStateWidth(spark, sfDir, cpuBound))
+    else None
   }
 
   /** Start-time scope for the state width AND the state-store provider:
@@ -648,7 +666,8 @@ object Streaming {
           state.update(s)
           s
       }
-    runToBatch(out.toDF(), "update", derived = sourceWidth(spark, sfDir))
+    runToBatch(out.toDF(), "update",
+      derived = sourceWidth(spark, sfDir, cpuBound = true))
       .select(col("user_id"), col("n_events"),
         date_format(timestamp_micros(col("first_us")),
           "yyyy-MM-dd HH:mm:ss.SSSSSS").as("first_ts"),
@@ -682,7 +701,7 @@ object Streaming {
           fresh.toSeq.sorted.map(h => (uid, h)).iterator
       }
     runToBatch(out.toDF("user_id", "hour_idx"), "append",
-      derived = sourceWidth(spark, sfDir))
+      derived = sourceWidth(spark, sfDir, cpuBound = true))
       .select(col("user_id"),
         date_format(timestamp_micros(col("hour_idx") * 3600000000L),
           "yyyy-MM-dd HH:00").as("active_hour"))
@@ -737,7 +756,11 @@ object Streaming {
         OutputMode.Update())
     // the RocksDB provider transformWithState requires is the library-
     // wide streaming scope (withStateWidth) — no per-query swap needed
-    runToBatch(out.toDF(), "update", derived = sourceWidth(spark, sfDir))
+    // transformWithState: per-row ValueState get/put is cheap JNI; the
+    // per-partition store COMMIT dominates (measured: width 32 = 10.7 s
+    // vs width 10 = 5.9 s at sf10) -> volume rule, not the CPU step
+    runToBatch(out.toDF(), "update",
+      derived = sourceWidth(spark, sfDir))
       .select(col("user_id"), col("n_events"),
         (col("sum_cents") / 100.0).as("sum_value"))
       .orderBy("user_id")

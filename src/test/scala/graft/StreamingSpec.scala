@@ -19,6 +19,14 @@ class StreamingSpec extends SparkSuite {
     assert(Streaming.stateWidthFor(10000000L, 32) == 10)
     assert(Streaming.stateWidthFor(60000000L, 32) == 32)
     assert(Streaming.stateWidthFor(60000000L, 64) == 60)
+    // CPU-bound per-group operators ((flat)mapGroupsWithState /
+    // transformWithState) take a 100k-row step: their wall is
+    // partition-parallelism-bound, not store-overhead-bound (sf10
+    // measured: x13d 65.9 s at the volume width vs 26.6 s at 32)
+    assert(Streaming.stateWidthFor(600000L, 32, cpuBound = true) == 8)
+    assert(Streaming.stateWidthFor(1000000L, 32, cpuBound = true) == 10)
+    assert(Streaming.stateWidthFor(10000000L, 32, cpuBound = true) == 32)
+    assert(Streaming.stateWidthFor(10000000L, 64, cpuBound = true) == 64)
     // the files transport derives its width from the observed volume —
     // and the width is THREADED per venue, so constructing a
     // volume-blind transport afterwards cannot clobber a files query's

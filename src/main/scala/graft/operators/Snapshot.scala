@@ -449,9 +449,7 @@ object Snapshot {
         writeSchema(spark, root, base + 1, resolved.schema)
         if (pointerAdvance(spark, root, base + 1)) return base + 1
       } else {
-        val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
-        while (currentVersion(spark, root).getOrElse(0L) <= base
-               && System.nanoTime() < deadline) Thread.sleep(20)
+        if (awaitAdvance(spark, root, base)) attempt -= 1
       }
       attempt += 1
     }
@@ -534,6 +532,28 @@ object Snapshot {
     * or the pointer has reached it — the claim is released and refused,
     * so a delayed writer whose claim file was vacuumed away can never
     * reclaim a committed version number and overwrite live data. */
+  /** Lost-claim wait: poll (20 ms) until the winner's pointer swap
+    * passes `base`, or 5 s. Returns true when the head ADVANCED — the
+    * loss was to a LIVE competitor and the table made global progress,
+    * so callers do not charge it against their retry budget (the
+    * two-JVM mergedelete race soak found the starvation this fixes: a
+    * hot sequential merge train re-claims within microseconds of each
+    * publish, and a neighbor polling at 20 ms lost 16 straight claims
+    * — exhausting a budget meant for STALLED claims). False — nothing
+    * moved in 5 s, a stale/dead claimant — is the budget-worthy case.
+    * An op may therefore wait out an arbitrarily long competitor
+    * train (each free retry is matched by ≥1 competitor commit, so
+    * the table is at maximal throughput), but can never spin without
+    * either global progress or budget burn: standard
+    * optimistic-concurrency liveness. */
+  private def awaitAdvance(spark: SparkSession, root: String,
+                           base: Long): Boolean = {
+    val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+    while (currentVersion(spark, root).getOrElse(0L) <= base
+           && System.nanoTime() < deadline) Thread.sleep(20)
+    currentVersion(spark, root).getOrElse(0L) > base
+  }
+
   private[graft] def claimVersion(spark: SparkSession, root: String,
                                   v: Long): Boolean = {
     val claims = new org.apache.hadoop.fs.Path(root, ClaimsDir)
@@ -1149,9 +1169,7 @@ object Snapshot {
       } else {
         // lost the claim: the winner's swap is in flight — wait for the
         // pointer to move past our base before recomputing
-        val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
-        while (currentVersion(spark, root).getOrElse(0L) <= base
-               && System.nanoTime() < deadline) Thread.sleep(20)
+        if (awaitAdvance(spark, root, base)) attempt -= 1
       }
       attempt += 1
     }
@@ -1236,9 +1254,7 @@ object Snapshot {
         writeManifestAndStats(spark, root, next, base, untouched)
         if (pointerAdvance(spark, root, next)) return next
       } else {
-        val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
-        while (currentVersion(spark, root).getOrElse(0L) <= base
-               && System.nanoTime() < deadline) Thread.sleep(20)
+        if (awaitAdvance(spark, root, base)) attempt -= 1
       }
       attempt += 1
     }
@@ -1291,9 +1307,7 @@ object Snapshot {
           existing :+ (name -> exprSql))
         if (pointerAdvance(spark, root, next)) return next
       } else {
-        val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
-        while (currentVersion(spark, root).getOrElse(0L) <= base
-               && System.nanoTime() < deadline) Thread.sleep(20)
+        if (awaitAdvance(spark, root, base)) attempt -= 1
       }
       attempt += 1
     }
@@ -1327,9 +1341,7 @@ object Snapshot {
           existing.filterNot(_._1 == name))
         if (pointerAdvance(spark, root, next)) return next
       } else {
-        val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
-        while (currentVersion(spark, root).getOrElse(0L) <= base
-               && System.nanoTime() < deadline) Thread.sleep(20)
+        if (awaitAdvance(spark, root, base)) attempt -= 1
       }
       attempt += 1
     }
@@ -1386,9 +1398,7 @@ object Snapshot {
           composed.filterNot(p => p._1 == p._2))
         if (pointerAdvance(spark, root, next)) return next
       } else {
-        val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
-        while (currentVersion(spark, root).getOrElse(0L) <= base
-               && System.nanoTime() < deadline) Thread.sleep(20)
+        if (awaitAdvance(spark, root, base)) attempt -= 1
       }
       attempt += 1
     }
@@ -1491,9 +1501,7 @@ object Snapshot {
         writeDropped(spark, root, next, droppedOf(spark, root, base) + phys)
         if (pointerAdvance(spark, root, next)) return next
       } else {
-        val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
-        while (currentVersion(spark, root).getOrElse(0L) <= base
-               && System.nanoTime() < deadline) Thread.sleep(20)
+        if (awaitAdvance(spark, root, base)) attempt -= 1
       }
       attempt += 1
     }
@@ -1626,9 +1634,7 @@ object Snapshot {
             writeManifestAndStats(spark, root, next, base, carried)
             if (pointerAdvance(spark, root, next)) return next
           } else {
-            val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
-            while (currentVersion(spark, root).getOrElse(0L) <= base
-                   && System.nanoTime() < deadline) Thread.sleep(20)
+            if (awaitAdvance(spark, root, base)) attempt -= 1
           }
       }
       attempt += 1
@@ -1719,9 +1725,7 @@ object Snapshot {
         writeManifestAndStats(spark, root, next, base, large.map(_._1))
         if (pointerAdvance(spark, root, next)) return next
       } else {
-        val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
-        while (currentVersion(spark, root).getOrElse(0L) <= base
-               && System.nanoTime() < deadline) Thread.sleep(20)
+        if (awaitAdvance(spark, root, base)) attempt -= 1
       }
       attempt += 1
     }
@@ -1819,9 +1823,7 @@ object Snapshot {
         writeManifestAndStats(spark, root, next, toV, carried)
         if (pointerAdvance(spark, root, next)) return next
       } else {
-        val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
-        while (currentVersion(spark, root).getOrElse(0L) <= base
-               && System.nanoTime() < deadline) Thread.sleep(20)
+        if (awaitAdvance(spark, root, base)) attempt -= 1
       }
       attempt += 1
     }

@@ -77,13 +77,31 @@ object Bench {
     // during THIS run, so cross-run query deltas divide out box speed:
     // compare q/probe ratios, not raw seconds. A large start-vs-end
     // spread additionally flags contention that arrived mid-run.
-    def probeOnce(): Double =
-      sec(spark.range(0L, 20000000L, 1L, 32)
+    // Driver-JVM GC/JIT accounting (MXBeans — no JVM flags needed): the
+    // r9 probe-timeline work attributed the ~1.0-1.3 s mid-run probe
+    // elevation to "the run's own writeback/GC self-load" as a band;
+    // recording GC-ms inside every probe and every query turns that
+    // from a band into an attribution — a probe whose elevation is
+    // matched by its gc_ms is the JVM digesting the preceding query's
+    // garbage, not box contention.
+    val gcBeans = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans.asScala.toSeq
+    }
+    def gcMs(): Long = gcBeans.map(_.getCollectionTime).sum
+    def probeOnce(): (Double, Long) = {
+      val g0 = gcMs()
+      val t = sec(spark.range(0L, 20000000L, 1L, 32)
         .selectExpr("id % 99991 AS k", "id AS v")
         .groupBy("k").agg(org.apache.spark.sql.functions.sum("v"))
         .selectExpr("count(*)", "sum(k)").collect())
+      (t, gcMs() - g0)
+    }
+    var probeSamples = Vector.empty[Double] // every single-shot sample
     def probeSec(): Double = {
-      val ts = (1 to 3).map(_ => probeOnce()).sorted
+      val ts = (1 to 3).map(_ => probeOnce()._1).sorted
+      probeSamples ++= ts
       ts(1) // median
     }
     val probeStart = probeSec()
@@ -96,7 +114,7 @@ object Bench {
     // the timeline next to a slow query attributes the slowdown to the
     // box, a flat timeline pins it on the code.
     val probeEvery = 15
-    var probeTimeline = Vector.empty[(String, Double)]
+    var probeTimeline = Vector.empty[(String, Double, Long)]
 
     // Per-query timing with explicit failure capture: a query that throws
     // is reported in `errors` (and its time covers only the failed run) —
@@ -116,12 +134,16 @@ object Bench {
     }
     val selected =
       if (only.isEmpty) SparkEntry.queries else SparkEntry.queries.filter(kv => only(kv._1))
-    var queryIo = Vector.empty[(String, (Long, Long, Long))]
+    var queryIo = Vector.empty[(String, (Long, Long, Long, Long))]
     val results = selected.toSeq.sortBy(_._1).zipWithIndex.map {
       case ((name, fn), i) =>
-        if (i > 0 && i % probeEvery == 0)
-          probeTimeline :+= ((name, probeOnce()))
+        if (i > 0 && i % probeEvery == 0) {
+          val (ps, pg) = probeOnce()
+          probeSamples :+= ps
+          probeTimeline :+= ((name, ps, pg))
+        }
         val before = ioSnapshot()
+        val gcBefore = gcMs()
         val t = sec(
           try fn(spark, sfDir).count()
           catch { case e: Throwable =>
@@ -131,7 +153,7 @@ object Bench {
           })
         val after = ioSnapshot()
         queryIo :+= ((name, (after._1 - before._1, after._2 - before._2,
-          after._3 - before._3)))
+          after._3 - before._3, gcMs() - gcBefore)))
         name -> t
     }
 
@@ -165,10 +187,19 @@ object Bench {
       operators.PartitionCache.calcAvg(spark, sfDir, o12Dir, k)))
 
     val probeEnd = probeSec()
-    // Per-query probe-normalized column: seconds divided by the mean
-    // probe time — "how many probe-units did this query cost", the
-    // box-speed-free number to diff across rounds.
-    val probeMean = (probeStart + probeEnd) / 2
+    // Per-query probe-normalized column: seconds divided by the MEDIAN
+    // of every probe sample taken through the run (3 start + timeline
+    // singles + 3 end) — "how many probe-units did this query cost",
+    // the box-speed-free number to diff across rounds. Folding the
+    // timeline into the denominator (r9 used the endpoint mean alone)
+    // makes the column robust to the documented mid-run self-load
+    // band: a run whose middle probes sit at 1.1 s against 0.6 s
+    // endpoints no longer inflates every ratio by the endpoint
+    // optimism.
+    val sortedSamples = probeSamples.sorted
+    val probeMean =
+      if (sortedSamples.isEmpty) 0.0
+      else sortedSamples(sortedSamples.size / 2)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val qsNorm = results.map { case (k, v) =>
@@ -179,15 +210,17 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val timelineJson = probeTimeline
-      .map { case (before, s) => "{\"before\":\"" + before + "\",\"sec\":" + s + "}" }
+      .map { case (before, s, g) =>
+        "{\"before\":\"" + before + "\",\"sec\":" + s + ",\"gc_ms\":" + g + "}" }
       .mkString("[", ",", "]")
     def mb(b: Long): String =
       String.format(java.util.Locale.ROOT, "%.1f", Double.box(b / 1e6))
-    val ioJson = queryIo.map { case (k, (r, w, s)) =>
+    val ioJson = queryIo.map { case (k, (r, w, s, g)) =>
       "\"" + k + "\":{\"shuffle_read_mb\":" + mb(r) +
-        ",\"shuffle_write_mb\":" + mb(w) + ",\"spill_mb\":" + mb(s) + "}"
+        ",\"shuffle_write_mb\":" + mb(w) + ",\"spill_mb\":" + mb(s) +
+        ",\"gc_ms\":" + g + "}"
     }.mkString("{", ",", "}")
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_probe_norm":$qsNorm,"queries_io":$ioJson,"probe_start_sec":$probeStart,"probe_end_sec":$probeEnd,"probe_timeline":$timelineJson,"errors":$errJson,"cache_create_sec":$tCreate,"cache_reuse_sec":$tReuse,"o12_venue_create_sec":$tO12Create,"o12_reuse_read_sec":$tO12Reuse,"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_probe_norm":$qsNorm,"queries_io":$ioJson,"probe_start_sec":$probeStart,"probe_end_sec":$probeEnd,"probe_median_sec":$probeMean,"probe_timeline":$timelineJson,"errors":$errJson,"cache_create_sec":$tCreate,"cache_reuse_sec":$tReuse,"o12_venue_create_sec":$tO12Create,"o12_reuse_read_sec":$tO12Reuse,"sf":"$sfDir"}"""
     println(fullLine)
     // The full line above exceeds the harness's 2 KiB output-tail capture
     // (74 queries x ~26 chars), so it can never be parsed whole from the

@@ -109,6 +109,13 @@ object Streaming {
               "(broker address) on the session conf"))
         val topic = spark.conf
           .getOption("graft.streaming.kafka.topic").getOrElse("events")
+        // replay position: Spark's streaming default is `latest`
+        // (resume-at-tail); an initial backfill or a smoke test that
+        // produces before it consumes needs `earliest`. One conf —
+        // same knob a production consumer group would set.
+        val startingOffsets = spark.conf
+          .getOption("graft.streaming.kafka.startingOffsets")
+          .getOrElse("latest")
         val eventSchema = org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("event_id",
             org.apache.spark.sql.types.LongType),
@@ -124,6 +131,7 @@ object Streaming {
           spark.readStream.format("kafka")
             .option("kafka.bootstrap.servers", bootstrap)
             .option("subscribe", topic)
+            .option("startingOffsets", startingOffsets)
             .load()
             .select(from_json(col("value").cast("string"), eventSchema)
               .as("e"))

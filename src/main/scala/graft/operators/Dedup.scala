@@ -215,7 +215,7 @@ object Dedup {
     * relation, no global window — round 1's `row_number` id
     * assignment funnelled every distinct shingle through ONE task,
     * the hard 100 TB bottleneck of this family). */
-  private def classGrams(spark: SparkSession, sfDir: String,
+  private[operators] def classGrams(spark: SparkSession, sfDir: String,
                          width: Int): DataFrame =
     graft.util.SessionMemo.memoizedValue(
         spark, s"classGrams|$sfDir|$width") {

@@ -59,7 +59,18 @@ object ScaleFixtures {
     def write(df: DataFrame, name: String): Unit = {
       import java.nio.file.{Files, Paths, StandardCopyOption}
       val tmp = s"$dst/_tmp_$name"
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      // Parquet splits at ROW-GROUP granularity: coalesce(1) under the
+      // default 128 MB parquet.block.size wrote the whole sf1 lineitem
+      // (6M rows / 80 MB) as ONE row group, so every scan-bound soak
+      // query ran its scan in ONE task no matter the core count
+      // (measured: TPC-H Q18 67.6 s at sf1 on 32 threads). 8 MB row
+      // groups match Bench's spark.sql.files.maxPartitionBytes=8m —
+      // every 8 MB split owns a row group and the single-file fixture
+      // scans in parallel, which is the point of the contract's
+      // "row-group splittable" clause.
+      df.coalesce(1).write.mode("overwrite")
+        .option("parquet.block.size", (8L * 1024 * 1024).toString)
+        .parquet(tmp)
       val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
         .filter(p => p.endsWith(".parquet") && !p.contains("_SUCCESS"))
       require(part.length == 1, s"expected one part file, got ${part.toSeq}")

@@ -15,7 +15,8 @@ object ExplainRun {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.sql.session.timeZone", "UTC")
@@ -23,11 +24,49 @@ object ExplainRun {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect()
-    val df = SparkEntry.queries(qname)(spark, sfDir)
+    val ioR = new java.util.concurrent.atomic.AtomicLong
+    val ioW = new java.util.concurrent.atomic.AtomicLong
+    val ioS = new java.util.concurrent.atomic.AtomicLong
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong
+    val runNs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null) {
+            ioR.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+            ioW.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            ioS.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+            cpuNs.addAndGet(m.executorCpuTime)
+            runNs.addAndGet(m.executorRunTime * 1000000L)
+          }
+        }
+      })
+    // Bench's calibration probe, before and after: a measurement with
+    // elevated probes is a contention wave, not the query's cost.
+    def probe(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 20000000L, 1L, 32)
+        .selectExpr("id % 99991 AS k", "id AS v")
+        .groupBy("k").agg(org.apache.spark.sql.functions.sum("v"))
+        .selectExpr("count(*)", "sum(k)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val pBefore = probe()
+    // Time CONSTRUCTION + action together: memoized builders (the x09
+    // family) materialize their staged relations eagerly inside the
+    // queries() call, so timing only the count under-reports them.
     val t0 = System.nanoTime()
+    val df = SparkEntry.queries(qname)(spark, sfDir)
     val n = df.count()
     val dt = (System.nanoTime() - t0) / 1e9
-    println(f"[explain] $qname rows=$n time=$dt%.2f s")
+    val pAfter = probe()
+    println(f"[explain] $qname rows=$n time=$dt%.2f s " +
+      f"probes=$pBefore%.2f/$pAfter%.2f " +
+      f"shufr=${ioR.get / 1e6}%.0fMB shufw=${ioW.get / 1e6}%.0fMB " +
+      f"spill=${ioS.get / 1e6}%.0fMB cpu=${cpuNs.get / 1e9}%.0fs " +
+      f"run=${runNs.get / 1e9}%.0fs")
     // AFTER the action: the adaptive plan is final
     println(df.queryExecution.executedPlan.toString.take(12000))
     spark.stop()

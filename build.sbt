@@ -28,6 +28,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 ) ++
-  // ad-hoc profiling flags for the forked JVM (e.g. -Xlog:gc*:file=…)
+  // ad-hoc profiling flags for the forked JVM (e.g. -Xlog:gc*:file=…).
+  // Split on ';' when one is present (for flags whose VALUE contains
+  // spaces, e.g. a log-file path with spaces); otherwise on whitespace.
+  // There is no quoting syntax — a flag needing BOTH delimiters in its
+  // value is unsupported.
   sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq
-    .flatMap(_.split("\\s+").filter(_.nonEmpty))
+    .flatMap(v =>
+      (if (v.contains(";")) v.split(";").toSeq else v.split("\\s+").toSeq)
+        .map(_.trim).filter(_.nonEmpty))

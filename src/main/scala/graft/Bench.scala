@@ -197,13 +197,13 @@ object Bench {
     // endpoints no longer inflates every ratio by the endpoint
     // optimism.
     val sortedSamples = probeSamples.sorted
-    val probeMean =
+    val probeMedian =
       if (sortedSamples.isEmpty) 0.0
       else sortedSamples(sortedSamples.size / 2)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val qsNorm = results.map { case (k, v) =>
-      "\"" + k + "\":" + (if (probeMean > 0) v / probeMean else v) }
+      "\"" + k + "\":" + (if (probeMedian > 0) v / probeMedian else v) }
       .mkString("{", ",", "}")
     val errJson = errors.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\"" }
@@ -220,7 +220,7 @@ object Bench {
         ",\"shuffle_write_mb\":" + mb(w) + ",\"spill_mb\":" + mb(s) +
         ",\"gc_ms\":" + g + "}"
     }.mkString("{", ",", "}")
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_probe_norm":$qsNorm,"queries_io":$ioJson,"probe_start_sec":$probeStart,"probe_end_sec":$probeEnd,"probe_median_sec":$probeMean,"probe_timeline":$timelineJson,"errors":$errJson,"cache_create_sec":$tCreate,"cache_reuse_sec":$tReuse,"o12_venue_create_sec":$tO12Create,"o12_reuse_read_sec":$tO12Reuse,"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_probe_norm":$qsNorm,"queries_io":$ioJson,"probe_start_sec":$probeStart,"probe_end_sec":$probeEnd,"probe_median_sec":$probeMedian,"probe_timeline":$timelineJson,"errors":$errJson,"cache_create_sec":$tCreate,"cache_reuse_sec":$tReuse,"o12_venue_create_sec":$tO12Create,"o12_reuse_read_sec":$tO12Reuse,"sf":"$sfDir"}"""
     println(fullLine)
     // The full line above exceeds the harness's 2 KiB output-tail capture
     // (74 queries x ~26 chars), so it can never be parsed whole from the
@@ -244,7 +244,12 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val slowest = results.sortBy(-_._2).take(12)
       .map { case (k, v) => "\"" + k + "\":" + r2(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$slowest,"n_queries":${results.size},"n_errors":${errors.size},"cache_create_sec":${r2(tCreate)},"cache_reuse_sec":${r2(tReuse)},"o12_venue_create_sec":${r2(tO12Create)},"o12_reuse_read_sec":${r2(tO12Reuse)},"probe_start_sec":${r2(probeStart)},"probe_end_sec":${r2(probeEnd)},"sf":"$sfDir","detail":"BENCH_FULL.json"}""")
+    // total_probe_norm: the box-speed-free headline (seconds ÷ median
+    // probe) — the number to diff round-over-round without archaeology
+    // (VERDICT r10 #7); tools/bench_diff.py compares two artifacts on
+    // the normalized columns directly.
+    val totalNorm = if (probeMedian > 0) total / probeMedian else total
+    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$slowest,"n_queries":${results.size},"n_errors":${errors.size},"cache_create_sec":${r2(tCreate)},"cache_reuse_sec":${r2(tReuse)},"o12_venue_create_sec":${r2(tO12Create)},"o12_reuse_read_sec":${r2(tO12Reuse)},"probe_start_sec":${r2(probeStart)},"probe_end_sec":${r2(probeEnd)},"probe_median_sec":${r2(probeMedian)},"total_probe_norm":${r2(totalNorm)},"sf":"$sfDir","detail":"BENCH_FULL.json"}""")
     spark.stop()
   }
 }

@@ -45,21 +45,32 @@ object ProbeProfile {
     // Spark's codegen metrics: source-compile time and generated-class
     // load counts — a probe that recompiles its generated code shows up
     // here; one that re-JITs already-loaded classes shows in jitMs.
+    // METRIC_COMPILATION_TIME records each sample ALREADY in
+    // milliseconds (spark-catalyst 4.1.2: nanoTime delta / 1e6 before
+    // Histogram.update) — no unit conversion. Caveat: the histogram is
+    // a decaying SAMPLED reservoir, not a monotonic counter, so a
+    // delta is approximate and can be negative/lossy when old samples
+    // age out; getCount (monotonic #compilations) disambiguates "new
+    // compile happened" from reservoir churn.
     def codegenMs(): Long =
       org.apache.spark.metrics.source.CodegenMetrics
-        .METRIC_COMPILATION_TIME.getSnapshot.getValues.sum / 1000000L
+        .METRIC_COMPILATION_TIME.getSnapshot.getValues.sum
+    def codegenCount(): Long =
+      org.apache.spark.metrics.source.CodegenMetrics
+        .METRIC_COMPILATION_TIME.getCount
 
     def sec[T](f: => T): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
     def probeOnce(tag: String): Double = {
-      val (g0, j0, c0) = (gcMs(), jitMs(), codegenMs())
+      val (g0, j0, c0, n0) = (gcMs(), jitMs(), codegenMs(), codegenCount())
       val t = sec(spark.range(0L, 20000000L, 1L, 32)
         .selectExpr("id % 99991 AS k", "id AS v")
         .groupBy("k").agg(org.apache.spark.sql.functions.sum("v"))
         .selectExpr("count(*)", "sum(k)").collect())
       println(f"[probe] $tag%-12s ${t}%6.3f s  gc=+${gcMs() - g0}%4d ms" +
-        f"  jit=+${jitMs() - j0}%5d ms  codegen=+${codegenMs() - c0}%4d ms")
+        f"  jit=+${jitMs() - j0}%5d ms  codegen=+${codegenMs() - c0}%4d ms" +
+        f" (n=+${codegenCount() - n0}, reservoir-approx)")
       t
     }
 

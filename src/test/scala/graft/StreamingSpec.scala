@@ -335,9 +335,20 @@ class StreamingSpec extends SparkSuite {
     assume(bootOpt.isDefined,
       "no KAFKA_BOOTSTRAP in the environment — live-Kafka smoke skipped")
     val boot = bootOpt.get
-    val topic = sys.env.getOrElse("KAFKA_TOPIC",
-      s"graft_smoke_${System.currentTimeMillis()}")
+    // KAFKA_TOPIC is a PREFIX, not a literal topic: the smoke reads
+    // startingOffsets=earliest, so a pre-existing topic with residual
+    // messages would fail the round-trip for an environmental reason.
+    // A unique suffix guarantees a fresh topic every run (brokers
+    // auto-create by default; pre-create the exact name if yours
+    // doesn't).
+    val topic = sys.env.getOrElse("KAFKA_TOPIC", "graft_smoke") +
+      s"_${System.currentTimeMillis()}_${java.util.UUID.randomUUID().toString.take(8)}"
+    // The 500-row selection is evaluated twice (produce job + `want`
+    // collect), so it must be deterministic: dedupe on event_id first
+    // — after dropDuplicates the orderBy key is unique by construction
+    // and limit(500) picks the same rows in both jobs.
     val events = graft.sources.Tables.events(spark, sf)
+      .dropDuplicates("event_id")
       .orderBy("event_id").limit(500)
       .select("event_id", "user_id", "event_type", "ts", "value")
     events

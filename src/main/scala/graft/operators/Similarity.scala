@@ -675,8 +675,22 @@ object Similarity {
     * index root builds and publishes it (`_COMPLETE` marker written
     * last); a process that loses the claim builds a session-local copy
     * rather than blocking on an in-flight (or dead) builder — identical
-    * bytes by determinism of the trajectory. Dead-builder residue is
-    * reclaimed after 30 minutes. */
+    * bytes by determinism of the trajectory.
+    *
+    * Lifecycle (the shared [[graft.util.Lease]] discipline, VERDICT
+    * r10 #3/#4): the winning builder HEARTBEATS `root/_lease` for the
+    * whole build, so a live build of ANY duration — a real 100 TB
+    * encode job runs hours — can never be reclaimed out from under it
+    * (the old 30-minute root-mtime rule could: writing into
+    * subdirectories never bumps the root's own mtime). Dead-builder
+    * residue (no `_COMPLETE`, lease stale past
+    * `graft.ann.leaseStaleMs`, default 60 s) is reclaimed before the
+    * claim. Loser-path local copies are enrolled for exit GC
+    * ([[graft.util.Lease.gcOnExit]]), and after publishing, the winner
+    * sweeps sibling index roots idle past `graft.ann.indexRetentionMs`
+    * (default 7 days; `_COMPLETE` mtime is refreshed on every open, so
+    * retention measures IDLE time — the `Snapshot.vacuum` "assumes no
+    * reader is still walking" caveat applies). */
   private[graft] final case class IvfIndex(cells: DataFrame,
                                            assign: DataFrame,
                                            pqCodebook: DataFrame,
@@ -690,61 +704,164 @@ object Similarity {
     }
   }
 
+  /** The on-disk root this corpus+geometry stages into — exposed so
+    * lifecycle specs/soaks can address the exact root a competing
+    * process would claim. */
+  private[graft] def indexRootFor(spark: SparkSession,
+                                  sfDir: String): java.nio.file.Path = {
+    val fp = embFingerprint(spark, sfDir)
+    val (stride, k) = annGeometry(corpusN(spark, sfDir))
+    java.nio.file.Paths
+      .get(System.getProperty("java.io.tmpdir"), "graft_annindex")
+      .resolve(s"idx-$fp-s$stride-k$k-pq")
+  }
+
   private def buildOrOpenIvfIndex(spark: SparkSession, sfDir: String,
                                   fp: String): IvfIndex = {
     import java.nio.file.{Files, Paths}
-    val (stride, k) = annGeometry(corpusN(spark, sfDir))
+    import graft.util.Lease
+    val conf = spark.sparkContext.hadoopConfiguration
     val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft_annindex")
-    val root = base.resolve(s"idx-$fp-s$stride-k$k-pq")
+    val root = indexRootFor(spark, sfDir)
     val complete = root.resolve("_COMPLETE")
-    def open(dir: java.nio.file.Path): IvfIndex = IvfIndex(
-      Snapshot.readCurrent(spark, dir.resolve("codebook").toString)
-        .select("cell", "n", "s"),
-      Snapshot.readCurrent(spark, dir.resolve("assign").toString)
-        .select("vec_id", "cell", "cellscore"),
-      Snapshot.readCurrent(spark, dir.resolve("pqcodebook").toString)
-        .select("sub", "cell", "cq"),
-      Snapshot.readCurrent(spark, dir.resolve("pqcodes").toString)
-        .select("vec_id", "sub", "code"))
+    val staleMs = spark.conf.getOption("graft.ann.leaseStaleMs")
+      .map(_.toLong).getOrElse(60000L)
+    def hPath(p: java.nio.file.Path) =
+      new org.apache.hadoop.fs.Path("file://" + p.toAbsolutePath)
+    def open(dir: java.nio.file.Path): IvfIndex = {
+      // retention measures IDLE time: a reader refreshes the published
+      // marker so a hot index is never swept, however old its build
+      val mk = dir.resolve("_COMPLETE")
+      if (Files.exists(mk))
+        try Lease.refresh(conf, hPath(mk)) catch { case _: Exception => () }
+      IvfIndex(
+        Snapshot.readCurrent(spark, dir.resolve("codebook").toString)
+          .select("cell", "n", "s"),
+        Snapshot.readCurrent(spark, dir.resolve("assign").toString)
+          .select("vec_id", "cell", "cellscore"),
+        Snapshot.readCurrent(spark, dir.resolve("pqcodebook").toString)
+          .select("sub", "cell", "cq"),
+        Snapshot.readCurrent(spark, dir.resolve("pqcodes").toString)
+          .select("vec_id", "sub", "code"))
+    }
     if (Files.exists(complete)) return open(root)
     Files.createDirectories(base)
-    if (Files.exists(root) && System.currentTimeMillis() -
-        Files.getLastModifiedTime(root).toMillis > 30L * 60 * 1000) {
-      import scala.jdk.CollectionConverters._
-      Files.walk(root).iterator().asScala.toSeq.sortBy(-_.getNameCount)
-        .foreach(p => Files.deleteIfExists(p))
+    // Dead-build reclaim: incomplete root whose builder stopped
+    // heartbeating. Both clocks must be stale — the root's own mtime
+    // covers the claim→first-heartbeat gap (a builder that JUST
+    // created the directory has a fresh root and no lease yet).
+    if (Files.exists(root) && !Files.exists(complete)) {
+      val leaseLive = Lease.isLive(conf, hPath(root.resolve("_lease")), staleMs)
+      val rootFresh = System.currentTimeMillis() -
+        Files.getLastModifiedTime(root).toMillis <= staleMs
+      if (!leaseLive && !rootFresh) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(root).iterator().asScala.toSeq.sortBy(-_.getNameCount)
+          .foreach(p => Files.deleteIfExists(p))
+      }
     }
     val claimed =
       try { Files.createDirectory(root); true }
       catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    // The winner's liveness signal for the whole build: a >staleMs
+    // build stays claimed as long as this JVM breathes; a killed
+    // builder's lease goes stale and the next caller reclaims.
+    val hb =
+      if (claimed)
+        Some(Lease.heartbeat(conf, hPath(root.resolve("_lease")),
+          math.max(250L, staleMs / 6)))
+      else None
+    // Test-only slow-build injection for the two-JVM SlowBuilder soak
+    // (AnnLeaseSoak): hold the claim well past the stale window while
+    // heartbeating, proving a LIVE slow builder is never reclaimed.
+    if (claimed)
+      sys.env.get("GRAFT_ANN_BUILD_SLEEP_MS").map(_.toLong)
+        .filter(_ > 0).foreach(Thread.sleep)
     val target =
-      if (claimed) root else Files.createTempDirectory("graft_annindex_local_")
-    // writer widths derived from data (the of21 target-file-size
-    // discipline): codebooks are k×dims — always one file; the
-    // corpus-sized assignment/codes tables get ~2M rows per file so a
-    // toy corpus writes 1 file (no 32-way shuffle-write overhead) and
-    // a 10^9-vector corpus writes wide
-    val n = corpusN(spark, sfDir)
-    val corpusFiles = math.max(1L, math.min(64L, n / 2000000L + 1L)).toInt
-    val cb = kmeansSums(spark, sfDir)
-    Snapshot.commit(cb.coalesce(1), target.resolve("codebook").toString)
-    Snapshot.commit(
-      assignToCellsScored(
-        Tables.embeddings(spark, sfDir).select("vec_id", "embedding"), cb)
-        .coalesce(corpusFiles),
-      target.resolve("assign").toString)
-    // the PQ half of the ANN layout is index state too: the per-vector
-    // codes are the compressed corpus representation — written once at
-    // encode time in production, never re-derived per query
-    val pqcb = pqCodebooksBuild(spark, sfDir)
-    Snapshot.commit(pqcb.coalesce(1), target.resolve("pqcodebook").toString)
-    Snapshot.commit(
-      pqAssign(pqSubVectors(spark, sfDir), pqcb)
-        .select(col("vec_id"), col("sub"), col("cell").as("code"))
-        .coalesce(corpusFiles),
-      target.resolve("pqcodes").toString)
-    if (claimed) Files.createFile(complete)
+      if (claimed) root
+      else {
+        // correct bytes by determinism, but private to this session and
+        // worthless after it — enroll for exit GC (a disk leak per
+        // losing process otherwise)
+        val t = Files.createTempDirectory("graft_annindex_local_")
+        Lease.gcOnExit(t)
+        t
+      }
+    try {
+      // writer widths derived from data (the of21 target-file-size
+      // discipline): codebooks are k×dims — always one file; the
+      // corpus-sized assignment/codes tables get ~2M rows per file so a
+      // toy corpus writes 1 file (no 32-way shuffle-write overhead) and
+      // a 10^9-vector corpus writes wide
+      val n = corpusN(spark, sfDir)
+      val corpusFiles = math.max(1L, math.min(64L, n / 2000000L + 1L)).toInt
+      val cb = kmeansSums(spark, sfDir)
+      Snapshot.commit(cb.coalesce(1), target.resolve("codebook").toString)
+      Snapshot.commit(
+        assignToCellsScored(
+          Tables.embeddings(spark, sfDir).select("vec_id", "embedding"), cb)
+          .coalesce(corpusFiles),
+        target.resolve("assign").toString)
+      // the PQ half of the ANN layout is index state too: the per-vector
+      // codes are the compressed corpus representation — written once at
+      // encode time in production, never re-derived per query
+      val pqcb = pqCodebooksBuild(spark, sfDir)
+      Snapshot.commit(pqcb.coalesce(1), target.resolve("pqcodebook").toString)
+      Snapshot.commit(
+        pqAssign(pqSubVectors(spark, sfDir), pqcb)
+          .select(col("vec_id"), col("sub"), col("cell").as("code"))
+          .coalesce(corpusFiles),
+        target.resolve("pqcodes").toString)
+      if (claimed) Files.createFile(complete)
+    } finally hb.foreach(_.close())
+    // Publish-time retention sweep (winner only): stale-fingerprint
+    // roots — a corpus whose files changed leaves its old `idx-<fp>`
+    // behind forever otherwise — and dead incomplete residue.
+    if (claimed) sweepIndexSiblings(spark, base, root, staleMs)
     open(target)
+  }
+
+  /** GC sibling index roots under `base` (never `current`):
+    *  - COMPLETE roots idle past `graft.ann.indexRetentionMs`
+    *    (default 7 days; `_COMPLETE` mtime = last open, so this is
+    *    idle time, not age) — the stale-fingerprint accumulation;
+    *  - INCOMPLETE roots whose lease is dead and whose own mtime is
+    *    stale — a crashed builder's residue.
+    * Same caveat as [[Snapshot.vacuum]]: GC assumes no reader is
+    * still walking a root it has decided to reclaim. */
+  private def sweepIndexSiblings(spark: SparkSession,
+                                 base: java.nio.file.Path,
+                                 current: java.nio.file.Path,
+                                 staleMs: Long): Unit = {
+    import java.nio.file.Files
+    import graft.util.Lease
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val retentionMs = spark.conf.getOption("graft.ann.indexRetentionMs")
+      .map(_.toLong).getOrElse(7L * 24 * 3600 * 1000)
+    def hPath(p: java.nio.file.Path) =
+      new org.apache.hadoop.fs.Path("file://" + p.toAbsolutePath)
+    val now = System.currentTimeMillis()
+    val sibs =
+      try Files.list(base).iterator().asScala.toSeq
+      catch { case _: java.io.IOException => Seq.empty }
+    sibs.filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("idx-") &&
+        p.toAbsolutePath != current.toAbsolutePath)
+      .foreach { sib =>
+        val mk = sib.resolve("_COMPLETE")
+        val dead =
+          if (Files.exists(mk))
+            now - Files.getLastModifiedTime(mk).toMillis > retentionMs
+          else
+            !Lease.isLive(conf, hPath(sib.resolve("_lease")), staleMs) &&
+              now - Files.getLastModifiedTime(sib).toMillis > staleMs
+        if (dead)
+          try Files.walk(sib).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(p => Files.deleteIfExists(p))
+          catch { case _: java.io.IOException => () } // racing sweeper
+      }
   }
 
   def kmeansCells(spark: SparkSession, sfDir: String): DataFrame =

@@ -484,47 +484,13 @@ object Snapshot {
   }
 
   /** The atomic create-exclusive election primitive: exactly one racing
-    * creator of `p` succeeds. On HDFS, rename-WITHOUT-overwrite is
-    * atomic at the NameNode; on the local FS that rename is a
-    * check-then-act (POSIX rename replaces silently), so `file:` URIs
-    * use NIO `Files.createFile` (O_CREAT|O_EXCL — kernel-atomic)
-    * instead. Only the exists-conflict means "lost the race"; any other
-    * FS error propagates (swallowing it would misdiagnose a permission
-    * or connectivity fault as contention and spin the caller's retry
-    * loop). */
+    * creator of `p` succeeds — [[graft.util.Lease.createExclusive]]
+    * (the shared lease discipline; semantics documented there). */
   private def createExclusive(spark: SparkSession,
                               p: org.apache.hadoop.fs.Path,
-                              body: String): Boolean = {
-    if ("file" == Option(p.toUri.getScheme).getOrElse("file")) {
-      try {
-        java.nio.file.Files.createFile(
-          java.nio.file.Paths.get(p.toUri.getPath))
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(p.toUri.getPath),
-          body.getBytes("UTF-8"))
-        true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => false
-      }
-    } else {
-      val fs = fsOf(spark, p)
-      val tmp = new org.apache.hadoop.fs.Path(p.getParent,
-        s"${p.getName}.${java.util.UUID.randomUUID()}.tmp")
-      val out = fs.create(tmp, true)
-      try out.write(body.getBytes("UTF-8")) finally out.close()
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-        p.toUri, spark.sparkContext.hadoopConfiguration)
-      try {
-        fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.NONE)
-        true
-      } catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-             _: java.nio.file.FileAlreadyExistsException =>
-          fs.delete(tmp, false)
-          false
-      }
-    }
-  }
+                              body: String): Boolean =
+    graft.util.Lease.createExclusive(
+      spark.sparkContext.hadoopConfiguration, p, body)
 
   /** Claim exclusive right to commit version `v` via create-exclusive
     * on `_claims/v`. Winning the file race is necessary but not
@@ -547,12 +513,9 @@ object Snapshot {
     * either global progress or budget burn: standard
     * optimistic-concurrency liveness. */
   private def awaitAdvance(spark: SparkSession, root: String,
-                           base: Long): Boolean = {
-    val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
-    while (currentVersion(spark, root).getOrElse(0L) <= base
-           && System.nanoTime() < deadline) Thread.sleep(20)
-    currentVersion(spark, root).getOrElse(0L) > base
-  }
+                           base: Long): Boolean =
+    graft.util.Lease.awaitProgress(5000L, base)(
+      currentVersion(spark, root).getOrElse(0L))
 
   private[graft] def claimVersion(spark: SparkSession, root: String,
                                   v: Long): Boolean = {
@@ -597,29 +560,15 @@ object Snapshot {
                              v: Long, expectedPrev: Long = -1L): Boolean = {
     val lock = new org.apache.hadoop.fs.Path(root, "_ptrlock")
     val fs = fsOf(spark, lock)
-    var held = false
-    while (!held) {
-      if (createExclusive(spark, lock, s"$v\n")) held = true
-      else {
-        val mtime = try {
-          Some(fs.getFileStatus(lock).getModificationTime)
-        } catch {
-          case _: java.io.FileNotFoundException => None // freed; retry now
-        }
-        // Lease semantics: a holder past the timeout has forfeited the
-        // lock (the critical section is two metadata ops; 60 s means a
-        // dead JVM). The break is IDENTITY-CHECKED against the observed
-        // modification time — an unconditional delete could race the
-        // forfeiting holder's own release and kill a FRESH committer's
-        // lock acquired in the gap (two swaps then interleave).
-        mtime match {
-          case Some(m)
-              if System.currentTimeMillis() - m > PtrLockTimeoutMs =>
-            breakIfStillStale(spark, lock, m)
-          case _ => Thread.sleep(20)
-        }
-      }
-    }
+    // Lease semantics ([[graft.util.Lease.acquire]]): a holder past the
+    // timeout has forfeited the lock (the critical section is two
+    // metadata ops; 60 s means a dead JVM). The break is
+    // IDENTITY-CHECKED against the observed modification time — an
+    // unconditional delete could race the forfeiting holder's own
+    // release and kill a FRESH committer's lock acquired in the gap
+    // (two swaps then interleave).
+    graft.util.Lease.acquire(spark.sparkContext.hadoopConfiguration,
+      lock, s"$v\n", PtrLockTimeoutMs)
     try {
       val cur = currentVersion(spark, root).getOrElse(0L)
       if (cur >= v) false
@@ -717,65 +666,12 @@ object Snapshot {
                tsMillis: Long): DataFrame =
     readVersion(spark, root, versionAsOf(spark, root, tsMillis))
 
-  /** Break a forfeited `_ptrlock` ONLY if it is still the lock we
-    * observed stale: STEAL it to a unique tombstone first (atomic
-    * rename — after which no other process can touch it), re-verify
-    * identity by modification time, then either discard it (it really
-    * was the forfeited lock) or hand it back via a no-overwrite rename
-    * (a fresh holder's lock caught in the observe→break gap). The
-    * hand-back can itself lose to a brand-new creator — then the
-    * displaced fresh holder runs its two-op swap unlocked, a three-
-    * party microsecond window strictly narrower than the unconditional
-    * delete this replaces, and the monotonic compare inside the
-    * critical section still bounds the damage to an adjacent-version
-    * regression, never a torn pointer. */
-  private def breakIfStillStale(spark: SparkSession,
-                                lock: org.apache.hadoop.fs.Path,
-                                observedMtime: Long): Unit = {
-    val fs = fsOf(spark, lock)
-    val tomb = new org.apache.hadoop.fs.Path(lock.getParent,
-      s"${lock.getName}.break.${java.util.UUID.randomUUID()}")
-    val isLocal = "file" == Option(lock.toUri.getScheme).getOrElse("file")
-    val stolen =
-      if (isLocal) {
-        try {
-          java.nio.file.Files.move(
-            java.nio.file.Paths.get(lock.toUri.getPath),
-            java.nio.file.Paths.get(tomb.toUri.getPath),
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          true
-        } catch { case _: java.nio.file.NoSuchFileException => false }
-      } else {
-        try {
-          org.apache.hadoop.fs.FileContext.getFileContext(
-              lock.toUri, spark.sparkContext.hadoopConfiguration)
-            .rename(lock, tomb, org.apache.hadoop.fs.Options.Rename.NONE)
-          true
-        } catch { case _: java.io.FileNotFoundException => false }
-      }
-    if (!stolen) return // released in the meantime; caller retries
-    val stillStale =
-      try fs.getFileStatus(tomb).getModificationTime == observedMtime
-      catch { case _: java.io.FileNotFoundException => false }
-    if (stillStale) { fs.delete(tomb, false); return } // lease broken
-    // a fresh holder's lock: give it back without clobbering any even
-    // newer lock (plain no-REPLACE move / Rename.NONE both refuse an
-    // existing destination)
-    try {
-      if (isLocal)
-        java.nio.file.Files.move(
-          java.nio.file.Paths.get(tomb.toUri.getPath),
-          java.nio.file.Paths.get(lock.toUri.getPath))
-      else
-        org.apache.hadoop.fs.FileContext.getFileContext(
-            lock.toUri, spark.sparkContext.hadoopConfiguration)
-          .rename(tomb, lock, org.apache.hadoop.fs.Options.Rename.NONE)
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException |
-           _: org.apache.hadoop.fs.FileAlreadyExistsException =>
-        fs.delete(tomb, false) // displaced holder documented above
-    }
-  }
+  // Forfeited-`_ptrlock` recovery lives in
+  // [[graft.util.Lease.breakIfStillStale]] (steal-to-tombstone,
+  // identity re-check by mtime, hand-back of a fresh holder's lock);
+  // the monotonic compare inside the critical section bounds any
+  // residual three-party window to an adjacent-version regression,
+  // never a torn pointer.
 
   /** Commit `df` as the next snapshot: claim a fresh version, write
     * `v=N` fully, then swap the pointer atomically. Returns the

@@ -145,7 +145,15 @@ object Bench {
         val before = ioSnapshot()
         val gcBefore = gcMs()
         val t = sec(
-          try fn(spark, sfDir).count()
+          try {
+            // derived shuffle width for the wide-shuffle SQL family,
+            // scoped around the action (binds at exchange planning)
+            val saved = spark.conf.get("spark.sql.shuffle.partitions")
+            SparkEntry.shuffleWidthHint(name, spark, sfDir)
+              .foreach(w => spark.conf.set("spark.sql.shuffle.partitions", w))
+            try fn(spark, sfDir).count()
+            finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+          }
           catch { case e: Throwable =>
             // printable ASCII only — a control char would break the JSON line
             errors += name -> e.toString.takeWhile(_ != '\n').take(200)

@@ -20,6 +20,24 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Etl.extract(spark, "/root/testdata/sf0.001")
 
+  /** Venue-level derived shuffle width for the full-corpus-aggregate
+    * SQL shapes (VERDICT r10 #5 — the streaming state-width discipline
+    * applied to batch shuffles): Q18/Q21 shuffle the whole lineitem
+    * relation through sort buffers, so their width must track the
+    * estimated spill mass ([[operators.Layout.shuffleWidthFor]]),
+    * never a fixed constant. Runners (Bench, ExplainRun) scope
+    * `spark.sql.shuffle.partitions` to this around the ACTION — the
+    * conf binds at exchange-planning time, not builder time. None =
+    * run at the deployment default. */
+  def shuffleWidthHint(name: String, spark: SparkSession,
+                       sfDir: String): Option[Int] =
+    if (WideShuffleFamilies(name))
+      Some(Layout.derivedShuffleWidth(spark, sfDir,
+        Seq("lineitem", "orders")))
+    else None
+
+  private val WideShuffleFamilies = Set("x15e_sql_q18", "x15t_sql_q21")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- reference parity (SURVEY §2.1) ----
     "o02_etl_extract"     -> (Etl.extract(_, _)),

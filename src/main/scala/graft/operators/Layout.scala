@@ -259,4 +259,62 @@ object Layout {
         max(col("value")).as("max_value"))
       .orderBy("skew_key")
   }
+
+  // ---- derived batch shuffle width (VERDICT r10 #5) --------------------
+
+  /** Conservative in-memory expansion from compressed parquet source
+    * bytes to worst-case sort/spill mass at the shuffle: the sf100 Q21
+    * measurement (11 GB lineitem source → 26.9 GB shuffled → 92.7 GB
+    * spilled through the sort buffers, ≈8.4×) rounded UP — erring
+    * toward more partitions exactly when shuffles are huge, the safe
+    * direction (the state-width discipline's argument applied to batch). */
+  private val SpillExpansionFactor = 10L
+
+  /** The per-partition spill mass the measured crossover says a local
+    * sort absorbs at sequential-disk speed: Q21 at sf100 ran 2.9 GB of
+    * spill per partition 32-wide in 333 s, BEATING the spill-free
+    * 256-wide leg (439 s, +32% CPU — more merge streams cost more than
+    * local sequential spill saves). 8 GB is ~3× that largest
+    * measured-good point, bounded below the multi-pass-merge knee and
+    * single-disk scratch exhaustion. On a cluster with REMOTE shuffle
+    * the crossover shifts — this constant is the one deployment knob. */
+  private[graft] val SpillSafeBytesPerPartition = 8L << 30
+
+  /** width = max(deployment parallelism, ceil(estimated spill mass /
+    * [[SpillSafeBytesPerPartition]])), capped at 32768. Pure, so the
+    * spec pins the whole schedule without 100 GB fixtures. The floor
+    * is the venue's configured width (never LOWER a deployment's
+    * parallelism); the derivation only WIDENS, and only once a query
+    * family's worst-case per-partition spill would blow past what
+    * local sequential disk absorbs — the measured Q21 A/B's rule:
+    *  - sf10  (1.2 GB sources → ~12 GB est):   32 (floor; measured good)
+    *  - sf100 (13 GB sources → ~130 GB est):   32 (floor; 333 s beat
+    *    256-wide's 439 s — spill at 2.9 GB/partition is the WIN side)
+    *  - sf1000 (~130 GB sources → ~1.3 TB est): 163 — past the safe
+    *    bound, the schedule widens before a partition's sort thrashes. */
+  private[graft] def shuffleWidthFor(sourceBytes: Long, floor: Int): Int = {
+    val estSpill = sourceBytes * SpillExpansionFactor
+    val want = (estSpill + SpillSafeBytesPerPartition - 1) /
+      SpillSafeBytesPerPartition
+    math.min(32768L, math.max(floor.toLong, want)).toInt
+  }
+
+  /** Venue-side derivation for one query's shuffled tables: sum the
+    * leaf-file bytes (namenode metadata only — no data read) and apply
+    * [[shuffleWidthFor]] against the session's configured width. Set
+    * by the RUNNER around the action (Bench/ExplainRun), not inside
+    * the query builder — `spark.sql.shuffle.partitions` binds when
+    * the exchange is PLANNED at action time, so a conf set during
+    * DataFrame construction and restored before the action would
+    * never bind (and one left set would leak into the next query). */
+  def derivedShuffleWidth(spark: SparkSession, sfDir: String,
+                          tables: Seq[String]): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val bytes = tables.map { t =>
+      val p = new org.apache.hadoop.fs.Path(s"$sfDir/$t.parquet")
+      try p.getFileSystem(conf).getContentSummary(p).getLength
+      catch { case _: java.io.FileNotFoundException => 0L }
+    }.sum
+    shuffleWidthFor(bytes, spark.conf.get("spark.sql.shuffle.partitions").toInt)
+  }
 }

@@ -58,6 +58,14 @@ object ExplainRun {
     // family) materialize their staged relations eagerly inside the
     // queries() call, so timing only the count under-reports them.
     val t0 = System.nanoTime()
+    // the same venue-side derived shuffle width Bench applies
+    // (SPARK_GRAFT_SHUFFLE still wins when set — A/B override)
+    if (sys.env.get("SPARK_GRAFT_SHUFFLE").isEmpty)
+      SparkEntry.shuffleWidthHint(qname, spark, sfDir)
+        .foreach { w =>
+          println(s"[explain] derived shuffle width: $w")
+          spark.conf.set("spark.sql.shuffle.partitions", w)
+        }
     val df = SparkEntry.queries(qname)(spark, sfDir)
     val n = df.count()
     val dt = (System.nanoTime() - t0) / 1e9

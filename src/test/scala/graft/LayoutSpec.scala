@@ -184,4 +184,31 @@ class LayoutSpec extends SparkSuite {
       assert(bad == 0L, s"zorderKey mismatch at bits=$bits")
     }
   }
+
+  test("derived shuffle width reproduces the measured Q21 A/B winners and widens past the spill-safe bound") {
+    import graft.operators.Layout
+    // the Q21 A/B geometry (BENCH_NOTES third-decade table): the
+    // derivation must pick the MEASURED winner at both soaked scales —
+    // the 32-wide floor (sf100: 333 s with 2.9 GB/partition local
+    // spill vs 439 s spill-free 256-wide)
+    val sf10Bytes = 928062076L + 141068260L     // lineitem+orders sf10
+    val sf100Bytes = 11153671464L + 1741614874L // lineitem+orders sf100
+    assert(Layout.shuffleWidthFor(sf10Bytes, 32) == 32)
+    assert(Layout.shuffleWidthFor(sf100Bytes, 32) == 32)
+    // one decade further the estimated spill mass (10x sources) blows
+    // the 8 GB/partition safe bound and the schedule widens BEFORE a
+    // partition's sort goes multi-pass
+    val sf1000Bytes = sf100Bytes * 10
+    assert(Layout.shuffleWidthFor(sf1000Bytes, 32) > 32)
+    assert(Layout.shuffleWidthFor(sf1000Bytes, 32) ==
+      math.ceil(sf1000Bytes * 10.0 / (8L << 30)).toInt)
+    // the floor is the deployment's parallelism — never narrowed
+    assert(Layout.shuffleWidthFor(0L, 32) == 32)
+    assert(Layout.shuffleWidthFor(sf100Bytes, 256) == 256)
+    // and the venue-side derivation reads real footer-level bytes
+    val derived = Layout.derivedShuffleWidth(spark, sf,
+      Seq("lineitem", "orders"))
+    assert(derived == spark.conf.get("spark.sql.shuffle.partitions").toInt,
+      "toy fixtures sit at the floor")
+  }
 }

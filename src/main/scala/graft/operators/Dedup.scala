@@ -279,8 +279,23 @@ object Dedup {
       minhashLshBuild(spark, sfDir)
     }.orderBy("doc_a", "doc_b")
 
-  private def minhashLshBuild(spark: SparkSession,
-                              sfDir: String): DataFrame = {
+  /** The class-LEVEL MinHash-LSH artifacts, shared by [[minhashLsh]]'s
+    * doc-pair expansion and [[ensembleDedup]]'s class-level join:
+    * (verified cross-class pairs — class ids + member arrays +
+    * jaccard —, dup-group member lists). Both are localCheckpointed
+    * class-SIZED relations: O(verified class pairs + duplicated docs),
+    * never doc-pair mass — the multiplicity² doc-pair set only ever
+    * materializes as explode-only EXPANSION, downstream of every
+    * shuffle (the sf100 lesson: one full-outer join keyed on the
+    * expanded pairs shuffled >60 GB and exhausted scratch). */
+  private[operators] def minhashClassArtifacts(
+      spark: SparkSession, sfDir: String): (DataFrame, DataFrame) =
+    graft.util.SessionMemo.memoizedValue(spark, s"minhashCls|$sfDir") {
+      minhashClassBuild(spark, sfDir)
+    }
+
+  private def minhashClassBuild(spark: SparkSession,
+                                sfDir: String): (DataFrame, DataFrame) = {
     graft.plans.PolyHash.register(spark)
     graft.plans.MinHashAgg.register(spark)
     // identical-text classes ([[arrClasses]]): shingling, hashing, and
@@ -330,7 +345,7 @@ object Dedup {
         col("n").as("n_a"), col("members").as("arr_a")), "sa")
       .join(groups.select(col("sig_id").as("sb"), col("sids").as("sids_b"),
         col("n").as("n_b"), col("members").as("arr_b")), "sb")
-      .select(col("arr_a"), col("arr_b"),
+      .select(col("sa"), col("sb"), col("arr_a"), col("arr_b"),
         (inter.cast(DoubleType)
           / (col("n_a") + col("n_b") - inter)).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
@@ -344,6 +359,12 @@ object Dedup {
     val chkDups = groups.filter(size(col("members")) > 1)
       .select("members").localCheckpoint()
     groups.unpersist()
+    (chkCross, chkDups)
+  }
+
+  private def minhashLshBuild(spark: SparkSession,
+                              sfDir: String): DataFrame = {
+    val (chkCross, chkDups) = minhashClassArtifacts(spark, sfDir)
     // doc-pair recovery, both directions (id order is independent of
     // class assignment): a < b with a ∈ A pairs against every larger
     // member of B, and vice versa — each unordered pair surfaces once
@@ -507,11 +528,72 @@ object Dedup {
   }
 
   def ensembleDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val lex = minhashLsh(spark, sfDir)
+    import org.apache.spark.sql.types.DoubleType
+    // Class-LEVEL ensemble (r11): the old formulation full-outer-joined
+    // the multiplicity²-EXPANDED lexical doc pairs against the semantic
+    // pairs — keying a shuffle on the expanded relation, the exact
+    // anti-pattern the class-staging architecture exists to avoid
+    // (measured: >60 GB of shuffle scratch at sf100's 32× multiplicity,
+    // scratch exhaustion). The lexical signal is class-UNIFORM (every
+    // doc pair across a verified class pair inherits one jaccard;
+    // intra-class pairs are exactly 1.0), so the ensemble join runs on
+    // CLASS pairs and the doc-pair mass only ever flows narrow:
+    //  - semantic pairs pick up their lexical jaccard through the
+    //    doc→class map + the class-pair lookup (sem-sized shuffles);
+    //  - lexical-only pairs are the explode-only expansion minus the
+    //    "both" keys — subtracted with a BROADCAST anti-join when the
+    //    both-set is bounded (data-probed, decision logged; the
+    //    arbitrarily-safe shuffle anti-join is the fallback), so the
+    //    expanded side never shuffles at all on the bounded path.
+    val (chkCross, chkDups) = minhashClassArtifacts(spark, sfDir)
     val sem = Similarity.embeddingNearDup(spark, sfDir)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"),
         col("cosine"))
-    lex.join(sem, Seq("doc_a", "doc_b"), "full_outer")
+    val docClass = arrClasses(spark, sfDir)
+      .select(col("cid"), explode(col("members")).as("doc_id"))
+    val crossJac = chkCross.select(
+      least(col("sa"), col("sb")).as("ca"),
+      greatest(col("sa"), col("sb")).as("cb"), col("jaccard"))
+    // a sem id absent from the documents table has no class (left
+    // joins keep the pair; its lexical half is null by construction)
+    val semTagged = sem
+      .join(docClass.select(col("doc_id").as("doc_a"),
+        col("cid").as("ca0")), Seq("doc_a"), "left")
+      .join(docClass.select(col("doc_id").as("doc_b"),
+        col("cid").as("cb0")), Seq("doc_b"), "left")
+      .join(crossJac,
+        least(col("ca0"), col("cb0")) === col("ca") &&
+          greatest(col("ca0"), col("cb0")) === col("cb"), "left")
+      .select(col("doc_a"), col("doc_b"),
+        // same class = identical texts = jaccard exactly 1.0 (the
+        // intra-class rule); different classes inherit the verified
+        // class-pair jaccard or stay lexical-absent
+        when(col("ca0").isNotNull && col("ca0") === col("cb0"), lit(1.0))
+          .otherwise(col("jaccard")).as("jaccard"),
+        col("cosine"))
+      // sem-SIZED checkpoint: the strategy probe below and the final
+      // union both read it — without this the whole semantic pipeline
+      // (bucket join + fused dots) would run twice
+      .localCheckpoint()
+    val both = semTagged.filter(col("jaccard").isNotNull)
+      .select("doc_a", "doc_b")
+    // data-probed anti-join strategy (the pairCounts discipline): the
+    // both-set is bounded by the SEMANTIC pair count — broadcast it
+    // while it fits comfortably, else fall back to the shuffle anti
+    val nBoth = both.count()
+    val broadcastable = nBoth <= 4000000L
+    System.err.println(s"[graft] ensembleDedup ($sfDir) -> both=$nBoth " +
+      (if (broadcastable) "broadcast anti (expansion never shuffles)"
+       else "shuffle anti"))
+    val lexPairs = memoized(spark, s"minhashLsh|$sfDir") {
+      minhashLshBuild(spark, sfDir)
+    }
+    val lexOnly = lexPairs
+      .join(if (broadcastable) broadcast(both) else both,
+        Seq("doc_a", "doc_b"), "left_anti")
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        lit(null).cast(DoubleType).as("cosine"))
+    semTagged.unionByName(lexOnly)
       .withColumn("signal",
         when(col("jaccard").isNotNull && col("cosine").isNotNull,
           "both")

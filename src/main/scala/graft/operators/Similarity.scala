@@ -313,22 +313,30 @@ object Similarity {
     val (p, b) = if (planes > 0) (planes, bands)
                  else derivedLshGeometry(spark, sfDir)
     val bk = refinedBuckets(spark, sfDir, p, b)
-    val cand = bk.as("x").join(bk.as("y"),
+    // Verify IN the bucket join (r11, the sf100 lesson): the old shape
+    // materialized the raw candidate-pair relation — distinct() over
+    // every bucket collision, then TWO more candidate-mass shuffles to
+    // fetch each side's embedding — so its scratch grew with collision
+    // mass, not survivor mass (>60 GB at 2M vectors, exhausted the
+    // box). Attaching the embeddings to the bucket relation first
+    // costs one bounded shuffle (corpus × bands rows), the fused dot
+    // + threshold run INSIDE the join's output pipeline, and only the
+    // SURVIVORS reach the dedup shuffle. A pair colliding in k buckets
+    // scores k times instead of once — integer codegen'd dots, the
+    // cheap side of the trade; the distinct is unchanged because the
+    // score is deterministic per pair.
+    val all = quantized(spark, sfDir)
+    val withEmb = bk.join(all.select(col("vec_id"), col("embedding"),
+      col("n2")), "vec_id")
+    withEmb.as("x").join(withEmb.as("y"),
         col("x.band") === col("y.band") && col("x.bandkey") === col("y.bandkey")
           && col("x.sub") === col("y.sub")
           && col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
-      .distinct()
-    val all = quantized(spark, sfDir)
-    cand
-      .join(all.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
-        col("n2").as("n2_a")), "vec_a")
-      .join(all.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
-        col("n2").as("n2_b")), "vec_b")
-      .select(col("vec_a"), col("vec_b"),
-        VectorOps.cosineFromQ(expr("quantized_dot(emb_a, emb_b)"),
-          col("n2_a"), col("n2_b")).as("cosine"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        VectorOps.cosineFromQ(expr("quantized_dot(x.embedding, y.embedding)"),
+          col("x.n2"), col("y.n2")).as("cosine"))
       .filter(col("cosine") >= threshold)
+      .distinct()
       .orderBy("vec_a", "vec_b")
   }
 

@@ -361,6 +361,36 @@ object Streaming {
     spark.read.schema(stream.schema).parquet(out.toString)
   }
 
+  /** COMPLETE-mode sibling of [[runToFileSink]]: the streaming file
+    * sink is append-only and the memory sink collects the full result
+    * onto the driver every batch — at sf100 x13b's session table is
+    * ~1.2 GB serialized and dies on `spark.driver.maxResultSize`. The
+    * production shape for corpus-sized complete-mode output is
+    * `foreachBatch` + a distributed OVERWRITE per batch: the last
+    * batch's write IS the final result, nothing ever converges on the
+    * driver. (Mid-run batches rewrite the running result — bounded,
+    * distributed work the memory sink was doing on the driver anyway.) */
+  private def runCompleteToFiles(stream: DataFrame,
+                                 derived: Option[Int] = None): DataFrame = {
+    val spark = stream.sparkSession
+    val out = java.nio.file.Files.createTempDirectory("graft_csink_")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_csink_ck_")
+    graft.util.Lease.gcOnExit(out)
+    graft.util.Lease.gcOnExit(ckpt)
+    def drain(): Unit = {
+      val q = stream.writeStream.outputMode("complete")
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("overwrite").parquet(out.toString)
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    withDataBatchesOnly(spark, derived)(drain())
+    spark.read.schema(stream.schema).parquet(out.toString)
+  }
+
   /** The x12a tumbling aggregate over ANY event-shaped streaming source
     * (`ts` timestamp, `event_type` string, `value` double): 1-hour
     * event-time windows with a 1-hour watermark — count + exact sum per
@@ -847,7 +877,10 @@ object Streaming {
       .withWatermark("ts", "1 hour")
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
       .agg(count(lit(1)).as("n_events"))
-    runToBatch(agg, "complete", derived = sourceWidth(spark, sfDir))
+    // complete-mode output is the FULL session table — corpus-sized,
+    // so it drains through the distributed overwrite, never the
+    // driver-collecting memory sink (sf100: 1.2 GB serialized results)
+    runCompleteToFiles(agg, derived = sourceWidth(spark, sfDir))
       .select(col("user_id"),
         date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
           .as("session_start"),

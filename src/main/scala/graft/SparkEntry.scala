@@ -53,6 +53,8 @@ object SparkEntry {
     "of5_cdc_apply"       -> (Etl.cdcApply(_, _)),
     // manifest min/max data skipping through the snapshot read path
     "of6_snapshot_prune"  -> (Etl.snapshotPrune(_, _)),
+    // file-granular keyed MERGE through the stats manifest
+    "of22_pruned_merge"   -> (Etl.prunedMerge(_, _)),
     "x16c_scd2_history"   -> (Relational.scd2History(_, _)),
     "o16_row_count"       -> (Etl.rowCount(_, _)),
     // ---- relational breadth (SURVEY §2.4 X1-X8) ----
@@ -424,6 +426,16 @@ object SparkEntry {
       """SELECT o_orderstatus, COUNT(*) AS n,
         |       CAST(SUM(CASE WHEN o_orderkey % 10 = 0
         |                THEN CAST(o_totalprice AS DECIMAL(12,2)) + 1000
+        |                ELSE CAST(o_totalprice AS DECIMAL(12,2)) END)
+        |            AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // The file-granular merge must equal "base with the band repriced"
+    // — which files were rewritten vs carried is invisible to the
+    // values (granularity itself is pinned in SnapshotSpec).
+    "of22_pruned_merge" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |       CAST(SUM(CASE WHEN o_orderkey BETWEEN 1000 AND 2000
+        |                THEN CAST(o_totalprice AS DECIMAL(12,2)) + 500
         |                ELSE CAST(o_totalprice AS DECIMAL(12,2)) END)
         |            AS DOUBLE) AS sum_price
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,

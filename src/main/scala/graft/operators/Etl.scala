@@ -255,6 +255,40 @@ object Etl {
       .orderBy("o_orderstatus")
   }
 
+  /** OF22: FILE-GRANULAR keyed MERGE. Commit a key-laid-out orders
+    * snapshot with per-file min/max stats on the merge key, then merge
+    * a change batch covering one narrow key band — [[Snapshot
+    * .mergeCommit]] consults the stats manifest and rewrites ONLY the
+    * files whose key interval contains a change key, carrying every
+    * other file into the new version by manifest reference (granularity
+    * pinned in SnapshotSpec; this query pins the VALUES). At 100 TB
+    * this is the difference between a merge that costs O(matching
+    * files) and one that rewrites the table — the same argument as
+    * of6's read-side skipping, applied to the write path. */
+  def prunedMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val table =
+      java.nio.file.Files.createTempDirectory("graft_pmerge_").toString +
+        "/orders"
+    val orders = Tables.orders(spark, sfDir)
+    Snapshot.commitWithStats(
+      orders.repartitionByRange(
+          Snapshot.derivedCommitFiles(orders.count()), col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"),
+      table, Seq("o_orderkey"))
+    // change batch: one contiguous key band repriced (+500, exact) —
+    // the shape whose touch set stays O(band) as the table grows
+    val changes = orders.filter(col("o_orderkey").between(1000, 2000))
+      .withColumn("o_totalprice",
+        (col("o_totalprice").cast(DecimalType(12, 2)) + 500)
+          .cast("double"))
+    Snapshot.mergeCommit(spark, table, changes, "o_orderkey")
+    Snapshot.readCurrent(spark, table)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        Exact.dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
   /** Small-file compaction — the lake-maintenance pass that follows any
     * incremental sink: appends accumulate one file per batch per task,
     * and a directory of tiny files turns every downstream scan into a

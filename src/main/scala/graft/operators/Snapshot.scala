@@ -1008,6 +1008,27 @@ object Snapshot {
     * snapshot until the single pointer swap. One keyed shuffle over the
     * base (the change side is typically small and broadcasts).
     *
+    * FILE-GRANULAR when the table carries per-file stats on the merge
+    * key ([[commitWithStats]]): only the files whose `[min,max]` key
+    * interval contains at least one change key are rewritten (survivor
+    * rows anti-joined against the batch, batch unioned in); every other
+    * file is carried into the new version BY REFERENCE through the
+    * same `_manifest` mechanism as [[deleteWhere]]. On a key-laid-out
+    * 100 TB table a merge touching 0.1% of the key space costs
+    * O(matching files) of data I/O plus an O(files) metadata write —
+    * never a table rewrite; an insert-only batch (keys beyond every
+    * file's range) rewrites ZERO base files and degenerates to an
+    * append. The touch decision is a broadcast interval join of the
+    * O(files) stats rows against the distinct change keys — metadata
+    * mass, not data. Stats-less tables keep the full-rewrite path
+    * (they have no skipping index to prove which files a key could
+    * hide in). Semantics are identical on both paths, including NULL
+    * keys (never equal to a change key, so NULL-key base rows survive;
+    * an all-NULL-key file has NULL stats bounds and is carried) and
+    * add-column evolution (carried files surface the new column as
+    * NULL through the recorded-schema read, exactly as a rewritten
+    * NULL would read).
+    *
     * Serializable under concurrent merges: the claim target is exactly
     * `pointer+1`, so winning it proves the base snapshot read below is
     * the true predecessor — no other committer can finalize that
@@ -1041,25 +1062,69 @@ object Snapshot {
               s"merge into $root rejected: CHECK constraint `$n` " +
                 s"failed on $c change row(s); pointer stays on v=$base")
           }
-        val baseDf = readResolved(spark, root, base)
-        // allowMissingColumns: a change batch carrying a NEW column is
-        // an add-column evolution (kept rows read NULL there), and a
-        // batch without a recently-added column still merges (its rows
-        // get NULL) — either way the union schema is recorded below
-        val merged = changes.unionByName(
-          baseDf.join(changes.select(key), Seq(key), "left_anti"),
-          allowMissingColumns = true)
-        // the merge is computed in LOGICAL names (changes and baseDf
-        // both are); freeze back to physical before the write
-        val physMerged = toPhysical(merged, columnMapOf(spark, root, base))
-        physMerged.write.mode("overwrite").parquet(s"$root/v=${base + 1}")
-        // carry the base's stats manifest forward (same contract as
-        // compact: maintenance must not silently kill data skipping)
-        val sc = statsColsOf(spark, root, base)
-        if (sc.nonEmpty) writeStats(spark, root, base + 1, sc,
-          bloomColsOf(spark, root, base))
-        writeSchema(spark, root, base + 1, physMerged.schema)
-        if (pointerAdvance(spark, root, base + 1)) return base + 1
+        val cmap = columnMapOf(spark, root, base)
+        val physKey = physicalOf(spark, root, base, key)
+        val statsPath =
+          new org.apache.hadoop.fs.Path(root, s"$StatsDir/v=$base")
+        val prunable = statsColsOf(spark, root, base).contains(physKey) &&
+          fsOf(spark, statsPath).exists(statsPath)
+        if (prunable) {
+          import org.apache.spark.sql.functions._
+          // the stats manifest is the file inventory (deleteWhere's
+          // discipline): O(files) metadata rows decide the rewrite set
+          val stats = spark.read.parquet(statsPath.toString)
+            .select(col("file"), col(s"min_$physKey").as("kmin"),
+              col(s"max_$physKey").as("kmax"))
+          val all = stats.select("file").collect().map(_.getString(0)).toSeq
+          // touched = files whose key interval contains ≥1 change key:
+          // broadcast the metadata-sized interval list, stream the keys
+          // through it (BNLJ — non-equi, but one side is O(files) rows)
+          val touched = changes.select(col(key).as("k"))
+            .filter(col("k").isNotNull).distinct()
+            .join(broadcast(stats),
+              col("k") >= col("kmin") && col("k") <= col("kmax"), "inner")
+            .select("file").distinct()
+            .collect().map(_.getString(0)).toSeq
+          val untouched = all.diff(touched)
+          // survivors: touched files' rows whose key is NOT replaced.
+          // Recorded-schema read (mixed generations after an evolution),
+          // logical names for the anti-join, empty-but-full-schema
+          // relation when no file overlaps (pure insert).
+          val survivors =
+            if (touched.nonEmpty)
+              toLogical(physReader(spark, root, base).parquet(touched: _*),
+                cmap).join(changes.select(key), Seq(key), "left_anti")
+            else readResolved(spark, root, base).limit(0)
+          val merged =
+            changes.unionByName(survivors, allowMissingColumns = true)
+          toPhysical(merged, cmap).write.mode("overwrite")
+            .parquet(s"$root/v=${base + 1}")
+          // manifest carries untouched files by reference; stats carry
+          // verbatim for them and re-derive over the fresh files; the
+          // recorded schema absorbs any add-column evolution
+          writeManifestAndStats(spark, root, base + 1, base, untouched)
+          if (pointerAdvance(spark, root, base + 1)) return base + 1
+        } else {
+          val baseDf = readResolved(spark, root, base)
+          // allowMissingColumns: a change batch carrying a NEW column is
+          // an add-column evolution (kept rows read NULL there), and a
+          // batch without a recently-added column still merges (its rows
+          // get NULL) — either way the union schema is recorded below
+          val merged = changes.unionByName(
+            baseDf.join(changes.select(key), Seq(key), "left_anti"),
+            allowMissingColumns = true)
+          // the merge is computed in LOGICAL names (changes and baseDf
+          // both are); freeze back to physical before the write
+          val physMerged = toPhysical(merged, cmap)
+          physMerged.write.mode("overwrite").parquet(s"$root/v=${base + 1}")
+          // carry the base's stats manifest forward (same contract as
+          // compact: maintenance must not silently kill data skipping)
+          val sc = statsColsOf(spark, root, base)
+          if (sc.nonEmpty) writeStats(spark, root, base + 1, sc,
+            bloomColsOf(spark, root, base))
+          writeSchema(spark, root, base + 1, physMerged.schema)
+          if (pointerAdvance(spark, root, base + 1)) return base + 1
+        }
         // a concurrent blind commit claimed a higher version and swapped
         // first — this merge never became current; recompute on the head
       } else {

@@ -396,6 +396,79 @@ class SnapshotSpec extends SparkSuite {
     assert(Snapshot.currentVersion(spark, root).contains(all + 1))
   }
 
+  test("mergeCommit rewrites only key-overlapping files; the rest ride by reference") {
+    import spark.implicits._
+    val root = freshTable()
+    // 0..799 range-laid-out over 8 files: each file covers a ~100-key band
+    val df = spark.range(0, 800).select(col("id").as("k"),
+        (col("id") % 7).as("v"))
+      .repartitionByRange(8, col("k")).sortWithinPartitions("k")
+    Snapshot.commitWithStats(df, root, Seq("k"))
+    val v1Files = spark.read.parquet(s"$root/v=1")
+      .select(input_file_name()).distinct().count()
+    // change batch: update one ~half-file band + insert keys beyond
+    // every file's range
+    val changes = ((100L to 150L).map(k => (k, 1000L + k)) ++
+      (10000L until 10005L).map(k => (k, -k))).toDF("k", "v")
+    val mv = Snapshot.mergeCommit(spark, root, changes, "k")
+    assert(mv == 2L)
+    // values: exactly the logical upsert
+    val got = Snapshot.readCurrent(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = ((0L until 800L).filterNot(k => k >= 100L && k <= 150L)
+      .map(k => (k, k % 7)) ++ (100L to 150L).map(k => (k, 1000L + k)) ++
+      (10000L until 10005L).map(k => (k, -k))).toSet
+    assert(got == expect)
+    // file granularity: the band lives in at most 2 of the 8 files —
+    // everything else is REFERENCED into v=2, not rewritten
+    val mf = Snapshot.manifestFiles(spark, root, 2L).get
+    val referenced = mf.count(_.contains("/v=1/"))
+    assert(referenced >= v1Files - 2,
+      s"expected ~all-but-overlapping files referenced: " +
+        s"$referenced of $v1Files")
+    // insert-only merge (keys beyond every bound): ZERO files rewritten —
+    // the merge degenerates to an append, v=2's files all carried
+    val v2Inventory = mf.toSet
+    val iv = Snapshot.mergeCommit(spark, root,
+      (20000L until 20010L).map(k => (k, k)).toDF("k", "v"), "k")
+    val mf3 = Snapshot.manifestFiles(spark, root, iv).get
+    assert(v2Inventory.subsetOf(mf3.toSet),
+      "insert-only merge rewrote carried files")
+    assert(Snapshot.readCurrent(spark, root).count() == 800L + 5 + 10)
+    // data skipping survives the manifest merge: pruned point read
+    // sees the merged value through carried + fresh stats
+    val after = Snapshot.readCurrentPruned(spark, root, "k",
+      lit(120L), lit(120L)).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(after.toSeq == Seq((120L, 1120L)))
+    // time travel: the pre-merge version is intact
+    assert(Snapshot.readVersion(spark, root, 1L).count() == 800L)
+    // change feed across the pruned merge: updates + inserts only
+    val feed = Snapshot.changeFeed(spark, root, "k", 1L, 2L).collect()
+    assert(feed.length == 51 + 5, s"feed rows: ${feed.length}")
+    // NULL-key base rows survive any merge (never equal to a change
+    // key), whether their file is touched or carried
+    val nroot = freshTable()
+    val ndf = Seq((Option(1L), "a"), (Option.empty[Long], "n1"),
+      (Option(2L), "b")).toDF("k", "v")
+    Snapshot.commitWithStats(ndf.coalesce(1), nroot, Seq("k"))
+    Snapshot.mergeCommit(spark, nroot, Seq((1L, "A")).toDF("k", "v"), "k")
+    val nvals = Snapshot.readCurrent(spark, nroot).collect()
+      .map(r => (Option(r.get(0)), r.getString(1))).toSet
+    assert(nvals == Set((Some(1L), "A"), (None, "n1"), (Some(2L), "b")))
+    // add-column evolution through the pruned path: carried files
+    // surface the new column as NULL via the recorded schema
+    val ev = Snapshot.mergeCommit(spark, root,
+      Seq((100L, 7777L, "fresh")).toDF("k", "v", "note"), "k")
+    val evolved = Snapshot.readCurrent(spark, root)
+    assert(evolved.columns.toSeq == Seq("k", "v", "note"))
+    val byKey = evolved.filter(col("k").isin(100L, 700L)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2))))
+      .toSet
+    assert(byKey == Set((100L, 7777L, Some("fresh")),
+      (700L, 0L, None)), s"evolution rows: $byKey")
+    assert(Snapshot.currentVersion(spark, root).contains(ev))
+  }
+
   test("compactSmall bin-packs only the small files; settled files ride by reference") {
     val root = freshTable()
     // 80k rows over 8 range files (~10k rows each); three narrow

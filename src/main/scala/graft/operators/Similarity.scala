@@ -805,21 +805,28 @@ object Similarity {
       val corpusFiles = math.max(1L, math.min(64L, n / 2000000L + 1L)).toInt
       val cb = kmeansSums(spark, sfDir)
       Snapshot.commit(cb.coalesce(1), target.resolve("codebook").toString)
-      Snapshot.commit(
-        assignToCellsScored(
-          Tables.embeddings(spark, sfDir).select("vec_id", "embedding"), cb)
-          .coalesce(corpusFiles),
-        target.resolve("assign").toString)
+      // Corpus-sized index tables are RANGE-laid on vec_id and committed
+      // WITH per-file stats: arrivals carry ids above the corpus max, so
+      // the incremental-maintenance merge ([[incrementalIvfAssign]]'s
+      // shape) prunes to INSERT-ONLY — zero base files rewritten — and
+      // per-vector lookups read one file. The range shuffle is one-time
+      // build cost, marginal next to the N×k encode job it rides behind.
+      def keyLaid(df: DataFrame) = df
+        .repartitionByRange(corpusFiles, col("vec_id"))
+        .sortWithinPartitions("vec_id")
+      Snapshot.commitWithStats(
+        keyLaid(assignToCellsScored(
+          Tables.embeddings(spark, sfDir).select("vec_id", "embedding"), cb)),
+        target.resolve("assign").toString, Seq("vec_id"))
       // the PQ half of the ANN layout is index state too: the per-vector
       // codes are the compressed corpus representation — written once at
       // encode time in production, never re-derived per query
       val pqcb = pqCodebooksBuild(spark, sfDir)
       Snapshot.commit(pqcb.coalesce(1), target.resolve("pqcodebook").toString)
-      Snapshot.commit(
-        pqAssign(pqSubVectors(spark, sfDir), pqcb)
-          .select(col("vec_id"), col("sub"), col("cell").as("code"))
-          .coalesce(corpusFiles),
-        target.resolve("pqcodes").toString)
+      Snapshot.commitWithStats(
+        keyLaid(pqAssign(pqSubVectors(spark, sfDir), pqcb)
+          .select(col("vec_id"), col("sub"), col("cell").as("code"))),
+        target.resolve("pqcodes").toString, Seq("vec_id"))
       if (claimed) Files.createFile(complete)
     } finally hb.foreach(_.close())
     // Publish-time retention sweep (winner only): stale-fingerprint
@@ -1287,14 +1294,33 @@ object Similarity {
     * codebook keeps assignments consistent, which is what lets the
     * merge be append-shaped.
     */
-  def incrementalIvfAssign(spark: SparkSession, sfDir: String): DataFrame = {
+  def incrementalIvfAssign(spark: SparkSession, sfDir: String): DataFrame =
+    incrementalIvfAssignAt(spark, sfDir,
+      java.nio.file.Files.createTempDirectory("graft_ivf_snap_").toString)
+
+  /** [[incrementalIvfAssign]] against a caller-owned snapshot root, so
+    * specs/soaks can inspect the resulting manifest (the insert-only
+    * zero-rewrite pin lives in DedupSimilaritySpec). */
+  private[graft] def incrementalIvfAssignAt(spark: SparkSession,
+                                            sfDir: String,
+                                            root: String): DataFrame = {
     graft.plans.VecSumAgg.register(spark)
     val t = newVecThreshold(spark, sfDir)
     val cb = kmeansSums(spark, sfDir, idBound = t)
     val emb = Tables.embeddings(spark, sfDir)
-    val root = java.nio.file.Files
-      .createTempDirectory("graft_ivf_snap_").toString
-    Snapshot.commit(assignToCells(emb.filter(col("vec_id") < t), cb), root)
+    // Historical assignment goes down range-laid with per-file vec_id
+    // stats, so the CDC batch (ids all ABOVE the historical max) prunes
+    // the merge to INSERT-ONLY: mergeCommit consults the stats
+    // manifest, finds no file whose key interval contains a delta key,
+    // and carries every historical file by reference — delta-sized
+    // write I/O, the incremental-maintenance contract made literal
+    // (granularity pinned in SimilaritySpec).
+    val hist = assignToCells(emb.filter(col("vec_id") < t), cb)
+    Snapshot.commitWithStats(
+      hist.repartitionByRange(
+          Snapshot.derivedCommitFiles(t), col("vec_id"))
+        .sortWithinPartitions("vec_id"),
+      root, Seq("vec_id"))
     Snapshot.mergeCommit(spark, root,
       assignToCells(emb.filter(col("vec_id") >= t), cb), "vec_id")
     Snapshot.readCurrent(spark, root)

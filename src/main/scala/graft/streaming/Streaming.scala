@@ -249,8 +249,31 @@ object Streaming {
     * rather than ambushing whichever query would otherwise be the lone
     * RocksDB user (round 4's x13e drift was exactly that concentration).
     */
+  /** One-time, before the first store opens: pin the log4j level of
+    * Spark's RocksDB wrapper class to ERROR. Spark derives the NATIVE
+    * InfoLogLevel from that logger's enabled level (`RocksDB
+    * .createLogger`: warn-enabled → WARN_LEVEL), and every native log
+    * at or above it crosses rocksdbjni's `LoggerJniCallback::Logv` —
+    * a callback that runs on RocksDB's own background threads and
+    * SIGSEGV'd under sustained compaction logging in the sf100 x13b
+    * soak (hs_err 2026-08-15: native thread, `Logv+0x76`, five
+    * minutes into a 100M-event run). ERROR_LEVEL reduces callback
+    * traffic to ~zero, which is also what a production deployment
+    * wants: state-store noise belongs in RocksDB's own LOG file, not
+    * the driver log. Local mode shares one JVM so this covers the
+    * executors; a real cluster sets the same level in the executors'
+    * log4j2 config. No-op (defaults kept) if the slf4j backend is not
+    * log4j2.
+    */
+  private lazy val quietRocksDbNativeLogger: Unit =
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.streaming.state.RocksDB",
+      org.apache.logging.log4j.Level.ERROR)
+    catch { case _: Throwable => () }
+
   private def withStateWidth[T](spark: SparkSession,
                                 derived: Option[Int] = None)(f: => T): T = {
+    quietRocksDbNativeLogger
     val key = "spark.sql.shuffle.partitions"
     val provKey = "spark.sql.streaming.stateStore.providerClass"
     val was = spark.conf.get(key)

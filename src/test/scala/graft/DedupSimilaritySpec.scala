@@ -508,6 +508,28 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(inc.keys.count(_ >= t) > 0 && inc.keys.count(_ < t) > 0)
   }
 
+  test("incremental IVF delta merge is insert-only: zero historical files rewritten") {
+    import operators.{Similarity, Snapshot}
+    // the historical assignment is range-laid with per-file vec_id
+    // stats and the CDC batch's ids all sit ABOVE the historical max,
+    // so mergeCommit's stats consultation must find NO overlapping
+    // file: every v=1 file rides into v=2 by manifest reference and
+    // the merge writes only the delta — the incremental-maintenance
+    // cost model (delta-sized I/O) as an asserted property, not prose
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ivf_grain_").toString
+    Similarity.incrementalIvfAssignAt(spark, sf, root).count()
+    val head = Snapshot.currentVersion(spark, root).get
+    assert(head == 2L, s"expected commit + one merge, head=$head")
+    val mf = Snapshot.manifestFiles(spark, root, head).get
+    val v1Count = java.nio.file.Files.list(java.nio.file.Paths.get(root, "v=1"))
+      .toArray.map(_.toString)
+      .count(p => p.endsWith(".parquet") && !p.contains("_SUCCESS"))
+    assert(mf.count(_.contains("/v=1/")) == v1Count,
+      "delta merge rewrote historical files — the insert-only prune regressed")
+    assert(mf.exists(_.contains(s"/v=$head/")), "delta files missing")
+  }
+
   test("salted join equals the plain join (salt never leaks into results)") {
     import graft.operators.Layout
     import graft.sources.Tables

@@ -84,6 +84,22 @@ class StreamingSpec extends SparkSuite {
     assert(streamed == batch)
   }
 
+  test("the RocksDB native logger is pinned to ERROR before the first store opens") {
+    // Spark derives the NATIVE InfoLogLevel from this class logger's
+    // enabled level (RocksDB.createLogger: warn-enabled → WARN_LEVEL),
+    // and each native log at/above it crosses rocksdbjni's
+    // LoggerJniCallback — the callback that SIGSEGV'd on a RocksDB
+    // background thread under sf100 compaction logging. withStateWidth
+    // pins the level to ERROR once, before any store opens; this pin
+    // is what keeps the callback ~silent on every stateful venue.
+    Streaming.streamDedup(spark, sf).count() // any stateful query fires the one-time pin
+    val slf = org.slf4j.LoggerFactory.getLogger(
+      "org.apache.spark.sql.execution.streaming.state.RocksDB")
+    assert(!slf.isWarnEnabled, "RocksDB class logger must not be warn-enabled " +
+      "(Spark would register the native logger at WARN_LEVEL)")
+    assert(slf.isErrorEnabled, "errors must still surface")
+  }
+
   test("sessions cover all events and never overlap per user") {
     val s = Streaming.sessionize(spark, sf).collect()
     assert(s.map(_.getLong(3)).sum == nEvents)

@@ -55,6 +55,8 @@ object SparkEntry {
     "of6_snapshot_prune"  -> (Etl.snapshotPrune(_, _)),
     // file-granular keyed MERGE through the stats manifest
     "of22_pruned_merge"   -> (Etl.prunedMerge(_, _)),
+    // merge-on-read scattered delete through the tombstone sidecar
+    "of23_mor_delete"     -> (Etl.morDelete(_, _)),
     "x16c_scd2_history"   -> (Relational.scd2History(_, _)),
     "o16_row_count"       -> (Etl.rowCount(_, _)),
     // ---- relational breadth (SURVEY §2.4 X1-X8) ----
@@ -439,6 +441,15 @@ object SparkEntry {
         |                ELSE CAST(o_totalprice AS DECIMAL(12,2)) END)
         |            AS DOUBLE) AS sum_price
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // The merge-on-read delete must equal the plain filtered source —
+    // the tombstone sidecar is a storage mechanism, invisible to the
+    // values (zero-rewrite granularity itself is pinned in SnapshotSpec).
+    "of23_mor_delete" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+        |         AS sum_price
+        |FROM orders WHERE NOT (o_orderkey % 97 = 0)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // The pruned snapshot read must equal a plain filtered aggregate
     // over the source table — file skipping is a scan optimization,
     // never a semantic one.

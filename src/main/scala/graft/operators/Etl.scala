@@ -289,6 +289,33 @@ object Etl {
       .orderBy("o_orderstatus")
   }
 
+  /** OF23: MERGE-ON-READ row delete ([[Snapshot.deleteWhereMor]]).
+    * Commit a key-laid-out orders snapshot, then erase a SCATTERED row
+    * set — every 97th key, present in every file, the shape whose COW
+    * delete would rewrite the whole table because every file's key
+    * interval overlaps the predicate. The MOR delete writes only a
+    * (file, row_index) tombstone sidecar — zero data files rewritten
+    * (pinned in SnapshotSpec) — and every read anti-joins it. This
+    * query pins the VALUES: the post-delete table must equal the plain
+    * filtered source. */
+  def morDelete(spark: SparkSession, sfDir: String): DataFrame = {
+    val table =
+      java.nio.file.Files.createTempDirectory("graft_mor_").toString +
+        "/orders"
+    val orders = Tables.orders(spark, sfDir)
+    Snapshot.commitWithStats(
+      orders.repartitionByRange(
+          Snapshot.derivedCommitFiles(orders.count()), col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"),
+      table, Seq("o_orderkey"))
+    Snapshot.deleteWhereMor(spark, table, col("o_orderkey") % 97 === 0)
+    Snapshot.readCurrent(spark, table)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        Exact.dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
   /** Small-file compaction — the lake-maintenance pass that follows any
     * incremental sink: appends accumulate one file per batch per task,
     * and a directory of tiny files turns every downstream scan into a

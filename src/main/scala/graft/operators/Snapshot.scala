@@ -352,8 +352,10 @@ object Snapshot {
         reader.parquet(s"$root/v=$v")
       case None => reader.parquet(s"$root/v=$v")
     }
-    // column mapping: physical files/schema → version v's logical names
-    toLogical(physical, columnMapOf(spark, root, v))
+    // merge-on-read tombstones first (they key on the physical scan's
+    // _metadata), then column mapping: physical → logical names
+    toLogical(applyDv(spark, root, v, physical),
+      columnMapOf(spark, root, v))
   }
 
   /** Read the live snapshot (the only read path — readers never list
@@ -771,6 +773,64 @@ object Snapshot {
       .collect { case n if n.startsWith("bloom_") => n.stripPrefix("bloom_") }
   }
 
+  private val DvDir = "_dv"
+
+  /** Version `v`'s DELETION VECTOR — the merge-on-read tombstone
+    * relation `(file, row_index)` written by [[deleteWhereMor]] — or
+    * None when the version carries no tombstones (every table before
+    * its first MOR delete, and every version whose files were fully
+    * rewritten since). `file` is the scan's `_metadata.file_path` URI,
+    * the same form the stats/file manifests use, and `row_index` is
+    * parquet's stable in-file row ordinal (`_metadata.row_index`) —
+    * valid for exactly as long as the file is immutable, which
+    * snapshot version files are by construction. */
+  /** `_metadata.file_path` surfaces the local FS as `file:/x` while
+    * every manifest in this layer carries [[canonFile]]'s `file:///x`
+    * — normalize scan-side paths to the manifest form so sidecar
+    * entries, manifest rows, and stats rows all name a file the same
+    * way (other schemes — hdfs://, s3a:// — are already consistent and
+    * pass through untouched). */
+  private def canonMetaPath(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.regexp_replace(
+      c, "^file:/(?!/)", "file:///")
+
+  private def dvOf(spark: SparkSession, root: String,
+                   v: Long): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(root, s"$DvDir/v=$v")
+    if (!fsOf(spark, p).exists(p)) None
+    else Some(spark.read.parquet(p.toString))
+  }
+
+  /** Filter version `v`'s tombstoned rows out of a PHYSICAL parquet
+    * scan — the merge-on-read half of every read path. MUST be applied
+    * directly on (a projection of) the file scan: it reads the scan's
+    * constant `_metadata` columns, which do not survive a join. A
+    * version without tombstones returns the scan untouched — zero cost
+    * for every non-MOR table. The tombstone relation is metadata-sized
+    * by contract ([[compact]] re-materializes and clears it; that
+    * maintenance pass IS the DV-growth bound), so the anti-join
+    * broadcasts below a 64 MB sidecar bound and falls back to a
+    * shuffled anti-join above it rather than OOMing the driver. */
+  private def applyDv(spark: SparkSession, root: String, v: Long,
+                      phys: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val p = new org.apache.hadoop.fs.Path(root, s"$DvDir/v=$v")
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) return phys
+    val dv = spark.read.parquet(p.toString)
+    val right =
+      if (fs.getContentSummary(p).getLength <= 64L * 1024 * 1024)
+        broadcast(dv)
+      else dv
+    phys
+      .withColumn("__dv_file", canonMetaPath(col("_metadata.file_path")))
+      .withColumn("__dv_idx", col("_metadata.row_index"))
+      .join(right, col("__dv_file") === right("file") &&
+        col("__dv_idx") === right("row_index"), "left_anti")
+      .drop("__dv_file", "__dv_idx")
+  }
+
   /** Per-file bloom sketch size target: estimated distinct values per
     * FILE (Spark sizes numBits from it at the default 3 % fpp, ~90 KB
     * per file at 100k — SIZE IT TO ROWS-PER-FILE: the manifest grows
@@ -864,7 +924,8 @@ object Snapshot {
       if (files.isEmpty) // no overlap: empty result, correct schema, no scan
         toLogical(physReader(spark, root, v).parquet(s"$root/v=$v")
           .filter(between).filter(lit(false)), cmap)
-      else toLogical(physReader(spark, root, v).parquet(files: _*)
+      else toLogical(applyDv(spark, root, v,
+        physReader(spark, root, v).parquet(files: _*))
         .filter(between), cmap)
     }
   }
@@ -903,8 +964,8 @@ object Snapshot {
       if (files.isEmpty)
         toLogical(physReader(spark, root, v).parquet(s"$root/v=$v")
           .filter(box).filter(lit(false)), cmap)
-      else toLogical(physReader(spark, root, v)
-        .parquet(files.toSeq.sorted: _*).filter(box), cmap)
+      else toLogical(applyDv(spark, root, v, physReader(spark, root, v)
+        .parquet(files.toSeq.sorted: _*)).filter(box), cmap)
     }
   }
 
@@ -964,8 +1025,8 @@ object Snapshot {
           .select("file").head().getString(0)
         toLogical(physReader(spark, root, v).parquet(any)
           .filter(eq).filter(lit(false)), cmap)
-      } else toLogical(physReader(spark, root, v).parquet(files: _*)
-        .filter(eq), cmap)
+      } else toLogical(applyDv(spark, root, v,
+        physReader(spark, root, v).parquet(files: _*)).filter(eq), cmap)
     }
   }
 
@@ -1092,7 +1153,10 @@ object Snapshot {
           // relation when no file overlaps (pure insert).
           val survivors =
             if (touched.nonEmpty)
-              toLogical(physReader(spark, root, base).parquet(touched: _*),
+              // tombstones apply to the rewrite read, so a MOR-deleted
+              // row never re-materializes through a merge's rewrite
+              toLogical(applyDv(spark, root, base,
+                  physReader(spark, root, base).parquet(touched: _*)),
                 cmap).join(changes.select(key), Seq(key), "left_anti")
             else readResolved(spark, root, base).limit(0)
           val merged =
@@ -1208,7 +1272,10 @@ object Snapshot {
           case None => spark.read
         }
         val rewritten =
-          if (touched.nonEmpty) touchedReader.parquet(touched: _*).filter(keep)
+          if (touched.nonEmpty) // DV-filtered: a COW rewrite of a file
+            // holding MOR tombstones must not resurrect those rows
+            applyDv(spark, root, base,
+              touchedReader.parquet(touched: _*)).filter(keep)
           else toPhysical(readResolved(spark, root, base),
             columnMapOf(spark, root, base)).limit(0)
         rewritten.write.mode("overwrite").parquet(s"$root/v=$next")
@@ -1221,6 +1288,86 @@ object Snapshot {
     }
     throw new IllegalStateException(
       s"deleteWhere on $root did not win a claim in $maxRetries attempts")
+  }
+
+  /** Row-level DELETE, MERGE-ON-READ — the Delta deletion-vector
+    * motion: no data file is rewritten at all. The new version's
+    * manifest carries EVERY base file by reference, plus a tombstone
+    * sidecar (`_dv/v=N`, rows of `(file, row_index)`) naming exactly
+    * the deleted rows; every read path anti-joins the sidecar against
+    * the scan's `_metadata` columns ([[applyDv]]).
+    *
+    * This is the complement of [[deleteWhere]]'s copy-on-write: COW
+    * wins when deletes CLUSTER (a range on the layout key rewrites few
+    * files), MOR wins when they SCATTER — a predicate matching one row
+    * in every file of a 100 TB table (the GDPR/right-to-be-forgotten
+    * erasure shape, per-id scrubs) costs O(matched rows) of sidecar
+    * metadata here versus a full table rewrite there. The read-side
+    * price is one broadcast anti-join per scan until [[compact]] (or
+    * any rewriting maintenance pass) re-materializes the rows and
+    * clears the sidecar — run it when the sidecar grows past the
+    * broadcast bound, exactly Delta's PURGE discipline.
+    *
+    * Composes with the rest of the layer: tombstones survive appends
+    * and metadata-only commits verbatim, follow carried files through
+    * file-granular merges/deletes (rewritten files' entries die with
+    * the DV-filtered rewrite), ride shallow clones, stay version-pinned
+    * for time travel ([[readVersion]] of the pre-delete version still
+    * sees the rows), and are vacuumed with their version. `cond` is
+    * evaluated in LOGICAL names with SQL DELETE semantics (a NULL
+    * predicate deletes nothing). Same claim-exactly-`pointer+1`
+    * serialization as every read-modify-write commit. */
+  def deleteWhereMor(spark: SparkSession, root: String,
+                     cond: org.apache.spark.sql.Column,
+                     maxRetries: Int = 16): Long = {
+    import org.apache.spark.sql.functions._
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val base = currentVersion(spark, root).getOrElse(
+        throw new java.util.NoSuchElementException(
+          s"snapshot table $root has no committed version to delete from"))
+      if (claimVersion(spark, root, base + 1)) {
+        val next = base + 1
+        val cmap = columnMapOf(spark, root, base)
+        val reader = physReader(spark, root, base)
+        val physical = manifestFiles(spark, root, base) match {
+          case Some(files) if files.nonEmpty => reader.parquet(files: _*)
+          case _ => reader.parquet(s"$root/v=$base")
+        }
+        // pin (file, row_index) BEFORE the existing-DV anti-join (both
+        // relations are parquet scans — `_metadata` goes ambiguous
+        // after the join), apply the base's tombstones so already-
+        // deleted rows never re-enter, then evaluate the predicate in
+        // logical names
+        val tagged = applyDv(spark, root, base, physical
+          .withColumn("__mor_file",
+            canonMetaPath(col("_metadata.file_path")))
+          .withColumn("__mor_idx", col("_metadata.row_index")))
+        val fresh = toLogical(tagged, cmap)
+          .filter(coalesce(cond, lit(false)))
+          .select(col("__mor_file").as("file"),
+            col("__mor_idx").as("row_index"))
+        val merged = dvOf(spark, root, base)
+          .map(_.unionByName(fresh)).getOrElse(fresh).distinct()
+        // schema anchor (the claim/observedMax protocol needs the
+        // dir); all data rides by reference
+        toPhysical(readResolved(spark, root, base), cmap).limit(0)
+          .write.mode("overwrite").parquet(s"$root/v=$next")
+        val carried = fileInventory(spark, root, base).map(_._1)
+        writeManifestAndStats(spark, root, next, base, carried)
+        // the carry above wrote the base's sidecar verbatim (all files
+        // carried); replace it with base ∪ fresh. `merged` reads only
+        // v=base inputs, so the overwrite is safe to evaluate here.
+        merged.coalesce(1).write.mode("overwrite")
+          .parquet(s"$root/$DvDir/v=$next")
+        if (pointerAdvance(spark, root, next)) return next
+      } else {
+        if (awaitAdvance(spark, root, base)) attempt -= 1
+      }
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"deleteWhereMor on $root did not win a claim in $maxRetries attempts")
   }
 
   /** ADD a named CHECK constraint (the Delta `ALTER TABLE ... ADD
@@ -1644,6 +1791,17 @@ object Snapshot {
       carried.unionByName(fresh).coalesce(1)
         .write.mode("overwrite").parquet(s"$root/$StatsDir/v=$next")
     }
+    // merge-on-read tombstones follow their files: entries for CARRIED
+    // files stay live in the new version; entries for rewritten files
+    // die with them (the rewrite read was DV-filtered, so the rows are
+    // gone from the fresh bytes). Written only when rows survive — a
+    // DV-less version costs its readers nothing.
+    dvOf(spark, root, base).foreach { dv =>
+      val kept = dv.filter(col("file").isin(carriedFiles: _*))
+      if (kept.limit(1).count() > 0)
+        kept.coalesce(1).write.mode("overwrite")
+          .parquet(s"$root/$DvDir/v=$next")
+    }
   }
 
   /** Incremental small-file compaction (the OPTIMIZE maintenance pass
@@ -1681,7 +1839,8 @@ object Snapshot {
           case Some(s) => spark.read.schema(s)
           case None => spark.read
         }
-        smallReader.parquet(small.map(_._1): _*).coalesce(nOut)
+        applyDv(spark, root, base,
+          smallReader.parquet(small.map(_._1): _*)).coalesce(nOut)
           .write.mode("overwrite").parquet(s"$root/v=$next")
         writeManifestAndStats(spark, root, next, base, large.map(_._1))
         if (pointerAdvance(spark, root, next)) return next
@@ -1744,6 +1903,11 @@ object Snapshot {
         if (statsColsOf(spark, srcRoot, srcV).nonEmpty)
           spark.read.parquet(s"$srcRoot/$StatsDir/v=$srcV").coalesce(1)
             .write.mode("overwrite").parquet(s"$dstRoot/$StatsDir/v=$next")
+        // the clone references the source's files, so it must also
+        // inherit their merge-on-read tombstones or deleted rows would
+        // resurrect on the clone
+        dvOf(spark, srcRoot, srcV).foreach(_.coalesce(1)
+          .write.mode("overwrite").parquet(s"$dstRoot/$DvDir/v=$next"))
         pointerAdvance(spark, dstRoot, next)
         return next
       }
@@ -2613,6 +2777,18 @@ object Snapshot {
           case _ => true
         }
       }
+    // deletion vectors follow their data directory's fate
+    val dvRoot = new org.apache.hadoop.fs.Path(root, DvDir)
+    val deadDvs =
+      if (!fs.exists(dvRoot)) Seq.empty
+      else fs.listStatus(dvRoot).toSeq.map(_.getPath).filter { p =>
+        p.getName match {
+          case n if n.matches("v=\\d+") =>
+            val v = n.drop(2).toLong
+            !retained.contains(v) && !inFlight.contains(v)
+          case _ => true
+        }
+      }
     (deadDirs ++ deadClaims).map { p =>
       fs.delete(p, true); p.getName
     } ++ deadStats.map { p => // disambiguate from the data dir's "v=N"
@@ -2621,6 +2797,8 @@ object Snapshot {
       fs.delete(p, true); s"$ManifestDir/${p.getName}"
     } ++ deadSchemas.map { p =>
       fs.delete(p, true); s"$SchemaDir/${p.getName}"
+    } ++ deadDvs.map { p =>
+      fs.delete(p, true); s"$DvDir/${p.getName}"
     }
   }
 

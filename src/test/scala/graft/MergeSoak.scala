@@ -46,11 +46,17 @@ object MergeSoak {
     val base = java.nio.file.Files.createTempDirectory("graft_msoak_")
     val orders = Tables.orders(spark, sfDir)
     val nRows = orders.count()
-    // one contiguous ~0.1%-of-keyspace band repriced + 5 inserts beyond
-    // every file's range (the insert-only degenerate rides along)
+    // one contiguous ~0.1%-of-ROWS key band repriced + 5 inserts beyond
+    // every file's range (the insert-only degenerate rides along).
+    // Quantile-derived, not keyspace-derived: the scale fixtures shift
+    // replica keys by 1e9, so a keyspace fraction lands on an
+    // arbitrary row mass (the first cut of this soak hit 5% of sf10's
+    // rows and 8/14 files — not the narrow-merge shape under test)
     val maxKey = orders.agg(max("o_orderkey")).first().getLong(0)
-    val bandLo = maxKey / 2
-    val bandHi = bandLo + math.max(1000L, maxKey / 1000L)
+    val qs = orders.stat.approxQuantile("o_orderkey",
+      Array(0.5, 0.501), 0.00005)
+    val bandLo = qs(0).toLong
+    val bandHi = math.max(qs(1).toLong, bandLo + 1L)
     def changesOf(src: org.apache.spark.sql.DataFrame) = {
       val repriced = src.filter(col("o_orderkey").between(bandLo, bandHi))
         .withColumn("o_totalprice",
@@ -64,6 +70,17 @@ object MergeSoak {
         Snapshot.derivedCommitFiles(nRows), col("o_orderkey"))
       .sortWithinPartitions("o_orderkey")
 
+    // bytes a merge WROTE = its new version directory's size — the
+    // cluster-relevant measure (this box's page cache and 32 threads
+    // make a sub-GB full rewrite cheap on wall; a 100 TB table's is not)
+    def dirBytes(root: String, v: Long): Long = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$root/v=$v"))
+        .iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(java.nio.file.Files.size(_)).sum
+    }
+
     // ---- leg A: stats-backed table, file-granular merge ----
     val tA = s"$base/pruned"
     val (_, commitA) = sec(Snapshot.commitWithStats(laid, tA, Seq("o_orderkey")))
@@ -73,11 +90,13 @@ object MergeSoak {
     val mf = Snapshot.manifestFiles(spark, tA, vA).get
     val carried = mf.count(!_.contains(s"/v=$vA/"))
     val rewritten = mf.length - carried
+    val bytesA = dirBytes(tA, vA)
 
     // ---- leg B: stats-less table, full-rewrite merge (the A/B) ----
     val tB = s"$base/full"
     val (_, commitB) = sec(Snapshot.commit(laid, tB))
-    val (_, mergeB) = sec(Snapshot.mergeCommit(spark, tB, changes, "o_orderkey"))
+    val (vB, mergeB) = sec(Snapshot.mergeCommit(spark, tB, changes, "o_orderkey"))
+    val bytesB = dirBytes(tB, vB)
 
     // ---- value cross-check: both paths read as the same table ----
     def digest(root: String) = Snapshot.readCurrent(spark, root)
@@ -92,8 +111,41 @@ object MergeSoak {
     println(f"[msoak] layout_commit=$commitA%.2f s (full-path commit " +
       f"$commitB%.2f s)")
     println(f"[msoak] pruned_merge=$mergeA%.2f s rewritten=$rewritten " +
-      f"carried=$carried of ${mf.length} files")
-    println(f"[msoak] full_merge=$mergeB%.2f s ratio=${mergeB / mergeA}%.1f x")
+      f"carried=$carried of ${mf.length} files " +
+      f"bytes_written=${bytesA / 1e6}%.1f MB")
+    println(f"[msoak] full_merge=$mergeB%.2f s " +
+      f"bytes_written=${bytesB / 1e6}%.1f MB " +
+      f"wall_ratio=${mergeB / mergeA}%.1f x " +
+      f"io_ratio=${bytesB.toDouble / math.max(1L, bytesA)}%.1f x")
+
+    // ---- leg C: merge-on-read scattered delete on the pruned table ----
+    // the shape COW cannot serve: one matching row in ~every file.
+    // Measured: the delete commit itself (O(matched) sidecar write vs
+    // leg B's table rewrite), the read tax the anti-join adds, and the
+    // compact that re-materializes and clears the sidecar.
+    def digestTimed() = sec(Snapshot.readCurrent(spark, tA)
+      .agg(count(lit(1)), sum(col("o_orderkey"))).first())
+    val (_, readBefore) = digestTimed()
+    val (dvV, morSec) = sec(Snapshot.deleteWhereMor(spark, tA,
+      col("o_orderkey") % 97 === 0))
+    val dvBytes = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(
+          java.nio.file.Paths.get(s"$tA/_dv/v=$dvV"))
+        .iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(java.nio.file.Files.size(_)).sum
+    }
+    val (d1, readAfter) = digestTimed()
+    val (_, compactSec) = sec(Snapshot.compact(spark, tA))
+    val (d2, readCompacted) = digestTimed()
+    require(d1 == d2, s"compact changed the MOR table's digest: $d1 vs $d2")
+    println(f"[msoak] mor_delete=$morSec%.2f s " +
+      f"sidecar=${dvBytes / 1e3}%.1f KB (vs full rewrite " +
+      f"${bytesB / 1e6}%.1f MB)")
+    println(f"[msoak] read_plain=$readBefore%.2f s " +
+      f"read_mor=$readAfter%.2f s read_compacted=$readCompacted%.2f s " +
+      f"compact=$compactSec%.2f s")
     spark.stop()
   }
 }

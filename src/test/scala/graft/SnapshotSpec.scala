@@ -1100,4 +1100,118 @@ class SnapshotSpec extends SparkSuite {
     assert(e.getMessage.contains("malformed") &&
       e.getMessage.contains("bogus"), e.getMessage)
   }
+
+  // ---- merge-on-read deletes (deletion-vector sidecar) ----
+
+  private def dataFiles(root: String, v: Long): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.list(java.nio.file.Paths.get(root, s"v=$v"))
+      .iterator().asScala.map(_.toString)
+      .filter(p => p.endsWith(".parquet") && !p.contains("_SUCCESS"))
+      .toSet
+  }
+
+  test("deleteWhereMor erases scattered rows with ZERO data files rewritten") {
+    import spark.implicits._
+    val root = freshTable()
+    val df = spark.range(0, 800).select(col("id").as("k"),
+        (col("id") % 7).as("v"))
+      .repartitionByRange(8, col("k")).sortWithinPartitions("k")
+    Snapshot.commitWithStats(df, root, Seq("k"))
+    val v1Files = dataFiles(root, 1L)
+    // every 10th key: one row in EVERY file — the shape whose COW
+    // delete would rewrite the whole table
+    val v2 = Snapshot.deleteWhereMor(spark, root, col("k") % 10 === 0)
+    assert(v2 == 2L)
+    // values: exactly the filtered table
+    val got = Snapshot.readCurrent(spark, root)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == (0L until 800L).filterNot(_ % 10 == 0).toSet)
+    // granularity: the new version holds NO data rows of its own —
+    // every base file rides by reference, only the sidecar is new
+    val mf = Snapshot.manifestFiles(spark, root, v2).get
+    assert(v1Files.subsetOf(mf.map(_.stripPrefix("file://")).toSet)
+      || mf.count(_.contains("/v=1/")) == v1Files.size,
+      "MOR delete failed to carry every base file by reference")
+    val freshInV2 = mf.filter(_.contains(s"/v=$v2/"))
+    assert(freshInV2.isEmpty ||
+      spark.read.parquet(freshInV2: _*).isEmpty,
+      "MOR delete wrote data rows into its own version dir")
+    // time travel: the pre-delete version still shows the rows
+    assert(Snapshot.readVersion(spark, root, 1L).count() == 800L)
+    // composition: a second MOR delete unions into the sidecar
+    val v3 = Snapshot.deleteWhereMor(spark, root, col("k") === 1L)
+    assert(Snapshot.readCurrent(spark, root).count() == 800L - 80 - 1)
+    // NULL predicate deletes nothing (SQL DELETE semantics)
+    Snapshot.deleteWhereMor(spark, root,
+      when(col("k") < 0, true).otherwise(lit(null).cast("boolean")))
+    assert(Snapshot.readCurrent(spark, root).count() == 800L - 80 - 1)
+    assert(v3 == 3L)
+  }
+
+  test("MOR tombstones survive appends, die under compact, and never resurrect through rewrites") {
+    import spark.implicits._
+    val root = freshTable()
+    val df = spark.range(0, 400).select(col("id").as("k"),
+        (col("id") % 5).as("v"))
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+    Snapshot.commitWithStats(df, root, Seq("k"))
+    Snapshot.deleteWhereMor(spark, root, col("k") % 10 === 0) // -40
+    // append: new rows visible, tombstones still applied to carried files
+    Snapshot.appendCommit(
+      (1000L until 1010L).map(k => (k, k)).toDF("k", "v"), root)
+    assert(Snapshot.readCurrent(spark, root).count() == 400 - 40 + 10)
+    // pruned range read applies the sidecar
+    val pruned = Snapshot.readCurrentPruned(spark, root, "k",
+      lit(0L), lit(39L)).collect().map(_.getLong(0)).toSet
+    assert(pruned == (0L until 40L).filterNot(_ % 10 == 0).toSet,
+      s"pruned read resurrected tombstoned rows: $pruned")
+    // file-granular COW delete of a band: its rewrite must not
+    // resurrect the band's tombstoned rows, and carried files keep
+    // their tombstones
+    Snapshot.deleteWhere(spark, root, "k", lit(100L), lit(149L))
+    val after = Snapshot.readCurrent(spark, root)
+      .collect().map(_.getLong(0)).toSet
+    val expect = ((0L until 400L).filterNot(_ % 10 == 0)
+      .filterNot(k => k >= 100L && k <= 149L) ++
+      (1000L until 1010L)).toSet
+    assert(after == expect)
+    // keyed merge re-inserting a tombstoned key: the fresh row wins
+    // (tombstones pin (file, row_index), never keys)
+    Snapshot.mergeCommit(spark, root,
+      Seq((30L, -30L)).toDF("k", "v"), "k")
+    val k30 = Snapshot.readCurrent(spark, root)
+      .filter(col("k") === 30L).collect().map(_.getLong(1)).toSeq
+    assert(k30 == Seq(-30L), s"re-inserted tombstoned key read $k30")
+    // compact re-materializes the survivors and CLEARS the sidecar
+    val cv = Snapshot.compact(spark, root, numFiles = 2)
+    assert(!new java.io.File(root, s"_dv/v=$cv").exists(),
+      "compact must clear the deletion-vector sidecar")
+    assert(Snapshot.readCurrent(spark, root)
+      .filter(col("k") % 10 === 0 && col("k") < 400).count() == 1L)
+    // (k=30 is the one re-inserted multiple-of-10 under 400)
+  }
+
+  test("MOR sidecars ride shallow clones and follow vacuum retention") {
+    import spark.implicits._
+    val root = freshTable()
+    Snapshot.commitWithStats(spark.range(0, 100)
+      .select(col("id").as("k"), col("id").as("v"))
+      .repartitionByRange(2, col("k")), root, Seq("k"))
+    Snapshot.deleteWhereMor(spark, root, col("k") < 10)
+    // clone inherits the tombstones with the referenced files
+    val cloneRoot = freshTable() + "/clone"
+    Snapshot.shallowClone(spark, root, cloneRoot)
+    assert(Snapshot.readCurrent(spark, cloneRoot).count() == 90L)
+    // vacuum with retain=1: v=1's sidecar-less dir dies, v=2's sidecar
+    // stays (it belongs to the live version)
+    Snapshot.deleteWhereMor(spark, root, col("k") === 50L) // v=3
+    val swept = Snapshot.vacuum(spark, root, retain = 1)
+    assert(new java.io.File(root, "_dv/v=3").exists(),
+      "vacuum swept the live version's deletion vector")
+    assert(swept.exists(_.startsWith("_dv/")) ||
+      !new java.io.File(root, "_dv/v=2").exists(),
+      "vacuum left a dead version's deletion vector behind")
+    assert(Snapshot.readCurrent(spark, root).count() == 89L)
+  }
 }

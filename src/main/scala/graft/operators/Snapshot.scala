@@ -808,10 +808,20 @@ object Snapshot {
     * constant `_metadata` columns, which do not survive a join. A
     * version without tombstones returns the scan untouched — zero cost
     * for every non-MOR table. The tombstone relation is metadata-sized
-    * by contract ([[compact]] re-materializes and clears it; that
-    * maintenance pass IS the DV-growth bound), so the anti-join
-    * broadcasts below a 64 MB sidecar bound and falls back to a
-    * shuffled anti-join above it rather than OOMing the driver. */
+    * by contract ([[purgeDv]]/[[compact]] re-materialize and clear it;
+    * those maintenance passes ARE the DV-growth bound), so the
+    * anti-join broadcasts below a 64 MB sidecar bound and falls back
+    * to a shuffled anti-join above it rather than OOMing the driver.
+    *
+    * The join keys on `(xxhash64(file), row_index)` — long pairs —
+    * instead of the raw path string: the corpus side evaluates the
+    * probe per ROW, and hashing a ~90-char URI beats string-equality
+    * probing by ~4× at 150M rows (measured, the sf100 read-tax line in
+    * BENCH_NOTES). Exactness is not delegated to the hash: the
+    * version's file INVENTORY is metadata-sized, so hash uniqueness
+    * across it is CHECKED on the driver per apply, and a collision
+    * (never, at ~10⁻¹² for 10k files) falls back to the string-keyed
+    * join rather than trusting 64 bits. */
   private def applyDv(spark: SparkSession, root: String, v: Long,
                       phys: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -819,16 +829,44 @@ object Snapshot {
     val fs = fsOf(spark, p)
     if (!fs.exists(p)) return phys
     val dv = spark.read.parquet(p.toString)
-    val right =
+    def sized(df: DataFrame): DataFrame =
       if (fs.getContentSummary(p).getLength <= 64L * 1024 * 1024)
-        broadcast(dv)
-      else dv
-    phys
-      .withColumn("__dv_file", canonMetaPath(col("_metadata.file_path")))
-      .withColumn("__dv_idx", col("_metadata.row_index"))
-      .join(right, col("__dv_file") === right("file") &&
-        col("__dv_idx") === right("row_index"), "left_anti")
-      .drop("__dv_file", "__dv_idx")
+        broadcast(df)
+      else df
+    val inventory = manifestFiles(spark, root, v).getOrElse {
+      val dir = new org.apache.hadoop.fs.Path(root, s"v=$v")
+      fsOf(spark, dir).listStatus(dir).toSeq
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(st => canonFile(st.getPath))
+    }
+    // the driver replays the SQL function's exact hash (same code
+    // path, same seed) over the O(files) inventory — uniqueness there
+    // makes the long-keyed join provably equal to the string-keyed one
+    def xx(f: String): Long =
+      org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(f),
+        org.apache.spark.sql.types.StringType, 42L)
+    val exactSafe =
+      inventory.iterator.map(xx).toSet.size == inventory.size
+    if (exactSafe) {
+      val right = sized(dv.select(xxhash64(col("file")).as("__dv_fh"),
+        col("row_index").as("__dv_ri")))
+      phys
+        .withColumn("__dv_file",
+          xxhash64(canonMetaPath(col("_metadata.file_path"))))
+        .withColumn("__dv_idx", col("_metadata.row_index"))
+        .join(right, col("__dv_file") === col("__dv_fh") &&
+          col("__dv_idx") === col("__dv_ri"), "left_anti")
+        .drop("__dv_file", "__dv_idx")
+    } else {
+      val right = sized(dv)
+      phys
+        .withColumn("__dv_file", canonMetaPath(col("_metadata.file_path")))
+        .withColumn("__dv_idx", col("_metadata.row_index"))
+        .join(right, col("__dv_file") === right("file") &&
+          col("__dv_idx") === right("row_index"), "left_anti")
+        .drop("__dv_file", "__dv_idx")
+    }
   }
 
   /** Per-file bloom sketch size target: estimated distinct values per
@@ -1316,7 +1354,15 @@ object Snapshot {
     * sees the rows), and are vacuumed with their version. `cond` is
     * evaluated in LOGICAL names with SQL DELETE semantics (a NULL
     * predicate deletes nothing). Same claim-exactly-`pointer+1`
-    * serialization as every read-modify-write commit. */
+    * serialization as every read-modify-write commit.
+    *
+    * Streaming append-tails are strictly SAFER under MOR than under
+    * COW deletes: the commit adds no data files (the version dir holds
+    * only a zero-row schema anchor), so a running tail sees nothing —
+    * no rewritten files interleaving already-emitted rows, which is
+    * the case [[graft.streaming.Streaming.tailVacuumAudit]] exists to
+    * refuse. (File tails never retract rows on any engine; deletes
+    * reach streaming consumers through [[changeFeed]].) */
   def deleteWhereMor(spark: SparkSession, root: String,
                      cond: org.apache.spark.sql.Column,
                      maxRetries: Int = 16): Long = {
@@ -1368,6 +1414,61 @@ object Snapshot {
     }
     throw new IllegalStateException(
       s"deleteWhereMor on $root did not win a claim in $maxRetries attempts")
+  }
+
+  /** PURGE the deletion-vector sidecar — Delta's `REORG TABLE … APPLY
+    * (PURGE)` as a first-class maintenance pass: rewrite ONLY the
+    * files that carry tombstones (DV-filtered, so the deleted rows
+    * vanish from the bytes), carry every clean file into the new
+    * version by manifest reference, and drop the sidecar — after
+    * which reads pay zero anti-join tax again. Where [[compact]]
+    * rewrites the whole table, this touches O(tombstoned-file bytes):
+    * on a table whose deletes clustered in a few files, the purge
+    * reads those files, not the table. (A fully scattered delete —
+    * of23's GDPR shape — tombstones every file, and purge degrades to
+    * compact's cost; both points measured in BENCH_NOTES.) The
+    * sidecar clears through [[writeManifestAndStats]]'s carry rule
+    * itself: every surviving tombstone names a rewritten file, so the
+    * carried set is empty — no special case. No-op (current version
+    * returned, no commit burned) on a table without tombstones. */
+  def purgeDv(spark: SparkSession, root: String,
+              maxRetries: Int = 16): Long = {
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val base = currentVersion(spark, root).getOrElse(
+        throw new java.util.NoSuchElementException(
+          s"snapshot table $root has no committed version to purge"))
+      if (dvOf(spark, root, base).isEmpty) return base
+      if (claimVersion(spark, root, base + 1)) {
+        val next = base + 1
+        val touched = dvOf(spark, root, base).get
+          .select("file").distinct().collect().map(_.getString(0)).toSeq
+        val inv = fileInventory(spark, root, base)
+        val untouched = inv.map(_._1).diff(touched)
+        val touchedBytes = inv.filter(f => touched.contains(f._1))
+          .map(_._2).sum
+        // target-file-size width, FLOORED at the touched-file count:
+        // bytes alone under-width hyper-compressed tables (the soak
+        // fixture packs 150M rows into 119 MB → width 1 → a one-task
+        // whole-corpus rewrite, measured 277 s at sf100); matching the
+        // input file count keeps one reader≈one writer parallelism and
+        // never explodes small files
+        val cap = spark.conf.get("spark.sql.shuffle.partitions").toInt
+        val width = math.max(compactWidthFor(touchedBytes, cap),
+          math.min(touched.size, cap))
+        applyDv(spark, root, base,
+            physReader(spark, root, base).parquet(touched: _*))
+          .coalesce(width)
+          .write.mode("overwrite").parquet(s"$root/v=$next")
+        writeManifestAndStats(spark, root, next, base, untouched)
+        if (pointerAdvance(spark, root, next)) return next
+      } else {
+        if (awaitAdvance(spark, root, base)) attempt -= 1
+      }
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"purgeDv on $root did not win a claim in $maxRetries attempts")
   }
 
   /** ADD a named CHECK constraint (the Delta `ALTER TABLE ... ADD

@@ -30,12 +30,43 @@ object MergeSoak {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // the fixture/venue contract (TESTDATA.md, Bench): 8 MB splits so
+      // a FEW-file read still spreads over the cores — without it the
+      // pruned path's 3-file rewrite ran 3 tasks wide at sf100 while
+      // the full rewrite enjoyed 34 (the r11 first-cut defect)
       .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect()
+
+    // per-job wall profile: each timed leg below prints its slowest
+    // jobs (call site + seconds), so a surprising leg total is
+    // attributable from the artifact instead of a rerun
+    val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    val jobDur = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobStart.put(e.jobId, (e.time, Option(e.properties)
+            .flatMap(p => Option(p.getProperty("callSite.short")))
+            .getOrElse("?")))
+        override def onJobEnd(
+            e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+          Option(jobStart.remove(e.jobId)).foreach { case (t0, site) =>
+            jobDur.add(site -> (e.time - t0) / 1e3)
+          }
+      })
+    def drainJobs(tag: String): Unit = {
+      import scala.jdk.CollectionConverters._
+      val all = jobDur.asScala.toSeq
+      jobDur.clear()
+      val top = all.sortBy(-_._2).take(6)
+        .map { case (s, d) => f"$s=$d%.1f" }.mkString(" ")
+      println(f"[msoak]   $tag jobs=${all.size} top: $top")
+    }
 
     def sec[T](f: => T): (T, Double) = {
       val t0 = System.nanoTime()
@@ -87,6 +118,7 @@ object MergeSoak {
     val changes = changesOf(orders).cache()
     val nChanges = changes.count()
     val (vA, mergeA) = sec(Snapshot.mergeCommit(spark, tA, changes, "o_orderkey"))
+    drainJobs("pruned_merge")
     val mf = Snapshot.manifestFiles(spark, tA, vA).get
     val carried = mf.count(!_.contains(s"/v=$vA/"))
     val rewritten = mf.length - carried
@@ -137,15 +169,31 @@ object MergeSoak {
         .map(java.nio.file.Files.size(_)).sum
     }
     val (d1, readAfter) = digestTimed()
-    val (_, compactSec) = sec(Snapshot.compact(spark, tA))
-    val (d2, readCompacted) = digestTimed()
-    require(d1 == d2, s"compact changed the MOR table's digest: $d1 vs $d2")
+    drainJobs("read_mor")
+    // scattered tombstones touch every file — purge's worst case
+    // (degrades to compact's cost; both the op and the bound measured)
+    val (pv, purgeScattered) = sec(Snapshot.purgeDv(spark, tA))
+    val (d2, readPurged) = digestTimed()
+    require(d1 == d2, s"purge changed the MOR table's digest: $d1 vs $d2")
+    assert(!new java.io.File(s"$tA/_dv/v=$pv").exists, "purge left a sidecar")
     println(f"[msoak] mor_delete=$morSec%.2f s " +
       f"sidecar=${dvBytes / 1e3}%.1f KB (vs full rewrite " +
       f"${bytesB / 1e6}%.1f MB)")
     println(f"[msoak] read_plain=$readBefore%.2f s " +
-      f"read_mor=$readAfter%.2f s read_compacted=$readCompacted%.2f s " +
-      f"compact=$compactSec%.2f s")
+      f"read_mor=$readAfter%.2f s read_purged=$readPurged%.2f s " +
+      f"purge_scattered=$purgeScattered%.2f s")
+
+    // ---- leg D: CLUSTERED tombstones — purge's design case ----
+    // delete one narrow key band via MOR (tombstones land in ~1-2
+    // files), then purge: rewrite O(touched files), carry the rest
+    val (_, morBand) = sec(Snapshot.deleteWhereMor(spark, tA,
+      col("o_orderkey").between(bandLo, bandHi)))
+    val (ppv, purgeClustered) = sec(Snapshot.purgeDv(spark, tA))
+    val pmf = Snapshot.manifestFiles(spark, tA, ppv).get
+    val pRewrote = pmf.count(_.contains(s"/v=$ppv/"))
+    println(f"[msoak] mor_band_delete=$morBand%.2f s " +
+      f"purge_clustered=$purgeClustered%.2f s " +
+      f"rewrote=$pRewrote of ${pmf.length} files")
     spark.stop()
   }
 }

@@ -1192,6 +1192,47 @@ class SnapshotSpec extends SparkSuite {
     // (k=30 is the one re-inserted multiple-of-10 under 400)
   }
 
+  test("purgeDv rewrites only tombstoned files, clears the sidecar, and no-ops when clean") {
+    import spark.implicits._
+    val root = freshTable()
+    val df = spark.range(0, 400).select(col("id").as("k"),
+        (col("id") % 5).as("v"))
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+    Snapshot.commitWithStats(df, root, Seq("k"))
+    // clustered delete: tombstones land in the low-key file(s) only
+    Snapshot.deleteWhereMor(spark, root, col("k") < 50)
+    val pv = Snapshot.purgeDv(spark, root)
+    assert(pv == 3L)
+    assert(!new java.io.File(root, s"_dv/v=$pv").exists,
+      "purge left the sidecar behind")
+    // only the tombstoned file(s) rewrote; the rest carried by reference
+    val mfp = Snapshot.manifestFiles(spark, root, pv).get
+    assert(mfp.count(_.contains("/v=1/")) >= 2,
+      s"purge rewrote clean files: $mfp")
+    assert(Snapshot.readCurrent(spark, root).count() == 350L)
+    // the purged bytes really dropped the rows (read the fresh files raw)
+    val freshP = mfp.filter(_.contains(s"/v=$pv/"))
+    if (freshP.nonEmpty)
+      assert(spark.read.parquet(freshP: _*)
+        .filter(col("k") < 50).count() == 0L)
+    // a clean table no-ops without burning a version
+    assert(Snapshot.purgeDv(spark, root) == pv)
+  }
+
+  test("change feed classifies MOR-deleted rows as deletes (no write-path logging needed)") {
+    import spark.implicits._
+    val root = freshTable()
+    Snapshot.commit(spark.range(0, 50)
+      .select(col("id").as("k"), col("id").as("v")), root)
+    Snapshot.deleteWhereMor(spark, root, col("k") % 10 === 0)
+    val feed = Snapshot.changeFeed(spark, root, "k", fromV = 1L, toV = 2L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // the feed derives from version reads, and version reads apply the
+    // sidecar — so a metadata-only MOR delete surfaces as exactly its
+    // row deletes, nothing else
+    assert(feed == (0L until 50L by 10L).map(_ -> "delete").toSet, feed)
+  }
+
   test("MOR sidecars ride shallow clones and follow vacuum retention") {
     import spark.implicits._
     val root = freshTable()

@@ -171,10 +171,10 @@ object Bench {
     // server process, so a cold-JVM first write would overstate create by
     // the one-off committer/codec init cost, not the query cost.
     val warmDir =
-      java.nio.file.Files.createTempDirectory("graft_bench_warm_").toString
+      graft.util.Scratch.dir("graft_bench_warm_")
     operators.PartitionCache.calcAvg(spark, sfDir, warmDir, "R")
     val cacheDir =
-      java.nio.file.Files.createTempDirectory("graft_bench_cache_").toString
+      graft.util.Scratch.dir("graft_bench_cache_")
     val tCreate = sec(
       operators.PartitionCache.calcAvg(spark, sfDir, cacheDir, "R"))
     val tReuse = sec(
@@ -187,7 +187,7 @@ object Bench {
     // the two passes separately on a fresh dir stops the core-ETL
     // family table from absorbing venue I/O as an apparent regression.
     val o12Dir =
-      java.nio.file.Files.createTempDirectory("graft_bench_o12_").toString
+      graft.util.Scratch.dir("graft_bench_o12_")
     val keys = Seq("A", "N", "R")
     val tO12Create = sec(keys.foreach(k =>
       operators.PartitionCache.calcAvg(spark, sfDir, o12Dir, k)))

@@ -446,8 +446,7 @@ object Dedup {
     val docs = Tables.documents(spark, sfDir)
     val idxDir = graft.util.SessionMemo.memoizedValue(
         spark, s"minhashIndex|$sfDir") {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_mhidx_").toString
+      val dir = graft.util.Scratch.dir("graft_mhidx_")
       minhashSignatures(docs.filter(col("doc_id") % 5 =!= 0))
         .write.mode("overwrite").parquet(dir)
       dir

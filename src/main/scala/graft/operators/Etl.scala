@@ -57,7 +57,7 @@ object Etl {
     * back from the sink (proves the roundtrip).
     */
   def sinkRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft_sink_").toString
+    val out = graft.util.Scratch.dir("graft_sink_")
     val ext = extractUnsorted(spark, sfDir)
     // Align the shuffle with the sink layout: without this every
     // upstream task writes one file into every partition directory
@@ -155,7 +155,7 @@ object Etl {
     * duplicated (which is exactly what the oracle checks).
     */
   def incrementalAppend(spark: SparkSession, sfDir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft_incr_").toString
+    val out = graft.util.Scratch.dir("graft_incr_")
     val orders = Tables.orders(spark, sfDir)
     // initial load: the historical slice
     orders.filter(col("o_orderdate") < to_timestamp(lit("1998-01-01")))
@@ -208,7 +208,7 @@ object Etl {
     * totals read back from the merged sink.
     */
   def upsertMerge(spark: SparkSession, sfDir: String): DataFrame = {
-    val table = java.nio.file.Files.createTempDirectory("graft_merge_").toString
+    val table = graft.util.Scratch.dir("graft_merge_")
     val orders = Tables.orders(spark, sfDir)
     // Both the initial load and the merge are SNAPSHOT commits
     // ([[Snapshot]]): each writes an immutable v=N directory and then
@@ -240,7 +240,7 @@ object Etl {
     * into the parquet scan. */
   def snapshotPrune(spark: SparkSession, sfDir: String): DataFrame = {
     val table =
-      java.nio.file.Files.createTempDirectory("graft_skip_").toString + "/orders"
+      graft.util.Scratch.dir("graft_skip_") + "/orders"
     val orders = Tables.orders(spark, sfDir)
       .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
     Snapshot.commitWithStats(
@@ -267,7 +267,7 @@ object Etl {
     * of6's read-side skipping, applied to the write path. */
   def prunedMerge(spark: SparkSession, sfDir: String): DataFrame = {
     val table =
-      java.nio.file.Files.createTempDirectory("graft_pmerge_").toString +
+      graft.util.Scratch.dir("graft_pmerge_") +
         "/orders"
     val orders = Tables.orders(spark, sfDir)
     Snapshot.commitWithStats(
@@ -300,7 +300,7 @@ object Etl {
     * filtered source. */
   def morDelete(spark: SparkSession, sfDir: String): DataFrame = {
     val table =
-      java.nio.file.Files.createTempDirectory("graft_mor_").toString +
+      graft.util.Scratch.dir("graft_mor_") +
         "/orders"
     val orders = Tables.orders(spark, sfDir)
     Snapshot.commitWithStats(

@@ -70,7 +70,7 @@ object PartitionCache {
     * one-RPC-per-county shape); each iteration's scan/agg is distributed.
     */
   def protocolTrace(spark: SparkSession, sfDir: String): DataFrame = {
-    val cacheDir = java.nio.file.Files.createTempDirectory("graft_cache_").toString
+    val cacheDir = graft.util.Scratch.dir("graft_cache_")
     val keys = Seq("A", "N", "R")
     val rows = for (pass <- Seq(1, 2); k <- keys) yield {
       val (avg, src) = calcAvg(spark, sfDir, cacheDir, k)

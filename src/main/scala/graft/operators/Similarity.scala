@@ -1296,7 +1296,7 @@ object Similarity {
     */
   def incrementalIvfAssign(spark: SparkSession, sfDir: String): DataFrame =
     incrementalIvfAssignAt(spark, sfDir,
-      java.nio.file.Files.createTempDirectory("graft_ivf_snap_").toString)
+      graft.util.Scratch.dir("graft_ivf_snap_"))
 
   /** [[incrementalIvfAssign]] against a caller-owned snapshot root, so
     * specs/soaks can inspect the resulting manifest (the insert-only

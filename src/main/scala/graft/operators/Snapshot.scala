@@ -2136,8 +2136,7 @@ object Snapshot {
       .withColumn("o_totalprice",
         when(col("o_orderkey") % 10 === 0, col("o_totalprice") * 2)
           .otherwise(col("o_totalprice")))
-    val root = java.nio.file.Files
-      .createTempDirectory("graft_cdf_").toString
+    val root = graft.util.Scratch.dir("graft_cdf_")
     commit(v1, root)
     commit(v2, root)
     changeFeed(spark, root, "o_orderkey", fromV = 1L, toV = 2L)
@@ -2162,8 +2161,7 @@ object Snapshot {
     val probe = li.agg(floor(max(col("l_orderkey")) / 5),
       count(lit(1))).head()
     val (hi, rows) = (probe.getLong(0), probe.getLong(1))
-    val root = java.nio.file.Files
-      .createTempDirectory("graft_del_").toString
+    val root = graft.util.Scratch.dir("graft_del_")
     commitWithStats(
       li.repartitionByRange(derivedCommitFiles(rows), col("l_orderkey"))
         .sortWithinPartitions("l_orderkey"),
@@ -2189,8 +2187,7 @@ object Snapshot {
     import org.apache.spark.sql.functions._
     val o = graft.sources.Tables.table(spark, sfDir, "orders")
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-    val root = java.nio.file.Files
-      .createTempDirectory("graft_restore_").toString
+    val root = graft.util.Scratch.dir("graft_restore_")
     commitWithStats(
       o.repartitionByRange(derivedCommitFiles(o.count()),
           col("o_orderkey"))
@@ -2223,8 +2220,7 @@ object Snapshot {
     // one probe pass feeds both the lookup key and the commit width
     val probe = li.agg(min(col("l_partkey")), count(lit(1))).head()
     val (pk, rows) = (probe.getLong(0), probe.getLong(1))
-    val root = java.nio.file.Files
-      .createTempDirectory("graft_point_").toString
+    val root = graft.util.Scratch.dir("graft_point_")
     commitWithStats(
       li.repartitionByRange(derivedCommitFiles(rows), col("l_orderkey"))
         .sortWithinPartitions("l_orderkey"),
@@ -2255,8 +2251,7 @@ object Snapshot {
     import org.apache.spark.sql.functions._
     val o = graft.sources.Tables.table(spark, sfDir, "orders")
       .select(col("o_orderkey"), col("o_totalprice"))
-    val root = java.nio.file.Files
-      .createTempDirectory("graft_evo_").toString
+    val root = graft.util.Scratch.dir("graft_evo_")
     val keep = o.filter(col("o_orderkey") % 10 =!= 3)
     commitWithStats(
       keep.repartitionByRange(derivedCommitFiles(keep.count()),
@@ -2290,8 +2285,7 @@ object Snapshot {
     import org.apache.spark.sql.functions._
     val orders = graft.sources.Tables.orders(spark, sfDir)
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
-    val root = java.nio.file.Files
-      .createTempDirectory("graft_rename_").toString
+    val root = graft.util.Scratch.dir("graft_rename_")
     val keep = orders.filter(col("o_orderkey") % 10 =!= 3)
     commitWithStats(
       keep.repartitionByRange(derivedCommitFiles(keep.count()),
@@ -2334,8 +2328,7 @@ object Snapshot {
     import org.apache.spark.sql.functions._
     val orders = graft.sources.Tables.orders(spark, sfDir)
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
-    val root = java.nio.file.Files
-      .createTempDirectory("graft_drop_").toString
+    val root = graft.util.Scratch.dir("graft_drop_")
     val keep = orders.filter(col("o_orderkey") % 10 =!= 3)
     commitWithStats(
       keep.repartitionByRange(derivedCommitFiles(keep.count()),
@@ -2390,8 +2383,7 @@ object Snapshot {
     val li = graft.sources.Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_linenumber"),
         col("l_quantity"), col("l_extendedprice"))
-    val root = java.nio.file.Files
-      .createTempDirectory("graft_check_").toString
+    val root = graft.util.Scratch.dir("graft_check_")
     val base = li.filter(col("l_orderkey") % 7 === 0)
     val good = li.filter(col("l_orderkey") % 7 === 1)
     // a PARTIALLY bad batch: every third line's quantity negated — the
@@ -2449,8 +2441,7 @@ object Snapshot {
     import org.apache.spark.sql.functions._
     val orders = graft.sources.Tables.orders(spark, sfDir)
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
-    val base = java.nio.file.Files
-      .createTempDirectory("graft_clone_").toString
+    val base = graft.util.Scratch.dir("graft_clone_")
     val src = s"$base/src"
     val dst = s"$base/clone"
     // one probe pass feeds both the delete cut and the commit width
@@ -2490,8 +2481,7 @@ object Snapshot {
     import org.apache.spark.sql.functions._
     val orders = graft.sources.Tables.orders(spark, sfDir)
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
-    val root = java.nio.file.Files
-      .createTempDirectory("graft_mergevo_").toString
+    val root = graft.util.Scratch.dir("graft_mergevo_")
     commit(orders, root)
     val changes = orders.filter(col("o_orderkey") % 7 === 0)
       .withColumn("o_totalprice",
@@ -2627,8 +2617,7 @@ object Snapshot {
     import org.apache.spark.sql.functions._
     val orders = graft.sources.Tables.orders(spark, sfDir)
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
-    val root = java.nio.file.Files
-      .createTempDirectory("graft_gencol_").toString
+    val root = graft.util.Scratch.dir("graft_gencol_")
     // file count tracks data volume: a FIXED 8-file layout made the
     // write venue the 18.7× line of the sf10 soak — 10× the rows
     // through the same 8 writers (see [[derivedCommitFiles]]).
@@ -2666,8 +2655,7 @@ object Snapshot {
     val maxes = li.agg(max(col("l_partkey")), max(col("l_suppkey")),
       count(lit(1))).head()
     val (pMax, sMax) = (maxes.getLong(0), maxes.getLong(1))
-    val root = java.nio.file.Files
-      .createTempDirectory("graft_zorder_").toString
+    val root = graft.util.Scratch.dir("graft_zorder_")
     commitClustered(li, root, "l_partkey", "l_suppkey",
       derivedCommitFiles(maxes.getLong(2)))
     readCurrentPrunedBox(spark, root,
@@ -2702,8 +2690,7 @@ object Snapshot {
     val probe = li.agg(floor(max(col("l_orderkey")) / 5),
       count(lit(1))).head()
     val (hi, rows) = (probe.getLong(0), probe.getLong(1))
-    val root = java.nio.file.Files
-      .createTempDirectory("graft_vacuum_").toString
+    val root = graft.util.Scratch.dir("graft_vacuum_")
     commitWithStats(
       li.repartitionByRange(derivedCommitFiles(rows), col("l_orderkey"))
         .sortWithinPartitions("l_orderkey"),
@@ -2738,8 +2725,7 @@ object Snapshot {
     val probe = o.agg(floor(max(col("o_orderkey")) / 3),
       count(lit(1))).head()
     val (hi, rows) = (probe.getLong(0), probe.getLong(1))
-    val root = java.nio.file.Files
-      .createTempDirectory("graft_asof_").toString
+    val root = graft.util.Scratch.dir("graft_asof_")
     commitWithStats(
       o.repartitionByRange(derivedCommitFiles(rows), col("o_orderkey"))
         .sortWithinPartitions("o_orderkey"),

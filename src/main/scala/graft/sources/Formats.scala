@@ -21,7 +21,7 @@ object Formats {
   def roundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     val base = graft.operators.Etl.extractUnsorted(spark, sfDir)
       .select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
-    val dir = java.nio.file.Files.createTempDirectory("graft_formats_").toString
+    val dir = graft.util.Scratch.dir("graft_formats_")
 
     // Sizing probe: one un-cached pass over the extract. Runs at the
     // scan's full width (nothing narrowed below it).

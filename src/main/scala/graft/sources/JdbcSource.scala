@@ -24,7 +24,7 @@ object JdbcSource {
     * Oracle: the same aggregate over the parquet `nation` table.
     */
   def jdbcRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_jdbc_").toString
+    val dir = graft.util.Scratch.dir("graft_jdbc_")
     val url = s"jdbc:derby:$dir/db;create=true"
 
     val props = new java.util.Properties()

@@ -367,8 +367,8 @@ object Streaming {
   private def runToFileSink(stream: DataFrame,
                             derived: Option[Int] = None): DataFrame = {
     val spark = stream.sparkSession
-    val out = java.nio.file.Files.createTempDirectory("graft_fsink_")
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_fsink_ck_")
+    val out = graft.util.Scratch.path("graft_fsink_")
+    val ckpt = graft.util.Scratch.path("graft_fsink_ck_")
     graft.util.Lease.gcOnExit(out)
     graft.util.Lease.gcOnExit(ckpt)
     def drain(): Unit = {
@@ -396,8 +396,8 @@ object Streaming {
   private def runCompleteToFiles(stream: DataFrame,
                                  derived: Option[Int] = None): DataFrame = {
     val spark = stream.sparkSession
-    val out = java.nio.file.Files.createTempDirectory("graft_csink_")
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_csink_ck_")
+    val out = graft.util.Scratch.path("graft_csink_")
+    val ckpt = graft.util.Scratch.path("graft_csink_ck_")
     graft.util.Lease.gcOnExit(out)
     graft.util.Lease.gcOnExit(ckpt)
     def drain(): Unit = {
@@ -456,8 +456,8 @@ object Streaming {
     * complete-mode result).
     */
   def tumblingToFileSink(spark: SparkSession, sfDir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft_fsink_").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_fsink_ck_").toString
+    val out = graft.util.Scratch.dir("graft_fsink_")
+    val ckpt = graft.util.Scratch.dir("graft_fsink_ck_")
     val agg = tumblingAggOf(eventsStream(spark, sfDir))
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
@@ -484,8 +484,8 @@ object Streaming {
     * DataFrame (StreamingSpec pins it equal to the memory-sink x13a).
     */
   def dedupToFileSink(spark: SparkSession, sfDir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft_dsink_").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_dsink_ck_").toString
+    val out = graft.util.Scratch.dir("graft_dsink_")
+    val ckpt = graft.util.Scratch.dir("graft_dsink_ck_")
     dedupRunToFileSink(spark, sfDir, out, ckpt)
   }
 
@@ -536,7 +536,7 @@ object Streaming {
     */
   def cdcUpsertToSnapshot(changes: DataFrame, root: String, key: String,
       seqCol: String): org.apache.spark.sql.streaming.StreamingQuery = {
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdc_ck_").toString
+    val ckpt = graft.util.Scratch.dir("graft_cdc_ck_")
     changes.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         // Latest change per key; ties on seqCol break on the full
@@ -1053,8 +1053,7 @@ object Streaming {
     import graft.operators.Snapshot
     val o = Tables.table(spark, sfDir, "orders")
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-    val root = java.nio.file.Files
-      .createTempDirectory("graft_tail_").toString
+    val root = graft.util.Scratch.dir("graft_tail_")
     Snapshot.commit(o.filter(col("o_orderkey") % 3 === 0), root)
     Snapshot.appendCommit(o.filter(col("o_orderkey") % 3 === 1), root)
     Snapshot.appendCommit(o.filter(col("o_orderkey") % 3 === 2), root)

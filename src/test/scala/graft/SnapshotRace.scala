@@ -59,6 +59,13 @@ object SnapshotRaceWriter {
           val k = 1000000L + i
           val v = Snapshot.deleteWhere(spark, root, "k", lit(k), lit(k))
           println(s"[raceop] v=$v op=delete writer=$writerId seq=$i")
+        case "mordelete" =>
+          // same seeded victims, MERGE-ON-READ: the tombstone sidecar
+          // commit races the claim protocol exactly like a rewrite,
+          // and its carry rule must hold under concurrent merges
+          val k = 1000000L + i
+          val v = Snapshot.deleteWhereMor(spark, root, col("k") === lit(k))
+          println(s"[raceop] v=$v op=mordelete writer=$writerId seq=$i")
         case "appendcompact" =>
           val v = Snapshot.appendCommit(batch(i, i * rows, rows), root)
           println(s"[raceop] v=$v op=append writer=$writerId seq=$i")
@@ -191,7 +198,8 @@ object SnapshotRace {
       "java.base/sun.nio.ch", "java.base/sun.nio.cs",
       "java.base/sun.security.action", "java.base/sun.util.calendar",
     ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-    val run = Seq("append", "mergedelete", "restoreappend", "vacuumappend")
+    val run = Seq("append", "mergedelete", "mormerge", "restoreappend",
+        "vacuumappend")
       .filter(s => scenario == "all" || scenario == s)
     require(run.nonEmpty, s"unknown scenario $scenario")
     run.foreach(s => runScenario(s, nCommits, rows))
@@ -215,6 +223,15 @@ object SnapshotRace {
         Snapshot.commitWithStats(
           seedBatch(1000000L, nCommits.toLong), root, Seq("k"))
         ("merge", "delete")
+      case "mormerge" =>
+        // the merge-on-read analogue of mergedelete: B's tombstone
+        // sidecar commits race A's file-granular merges — the carried
+        // sidecar must survive every interleaving (a merge that wins
+        // the claim between B's read and write must not resurrect or
+        // double-drop a victim)
+        Snapshot.commitWithStats(
+          seedBatch(1000000L, nCommits.toLong), root, Seq("k"))
+        ("merge", "mordelete")
       case "restoreappend" =>
         Snapshot.commit(seedBatch(0L, 100L), root)
         ("append", "restore")
@@ -243,7 +260,7 @@ object SnapshotRace {
         require(got == want, s"lost/duplicated batches: " +
           s"missing=${want.keySet -- got.keySet} " +
           s"extra=${got.keySet -- want.keySet}")
-      case "mergedelete" =>
+      case "mergedelete" | "mormerge" =>
         // disjoint semantics → exact final content independent of
         // interleaving: A's key range at its LAST round's seq, the
         // seeded victims all gone, every op published exactly one version
@@ -251,7 +268,7 @@ object SnapshotRace {
           s"expected ${1 + 2 * nCommits} versions, got ${hist.size}")
         val want = Map(("A", nCommits - 1) -> rows.toLong)
         require(got == want,
-          s"mergedelete content mismatch: got=$got want=$want")
+          s"$scenario content mismatch: got=$got want=$want")
       case "restoreappend" =>
         // order-DEPENDENT content: replay the logged ops in version
         // order through a model (append adds its batch; restore resets

@@ -34,7 +34,16 @@ import org.apache.spark.sql.functions._
   *    realistic scale direction for an event feed).
   */
 object ScaleFixtures {
-  private val Stride = 1000000000L
+  /** Replica key shift. Derived from the SOURCE's own key range, not a
+    * constant: chaining derivations (sf0.1 → sf1 → sf10) with a FIXED
+    * stride collides replica keys (`k + (r1+r2)·stride`, binomially
+    * weighted), which fans every FK join out ~mult× and collapses
+    * distinct-key counts — measured +84% probe-normalized on the sf10
+    * full surface vs the one-hop fixture before this derivation
+    * (BENCH_NOTES r11). The stride is the smallest power of 10 above
+    * every shifted key column's max, floored at 1e9 so a one-hop
+    * derivation reproduces the historical fixtures bit-for-bit. */
+  private var Stride = 1000000000L
 
   def main(args: Array[String]): Unit = {
     val src = args(0)
@@ -51,6 +60,22 @@ object ScaleFixtures {
 
     def read(name: String): DataFrame =
       spark.read.parquet(s"$src/$name.parquet")
+
+    // One GLOBAL stride for every shifted key column (FK consistency:
+    // orders.o_custkey must move exactly with customer.c_custkey), a
+    // metadata-cheap max over the key columns of the source
+    val keyCols: Seq[(String, String)] = Seq(
+      "customer" -> "c_custkey", "supplier" -> "s_suppkey",
+      "part" -> "p_partkey", "orders" -> "o_orderkey",
+      "orders" -> "o_custkey", "lineitem" -> "l_orderkey",
+      "lineitem" -> "l_partkey", "lineitem" -> "l_suppkey",
+      "events" -> "event_id", "events" -> "user_id",
+      "documents" -> "doc_id", "embeddings" -> "vec_id")
+    val maxKey = keyCols.map { case (t, c) =>
+      read(t).agg(max(col(c))).first().getLong(0)
+    }.max
+    while (Stride <= maxKey) Stride *= 10L
+    println(s"[scale] key stride $Stride (source max key $maxKey)")
     // The fixture layout contract is `<table>.parquet` as a single FILE
     // (TESTDATA.md); the streaming source's pathGlobFilter and any
     // single-file reader depend on it, so write-then-rename rather than

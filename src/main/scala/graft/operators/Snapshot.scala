@@ -775,6 +775,19 @@ object Snapshot {
 
   private val DvDir = "_dv"
 
+  /** The sidecar size up to which [[applyDv]] broadcasts the tombstone
+    * relation; above it the anti-join falls back to a shuffle — the
+    * operational signal that [[purgeDv]] is due (README's COW-vs-MOR
+    * rule, enforced by [[maybePurgeOversizedDv]]). */
+  private[graft] val DvBroadcastBytes = 64L * 1024 * 1024
+
+  /** Target tombstone rows per sidecar parquet file: ~4M `(file,
+    * row_index)` pairs (dictionary-encoded file column) keep each file
+    * in the tens of MB, so a 10^9-row tombstone wave writes wide
+    * instead of serializing through one task, while a toy delete still
+    * writes exactly one file. */
+  private val DvRowsPerSidecarFile = 4L * 1000 * 1000
+
   /** Version `v`'s DELETION VECTOR — the merge-on-read tombstone
     * relation `(file, row_index)` written by [[deleteWhereMor]] — or
     * None when the version carries no tombstones (every table before
@@ -791,9 +804,23 @@ object Snapshot {
     * way (other schemes — hdfs://, s3a:// — are already consistent and
     * pass through untouched). */
   private def canonMetaPath(c: org.apache.spark.sql.Column)
-      : org.apache.spark.sql.Column =
-    org.apache.spark.sql.functions.regexp_replace(
-      c, "^file:/(?!/)", "file:///")
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val slashed = regexp_replace(c, "^file:/(?!/)", "file:///")
+    // Scan-derived paths are URI-ENCODED (`a b` → `a%20b`; a literal
+    // `%` → `%25`), but the canonical form is the DECODED one: only it
+    // is accepted back by `spark.read.parquet` (Hadoop `Path(String)`
+    // treats `%20` as three literal chars), and it is what
+    // `Path.toString`-derived manifest rows already hold — measured in
+    // SnapshotSpec's spaced-root pin, where the undecoded form dropped
+    // every carried tombstone. `url_decode` is form-decoding (`+` →
+    // space), so literal `+` — legal raw in a URI path — is protected
+    // by pre-escaping it; every other `%` in scan output begins a valid
+    // escape, making the decode total. try_ + fallback keeps a
+    // malformed string inert rather than failing the whole plan.
+    val plusSafe = regexp_replace(slashed, "\\+", "%2B")
+    coalesce(try_url_decode(plusSafe), slashed)
+  }
 
   private def dvOf(spark: SparkSession, root: String,
                    v: Long): Option[DataFrame] = {
@@ -833,21 +860,28 @@ object Snapshot {
       if (fs.getContentSummary(p).getLength <= 64L * 1024 * 1024)
         broadcast(df)
       else df
-    val inventory = manifestFiles(spark, root, v).getOrElse {
-      val dir = new org.apache.hadoop.fs.Path(root, s"v=$v")
-      fsOf(spark, dir).listStatus(dir).toSeq
-        .filter(_.getPath.getName.endsWith(".parquet"))
-        .map(st => canonFile(st.getPath))
-    }
     // the driver replays the SQL function's exact hash (same code
     // path, same seed) over the O(files) inventory — uniqueness there
-    // makes the long-keyed join provably equal to the string-keyed one
-    def xx(f: String): Long =
-      org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
-        org.apache.spark.unsafe.types.UTF8String.fromString(f),
-        org.apache.spark.sql.types.StringType, 42L)
-    val exactSafe =
+    // makes the long-keyed join provably equal to the string-keyed
+    // one. Versions are immutable, so the verdict is memoized per
+    // (root, version): without the memo every read-plan construction
+    // of a DV'd version re-collected the manifest and re-hashed the
+    // full inventory on the driver (twice per deleteWhereMor, which
+    // calls applyDv inside its own read).
+    val exactSafe = graft.util.SessionMemo.memoizedValue(spark,
+        s"graft.dv.exactSafe:$root:v=$v") {
+      val inventory = manifestFiles(spark, root, v).getOrElse {
+        val dir = new org.apache.hadoop.fs.Path(root, s"v=$v")
+        fsOf(spark, dir).listStatus(dir).toSeq
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .map(st => canonFile(st.getPath))
+      }
+      def xx(f: String): Long =
+        org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+          org.apache.spark.unsafe.types.UTF8String.fromString(f),
+          org.apache.spark.sql.types.StringType, 42L)
       inventory.iterator.map(xx).toSet.size == inventory.size
+    }
     if (exactSafe) {
       val right = sized(dv.select(xxhash64(col("file")).as("__dv_fh"),
         col("row_index").as("__dv_ri")))
@@ -887,7 +921,7 @@ object Snapshot {
                          bloomCols: Seq[String] = Nil): Unit = {
     import org.apache.spark.sql.functions._
     spark.read.parquet(s"$root/v=$v")
-      .groupBy(input_file_name().as("file"))
+      .groupBy(canonMetaPath(input_file_name()).as("file"))
       .agg(statsAggs(spark, statsCols, bloomCols).head,
         statsAggs(spark, statsCols, bloomCols).tail: _*)
       .coalesce(1)
@@ -1393,20 +1427,36 @@ object Snapshot {
           .filter(coalesce(cond, lit(false)))
           .select(col("__mor_file").as("file"),
             col("__mor_idx").as("row_index"))
+        // persisted: the count below and the sidecar write would
+        // otherwise each re-run the corpus-sized predicate scan
         val merged = dvOf(spark, root, base)
-          .map(_.unionByName(fresh)).getOrElse(fresh).distinct()
-        // schema anchor (the claim/observedMax protocol needs the
-        // dir); all data rides by reference
-        toPhysical(readResolved(spark, root, base), cmap).limit(0)
-          .write.mode("overwrite").parquet(s"$root/v=$next")
-        val carried = fileInventory(spark, root, base).map(_._1)
-        writeManifestAndStats(spark, root, next, base, carried)
-        // the carry above wrote the base's sidecar verbatim (all files
-        // carried); replace it with base ∪ fresh. `merged` reads only
-        // v=base inputs, so the overwrite is safe to evaluate here.
-        merged.coalesce(1).write.mode("overwrite")
-          .parquet(s"$root/$DvDir/v=$next")
-        if (pointerAdvance(spark, root, next)) return next
+          .map(_.unionByName(fresh)).getOrElse(fresh).distinct().persist()
+        try {
+          val nTomb = merged.count()
+          // schema anchor (the claim/observedMax protocol needs the
+          // dir); all data rides by reference
+          toPhysical(readResolved(spark, root, base), cmap).limit(0)
+            .write.mode("overwrite").parquet(s"$root/v=$next")
+          val carried = fileInventory(spark, root, base).map(_._1)
+          writeManifestAndStats(spark, root, next, base, carried)
+          // the carry above wrote the base's sidecar verbatim (all files
+          // carried); replace it with base ∪ fresh. A predicate matching
+          // zero rows on a DV-less base writes NO sidecar at all — an
+          // empty one would tax every subsequent read with the anti-join
+          // plus the per-plan inventory-hash check for no semantic
+          // effect. Width tracks tombstone volume ([[DvRowsPerSidecarFile]])
+          // so a scattered 10^9-row erasure never funnels through one
+          // writer task.
+          if (nTomb > 0) {
+            val cap = spark.conf.get("spark.sql.shuffle.partitions").toInt
+            val width = math.min(cap.toLong, (nTomb + DvRowsPerSidecarFile
+              - 1) / DvRowsPerSidecarFile).toInt
+            merged.coalesce(width).write.mode("overwrite")
+              .parquet(s"$root/$DvDir/v=$next")
+          }
+          if (pointerAdvance(spark, root, next))
+            return maybePurgeOversizedDv(spark, root, next)
+        } finally merged.unpersist()
       } else {
         if (awaitAdvance(spark, root, base)) attempt -= 1
       }
@@ -1414,6 +1464,40 @@ object Snapshot {
     }
     throw new IllegalStateException(
       s"deleteWhereMor on $root did not win a claim in $maxRetries attempts")
+  }
+
+  /** The README's COW-vs-MOR operational rule, self-executing: once a
+    * just-committed sidecar exceeds the [[DvBroadcastBytes]] bound
+    * (overridable via `graft.snapshot.dvAutoPurgeBytes`), every read
+    * of the version pays a SHUFFLED anti-join instead of a broadcast —
+    * from that point the one-time [[purgeDv]] rewrite is strictly
+    * cheaper than the standing read tax, so it runs here unless the
+    * operator opts out (`graft.snapshot.dvAutoPurge=false`, which
+    * downgrades to a logged recommendation). Called after the pointer
+    * advance, so the MOR commit itself stays O(matched rows) and the
+    * purge is an ordinary follow-on maintenance commit. */
+  private def maybePurgeOversizedDv(spark: SparkSession, root: String,
+                                    v: Long): Long = {
+    val p = new org.apache.hadoop.fs.Path(root, s"$DvDir/v=$v")
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) return v
+    val bytes = fs.getContentSummary(p).getLength
+    val bound = spark.conf.getOption("graft.snapshot.dvAutoPurgeBytes")
+      .map(_.toLong).getOrElse(DvBroadcastBytes)
+    if (bytes <= bound) return v
+    val auto = spark.conf.getOption("graft.snapshot.dvAutoPurge")
+      .forall(_.toBoolean)
+    if (auto) {
+      System.err.println(s"graft: DV sidecar on $root v=$v is $bytes B " +
+        s"(> $bound B broadcast bound) — auto-purging (set " +
+        "graft.snapshot.dvAutoPurge=false to defer)")
+      purgeDv(spark, root)
+    } else {
+      System.err.println(s"graft: DV sidecar on $root v=$v is $bytes B " +
+        s"(> $bound B broadcast bound) — reads now pay a shuffled " +
+        "anti-join; run Snapshot.purgeDv to clear it")
+      v
+    }
   }
 
   /** PURGE the deletion-vector sidecar — Delta's `REORG TABLE … APPLY
@@ -1444,8 +1528,12 @@ object Snapshot {
         val touched = dvOf(spark, root, base).get
           .select("file").distinct().collect().map(_.getString(0)).toSeq
         val inv = fileInventory(spark, root, base)
-        val untouched = inv.map(_._1).diff(touched)
-        val touchedBytes = inv.filter(f => touched.contains(f._1))
+        // Set membership, not Seq.contains: a fully scattered delete on
+        // a 100k-file table would otherwise run ~10^10 driver-side
+        // string compares here (O(files × touched))
+        val touchedSet = touched.toSet
+        val untouched = inv.map(_._1).filterNot(touchedSet.contains)
+        val touchedBytes = inv.filter(f => touchedSet.contains(f._1))
           .map(_._2).sum
         // target-file-size width, FLOORED at the touched-file count:
         // bytes alone under-width hyper-compressed tables (the soak
@@ -1887,7 +1975,7 @@ object Snapshot {
       val fresh =
         if (newFiles.isEmpty) carried.limit(0)
         else spark.read.parquet(newFiles: _*)
-          .groupBy(input_file_name().as("file"))
+          .groupBy(canonMetaPath(input_file_name()).as("file"))
           .agg(aggs.head, aggs.tail: _*)
       carried.unionByName(fresh).coalesce(1)
         .write.mode("overwrite").parquet(s"$root/$StatsDir/v=$next")
@@ -1898,9 +1986,30 @@ object Snapshot {
     // gone from the fresh bytes). Written only when rows survive — a
     // DV-less version costs its readers nothing.
     dvOf(spark, root, base).foreach { dv =>
-      val kept = dv.filter(col("file").isin(carriedFiles: _*))
-      if (kept.limit(1).count() > 0)
-        kept.coalesce(1).write.mode("overwrite")
+      // Loud invariant, not a silent filter: every sidecar file string
+      // must byte-match a base-inventory string, or the carry below
+      // would silently DROP tombstones and MOR-deleted rows would
+      // resurrect on the next commit (the GDPR-erasure shape this
+      // feature exists for). The sidecar strings come from
+      // `_metadata.file_path` via canonMetaPath, the inventory from
+      // `Path.toString` via canonFile — a table root whose URI-encoding
+      // differs between the two (spaces, percent, non-ASCII) is exactly
+      // the mismatch this catches. Driver-side O(files): the sidecar's
+      // distinct-file set is metadata-sized by contract.
+      val dvFiles = dv.select("file").distinct()
+        .collect().map(_.getString(0))
+      val baseInv = fileInventory(spark, root, base).map(_._1).toSet
+      val orphans = dvFiles.filterNot(baseInv.contains)
+      require(orphans.isEmpty,
+        s"DV carry on $root v=$base→$next would silently drop tombstones " +
+          s"for ${orphans.length} file(s) absent from the base inventory " +
+          s"(byte-wise path mismatch — canonMetaPath vs canonFile " +
+          s"canonicalization); first orphan: ${orphans.head}")
+      val carriedSet = carriedFiles.toSet
+      val keptFiles = dvFiles.filter(carriedSet.contains)
+      if (keptFiles.nonEmpty)
+        dv.filter(col("file").isin(keptFiles.toSeq: _*))
+          .coalesce(1).write.mode("overwrite")
           .parquet(s"$root/$DvDir/v=$next")
     }
   }

@@ -262,14 +262,25 @@ object Streaming {
     * wants: state-store noise belongs in RocksDB's own LOG file, not
     * the driver log. Local mode shares one JVM so this covers the
     * executors; a real cluster sets the same level in the executors'
-    * log4j2 config. No-op (defaults kept) if the slf4j backend is not
-    * log4j2.
-    */
+    * log4j2 config. If the slf4j backend is NOT log4j2 the pin cannot
+    * apply — that state is the exact SIGSEGV exposure this exists to
+    * close, so it is announced with one stderr line instead of being
+    * swallowed (a silent miss would surface only as a confusing
+    * StreamingSpec failure). Only the expected absent-backend linkage
+    * errors are caught; anything else propagates. */
   private lazy val quietRocksDbNativeLogger: Unit =
     try org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.streaming.state.RocksDB",
       org.apache.logging.log4j.Level.ERROR)
-    catch { case _: Throwable => () }
+    catch {
+      case e @ (_: LinkageError | _: ClassNotFoundException) =>
+        System.err.println(
+          "graft: could not pin RocksDB wrapper log level to ERROR " +
+            s"(non-log4j2 slf4j backend? ${e.getClass.getSimpleName}: " +
+            s"${e.getMessage}); the native RocksDB logger stays at " +
+            "WARN_LEVEL — set it to ERROR in your logging config to " +
+            "avoid LoggerJniCallback traffic on RocksDB background threads")
+    }
 
   private def withStateWidth[T](spark: SparkSession,
                                 derived: Option[Int] = None)(f: => T): T = {

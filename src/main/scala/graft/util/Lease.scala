@@ -188,11 +188,18 @@ object Lease {
   /** A held lease kept live by a daemon thread that refreshes its
     * mtime every `intervalMs` (choose staleMs/6 or tighter — one
     * missed beat must never look like death). `close()` stops the
-    * thread and DELETES the lease file (release). Refresh failures
-    * are swallowed: the holder losing its lease to a breaker is the
-    * protocol working, not an error to crash a build over. */
+    * thread and releases the lease — but only if it is still OURS:
+    * release steals the file to a tombstone, re-verifies the holder
+    * id stamped in the body, and hands back any lease that turns out
+    * to belong to a successor. An unconditional delete here would let
+    * a broken-then-superseded holder kill the NEW holder's live lease
+    * at close time (the same three-party shape [[breakIfStillStale]]
+    * closes on the break side). Refresh failures are swallowed: the
+    * holder losing its lease to a breaker is the protocol working,
+    * not an error to crash a build over. */
   final class Heartbeat private[Lease] (conf: Configuration, lease: Path,
-                                        intervalMs: Long)
+                                        intervalMs: Long,
+                                        holderId: String)
       extends AutoCloseable {
     @volatile private var running = true
     private val t = new Thread(() => {
@@ -208,24 +215,97 @@ object Lease {
     def close(): Unit = {
       running = false
       t.interrupt()
-      try fsOf(conf, lease).delete(lease, false)
+      try releaseIfHeldBy(conf, lease, holderId)
       catch { case _: Exception => () }
     }
   }
 
+  private def holderLine(id: String) = s"graft-lease-holder=$id\n"
+
+  private def readAll(conf: Configuration, p: Path): String =
+    if (isLocal(p))
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p.toUri.getPath)), "UTF-8")
+    else {
+      val in = fsOf(conf, p).open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](8192)
+        var n = in.read(chunk)
+        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        new String(buf.toByteArray, "UTF-8")
+      } finally in.close()
+    }
+
+  /** Identity-checked release: steal the lease to a tombstone (atomic
+    * rename — after which nobody else can touch it), verify the holder
+    * id stamped in its body is OURS, and either discard it (a real
+    * release) or hand it back via a no-overwrite rename (a successor's
+    * lease caught by a holder that was broken and superseded). The
+    * [[breakIfStillStale]] discipline with body identity instead of
+    * mtime identity — mtime can't identify a lease whose whole point
+    * is to have its mtime refreshed. */
+  private def releaseIfHeldBy(conf: Configuration, lease: Path,
+                              holderId: String): Unit = {
+    val fs = fsOf(conf, lease)
+    val tomb = new Path(lease.getParent,
+      s"${lease.getName}.release.${java.util.UUID.randomUUID()}")
+    val stolen =
+      if (isLocal(lease)) {
+        try {
+          java.nio.file.Files.move(
+            java.nio.file.Paths.get(lease.toUri.getPath),
+            java.nio.file.Paths.get(tomb.toUri.getPath),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          true
+        } catch { case _: java.nio.file.NoSuchFileException => false }
+      } else {
+        try {
+          FileContext.getFileContext(lease.toUri, conf)
+            .rename(lease, tomb, Options.Rename.NONE)
+          true
+        } catch { case _: java.io.FileNotFoundException => false }
+      }
+    if (!stolen) return // already broken/released; nothing to do
+    val mine =
+      try readAll(conf, tomb).startsWith(holderLine(holderId))
+      catch { case _: Exception => false }
+    if (mine) { fs.delete(tomb, false); return } // released
+    // a successor's lease: give it back without clobbering any even
+    // newer one (same hand-back as breakIfStillStale)
+    try {
+      if (isLocal(lease))
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(tomb.toUri.getPath),
+          java.nio.file.Paths.get(lease.toUri.getPath))
+      else
+        FileContext.getFileContext(lease.toUri, conf)
+          .rename(tomb, lease, Options.Rename.NONE)
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException |
+           _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        fs.delete(tomb, false)
+    }
+  }
+
   /** Create the lease file (overwriting any stale residue the caller
-    * already adjudicated) and keep it live until `close()`. */
+    * already adjudicated) and keep it live until `close()`. The body
+    * is stamped with a unique holder id so `close()` can prove the
+    * lease is still this holder's before deleting it ([[refresh]]
+    * bumps only mtime, so the stamp survives every heartbeat). */
   def heartbeat(conf: Configuration, lease: Path, intervalMs: Long,
                 body: String = ""): Heartbeat = {
+    val holderId = java.util.UUID.randomUUID().toString
+    val stamped = holderLine(holderId) + body
     if (isLocal(lease))
       java.nio.file.Files.write(
         java.nio.file.Paths.get(lease.toUri.getPath),
-        body.getBytes("UTF-8"))
+        stamped.getBytes("UTF-8"))
     else {
       val out = fsOf(conf, lease).create(lease, true)
-      try out.write(body.getBytes("UTF-8")) finally out.close()
+      try out.write(stamped.getBytes("UTF-8")) finally out.close()
     }
-    new Heartbeat(conf, lease, intervalMs)
+    new Heartbeat(conf, lease, intervalMs, holderId)
   }
 
   /** Progress-based liveness for optimistic-concurrency retry loops:

@@ -78,6 +78,29 @@ class LeaseSpec extends SparkSuite {
     assert(!Files.exists(nio), "close must release (delete) the lease")
   }
 
+  test("a broken-then-superseded holder's close leaves the successor's lease intact") {
+    val (nio, lock) = tmpLock()
+    // holder A claims and heartbeats slowly enough for us to simulate a break
+    val a = Lease.heartbeat(conf, lock, intervalMs = 60000)
+    try {
+      // a breaker adjudicates A dead (in reality: A's JVM paused past the
+      // stale window) and steals the lease; successor B claims it
+      Files.delete(nio)
+      val b = Lease.heartbeat(conf, lock, intervalMs = 60000)
+      try {
+        val bBody = new String(Files.readAllBytes(nio), "UTF-8")
+        // A comes back and closes — the unconditional-delete bug would kill
+        // B's live lease here, opening B's build to a spurious reclaim
+        a.close()
+        assert(Files.exists(nio),
+          "a superseded holder's close must not delete the successor's lease")
+        assert(new String(Files.readAllBytes(nio), "UTF-8") == bBody,
+          "the successor's lease body must be untouched by the laggard close")
+      } finally b.close()
+      assert(!Files.exists(nio), "the successor's own close still releases")
+    } finally a.close() // idempotent: nothing of A's remains to release
+  }
+
   test("awaitProgress: free retry on live competition, budget burn on a dead world") {
     @volatile var v = 0L
     val mover = new Thread(() => { Thread.sleep(150); v = 1L })

@@ -61,18 +61,34 @@ object ScaleFixtures {
     def read(name: String): DataFrame =
       spark.read.parquet(s"$src/$name.parquet")
 
+    // THE single source of truth for which key columns shift, consumed
+    // by BOTH the stride derivation and the replicate calls below — a
+    // column added to one list but not the other would silently
+    // reintroduce the replica-key collision the stride fix closed
+    // (+84% probe inflation class, BENCH_NOTES r11)
+    val shiftCols: Seq[(String, Seq[String])] = Seq(
+      "customer" -> Seq("c_custkey"),
+      "supplier" -> Seq("s_suppkey"),
+      "part" -> Seq("p_partkey"),
+      "orders" -> Seq("o_orderkey", "o_custkey"),
+      "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+      "events" -> Seq("event_id", "user_id"),
+      "documents" -> Seq("doc_id"),
+      "embeddings" -> Seq("vec_id"))
+    def shiftsOf(t: String): Seq[String] =
+      shiftCols.find(_._1 == t).get._2
+
     // One GLOBAL stride for every shifted key column (FK consistency:
     // orders.o_custkey must move exactly with customer.c_custkey), a
     // metadata-cheap max over the key columns of the source
-    val keyCols: Seq[(String, String)] = Seq(
-      "customer" -> "c_custkey", "supplier" -> "s_suppkey",
-      "part" -> "p_partkey", "orders" -> "o_orderkey",
-      "orders" -> "o_custkey", "lineitem" -> "l_orderkey",
-      "lineitem" -> "l_partkey", "lineitem" -> "l_suppkey",
-      "events" -> "event_id", "events" -> "user_id",
-      "documents" -> "doc_id", "embeddings" -> "vec_id")
-    val maxKey = keyCols.map { case (t, c) =>
-      read(t).agg(max(col(c))).first().getLong(0)
+    val maxKey = shiftCols.flatMap { case (t, cols) =>
+      val row = read(t).select(
+        cols.map(c => max(col(c)).cast("long").as(c)): _*).first()
+      cols.zipWithIndex.map { case (c, i) =>
+        require(!row.isNullAt(i),
+          s"$t.$c has a null/empty max — cannot derive a stride from it")
+        row.getLong(i)
+      }
     }.max
     while (Stride <= maxKey) Stride *= 10L
     println(s"[scale] key stride $Stride (source max key $maxKey)")
@@ -118,14 +134,9 @@ object ScaleFixtures {
 
     write(read("region"), "region")
     write(read("nation"), "nation")
-    write(replicate(read("customer"), Seq("c_custkey")), "customer")
-    write(replicate(read("supplier"), Seq("s_suppkey")), "supplier")
-    write(replicate(read("part"), Seq("p_partkey")), "part")
-    write(replicate(read("orders"), Seq("o_orderkey", "o_custkey")),
-      "orders")
-    write(replicate(read("lineitem"),
-      Seq("l_orderkey", "l_partkey", "l_suppkey")), "lineitem")
-    write(replicate(read("events"), Seq("event_id", "user_id")), "events")
+    for ((t, cols) <- shiftCols
+         if t != "documents" && t != "embeddings") // derived below
+      write(replicate(read(t), cols), t)
 
     // documents: rotated-vocabulary replicas. The fixture vocabulary is
     // closed and tiny (31 tokens at sf0.1), so collecting it is a
@@ -143,7 +154,7 @@ object ScaleFixtures {
     }: _*)
     val varr = array(vocab.map(lit): _*)
     val v = vocab.length
-    val docs = replicate(read("documents"), Seq("doc_id"))
+    val docs = replicate(read("documents"), shiftsOf("documents"))
       .withColumn("__rep",
         ((col("doc_id") / Stride).cast("long")) % lit(Stride))
       .withColumn("text",
@@ -159,7 +170,7 @@ object ScaleFixtures {
     // embeddings: left-rotate the vector by replica positions
     val dim = read("embeddings").select(size(col("embedding")))
       .first().getInt(0)
-    val emb = replicate(read("embeddings"), Seq("vec_id"))
+    val emb = replicate(read("embeddings"), shiftsOf("embeddings"))
       .withColumn("__rep",
         (((col("vec_id") / Stride).cast("long")) % lit(Stride))
           .cast("int") % dim)

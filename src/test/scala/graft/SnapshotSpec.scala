@@ -1233,6 +1233,68 @@ class SnapshotSpec extends SparkSuite {
     assert(feed == (0L until 50L by 10L).map(_ -> "delete").toSet, feed)
   }
 
+  test("a zero-match MOR delete on a DV-less table writes NO sidecar (no read tax)") {
+    import spark.implicits._
+    val root = freshTable()
+    Snapshot.commit(spark.range(0, 50)
+      .select(col("id").as("k"), col("id").as("v")), root)
+    val v2 = Snapshot.deleteWhereMor(spark, root, col("k") < 0)
+    assert(v2 == 2L)
+    assert(!new java.io.File(root, s"_dv/v=$v2").exists(),
+      "an empty tombstone set must not write a sidecar — every read " +
+        "would pay the anti-join plus the inventory-hash check for nothing")
+    assert(Snapshot.readCurrent(spark, root).count() == 50L)
+  }
+
+  test("MOR tombstones survive a carry through a table root containing a space") {
+    import spark.implicits._
+    // the URL-encoding trap: `_metadata.file_path` and Path.toString may
+    // disagree on how a space in the root is spelled; a byte-wise
+    // mismatch would silently drop every tombstone at carry time and
+    // resurrect the deleted rows. The carry now asserts membership
+    // loudly; this pins the whole path end-to-end.
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap spaced_")
+    val root = dir.resolve("tbl with space").toString
+    Snapshot.commit(spark.range(0, 60)
+      .select(col("id").as("k"), col("id").as("v")), root)
+    Snapshot.deleteWhereMor(spark, root, col("k") % 10 === 0)
+    assert(Snapshot.readCurrent(spark, root).count() == 54L)
+    // append → writeManifestAndStats carry (the drop site)
+    Snapshot.appendCommit(Seq((1000L, 1L)).toDF("k", "v"), root)
+    val got = Snapshot.readCurrent(spark, root)
+      .collect().map(_.getLong(0)).toSet
+    assert(!got.exists(k => k < 60 && k % 10 == 0),
+      s"carried tombstones were dropped through the spaced root: $got")
+    assert(got.size == 55)
+  }
+
+  test("an oversized sidecar auto-purges at commit (README's COW-vs-MOR rule, self-executing)") {
+    import spark.implicits._
+    val root = freshTable()
+    val df = spark.range(0, 400).select(col("id").as("k"),
+        (col("id") % 5).as("v"))
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+    Snapshot.commitWithStats(df, root, Seq("k"))
+    spark.conf.set("graft.snapshot.dvAutoPurgeBytes", "1")
+    try {
+      // opted out: the delete commits MOR-style and the sidecar stays
+      spark.conf.set("graft.snapshot.dvAutoPurge", "false")
+      val v2 = Snapshot.deleteWhereMor(spark, root, col("k") < 20)
+      assert(v2 == 2L && new java.io.File(root, "_dv/v=2").exists(),
+        "opt-out must leave the sidecar in place (logged recommendation only)")
+      // default: the follow-on purge runs and clears it
+      spark.conf.unset("graft.snapshot.dvAutoPurge")
+      val v = Snapshot.deleteWhereMor(spark, root, col("k") >= 20 && col("k") < 40)
+      assert(v == 4L, s"expected the returned version to be the purge's (v=4), got $v")
+      assert(!new java.io.File(root, s"_dv/v=$v").exists(),
+        "auto-purge must clear the sidecar")
+      assert(Snapshot.readCurrent(spark, root).count() == 360L)
+    } finally {
+      spark.conf.unset("graft.snapshot.dvAutoPurgeBytes")
+      spark.conf.unset("graft.snapshot.dvAutoPurge")
+    }
+  }
+
   test("MOR sidecars ride shallow clones and follow vacuum retention") {
     import spark.implicits._
     val root = freshTable()

@@ -104,7 +104,53 @@ object Bench {
       probeSamples ++= ts
       ts(1) // median
     }
+
+    // I/O probe (VERDICT r11 #3): the CPU probe is blind to disk
+    // degradation — the r11 93%-full-disk incident left every
+    // CPU-probe-normalized column reading "healthy" while every
+    // I/O-bound query drowned. A fixed-shape 32 MB write+fsync+read
+    // (incompressible bytes, same tmp filesystem the bench venues live
+    // on) timed at start/end (median of 3) and through the timeline
+    // lets the artifact itself adjudicate I/O-family inflation: a slow
+    // write-path query against a flat probe_io timeline is the code, a
+    // spiking one is the box/disk.
+    val ioProbeDir = graft.util.Scratch.dir("graft_bench_ioprobe_")
+    val ioProbeChunk = {
+      val b = new Array[Byte](4 << 20)
+      new java.util.Random(42).nextBytes(b)
+      b
+    }
+    def probeIoOnce(): Double = {
+      import java.nio.file.{Files, Paths, StandardOpenOption => O}
+      val f = Paths.get(ioProbeDir, s"probe_${System.nanoTime()}.bin")
+      val t0 = System.nanoTime()
+      val ch = java.nio.channels.FileChannel.open(f,
+        O.CREATE, O.WRITE, O.TRUNCATE_EXISTING)
+      try {
+        var i = 0
+        while (i < 8) { // 8 × 4 MB = 32 MB
+          ch.write(java.nio.ByteBuffer.wrap(ioProbeChunk)); i += 1
+        }
+        ch.force(true)
+      } finally ch.close()
+      val in = java.nio.channels.FileChannel.open(f, O.READ)
+      try {
+        val buf = java.nio.ByteBuffer.allocate(4 << 20)
+        var n = in.read(buf)
+        while (n >= 0) { buf.clear(); n = in.read(buf) }
+      } finally in.close()
+      val t = (System.nanoTime() - t0) / 1e9
+      Files.deleteIfExists(f)
+      t
+    }
+    var probeIoSamples = Vector.empty[Double]
+    def probeIoSec(): Double = {
+      val ts = (1 to 3).map(_ => probeIoOnce()).sorted
+      probeIoSamples ++= ts
+      ts(1)
+    }
     val probeStart = probeSec()
+    val probeIoStart = probeIoSec()
 
     // Mid-run probe TIMELINE: endpoint probes proved insufficient — the
     // round-7 sf1 triplicate (287/397/588 s, identical code+fixture) had
@@ -114,7 +160,7 @@ object Bench {
     // the timeline next to a slow query attributes the slowdown to the
     // box, a flat timeline pins it on the code.
     val probeEvery = 15
-    var probeTimeline = Vector.empty[(String, Double, Long)]
+    var probeTimeline = Vector.empty[(String, Double, Long, Double)]
 
     // Per-query timing with explicit failure capture: a query that throws
     // is reported in `errors` (and its time covers only the failed run) —
@@ -135,12 +181,31 @@ object Bench {
     val selected =
       if (only.isEmpty) SparkEntry.queries else SparkEntry.queries.filter(kv => only(kv._1))
     var queryIo = Vector.empty[(String, (Long, Long, Long, Long))]
+    // Shared-infra accounting (VERDICT r11 #4): one-time session-memo /
+    // staged-index builds land inside whichever query touches the key
+    // first — three rounds of venue lines (x20b, x13a) needed manual
+    // solo adjudication because of it. The SessionMemo build ledger is
+    // drained per query: builds ≥ 50 ms become explicit `memo_builds`
+    // artifact entries charged to their own line, and the query column
+    // reports OPERATOR cost (wall minus its drained builds). Raw wall =
+    // queries[q] + queries_memo_sec[q]; total stays the raw sum, so
+    // total ≈ Σqueries + Σmemo_builds.
+    val memoMin = 0.05
+    var memoBuilds = Vector.empty[(String, Double, String)] // key, sec, during
+    graft.util.SessionMemo.drainBuildLog() // discard warm-up prelude
     val results = selected.toSeq.sortBy(_._1).zipWithIndex.map {
       case ((name, fn), i) =>
         if (i > 0 && i % probeEvery == 0) {
           val (ps, pg) = probeOnce()
           probeSamples :+= ps
-          probeTimeline :+= ((name, ps, pg))
+          // the io leg is ~2 s under the run's own write self-load, so
+          // it samples every OTHER probe point (still 6+ mid-run points
+          // at 183 queries) — endpoints carry the box-health baseline
+          val pio =
+            if ((i / probeEvery) % 2 == 0) {
+              val v = probeIoOnce(); probeIoSamples :+= v; v
+            } else -1.0 // absent marker (dropped from the JSON)
+          probeTimeline :+= ((name, ps, pg, pio))
         }
         val before = ioSnapshot()
         val gcBefore = gcMs()
@@ -162,7 +227,11 @@ object Bench {
         val after = ioSnapshot()
         queryIo :+= ((name, (after._1 - before._1, after._2 - before._2,
           after._3 - before._3, gcMs() - gcBefore)))
-        name -> t
+        val built = graft.util.SessionMemo.drainBuildLog()
+          .filter(_._2 >= memoMin)
+        memoBuilds ++= built.map { case (k, s) => (k, s, name) }
+        val memoSec = built.map(_._2).sum
+        (name, t, memoSec)
     }
 
     // Reference A/B: cold create vs warm reuse of the partition cache
@@ -195,6 +264,7 @@ object Bench {
       operators.PartitionCache.calcAvg(spark, sfDir, o12Dir, k)))
 
     val probeEnd = probeSec()
+    val probeIoEnd = probeIoSec()
     // Per-query probe-normalized column: seconds divided by the MEDIAN
     // of every probe sample taken through the run (3 start + timeline
     // singles + 3 end) — "how many probe-units did this query cost",
@@ -208,18 +278,33 @@ object Bench {
     val probeMedian =
       if (sortedSamples.isEmpty) 0.0
       else sortedSamples(sortedSamples.size / 2)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val sortedIo = probeIoSamples.sorted
+    val probeIoMedian =
+      if (sortedIo.isEmpty) 0.0 else sortedIo(sortedIo.size / 2)
+    // operator-only per-query seconds (wall minus the query's drained
+    // memo builds, floored at 0 against clock noise)
+    val opSec = results.map { case (k, t, m) => k -> math.max(0.0, t - m) }
+    val qs = opSec.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val qsNorm = results.map { case (k, v) =>
+    val qsNorm = opSec.map { case (k, v) =>
       "\"" + k + "\":" + (if (probeMedian > 0) v / probeMedian else v) }
       .mkString("{", ",", "}")
-    val errJson = errors.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\"" }
+    def jstr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val memoJson = memoBuilds.map { case (key, s, during) =>
+      jstr(key) + ":{\"sec\":" + s + ",\"during\":" + jstr(during) + "}" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val qMemoJson = results.filter(_._3 > 0)
+      .map { case (k, _, m) => "\"" + k + "\":" + m }
+      .mkString("{", ",", "}")
+    val errJson = errors.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + jstr(v) }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum // raw walls: Σqueries + Σmemo_builds
     val timelineJson = probeTimeline
-      .map { case (before, s, g) =>
-        "{\"before\":\"" + before + "\",\"sec\":" + s + ",\"gc_ms\":" + g + "}" }
+      .map { case (before, s, g, pio) =>
+        "{\"before\":\"" + before + "\",\"sec\":" + s + ",\"gc_ms\":" + g +
+          (if (pio >= 0) ",\"io_sec\":" + pio else "") + "}" }
       .mkString("[", ",", "]")
     def mb(b: Long): String =
       String.format(java.util.Locale.ROOT, "%.1f", Double.box(b / 1e6))
@@ -228,7 +313,7 @@ object Bench {
         ",\"shuffle_write_mb\":" + mb(w) + ",\"spill_mb\":" + mb(s) +
         ",\"gc_ms\":" + g + "}"
     }.mkString("{", ",", "}")
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_probe_norm":$qsNorm,"queries_io":$ioJson,"probe_start_sec":$probeStart,"probe_end_sec":$probeEnd,"probe_median_sec":$probeMedian,"probe_timeline":$timelineJson,"errors":$errJson,"cache_create_sec":$tCreate,"cache_reuse_sec":$tReuse,"o12_venue_create_sec":$tO12Create,"o12_reuse_read_sec":$tO12Reuse,"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_probe_norm":$qsNorm,"queries_memo_sec":$qMemoJson,"memo_builds":$memoJson,"queries_io":$ioJson,"probe_start_sec":$probeStart,"probe_end_sec":$probeEnd,"probe_median_sec":$probeMedian,"probe_io_start_sec":$probeIoStart,"probe_io_end_sec":$probeIoEnd,"probe_io_median_sec":$probeIoMedian,"probe_timeline":$timelineJson,"errors":$errJson,"cache_create_sec":$tCreate,"cache_reuse_sec":$tReuse,"o12_venue_create_sec":$tO12Create,"o12_reuse_read_sec":$tO12Reuse,"sf":"$sfDir"}"""
     println(fullLine)
     // The full line above exceeds the harness's 2 KiB output-tail capture
     // (74 queries x ~26 chars), so it can never be parsed whole from the
@@ -250,14 +335,15 @@ object Bench {
     // locale would emit invalid JSON
     def r2(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    val slowest = results.sortBy(-_._2).take(12)
+    val slowest = opSec.sortBy(-_._2).take(12)
       .map { case (k, v) => "\"" + k + "\":" + r2(v) }.mkString("{", ",", "}")
+    val memoTotal = memoBuilds.map(_._2).sum
     // total_probe_norm: the box-speed-free headline (seconds ÷ median
     // probe) — the number to diff round-over-round without archaeology
     // (VERDICT r10 #7); tools/bench_diff.py compares two artifacts on
     // the normalized columns directly.
     val totalNorm = if (probeMedian > 0) total / probeMedian else total
-    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$slowest,"n_queries":${results.size},"n_errors":${errors.size},"cache_create_sec":${r2(tCreate)},"cache_reuse_sec":${r2(tReuse)},"o12_venue_create_sec":${r2(tO12Create)},"o12_reuse_read_sec":${r2(tO12Reuse)},"probe_start_sec":${r2(probeStart)},"probe_end_sec":${r2(probeEnd)},"probe_median_sec":${r2(probeMedian)},"total_probe_norm":${r2(totalNorm)},"sf":"$sfDir","detail":"BENCH_FULL.json"}""")
+    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$slowest,"n_queries":${results.size},"n_errors":${errors.size},"memo_build_sec":${r2(memoTotal)},"cache_create_sec":${r2(tCreate)},"cache_reuse_sec":${r2(tReuse)},"o12_venue_create_sec":${r2(tO12Create)},"o12_reuse_read_sec":${r2(tO12Reuse)},"probe_start_sec":${r2(probeStart)},"probe_end_sec":${r2(probeEnd)},"probe_median_sec":${r2(probeMedian)},"probe_io_median_sec":${r2(probeIoMedian)},"total_probe_norm":${r2(totalNorm)},"sf":"$sfDir","detail":"BENCH_FULL.json"}""")
     spark.stop()
   }
 }

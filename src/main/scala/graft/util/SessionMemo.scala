@@ -30,6 +30,43 @@ object SessionMemo {
     new java.util.concurrent.ConcurrentHashMap[SparkSession,
       scala.collection.mutable.Map[String, Any]]()
 
+  // ---- build-cost ledger ------------------------------------------------
+  // Shared-infra accounting for the bench harness (VERDICT r11 #4): a
+  // memo build is ONE-TIME infrastructure whose cost lands inside
+  // whichever query happens to touch the key first — three rounds
+  // running, that run-order dependence inflated a venue line (x20b,
+  // x13a) into a false regression that needed manual solo
+  // adjudication. Every executed build block records (key, seconds)
+  // here; the bench drains the queue per query, charges the seconds to
+  // an explicit `memo_builds` artifact entry, and reports the query
+  // line operator-cost-only. Only TOP-LEVEL builds are logged (a memo
+  // built inside another memo's build block is part of the outer
+  // build's seconds — logging both would double-charge).
+  private val buildLog =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]()
+  private val buildDepth = new ThreadLocal[Integer] {
+    override def initialValue: Integer = 0
+  }
+
+  private def logged[T](key: String)(build: => T): T = {
+    val d = buildDepth.get(); buildDepth.set(d + 1)
+    val t0 = System.nanoTime()
+    try {
+      val v = build
+      if (d == 0) buildLog.add((key, (System.nanoTime() - t0) / 1e9))
+      v
+    } finally buildDepth.set(d)
+  }
+
+  /** Drain and return the (key, seconds) entries of every top-level
+    * memo build executed since the last drain. */
+  def drainBuildLog(): Seq[(String, Double)] = {
+    val out = scala.collection.mutable.Buffer.empty[(String, Double)]
+    var e = buildLog.poll()
+    while (e != null) { out += e; e = buildLog.poll() }
+    out.toSeq
+  }
+
   private def perSessionMap(spark: SparkSession)
       : scala.collection.mutable.Map[String, Any] = {
     val it = entries.keySet().iterator()
@@ -51,7 +88,8 @@ object SessionMemo {
   def memoized(spark: SparkSession, key: String)
               (build: => DataFrame): DataFrame = {
     val m = perSessionMap(spark)
-    m.synchronized(m.getOrElseUpdate(key, build)).asInstanceOf[DataFrame]
+    m.synchronized(m.getOrElseUpdate(key, logged(key)(build)))
+      .asInstanceOf[DataFrame]
   }
 
   /** Same lifecycle for a small plain VALUE derived from the data (a
@@ -59,6 +97,7 @@ object SessionMemo {
     * per (session, key), then a map lookup. */
   def memoizedValue[T](spark: SparkSession, key: String)(build: => T): T = {
     val m = perSessionMap(spark)
-    m.synchronized(m.getOrElseUpdate(key, build)).asInstanceOf[T]
+    m.synchronized(m.getOrElseUpdate(key, logged(key)(build)))
+      .asInstanceOf[T]
   }
 }

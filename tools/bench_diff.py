@@ -12,6 +12,18 @@ script RE-DERIVES the median-of-all-samples denominator from
 probe_start_sec / probe_end_sec / probe_timeline, so both sides of
 the diff always share a definition (see BENCH_NOTES "Denominator
 change (r10+)").
+
+r12+ artifacts additionally carry:
+  - `probe_io_*_sec` (32 MB write+fsync+read leg): reported alongside
+    the CPU probe so I/O-family inflation is adjudicable from the
+    artifact (a slow write-path query against a flat io-probe is code,
+    against a spiking one is the disk).
+  - `memo_builds` / `queries_memo_sec`: one-time shared-infra builds
+    charged to explicit lines; `queries` is operator-cost-only. When
+    diffing an r12+ artifact against an older one, the older side's
+    query walls still INCLUDE first-build memo costs — the comparator
+    adds the new side's memo seconds back onto its query lines so the
+    comparison stays wall-vs-wall.
 """
 import json
 import statistics
@@ -39,8 +51,31 @@ def denom(d):
     return statistics.median(samples) if samples else None
 
 
-def norm_queries(d):
-    q = d.get("queries", {})
+def io_denom(d):
+    """Median of I/O-probe samples (r12+), or None."""
+    if d.get("probe_io_median_sec"):
+        return d["probe_io_median_sec"]
+    samples = [d[k] for k in ("probe_io_start_sec", "probe_io_end_sec")
+               if d.get(k)]
+    samples += [t["io_sec"] for t in d.get("probe_timeline", [])
+                if isinstance(t, dict) and t.get("io_sec")]
+    return statistics.median(samples) if samples else None
+
+
+def walls(d, add_memo):
+    """Per-query WALL seconds. r12+ `queries` is operator-only; when
+    comparing against a pre-r12 artifact (whose walls include memo
+    builds) the memo seconds are added back for a wall-vs-wall diff."""
+    q = dict(d.get("queries", {}))
+    if add_memo:
+        for k, m in d.get("queries_memo_sec", {}).items():
+            if k in q:
+                q[k] += m
+    return q
+
+
+def norm_queries(d, add_memo=False):
+    q = walls(d, add_memo)
     dn = denom(d)
     if dn:
         return {k: v / dn for k, v in q.items()}, dn
@@ -59,12 +94,29 @@ def main():
     if len(args) != 2:
         sys.exit(__doc__)
     old, new = load(args[0]), load(args[1])
-    qo, do = norm_queries(old)
-    qn, dn = norm_queries(new)
+    # memo-aware wall reconstruction: only when exactly one side carries
+    # the r12+ operator-only split does the split side need its memo
+    # seconds added back; two r12+ artifacts compare operator-only.
+    o_has, n_has = "queries_memo_sec" in old, "queries_memo_sec" in new
+    qo, do = norm_queries(old, add_memo=o_has and not n_has)
+    qn, dn = norm_queries(new, add_memo=n_has and not o_has)
     print(f"old: {args[0]}  denom={do if do else 'NONE (raw s)'}  "
           f"n={len(qo)}  total={sum(old.get('queries', {}).values()):.1f}s")
     print(f"new: {args[1]}  denom={dn if dn else 'NONE (raw s)'}  "
           f"n={len(qn)}  total={sum(new.get('queries', {}).values()):.1f}s")
+    io_o, io_n = io_denom(old), io_denom(new)
+    if io_o or io_n:
+        print(f"io probe (32MB write+fsync+read): "
+              f"{io_o if io_o else 'n/a'} -> {io_n if io_n else 'n/a'} s")
+    for side, d in (("old", old), ("new", new)):
+        mb = d.get("memo_builds", {})
+        if mb:
+            tot = sum(v.get("sec", 0) for v in mb.values())
+            tops = sorted(mb.items(), key=lambda kv: -kv[1].get("sec", 0))[:5]
+            print(f"{side} memo_builds: {len(mb)} entries, {tot:.1f}s total; "
+                  "top: " + ", ".join(
+                      f"{k.split('|')[0]}={v['sec']:.1f}s@{v.get('during','?')}"
+                      for k, v in tops))
     to, tn = sum(qo.values()), sum(qn.values())
     unit = "probe-units" if (do and dn) else "MIXED/RAW — do not compare"
     print(f"normalized totals ({unit}): {to:.1f} -> {tn:.1f} "

@@ -1233,7 +1233,28 @@ object Snapshot {
             else readResolved(spark, root, base).limit(0)
           val merged =
             changes.unionByName(survivors, allowMissingColumns = true)
-          toPhysical(merged, cmap).write.mode("overwrite")
+          // Output width from the REWRITE mass (touched-file bytes,
+          // floored at the touched-file count — one reader ≈ one
+          // writer), never from the union's inherited partitioning: a
+          // CDC batch filtered out of a wide corpus scan carries the
+          // scan's near-empty splits, and writing through them exploded
+          // a 72.6 MB band rewrite into 210 ~350 KB files (measured,
+          // sf100 one-hop MergeSoak). Insert-only merges (no touched
+          // files) size from the batch's plan estimate instead — an
+          // in-memory over-estimate, so it only widens, clamped at cap.
+          val cap = spark.sessionState.conf.numShufflePartitions
+          val width =
+            if (touched.nonEmpty) {
+              val inv = fileInventory(spark, root, base).toMap
+              math.max(
+                compactWidthFor(touched.map(inv.getOrElse(_, 0L)).sum, cap),
+                math.min(touched.size, cap))
+            } else {
+              val est = merged.queryExecution.optimizedPlan.stats.sizeInBytes
+              compactWidthFor(
+                if (est.isValidLong) est.toLong else Long.MaxValue, cap)
+            }
+          toPhysical(merged, cmap).coalesce(width).write.mode("overwrite")
             .parquet(s"$root/v=${base + 1}")
           // manifest carries untouched files by reference; stats carry
           // verbatim for them and re-derive over the fresh files; the

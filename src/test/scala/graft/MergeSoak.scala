@@ -74,6 +74,22 @@ object MergeSoak {
       (r, (System.nanoTime() - t0) / 1e9)
     }
 
+    // Bench's calibration probe between legs: this box's contention
+    // waves swing walls ~2-6× (the r12 first sf100 run read the pruned
+    // merge at 98 s where the decomposed MergeProbe pegs the same path
+    // at ~18 s) — a leg printed next to an elevated probe is the box,
+    // next to a quiet one is the code.
+    def probe(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 20000000L, 1L, 32)
+        .selectExpr("id % 99991 AS k", "id AS v")
+        .groupBy("k").agg(sum("v"))
+        .selectExpr("count(*)", "sum(k)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def probeLine(tag: String): Unit =
+      println(f"[msoak]   probe@$tag=${probe()}%.2f s")
+
     val base = java.nio.file.Files.createTempDirectory("graft_msoak_")
     val orders = Tables.orders(spark, sfDir)
     val nRows = orders.count()
@@ -114,10 +130,12 @@ object MergeSoak {
 
     // ---- leg A: stats-backed table, file-granular merge ----
     val tA = s"$base/pruned"
+    probeLine("start")
     val (_, commitA) = sec(Snapshot.commitWithStats(laid, tA, Seq("o_orderkey")))
     val changes = changesOf(orders).cache()
     val nChanges = changes.count()
     val (vA, mergeA) = sec(Snapshot.mergeCommit(spark, tA, changes, "o_orderkey"))
+    probeLine("pruned_merge")
     drainJobs("pruned_merge")
     val mf = Snapshot.manifestFiles(spark, tA, vA).get
     val carried = mf.count(!_.contains(s"/v=$vA/"))
@@ -128,11 +146,16 @@ object MergeSoak {
     val tB = s"$base/full"
     val (_, commitB) = sec(Snapshot.commit(laid, tB))
     val (vB, mergeB) = sec(Snapshot.mergeCommit(spark, tB, changes, "o_orderkey"))
+    probeLine("full_merge")
     val bytesB = dirBytes(tB, vB)
 
     // ---- value cross-check: both paths read as the same table ----
+    // key sums in DecimalType: the one-hop sf100 fixture carries keys
+    // up to ~1e12 over 150M rows — a BIGINT sum overflows (~7.5e19)
+    // under Spark 4's default ANSI mode
     def digest(root: String) = Snapshot.readCurrent(spark, root)
-      .agg(count(lit(1)), sum(col("o_orderkey")),
+      .agg(count(lit(1)),
+        sum(col("o_orderkey").cast(DecimalType(38, 0))),
         graft.functions.Exact.dsum(col("o_totalprice")))
       .first()
     val (dA, dB) = (digest(tA), digest(tB))
@@ -156,7 +179,8 @@ object MergeSoak {
     // leg B's table rewrite), the read tax the anti-join adds, and the
     // compact that re-materializes and clears the sidecar.
     def digestTimed() = sec(Snapshot.readCurrent(spark, tA)
-      .agg(count(lit(1)), sum(col("o_orderkey"))).first())
+      .agg(count(lit(1)),
+        sum(col("o_orderkey").cast(DecimalType(38, 0)))).first())
     val (_, readBefore) = digestTimed()
     val (dvV, morSec) = sec(Snapshot.deleteWhereMor(spark, tA,
       col("o_orderkey") % 97 === 0))
@@ -173,6 +197,7 @@ object MergeSoak {
     // scattered tombstones touch every file — purge's worst case
     // (degrades to compact's cost; both the op and the bound measured)
     val (pv, purgeScattered) = sec(Snapshot.purgeDv(spark, tA))
+    probeLine("purge_scattered")
     val (d2, readPurged) = digestTimed()
     require(d1 == d2, s"purge changed the MOR table's digest: $d1 vs $d2")
     assert(!new java.io.File(s"$tA/_dv/v=$pv").exists, "purge left a sidecar")
@@ -191,6 +216,7 @@ object MergeSoak {
     val (ppv, purgeClustered) = sec(Snapshot.purgeDv(spark, tA))
     val pmf = Snapshot.manifestFiles(spark, tA, ppv).get
     val pRewrote = pmf.count(_.contains(s"/v=$ppv/"))
+    probeLine("end")
     println(f"[msoak] mor_band_delete=$morBand%.2f s " +
       f"purge_clustered=$purgeClustered%.2f s " +
       f"rewrote=$pRewrote of ${pmf.length} files")

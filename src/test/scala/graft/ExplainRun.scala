@@ -70,11 +70,17 @@ object ExplainRun {
     val n = df.count()
     val dt = (System.nanoTime() - t0) / 1e9
     val pAfter = probe()
+    // one-time infra builds that ran INSIDE this leg (same ledger the
+    // bench drains per query) — a solo-cold wall that conflates a
+    // staged-index/memo build with the operator decomposes right here
+    val builds = graft.util.SessionMemo.drainBuildLog().filter(_._2 >= 0.05)
+      .map { case (k, s) => f"${k.split('|').head}=$s%.1f" }.mkString(" ")
     println(f"[explain] $qname rows=$n time=$dt%.2f s " +
       f"probes=$pBefore%.2f/$pAfter%.2f " +
       f"shufr=${ioR.get / 1e6}%.0fMB shufw=${ioW.get / 1e6}%.0fMB " +
       f"spill=${ioS.get / 1e6}%.0fMB cpu=${cpuNs.get / 1e9}%.0fs " +
-      f"run=${runNs.get / 1e9}%.0fs")
+      f"run=${runNs.get / 1e9}%.0fs" +
+      (if (builds.nonEmpty) s" memo_builds: $builds" else ""))
     // AFTER the action: the adaptive plan is final
     println(df.queryExecution.executedPlan.toString.take(12000))
     spark.stop()

@@ -327,6 +327,10 @@ object SparkEntry {
     "x23_batch_sessions"   -> ((s, d) => Relational.batchSessions(s, d)),
     // incremental session refresh: must equal the full recompute
     "x23b_incr_sessions"   -> ((s, d) => Relational.sessionsIncremental(s, d)),
+    // snapshot-MAINTAINED session table: CDC batch merge-commits only
+    // touched users' rows (file-granular through user_id stats); the
+    // table read must equal the full recompute
+    "x23c_session_table"   -> ((s, d) => Relational.sessionsMaintained(s, d)),
     // mergeable per-day HLL sketches; rows-only (no DuckDB HLL) —
     // error bound + merge consistency are spec-pinned
     "x24_sketch_rollup"    -> (Relational.sketchRollup(_, _)),
@@ -1265,6 +1269,8 @@ object SparkEntry {
     // the incremental session refresh must be indistinguishable from
     // the full recompute — same oracle text (that equality IS the test)
     "x23b_incr_sessions" -> sessionsOracleSql,
+    // ...and so must the snapshot-maintained session table's read
+    "x23c_session_table" -> sessionsOracleSql,
     "x16_asof_join" ->
       """WITH ev AS (SELECT event_id, user_id, event_type, ts FROM events
         |            WHERE event_type IN ('click', 'purchase')),

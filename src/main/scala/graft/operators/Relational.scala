@@ -784,6 +784,63 @@ object Relational {
         max(unix_micros(col("ts"))).as("end_us"))
   }
 
+  /** X23c: snapshot-MAINTAINED session table — [[sessionsIncremental]]
+    * taken to its 100 TB conclusion. x23b refreshes correctly but still
+    * pays O(corpus) to EMIT the whole refreshed relation each call; a
+    * production session table is a SNAPSHOT TABLE range-laid on
+    * `user_id` with per-file stats, and a CDC batch MAINTAINS it with a
+    * file-granular [[Snapshot.mergeCommit]]: only the touched users'
+    * sessions recompute (their full history, semi-join — session
+    * identity is user-local), and only the FILES whose `user_id`
+    * interval contains a touched user rewrite; everything else rides
+    * into the new version by manifest reference (the of22 write-path
+    * economics composed with sessionization). The CDC batch here is
+    * the last ~1% of event ids — the new-arrivals shape, whose users
+    * sit at the top of the key space, so the merge's touch set is
+    * naturally clustered exactly like x10k's insert-only delta.
+    * Certified equal to the full recompute by x23's own oracle: base
+    * (pre-threshold users' sessions) ∪ refresh (touched users' full
+    * history) IS the full session table because `touched` is defined
+    * as every user with a post-threshold event. Multi-row merge keys
+    * are exercised deliberately — `mergeCommit` replaces ALL of a
+    * matching user's session rows with the batch's (anti-join on key,
+    * union), the semantics a per-user table needs. */
+  def sessionsMaintained(spark: SparkSession, sfDir: String,
+                         gapUs: Long = 1800000000L): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val t = graft.util.SessionMemo.memoizedValue(
+      spark, s"sessMaintThreshold|$sfDir") {
+      val n = ev.agg(max(col("event_id"))).first().getLong(0) + 1L
+      n - math.max(1L, n / 100L)
+    }
+    val touched = ev.filter(col("event_id") >= t)
+      .select("user_id").distinct().localCheckpoint()
+    // the maintained table: one commit per (session, fixture, gap) —
+    // in production this is the long-lived table, here a session-scoped
+    // venue in exit-GC'd scratch
+    val root = graft.util.SessionMemo.memoizedValue(
+      spark, s"sessTableRoot|$sfDir|$gapUs") {
+      val dir = graft.util.Scratch.dir("graft_sesstbl_") + "/sessions"
+      // the base holds every user's PRE-threshold sessions — touched
+      // users' rows are STALE by construction (a new event can extend,
+      // merge, or split their sessions) and the merge must REPLACE
+      // them, which is the maintenance shape under test
+      val base = sessionsOf(ev.filter(col("event_id") < t), gapUs)
+      val width = graft.operators.Snapshot.derivedCommitFiles(
+        ev.count()) // sessions ≤ events; width from the upper bound
+      graft.operators.Snapshot.commitWithStats(
+        base.repartitionByRange(width, col("user_id"))
+          .sortWithinPartitions("user_id", "sess_id"),
+        dir, Seq("user_id"))
+      dir
+    }
+    val refreshed = sessionsOf(
+      ev.join(touched, Seq("user_id"), "left_semi"), gapUs)
+    graft.operators.Snapshot.mergeCommit(spark, root, refreshed, "user_id")
+    graft.operators.Snapshot.readCurrent(spark, root)
+      .orderBy("user_id", "sess_id")
+  }
+
   /** X23b: INCREMENTAL sessionization — [[resampleIncremental]]'s
     * materialized-refresh shape applied to the session table. A new
     * event can extend, merge, or split ONLY its own user's sessions

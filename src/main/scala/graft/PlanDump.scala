@@ -224,8 +224,15 @@ object PlanDump {
                |  `doGenCode`).
                |""".stripMargin
 
+    // queries whose returned frame is an eager checkpoint (plan = RDD
+    // scan) expose a plan-only form so the real physical plan stays on
+    // the record
+    val planOnly: Map[String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame] = Map(
+      "x15w_sql_recursive" ->
+        ((s, d) => graft.operators.SqlApi.recursiveReachPlanOnly(s, d)))
     picks.foreach { case (name, note) =>
-      val df = SparkEntry.queries(name)(spark, sfDir)
+      val df = planOnly.getOrElse(name, SparkEntry.queries(name))(spark, sfDir)
       val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
       sb ++= s"\n## $name\n\n$note\n\n```\n$plan```\n"
     }

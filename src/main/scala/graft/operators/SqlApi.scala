@@ -691,6 +691,22 @@ object SqlApi {
       |GROUP BY hops
       |ORDER BY hops""".stripMargin
 
+  /** The recursion's PLAN, un-executed and un-checkpointed — what the
+    * query surface returns is the eager `localCheckpoint` of this (the
+    * valve-scoped materialization below), whose own plan is just an
+    * RDD scan; PlanDump reads this form so the UnionLoop physical plan
+    * stays on the record. */
+  private[graft] def recursiveReachPlanOnly(spark: SparkSession,
+                                            sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    Graph.tradePairs(spark, sfDir).select(col("c"), col("s"))
+      .select((col("c") * 2).as("src"), (col("s") * 2 + 1).as("dst"))
+      .unionByName(Graph.tradePairs(spark, sfDir)
+        .select((col("s") * 2 + 1).as("src"), (col("c") * 2).as("dst")))
+      .createOrReplaceTempView("reach_edges_m")
+    spark.sql(recursiveReachHoistedSql)
+  }
+
   def recursiveReach(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions.col
     val (edges, edgeCount) = graft.util.SessionMemo.memoizedValue[

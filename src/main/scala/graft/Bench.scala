@@ -120,6 +120,14 @@ object Bench {
       new java.util.Random(42).nextBytes(b)
       b
     }
+    // The read leg opens with O_DIRECT where the filesystem allows it:
+    // a buffered read of the file just written is served from the page
+    // cache and measures a memcpy, leaving read-path disk degradation
+    // (half of the r11 incident class this probe adjudicates)
+    // invisible. On DIRECT-refusing filesystems (tmpfs) the probe falls
+    // back to the buffered read and flags it (`probe_io_direct:false`)
+    // so the artifact says which signal it carries.
+    @volatile var ioProbeDirect = true
     def probeIoOnce(): Double = {
       import java.nio.file.{Files, Paths, StandardOpenOption => O}
       val f = Paths.get(ioProbeDir, s"probe_${System.nanoTime()}.bin")
@@ -133,12 +141,27 @@ object Bench {
         }
         ch.force(true)
       } finally ch.close()
-      val in = java.nio.channels.FileChannel.open(f, O.READ)
-      try {
-        val buf = java.nio.ByteBuffer.allocate(4 << 20)
-        var n = in.read(buf)
-        while (n >= 0) { buf.clear(); n = in.read(buf) }
-      } finally in.close()
+      def readWith(direct: Boolean): Unit = {
+        val in =
+          if (direct) java.nio.channels.FileChannel.open(f, O.READ,
+            com.sun.nio.file.ExtendedOpenOption.DIRECT)
+          else java.nio.channels.FileChannel.open(f, O.READ)
+        try {
+          // DIRECT needs block-aligned buffer address/size; 4 KiB
+          // covers ext4/xfs
+          val buf =
+            if (direct) java.nio.ByteBuffer
+              .allocateDirect((4 << 20) + 4096).alignedSlice(4096)
+            else java.nio.ByteBuffer.allocate(4 << 20)
+          var n = in.read(buf)
+          while (n >= 0) { buf.clear(); n = in.read(buf) }
+        } finally in.close()
+      }
+      if (ioProbeDirect)
+        try readWith(direct = true)
+        catch { case _: Exception =>
+          ioProbeDirect = false; readWith(direct = false) }
+      else readWith(direct = false)
       val t = (System.nanoTime() - t0) / 1e9
       Files.deleteIfExists(f)
       t
@@ -313,7 +336,7 @@ object Bench {
         ",\"shuffle_write_mb\":" + mb(w) + ",\"spill_mb\":" + mb(s) +
         ",\"gc_ms\":" + g + "}"
     }.mkString("{", ",", "}")
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_probe_norm":$qsNorm,"queries_memo_sec":$qMemoJson,"memo_builds":$memoJson,"queries_io":$ioJson,"probe_start_sec":$probeStart,"probe_end_sec":$probeEnd,"probe_median_sec":$probeMedian,"probe_io_start_sec":$probeIoStart,"probe_io_end_sec":$probeIoEnd,"probe_io_median_sec":$probeIoMedian,"probe_timeline":$timelineJson,"errors":$errJson,"cache_create_sec":$tCreate,"cache_reuse_sec":$tReuse,"o12_venue_create_sec":$tO12Create,"o12_reuse_read_sec":$tO12Reuse,"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_probe_norm":$qsNorm,"queries_memo_sec":$qMemoJson,"memo_builds":$memoJson,"queries_io":$ioJson,"probe_start_sec":$probeStart,"probe_end_sec":$probeEnd,"probe_median_sec":$probeMedian,"probe_io_start_sec":$probeIoStart,"probe_io_end_sec":$probeIoEnd,"probe_io_median_sec":$probeIoMedian,"probe_io_direct":$ioProbeDirect,"probe_timeline":$timelineJson,"errors":$errJson,"cache_create_sec":$tCreate,"cache_reuse_sec":$tReuse,"o12_venue_create_sec":$tO12Create,"o12_reuse_read_sec":$tO12Reuse,"sf":"$sfDir"}"""
     println(fullLine)
     // The full line above exceeds the harness's 2 KiB output-tail capture
     // (74 queries x ~26 chars), so it can never be parsed whole from the

@@ -239,6 +239,7 @@ object SparkEntry {
     "x13c_stateful_stats"  -> (graft.streaming.Streaming.statefulUserStats(_, _)),
     "x13d_active_hours"    -> (graft.streaming.Streaming.userActiveHours(_, _)),
     "x13e_value_state"     -> (graft.streaming.Streaming.valueStateStats(_, _)),
+    "x13f_sessionize_append" -> (graft.streaming.Streaming.sessionizeAppend(_, _)),
     "x14_typed_udaf"       -> (graft.functions.TypedAggs.l2Query(_, _)),
     "xm1_multimodal_meta"  -> (Multimodal.binaryMeta(_, _)),
     // real PPM/BMP/WAV encode -> pure-JVM header decode round-trip
@@ -1160,6 +1161,32 @@ object SparkEntry {
       """SELECT user_id, COUNT(*) AS n_events,
         |       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // x13b's session table restricted to WATERMARK-CLOSED sessions:
+    // append mode emits a session only once the (ms-truncated — Spark
+    // accumulates event-time max in ms) watermark passes its end, so
+    // the cut is end_us + gap <= (max_us // 1000 - delay_ms) * 1000.
+    // Boundary semantics spec-pinned with ±1 µs/ms crafted events
+    // (StreamingSpec "append sessionize boundary").
+    "x13f_sessionize_append" ->
+      """WITH l AS (SELECT user_id, ts,
+        |             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |           FROM events),
+        |f AS (SELECT user_id, ts,
+        |        CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE
+        |             THEN 1 ELSE 0 END AS news FROM l),
+        |s AS (SELECT user_id, ts,
+        |        SUM(news) OVER (PARTITION BY user_id ORDER BY ts
+        |          ROWS UNBOUNDED PRECEDING) AS sess FROM f),
+        |wm AS (SELECT (epoch_us(MAX(ts)) // 1000 - 3600000) * 1000 AS w
+        |       FROM events)
+        |SELECT user_id,
+        |       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        |       strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+        |       COUNT(*) AS n_events
+        |FROM s, wm
+        |GROUP BY user_id, sess, wm.w
+        |HAVING epoch_us(MAX(ts)) + 1800000000 <= wm.w
+        |ORDER BY user_id, session_start""".stripMargin,
     "x14_typed_udaf" ->
       """SELECT l_returnflag, SQRT(SUM(l_quantity*l_quantity)) AS qty_l2norm,
         |       COUNT(*) AS n

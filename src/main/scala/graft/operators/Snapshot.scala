@@ -867,9 +867,19 @@ object Snapshot {
     // (root, version): without the memo every read-plan construction
     // of a DV'd version re-collected the manifest and re-hashed the
     // full inventory on the driver (twice per deleteWhereMor, which
-    // calls applyDv inside its own read).
+    // calls applyDv inside its own read). The key also folds in a
+    // cheap inventory fingerprint (manifest-or-version-dir mtime):
+    // a scratch root deleted and recreated at the same path within
+    // one session (test fixtures, re-run soaks) must not be served
+    // the dead root's verdict for a different inventory.
+    val fpDir = {
+      val m = new org.apache.hadoop.fs.Path(root, s"$ManifestDir/v=$v")
+      if (fs.exists(m)) m else new org.apache.hadoop.fs.Path(root, s"v=$v")
+    }
+    val fp = try fsOf(spark, fpDir).getFileStatus(fpDir)
+      .getModificationTime catch { case _: Exception => 0L }
     val exactSafe = graft.util.SessionMemo.memoizedValue(spark,
-        s"graft.dv.exactSafe:$root:v=$v") {
+        s"graft.dv.exactSafe:$root:v=$v:fp=$fp") {
       val inventory = manifestFiles(spark, root, v).getOrElse {
         val dir = new org.apache.hadoop.fs.Path(root, s"v=$v")
         fsOf(spark, dir).listStatus(dir).toSeq
@@ -1417,7 +1427,14 @@ object Snapshot {
     * no rewritten files interleaving already-emitted rows, which is
     * the case [[graft.streaming.Streaming.tailVacuumAudit]] exists to
     * refuse. (File tails never retract rows on any engine; deletes
-    * reach streaming consumers through [[changeFeed]].) */
+    * reach streaming consumers through [[changeFeed]].)
+    *
+    * @return the newest committed version carrying this delete's
+    *         effect: normally the MOR commit itself, but when the new
+    *         sidecar crosses the broadcast bound and the auto-purge
+    *         ([[maybePurgeOversizedDv]]) runs and succeeds, the
+    *         follow-on purge's commit. Purge failure is logged and
+    *         swallowed — the delete is durable either way. */
   def deleteWhereMor(spark: SparkSession, root: String,
                      cond: org.apache.spark.sql.Column,
                      maxRetries: Int = 16): Long = {
@@ -1475,8 +1492,22 @@ object Snapshot {
             merged.coalesce(width).write.mode("overwrite")
               .parquet(s"$root/$DvDir/v=$next")
           }
+          // The MOR commit is durable once the pointer advances; the
+          // auto-purge is follow-on maintenance. A purge failure (e.g.
+          // claim contention exhausting ITS retries) must not surface
+          // as a deleteWhereMor failure — the delete committed. On
+          // purge success the returned version is the PURGE's commit
+          // (the newest version carrying the delete's effect); on
+          // failure or opt-out it is the MOR commit itself.
           if (pointerAdvance(spark, root, next))
-            return maybePurgeOversizedDv(spark, root, next)
+            return (try maybePurgeOversizedDv(spark, root, next)
+            catch {
+              case e: Exception =>
+                System.err.println(s"graft: post-MOR DV auto-purge on " +
+                  s"$root failed (${e.getMessage}); the MOR delete at " +
+                  s"v=$next is committed — run Snapshot.purgeDv manually")
+                next
+            })
         } finally merged.unpersist()
       } else {
         if (awaitAdvance(spark, root, base)) attempt -= 1

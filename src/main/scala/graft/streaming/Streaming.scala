@@ -425,6 +425,47 @@ object Streaming {
     spark.read.schema(stream.schema).parquet(out.toString)
   }
 
+  /** APPEND-mode file-sink drain whose emission is WATERMARK-driven —
+    * the missing quadrant between [[runToFileSink]] (append, data-driven
+    * emission, no-data batches skipped) and [[runToBatch]]'s
+    * `noDataBatches = true` leg (watermark-driven, but memory sink =
+    * driver-sized output). Window/session aggregates in append mode
+    * emit a group only when the watermark passes its END, and the final
+    * groups' emission rides the TRAILING NO-DATA micro-batch — so this
+    * drain keeps no-data batches enabled and, after
+    * `processAllAvailable` (which only covers data batches), waits until
+    * a no-data batch has run AFTER the last data batch before stopping:
+    * the same deterministic flush discipline [[runToBatch]] pins for
+    * outer-join eviction, against a parquet sink so corpus-sized output
+    * never converges on the driver. */
+  private def runAppendToFileSink(stream: DataFrame,
+                                  derived: Option[Int] = None): DataFrame = {
+    val spark = stream.sparkSession
+    val out = graft.util.Scratch.path("graft_asink_")
+    val ckpt = graft.util.Scratch.path("graft_asink_ck_")
+    graft.util.Lease.gcOnExit(out)
+    graft.util.Lease.gcOnExit(ckpt)
+    def drain(): Unit = {
+      val q = stream.writeStream.outputMode("append")
+        .format("parquet").option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString).start()
+      q.processAllAvailable()
+      if (q.recentProgress.exists(_.numInputRows > 0)) {
+        val lastData = q.recentProgress
+          .filter(_.numInputRows > 0).map(_.batchId).max
+        def flushed = q.recentProgress
+          .exists(p => p.batchId > lastData && p.numInputRows == 0)
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        while (!flushed && System.nanoTime() < deadline) Thread.sleep(50)
+        if (!flushed) throw new IllegalStateException(
+          "append-sink eviction-flush no-data batch did not run within 30s")
+      }
+      q.stop()
+    }
+    withStateWidth(spark, derived)(drain())
+    spark.read.schema(stream.schema).parquet(out.toString)
+  }
+
   /** The x12a tumbling aggregate over ANY event-shaped streaming source
     * (`ts` timestamp, `event_type` string, `value` double): 1-hour
     * event-time windows with a 1-hour watermark — count + exact sum per
@@ -923,6 +964,59 @@ object Streaming {
         col("n_events"))
       .orderBy("user_id", "session_start")
   }
+
+  /** The append-mode session aggregate over ANY event-shaped streaming
+    * source — [[sessionizeAppend]]'s body, factored like
+    * [[tumblingAggOf]] so the spec can drive it over a MemoryStream
+    * with boundary-crafted timestamps. */
+  private[graft] def sessionAggOf(events: DataFrame,
+                                  delay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+
+  /** Drive [[sessionAggOf]] in APPEND mode to a file sink and project
+    * the stable output shape (shared by the fixture query and the
+    * MemoryStream spec). */
+  private[graft] def sessionizeAppendFrom(events: DataFrame,
+                                          derived: Option[Int] = None,
+                                          delay: String = "1 hour"): DataFrame =
+    runAppendToFileSink(sessionAggOf(events, delay), derived = derived)
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("session_start"),
+        date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("session_end"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+
+  /** X13f: APPEND-mode sessionization — [[sessionize]]'s scale-safe
+    * twin, the continuous-production shape. The same native
+    * `session_window` aggregate, but a session is EMITTED (once,
+    * immutably, to the file sink) only when the watermark passes its
+    * END — so each refresh writes O(sessions closed this batch), not
+    * the O(corpus) running result complete mode re-emits (x13b at
+    * sf100: ~117 s per refresh BY CONTRACT; this is the plan you ship
+    * at 100×). The final sessions' emission rides the trailing no-data
+    * flush batch ([[runAppendToFileSink]] — the same deterministic
+    * discipline the x12e outer-join eviction pins).
+    *
+    * The cost of append's boundedness is FINALIZATION LAG, and the
+    * batch-equivalence oracle states it exactly: the sink holds
+    * precisely the sessions whose end ≤ the final watermark. Sessions
+    * still open (or closed less than the 1 h delay before the last
+    * event) stay in state awaiting more data — on the fixture that is
+    * the x23 batch session table restricted to watermark-closed
+    * sessions. The watermark Spark evicts against is MILLISECOND-
+    * truncated (`EventTimeWatermarkExec` accumulates event-time max in
+    * ms) while session ends keep microsecond precision, so the oracle's
+    * cut replays `end_us <= (max_us div 1000 - delay_ms) * 1000`
+    * — the exact boundary is spec-pinned with crafted ±1 µs/ms events
+    * (StreamingSpec "append sessionize boundary"). */
+  def sessionizeAppend(spark: SparkSession, sfDir: String): DataFrame =
+    sessionizeAppendFrom(eventsStream(spark, sfDir),
+      derived = sourceWidth(spark, sfDir))
 
   /** Tail a snapshot table's APPEND stream: Spark's file-stream source
     * over the `v=*` version directories picks up each

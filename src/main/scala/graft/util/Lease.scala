@@ -248,6 +248,24 @@ object Lease {
   private def releaseIfHeldBy(conf: Configuration, lease: Path,
                               holderId: String): Unit = {
     val fs = fsOf(conf, lease)
+    // Pre-read: when the lease already belongs to a successor, return
+    // WITHOUT touching the file. Stealing first (as this used to) made
+    // the successor's live lease momentarily absent; a claimant winning
+    // the lock in that window drove the hand-back into
+    // FileAlreadyExists and the successor's lease body was discarded.
+    // The steal-then-verify dance below is now reached only when the
+    // initial read says the lease is ours, so the absence window covers
+    // only our own lease (benign — we are releasing it anyway). A
+    // successor overwriting between our read and our steal is caught a
+    // second time by the post-steal stamp check.
+    val preRead =
+      try Some(readAll(conf, lease).startsWith(holderLine(holderId)))
+      catch { case _: Exception => None } // gone or unreadable
+    preRead match {
+      case Some(false) => return // a successor's lease: leave it alone
+      case None        => return // already broken/released
+      case Some(true)  => ()     // ours by the read; steal and re-verify
+    }
     val tomb = new Path(lease.getParent,
       s"${lease.getName}.release.${java.util.UUID.randomUUID()}")
     val stolen =

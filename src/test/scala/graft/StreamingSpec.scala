@@ -131,6 +131,62 @@ class StreamingSpec extends SparkSuite {
       s"batch and streaming sessions diverge: ${batch.size} vs ${streamed.size} sessions")
   }
 
+  test("append sessionize boundary: ms-truncated watermark, end <= wm emits") {
+    // The x13f oracle's cut is `end_us <= (max_us div 1000 - delay_ms)
+    // * 1000` — both halves of that expression pinned here with events
+    // crafted ±1 µs / ±1 ms around the boundary. Driver event at
+    // W = 10^13 + 999 µs: Spark's EventTimeWatermarkExec accumulates
+    // event-time max in MILLISECONDS (floor), so the watermark is
+    // (10^10 ms - 1 h) regardless of the +999 µs residue.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val W = 10000000000999L // µs; ms-floor = 10^10 ms
+    val wmUs = (W / 1000 - 3600000L) * 1000 // 10^13 - 3.6e9
+    val gap = 1800000000L // 30 min in µs
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000) {
+      setNanos(((us % 1000000L) * 1000).toInt)
+    }
+    val mem = MemoryStream[(java.sql.Timestamp, Long)](spark)
+    // user 1: session end == watermark exactly        -> emits (<=)
+    // user 2: end = watermark + 1 µs                  -> held (also
+    //         disproves an untruncated watermark, which would sit
+    //         999 µs higher and emit it)
+    // user 3: end = watermark - 1 ms                  -> emits
+    // user 99: the watermark driver, end way past wm  -> held
+    mem.addData(
+      (ts(wmUs - gap), 1L), (ts(wmUs - gap + 1), 2L),
+      (ts(wmUs - gap - 1000), 3L), (ts(W), 99L))
+    val out = Streaming.sessionizeAppendFrom(
+      mem.toDF.toDF("ts", "user_id")).collect()
+    assert(out.map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L),
+      s"expected exactly users 1 and 3 to close; got " +
+        out.map(r => (r.getLong(0), r.getString(2))).mkString(", "))
+    assert(out.forall(_.getLong(3) == 1L))
+  }
+
+  test("append sessionize (x13f) = batch sessions restricted to watermark-closed") {
+    // The finalization-lag contract stated as an equality: the append
+    // sink holds EXACTLY the x23 batch sessions whose end_us clears the
+    // ms-truncated final watermark.
+    val events = graft.sources.Tables.events(spark, sf)
+    val maxUs = events.agg(max(unix_micros(col("ts")))).head.getLong(0)
+    val wmUs = (maxUs / 1000 - 3600000L) * 1000
+    val closed = graft.operators.Relational.batchSessions(spark, sf)
+      .filter(col("end_us") + 1800000000L <= wmUs)
+      .select(col("user_id"),
+        date_format(timestamp_micros(col("start_us")),
+          "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+        col("n_events"))
+      .collect().map(_.toString).sorted.toSeq
+    val streamed = Streaming.sessionizeAppend(spark, sf)
+      .select(col("user_id"), col("session_start"), col("n_events"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(closed.nonEmpty, "fixture must close at least one session")
+    assert(closed == streamed,
+      s"watermark-closed batch sessions diverge from the append sink: " +
+        s"${closed.size} vs ${streamed.size} sessions")
+  }
+
   test("streaming HLL sketches equal the batch rollup EXACTLY (order-free registers)") {
     val batch = graft.operators.Relational.sketchRollup(spark, sf)
       .filter(col("day") =!= "(all)")

@@ -100,10 +100,19 @@ def main():
     o_has, n_has = "queries_memo_sec" in old, "queries_memo_sec" in new
     qo, do = norm_queries(old, add_memo=o_has and not n_has)
     qn, dn = norm_queries(new, add_memo=n_has and not o_has)
+    # Header totals use the SAME memo-aware wall reconstruction as the
+    # normalized diff: raw sums would print operator-only seconds for
+    # r12+ artifacts next to wall seconds for pre-r12 ones — not
+    # comparable across the format split.
+    wall_o = sum(walls(old, add_memo=o_has and not n_has).values())
+    wall_n = sum(walls(new, add_memo=n_has and not o_has).values())
     print(f"old: {args[0]}  denom={do if do else 'NONE (raw s)'}  "
-          f"n={len(qo)}  total={sum(old.get('queries', {}).values()):.1f}s")
+          f"n={len(qo)}  total={wall_o:.1f}s")
     print(f"new: {args[1]}  denom={dn if dn else 'NONE (raw s)'}  "
-          f"n={len(qn)}  total={sum(new.get('queries', {}).values()):.1f}s")
+          f"n={len(qn)}  total={wall_n:.1f}s")
+    if o_has and n_has:
+        print("(totals are operator-only on both sides; memo_builds "
+              "listed separately below)")
     io_o, io_n = io_denom(old), io_denom(new)
     if io_o or io_n:
         print(f"io probe (32MB write+fsync+read): "

@@ -499,6 +499,7 @@ object Similarity {
 
   private def cellScores(spark: SparkSession, sfDir: String,
                          cellsOverride: Option[DataFrame] = None): DataFrame = {
+    graft.plans.LongVecOps.register(spark)
     val cent = cellsOverride.getOrElse(
       centroidSums(spark, sfDir)
         .select(col("label").as("cell"), col("n_vecs").as("n"),
@@ -507,7 +508,7 @@ object Similarity {
       .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("qv"))
       .crossJoin(broadcast(cent))
       .select(col("vec_id"), col("cell"),
-        (VectorOps.dotQ(col("qv"), col("s")).cast(DoubleType) / col("n"))
+        (VectorOps.ldotQ(col("qv"), col("s")).cast(DoubleType) / col("n"))
           .as("cellscore"))
   }
 
@@ -562,13 +563,14 @@ object Similarity {
     * scoring ONLY the queries changes nothing). */
   private def ivfLearnedCandidates(spark: SparkSession, sfDir: String,
                                    nprobe: Int): DataFrame = {
+    graft.plans.LongVecOps.register(spark)
     val idx = stagedIvfIndex(spark, sfDir)
     val probeScores = Tables.embeddings(spark, sfDir)
       .filter(col("vec_id") < NQueries)
       .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("qv"))
       .crossJoin(broadcast(idx.cells))
       .select(col("vec_id"), col("cell"),
-        (VectorOps.dotQ(col("qv"), col("s")).cast(DoubleType) / col("n"))
+        (VectorOps.ldotQ(col("qv"), col("s")).cast(DoubleType) / col("n"))
           .as("cellscore"))
     val w = Window.partitionBy("vec_id").orderBy(desc("cellscore"), asc("cell"))
     val probes = probeScores.withColumn("rnk", row_number().over(w))
@@ -648,7 +650,7 @@ object Similarity {
       // (score desc, cell asc) tiebreak is total → same assignment
       val assign = vecs.crossJoin(broadcast(cells))
         .select(col("vec_id"), col("cell"),
-          (VectorOps.dotQ(col("qv"), col("s")).cast(DoubleType) / col("n"))
+          (VectorOps.ldotQ(col("qv"), col("s")).cast(DoubleType) / col("n"))
             .as("score"))
         .groupBy("vec_id")
         .agg(max_by(col("cell"),
@@ -1077,11 +1079,13 @@ object Similarity {
   private val PqKsub = 4         // codewords per subspace
   private val PqIters = 2
 
-  /** Exact integer squared L2 distance between two quantized arrays. */
+  /** Exact integer squared L2 distance between two quantized arrays —
+    * the fused native expression ([[graft.plans.LongL2]]); identical
+    * integers to the composed `aggregate(zip_with(...))` form it
+    * replaced (the PQ oracle CTEs are untouched). */
   private def l2Q(a: org.apache.spark.sql.Column,
                   b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, x) => acc + x)
+    VectorOps.ll2Q(a, b)
 
   /** One row per (vector, subspace): the quantized 16-dim slice.
     * Pure per-row projection — no shuffle; at 100 TB this is the map
@@ -1343,17 +1347,19 @@ object Similarity {
     * the oracle's ROW_NUMBER() = 1 row exactly, and the double
     * round-trips through parquet bit-for-bit. */
   private[graft] def assignToCellsScored(vecs: DataFrame,
-                                         cells: DataFrame): DataFrame =
+                                         cells: DataFrame): DataFrame = {
+    graft.plans.LongVecOps.register(vecs.sparkSession)
     vecs.select(col("vec_id"), VectorOps.quantize(col("embedding")).as("qv"))
       .crossJoin(broadcast(cells))
       .select(col("vec_id"), col("cell"),
-        (VectorOps.dotQ(col("qv"), col("s")).cast(DoubleType) / col("n"))
+        (VectorOps.ldotQ(col("qv"), col("s")).cast(DoubleType) / col("n"))
           .as("cellscore"))
       .groupBy("vec_id")
       .agg(max_by(struct(col("cell"), col("cellscore")),
         struct(col("cellscore"), (-col("cell")).as("nc"))).as("w"))
       .select(col("vec_id"), col("w.cell").as("cell"),
         col("w.cellscore").as("cellscore"))
+  }
 
   /** Per-vector symmetric int8 post-training quantization — the export
     * step that turns a float corpus into the serving/packing format —

@@ -99,6 +99,7 @@ object QuantizedDot {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, builder, "scala_udf")
     QuantizedNorm2.register(spark)
+    LongVecOps.register(spark)
     val em = spark.experimental
     if (!em.extraOptimizations.contains(SelfDotToNorm))
       em.extraOptimizations = em.extraOptimizations :+ SelfDotToNorm

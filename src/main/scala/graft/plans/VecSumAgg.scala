@@ -90,7 +90,11 @@ object VecSumAgg {
   val name = "vec_sum"
 
   /** Idempotent per-session SQL registration (`vec_sum(bigint_array)`). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, exprs => VecSumAgg(exprs.head), "scala_udf")
+    // every VecSumAgg consumer (the ANN training/assignment planes)
+    // also scores pairs through the fused long-array expressions
+    LongVecOps.register(spark)
+  }
 }

@@ -45,6 +45,42 @@ class QuantizedDotSpec extends SparkSuite {
       .eval(null).asInstanceOf[Long]
     assert(interp == rows(0).getLong(0))
   }
+  test("fused long-array dot/L2 equal the HOF forms over fixture pairs") {
+    // graft_ldot / graft_ll2 replaced the interpreted HOF lambdas on
+    // the ANN training/assignment planes (r13) — identical integers by
+    // contract, pinned here over real quantized fixture vectors plus
+    // negative/zero adversarials and the interpreted (no-codegen) path.
+    graft.plans.LongVecOps.register(spark)
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("qv"))
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("qv").as("qq"))
+    val bad = e.crossJoin(q)
+      .select(
+        VectorOps.ldotQ(col("qq"), col("qv")).as("fd"),
+        VectorOps.dotQ(col("qq"), col("qv")).as("hd"),
+        VectorOps.ll2Q(col("qq"), col("qv")).as("fl"),
+        aggregate(zip_with(col("qq"), col("qv"), (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, x) => acc + x).as("hl"))
+      .filter(col("fd") =!= col("hd") || col("fl") =!= col("hl"))
+      .count()
+    assert(bad == 0)
+    import spark.implicits._
+    val adv = Seq((Array(-3L, 0L, 7L), Array(5L, -2L, 0L)))
+      .toDF("a", "b")
+      .select(expr("graft_ldot(a, b)"), expr("graft_ll2(a, b)"))
+      .head
+    assert(adv.getLong(0) == -15L)
+    assert(adv.getLong(1) == 64L + 4L + 49L)
+    // interpreted path must agree
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val la = Literal.create(Array(-3L, 0L, 7L), ArrayType(LongType))
+    val lb = Literal.create(Array(5L, -2L, 0L), ArrayType(LongType))
+    assert(graft.plans.LongDot(la, lb).eval(null) == -15L)
+    assert(graft.plans.LongL2(la, lb).eval(null) == 117L)
+  }
+
   test("self-dot rewrites to the fused norm and values are unchanged") {
     import org.apache.spark.sql.functions._
     graft.plans.QuantizedDot.register(spark)

@@ -342,17 +342,69 @@ object Bench {
     // (74 queries x ~26 chars), so it can never be parsed whole from the
     // tail. Persist it as an artifact, then print a compact summary line
     // LAST (top slowest queries, 2-decimal seconds) that fits the tail.
+    // A wave-triggered rerun child ships its artifacts under the
+    // `_rerun` suffix so the canonical run's record is never clobbered.
+    val rerunSuffix = if (sys.env.contains("GRAFT_BENCH_RERUN")) "_rerun" else ""
     if (only.isEmpty) { // don't clobber the artifacts from filtered runs
       // BENCH_FULL.json is "the latest full run" (driver contract); the
       // per-scale BENCH_<sf>.json keeps each scale's record so a small-
       // scale smoke run can never clobber the full-scale history
       // (ADVICE r6) — cross-scale ratios diff the per-scale files.
       val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
-      for (p <- Seq("BENCH_FULL.json", s"BENCH_$sfName.json"))
+      for (p <- Seq(s"BENCH_FULL$rerunSuffix.json",
+          s"BENCH_$sfName$rerunSuffix.json"))
         try java.nio.file.Files.write(
           java.nio.file.Paths.get(p),
           (fullLine + "\n").getBytes("UTF-8"))
         catch { case _: Throwable => () } // artifact write is best-effort
+    }
+    // Wavy-window self-adjudication (VERDICT r12 #3): when THIS run's
+    // probes say the box was loud — CPU probe median past the quiet
+    // band (0.4-0.55 s, threshold ~1.5×) or the O_DIRECT I/O probe
+    // median past its loud mark — the round's headline would otherwise
+    // rest on a wave. Re-exec a FRESH-JVM bench (same classpath/JVM
+    // args/env, GRAFT_BENCH_RERUN=1) whose artifacts land as
+    // BENCH_FULL_rerun.json / BENCH_<sf>_rerun.json, so both windows
+    // are in the committed record and bench_diff can pick the quiet
+    // one. In-process would be wrong: session memos and cached staged
+    // relations would make the second window warm where the first was
+    // cold. The child never re-triggers (suffix guard); thresholds are
+    // env-tunable (GRAFT_BENCH_WAVE_PROBE / GRAFT_BENCH_WAVE_IO, or
+    // GRAFT_BENCH_WAVE_PROBE=inf to disable).
+    val waveProbe = sys.env.get("GRAFT_BENCH_WAVE_PROBE")
+      .map(_.toDouble).getOrElse(0.85)
+    val waveIo = sys.env.get("GRAFT_BENCH_WAVE_IO")
+      .map(_.toDouble).getOrElse(1.2)
+    val wavy = probeMedian > waveProbe || probeIoMedian > waveIo
+    var waveRerun = false
+    if (wavy && rerunSuffix.isEmpty && only.isEmpty) {
+      waveRerun = true
+      System.err.println(f"graft: wavy bench window (probe median " +
+        f"$probeMedian%.2f s vs $waveProbe%.2f, io $probeIoMedian%.2f s " +
+        f"vs $waveIo%.2f) — re-running once in a fresh JVM; second " +
+        "window lands in BENCH_FULL_rerun.json")
+      try {
+        import scala.jdk.CollectionConverters._
+        val java17 = java.nio.file.Paths
+          .get(System.getProperty("java.home"), "bin", "java").toString
+        val jvmArgs = java.lang.management.ManagementFactory
+          .getRuntimeMXBean.getInputArguments.asScala
+          .filterNot(_.startsWith("-agentlib")) // no debugger re-attach
+        val cmd = (Seq(java17) ++ jvmArgs ++
+          Seq("-cp", System.getProperty("java.class.path"), "graft.Bench"))
+          .asJava
+        val pb = new ProcessBuilder(cmd)
+        pb.environment().put("GRAFT_BENCH_RERUN", "1")
+        // the child's stdout JSON must not precede this run's compact
+        // tail line — its record is its artifact files
+        pb.redirectOutput(new java.io.File("/tmp/graft_bench_rerun.log"))
+        pb.redirectErrorStream(true)
+        val rc = pb.start().waitFor()
+        if (rc != 0) System.err.println(
+          s"graft: wave rerun exited $rc (see /tmp/graft_bench_rerun.log)")
+      } catch { case e: Exception =>
+        System.err.println(s"graft: wave rerun failed to launch: $e")
+      }
     }
     // Locale.ROOT: f"" uses the JVM default locale — a comma-decimal
     // locale would emit invalid JSON

@@ -1348,17 +1348,41 @@ object Similarity {
     * round-trips through parquet bit-for-bit. */
   private[graft] def assignToCellsScored(vecs: DataFrame,
                                          cells: DataFrame): DataFrame = {
-    graft.plans.LongVecOps.register(vecs.sparkSession)
+    val spark = vecs.sparkSession
+    graft.plans.LongVecOps.register(spark)
+    graft.plans.CellArgmax.register(spark)
+    // The codebook is a MODEL — k×dims longs, k ≈ √N by [[annGeometry]]
+    // — so it collapses to plan-embedded literals and the assignment
+    // becomes a pure MAP job: per row, [[graft.plans.CellArgmax]] loops
+    // the codebook inline with the same (score desc, cell asc) IEEE
+    // tiebreak the old crossJoin → max_by(struct) plane computed. That
+    // plane was a scale defect, not just overhead: max_by's struct
+    // ordering key forces SortAggregate, which at sf100 externally
+    // sorted the 500M-row fan-out — 23.7 GB of spill for a 2M-row
+    // result (AnnBuildProbe, BENCH_NOTES r13). This collect is
+    // metadata-plane by the same contract that broadcast the cells
+    // relation before it (k×dims ≈ 128 KB at sf100; a billion-vector
+    // corpus at k=√N ≈ 31k cells is ~16 MB — still a driver constant).
+    val rows = cells.select(col("cell"), col("n"), col("s")).collect()
+      .sortBy(_.getLong(0))
+    val ids = rows.map(_.getLong(0))
+    val ns = rows.map(_.getLong(1))
+    val sFlat = rows.flatMap(_.getSeq[Long](2))
+    val j = call_function(graft.plans.CellArgmax.name, col("qv"),
+      typedLit(ids), typedLit(ns), typedLit(sFlat))
     vecs.select(col("vec_id"), VectorOps.quantize(col("embedding")).as("qv"))
-      .crossJoin(broadcast(cells))
-      .select(col("vec_id"), col("cell"),
-        (VectorOps.ldotQ(col("qv"), col("s")).cast(DoubleType) / col("n"))
+      .withColumn("__j", j)
+      .select(col("vec_id"),
+        element_at(typedLit(ids), (col("__j") + 1).cast(IntegerType))
+          .as("cell"),
+        // winner's score recomputed with one ldot over the winner's
+        // slice — the identical (double)dot / (double)n op chain
+        (VectorOps.ldotQ(col("qv"),
+          slice(typedLit(sFlat),
+            (col("__j") * size(col("qv")) + 1).cast(IntegerType),
+            size(col("qv")))).cast(DoubleType) /
+          element_at(typedLit(ns), (col("__j") + 1).cast(IntegerType)))
           .as("cellscore"))
-      .groupBy("vec_id")
-      .agg(max_by(struct(col("cell"), col("cellscore")),
-        struct(col("cellscore"), (-col("cell")).as("nc"))).as("w"))
-      .select(col("vec_id"), col("w.cell").as("cell"),
-        col("w.cellscore").as("cellscore"))
   }
 
   /** Per-vector symmetric int8 post-training quantization — the export

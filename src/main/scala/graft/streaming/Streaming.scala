@@ -439,12 +439,20 @@ object Streaming {
     * outer-join eviction, against a parquet sink so corpus-sized output
     * never converges on the driver. */
   private def runAppendToFileSink(stream: DataFrame,
-                                  derived: Option[Int] = None): DataFrame = {
+                                  derived: Option[Int] = None,
+                                  ownedOut: Option[String] = None,
+                                  ownedCkpt: Option[String] = None): DataFrame = {
     val spark = stream.sparkSession
-    val out = graft.util.Scratch.path("graft_asink_")
-    val ckpt = graft.util.Scratch.path("graft_asink_ck_")
-    graft.util.Lease.gcOnExit(out)
-    graft.util.Lease.gcOnExit(ckpt)
+    // caller-owned sink/checkpoint = the RESTARTABLE form (the
+    // dedupRunToFileSink contract): a second call against the same
+    // paths RESUMES — the file-source offset log skips ingested files,
+    // the session state reloads, and only newly closed sessions land
+    val out = ownedOut.map(java.nio.file.Paths.get(_))
+      .getOrElse(graft.util.Scratch.path("graft_asink_"))
+    val ckpt = ownedCkpt.map(java.nio.file.Paths.get(_))
+      .getOrElse(graft.util.Scratch.path("graft_asink_ck_"))
+    if (ownedOut.isEmpty) graft.util.Lease.gcOnExit(out)
+    if (ownedCkpt.isEmpty) graft.util.Lease.gcOnExit(ckpt)
     def drain(): Unit = {
       val q = stream.writeStream.outputMode("append")
         .format("parquet").option("path", out.toString)
@@ -1017,6 +1025,29 @@ object Streaming {
   def sessionizeAppend(spark: SparkSession, sfDir: String): DataFrame =
     sessionizeAppendFrom(eventsStream(spark, sfDir),
       derived = sourceWidth(spark, sfDir))
+
+  /** One RUN (start → drain → flush → stop) of the append-mode
+    * sessionizer against caller-owned sink + checkpoint — the
+    * RESTARTABLE form of [[sessionizeAppend]], mirroring
+    * [[dedupRunToFileSink]]'s contract: call it again after more
+    * source files land and the query RESUMES (offset log skips
+    * ingested files, open-session state reloads from the checkpoint),
+    * emitting ONLY the sessions the new data + watermark close. This
+    * is the continuous-production refresh whose cost tracks closed
+    * sessions, not the corpus — measured in SessionAppendSoak
+    * (BENCH_NOTES r13). Returns the sink re-read (all sessions closed
+    * so far). */
+  def sessionizeAppendRun(spark: SparkSession, sfDir: String,
+                          out: String, ckpt: String): DataFrame =
+    runAppendToFileSink(sessionAggOf(eventsStream(spark, sfDir)),
+      derived = sourceWidth(spark, sfDir),
+      ownedOut = Some(out), ownedCkpt = Some(ckpt))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("session_start"),
+        date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("session_end"),
+        col("n_events"))
 
   /** Tail a snapshot table's APPEND stream: Spark's file-stream source
     * over the `v=*` version directories picks up each

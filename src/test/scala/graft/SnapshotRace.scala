@@ -66,6 +66,20 @@ object SnapshotRaceWriter {
           val k = 1000000L + i
           val v = Snapshot.deleteWhereMor(spark, root, col("k") === lit(k))
           println(s"[raceop] v=$v op=mordelete writer=$writerId seq=$i")
+        case "morpurge" =>
+          // mordelete with an explicit purgeDv every 3rd op: the purge's
+          // touched-file rewrite races concurrent appends AND this
+          // writer's own later tombstone commits — the r12 carry assert
+          // (sidecar ∈ inventory, byte-wise path match) now THROWS on
+          // any interleaving that would wedge the chain, so a green soak
+          // is a proof, not a hope
+          val k = 1000000L + i
+          val v = Snapshot.deleteWhereMor(spark, root, col("k") === lit(k))
+          println(s"[raceop] v=$v op=mordelete writer=$writerId seq=$i")
+          if (i % 3 == 2) {
+            val pv = Snapshot.purgeDv(spark, root)
+            println(s"[raceop] v=$pv op=purge writer=$writerId seq=$i")
+          }
         case "appendcompact" =>
           val v = Snapshot.appendCommit(batch(i, i * rows, rows), root)
           println(s"[raceop] v=$v op=append writer=$writerId seq=$i")
@@ -198,8 +212,8 @@ object SnapshotRace {
       "java.base/sun.nio.ch", "java.base/sun.nio.cs",
       "java.base/sun.security.action", "java.base/sun.util.calendar",
     ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-    val run = Seq("append", "mergedelete", "mormerge", "restoreappend",
-        "vacuumappend")
+    val run = Seq("append", "mergedelete", "mormerge", "morpurgeappend",
+        "restoreappend", "vacuumappend")
       .filter(s => scenario == "all" || scenario == s)
     require(run.nonEmpty, s"unknown scenario $scenario")
     run.foreach(s => runScenario(s, nCommits, rows))
@@ -232,6 +246,17 @@ object SnapshotRace {
         Snapshot.commitWithStats(
           seedBatch(1000000L, nCommits.toLong), root, Seq("k"))
         ("merge", "mordelete")
+      case "morpurgeappend" =>
+        // VERDICT r12 #6: deleteWhereMor × appendCommit × purgeDv
+        // across JVMs. A appends fresh batches (each CARRIES the live
+        // sidecar verbatim through the carry assert) while B tombstones
+        // every seeded victim and periodically purges — the purge's
+        // touched-file rewrite must never resurrect a victim (lost
+        // tombstone) or drop an appended batch, whatever the
+        // interleaving.
+        Snapshot.commitWithStats(
+          seedBatch(1000000L, nCommits.toLong), root, Seq("k"))
+        ("append", "morpurge")
       case "restoreappend" =>
         Snapshot.commit(seedBatch(0L, 100L), root)
         ("append", "restore")
@@ -269,6 +294,26 @@ object SnapshotRace {
         val want = Map(("A", nCommits - 1) -> rows.toLong)
         require(got == want,
           s"$scenario content mismatch: got=$got want=$want")
+      case "morpurgeappend" =>
+        // exact regardless of interleaving: every appended batch
+        // present, every seeded victim gone (a resurrected victim = a
+        // tombstone lost by a purge/append carry; a missing batch = a
+        // purge rewrite eating a concurrent commit), every delete and
+        // every purge published exactly one version
+        require(hist.size == 1 + 2 * nCommits + nCommits / 3,
+          s"expected ${1 + 2 * nCommits + nCommits / 3} versions, " +
+            s"got ${hist.size}")
+        val want = (0 until nCommits)
+          .map(i => ("A", i) -> rows.toLong).toMap
+        require(got == want, s"morpurgeappend content mismatch: " +
+          s"missing=${want.keySet -- got.keySet} " +
+          s"extra=${got.keySet -- want.keySet}")
+        // and the head must carry no tombstone for a file it doesn't
+        // own — readCurrent above already walked the carry assert; a
+        // final explicit purge must be a no-op or leave content fixed
+        val afterPurge = Snapshot.purgeDv(spark, root)
+        require(contentOf(spark, root) == want,
+          s"post-soak purge (v=$afterPurge) changed visible content")
       case "restoreappend" =>
         // order-DEPENDENT content: replay the logged ops in version
         // order through a model (append adds its batch; restore resets

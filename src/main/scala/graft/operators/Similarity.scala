@@ -1102,15 +1102,21 @@ object Similarity {
   /** Nearest codeword per (vector, subspace) under exact integer L2
     * with a total (dist, cell) tiebreak. */
   private[graft] def pqAssign(subs: DataFrame, cb: DataFrame): DataFrame =
-    // argmin as a map-side-combined min_by on exact BIGINT distances —
-    // a row_number window here would shuffle N×m×k scored rows; the
-    // (dist asc, cell asc) tiebreak is total → same codes
+    // argmin as ONE fixed-width HashAggregate: the exact BIGINT
+    // distance and the (dist asc, cell asc) total tiebreak pack
+    // losslessly into a single long — dist ≤ 16·(4e6)² < 2^47 (16-dim
+    // slices of 1e-6-quantized unit vectors) and cell < 8 by the
+    // PqKsub = 4 low-id seeding, so min(dist·8 + cell) IS the min_by.
+    // min_by(struct) here planned SortAggregate (struct agg buffers
+    // aren't UnsafeRow-mutable) over the N×m×k fan-out — the same
+    // physical-shape class AnnBuildProbe caught on the IVF assignment
+    // plane (BENCH_NOTES r13). Identical codes by construction.
     subs.join(broadcast(cb), "sub")
-      .select(col("vec_id"), col("sub"), col("cell"),
-        l2Q(col("sq"), col("cq")).as("dist"))
+      .select(col("vec_id"), col("sub"),
+        (l2Q(col("sq"), col("cq")) * 8 + col("cell")).as("packed"))
       .groupBy("vec_id", "sub")
-      .agg(min_by(col("cell"), struct(col("dist"), col("cell"))).as("cell"))
-      .select("vec_id", "sub", "cell")
+      .agg(min(col("packed")).as("packed"))
+      .select(col("vec_id"), col("sub"), (col("packed") % 8).as("cell"))
 
   /** Product-quantization codebooks: per subspace, Lloyd's k-means
     * (k = 4, 2 fixed iterations, low-id singleton seeds) over the

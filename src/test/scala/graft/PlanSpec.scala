@@ -47,6 +47,33 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), "corpus must not shuffle for the score join")
   }
 
+  test("IVF assignment is a pure map job; PQ argmin hash-aggregates") {
+    // r13 (BENCH_NOTES decomposition): the crossJoin → max_by(struct)
+    // assignment plane planned SortAggregate over the N×k fan-out
+    // (23.8 GB spill at sf100 for a 2M-row result). The CellArgmax
+    // rewrite must keep the plan JOIN-free, AGGREGATE-free, and
+    // EXCHANGE-free — the codebook is plan-embedded, so assignment is
+    // scan → project.
+    val cells = Similarity.kmeansSums(spark, sf)
+    val assign = Similarity.assignToCellsScored(
+      spark.read.parquet(s"$sf/embeddings.parquet")
+        .select("vec_id", "embedding"), cells)
+    val pa = plan(assign)
+    assert(pa.contains("graft_cell_argmax"), s"argmax not inlined:\n$pa")
+    for (bad <- Seq("Join", "Aggregate", "Exchange"))
+      assert(!pa.contains(bad),
+        s"assignment must be a map-only plan, found $bad:\n$pa")
+    // ...and pqAssign's packed-long argmin must plan HashAggregate
+    // (the min_by(struct) form fell to SortAggregate — struct agg
+    // buffers aren't UnsafeRow-mutable)
+    val pq = plan(Similarity.pqAssign(
+      Similarity.pqSubVectors(spark, sf),
+      Similarity.pqCodebooksBuild(spark, sf)))
+    assert(pq.contains("HashAggregate"), s"expected HashAggregate:\n$pq")
+    assert(!pq.contains("SortAggregate"),
+      s"PQ argmin must not sort-aggregate:\n$pq")
+  }
+
   test("partitionBy layout gives partition-pruned reads") {
     val out = java.nio.file.Files.createTempDirectory("graft_prune_").toString
     spark.read.parquet(s"$sf/lineitem.parquet")

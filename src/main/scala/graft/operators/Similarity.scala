@@ -1099,24 +1099,42 @@ object Similarity {
         .as(Seq("sub", "sq")))
   }
 
+  /** The PQ codeword argmin as a plan-embedded column over
+    * `(sq, sub)` rows — [[graft.plans.PqArgmin]] with the codebook
+    * collected to primitive arrays (m·k codewords of sub-vector
+    * width: 256 longs here, a few KB for any real PQ config — a
+    * MODEL, the same contract as [[assignToCellsScored]]'s
+    * collect). Same total (dist asc, cell asc) tiebreak as the
+    * broadcast-join + argmin-aggregate plane it replaces — identical
+    * codes, every PQ oracle untouched. */
+  private def pqArgminCol(cb: DataFrame): org.apache.spark.sql.Column = {
+    val spark = cb.sparkSession
+    graft.plans.PqArgmin.register(spark)
+    // sub arrives as INT (posexplode's pos) or LONG depending on the
+    // caller's projection — read numerically
+    def asL(r: org.apache.spark.sql.Row, i: Int): Long =
+      r.get(i).asInstanceOf[Number].longValue
+    val rows = cb.select(col("sub"), col("cell"), col("cq")).collect()
+      .sortBy(r => (asL(r, 0), asL(r, 1)))
+    val m = rows.map(asL(_, 0)).max.toInt + 1
+    val perSub = rows.groupBy(asL(_, 0).toInt)
+    // offsets: starts(s) .. starts(s+1) bound sub s's codewords in the
+    // sub-major sorted layout (length m+1, starts(0) = 0)
+    val subStarts = (0 until m)
+      .map(s => perSub.get(s).map(_.length).getOrElse(0).toLong)
+      .scanLeft(0L)(_ + _).toArray
+    val ids = rows.map(asL(_, 1))
+    val cqFlat = rows.flatMap(_.getSeq[Long](2))
+    call_function(graft.plans.PqArgmin.name, col("sq"), col("sub"),
+      typedLit(subStarts), typedLit(ids), typedLit(cqFlat))
+  }
+
   /** Nearest codeword per (vector, subspace) under exact integer L2
-    * with a total (dist, cell) tiebreak. */
+    * with a total (dist, cell) tiebreak — a pure MAP job (one
+    * [[pqArgminCol]] projection; the broadcast-join fan-out and the
+    * argmin aggregate are gone, AnnBuildProbe/BENCH_NOTES r13). */
   private[graft] def pqAssign(subs: DataFrame, cb: DataFrame): DataFrame =
-    // argmin as ONE fixed-width HashAggregate: the exact BIGINT
-    // distance and the (dist asc, cell asc) total tiebreak pack
-    // losslessly into a single long — dist ≤ 16·(4e6)² < 2^47 (16-dim
-    // slices of 1e-6-quantized unit vectors) and cell < 8 by the
-    // PqKsub = 4 low-id seeding, so min(dist·8 + cell) IS the min_by.
-    // min_by(struct) here planned SortAggregate (struct agg buffers
-    // aren't UnsafeRow-mutable) over the N×m×k fan-out — the same
-    // physical-shape class AnnBuildProbe caught on the IVF assignment
-    // plane (BENCH_NOTES r13). Identical codes by construction.
-    subs.join(broadcast(cb), "sub")
-      .select(col("vec_id"), col("sub"),
-        (l2Q(col("sq"), col("cq")) * 8 + col("cell")).as("packed"))
-      .groupBy("vec_id", "sub")
-      .agg(min(col("packed")).as("packed"))
-      .select(col("vec_id"), col("sub"), (col("packed") % 8).as("cell"))
+    subs.select(col("vec_id"), col("sub"), pqArgminCol(cb).as("cell"))
 
   /** Product-quantization codebooks: per subspace, Lloyd's k-means
     * (k = 4, 2 fixed iterations, low-id singleton seeds) over the
@@ -1149,8 +1167,13 @@ object Similarity {
     var cb = subs.filter(col("vec_id") < PqKsub)
       .select(col("sub"), col("vec_id").as("cell"), col("sq").as("cq"))
     for (_ <- 1 to PqIters) {
-      val assign = pqAssign(subs, cb)
-      cb = subs.join(assign, Seq("vec_id", "sub"))
+      // rebuild WITHOUT re-joining the corpus: the row holds its own
+      // sq, and its codeword comes from the plan-embedded argmin — so
+      // each Lloyd's iteration is one map + one map-side-combined
+      // aggregate (the old assignment join back onto `subs` was a
+      // corpus-sized SMJ: 740 MB shuffled per iteration at sf100,
+      // AnnBuildProbe/BENCH_NOTES r13)
+      cb = subs.withColumn("cell", pqArgminCol(cb))
         .groupBy("sub", "cell")
         .agg(count(lit(1)).as("n"), expr("vec_sum(sq)").as("s"))
         .select(col("sub"), col("cell"),

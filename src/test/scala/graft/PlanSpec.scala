@@ -63,15 +63,16 @@ class PlanSpec extends SparkSuite {
     for (bad <- Seq("Join", "Aggregate", "Exchange"))
       assert(!pa.contains(bad),
         s"assignment must be a map-only plan, found $bad:\n$pa")
-    // ...and pqAssign's packed-long argmin must plan HashAggregate
-    // (the min_by(struct) form fell to SortAggregate — struct agg
-    // buffers aren't UnsafeRow-mutable)
+    // ...and pqAssign is map-only too: the codeword argmin is the
+    // plan-embedded graft_pq_argmin projection (the min_by(struct)
+    // form fell to SortAggregate over the broadcast-join fan-out)
     val pq = plan(Similarity.pqAssign(
       Similarity.pqSubVectors(spark, sf),
       Similarity.pqCodebooksBuild(spark, sf)))
-    assert(pq.contains("HashAggregate"), s"expected HashAggregate:\n$pq")
-    assert(!pq.contains("SortAggregate"),
-      s"PQ argmin must not sort-aggregate:\n$pq")
+    assert(pq.contains("graft_pq_argmin"), s"argmin not inlined:\n$pq")
+    for (bad <- Seq("Join", "Aggregate", "Exchange"))
+      assert(!pq.contains(bad),
+        s"PQ assignment must be a map-only plan, found $bad:\n$pq")
   }
 
   test("partitionBy layout gives partition-pruned reads") {

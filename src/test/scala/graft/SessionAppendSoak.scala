@@ -81,9 +81,13 @@ object SessionAppendSoak {
     // exactly-once across the restart: the two-run sink must equal a
     // single-shot x13f over the full corpus (count + Σn_events +
     // user-sum — order-free exact digests)
+    // DECIMAL(38,0) digest: sf100 replica user_ids sit near 1e12 and
+    // their weighted sum over ~95M sessions passes 2^63 (the
+    // documented ScaleFixtures ANSI-overflow gotcha)
     def digest(df: org.apache.spark.sql.DataFrame) = df
       .agg(count(lit(1)), sum("n_events"),
-        sum(col("user_id") * col("n_events"))).head.toSeq
+        sum(col("user_id").cast("decimal(38,0)") * col("n_events")))
+      .head.toSeq
     val resumed = digest(spark.read.parquet(out))
     val oneShot = digest(
       graft.streaming.Streaming.sessionizeAppend(spark, srcDir))

@@ -190,7 +190,17 @@ object PlanDump {
         "semi-join; the boundary bucket's per-doc rank windows " +
         "partition by 1024-doc chunks. The naive form this replaces is " +
         "one window over the whole corpus order — a single-task sort " +
-        "at 100 TB."))
+        "at 100 TB."),
+    "x13f_sessionize_append" ->
+      ("Append-mode streaming sessionization (r13) — the plan shown is " +
+        "the sink RE-READ (the streaming drain already ran); what to " +
+        "look for is the SHAPE claim stated by the operator: sessions " +
+        "emit once, when the watermark passes their end, so each " +
+        "micro-batch's sink write is O(sessions closed by that batch) " +
+        "— never the O(corpus) running-result overwrite complete mode " +
+        "re-emits (x13b). The finalization cut is exact: sink ≡ batch " +
+        "sessions with end_us ≤ (max_us div 1000 − delay_ms) · 1000 " +
+        "(Spark's ms-truncated watermark), oracle-checked per run."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

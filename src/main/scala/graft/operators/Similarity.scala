@@ -1107,7 +1107,7 @@ object Similarity {
     * collect). Same total (dist asc, cell asc) tiebreak as the
     * broadcast-join + argmin-aggregate plane it replaces — identical
     * codes, every PQ oracle untouched. */
-  private def pqArgminCol(cb: DataFrame): org.apache.spark.sql.Column = {
+  private def pqArgminCol(cb: DataFrame): Option[org.apache.spark.sql.Column] = {
     val spark = cb.sparkSession
     graft.plans.PqArgmin.register(spark)
     // sub arrives as INT (posexplode's pos) or LONG depending on the
@@ -1116,6 +1116,9 @@ object Similarity {
       r.get(i).asInstanceOf[Number].longValue
     val rows = cb.select(col("sub"), col("cell"), col("cq")).collect()
       .sortBy(r => (asL(r, 0), asL(r, 1)))
+    // an EMPTY codebook (empty-corpus fixture) has no argmin — callers
+    // preserve the join form's semantics (zero assignments)
+    if (rows.isEmpty) return None
     val m = rows.map(asL(_, 0)).max.toInt + 1
     val perSub = rows.groupBy(asL(_, 0).toInt)
     // offsets: starts(s) .. starts(s+1) bound sub s's codewords in the
@@ -1125,8 +1128,8 @@ object Similarity {
       .scanLeft(0L)(_ + _).toArray
     val ids = rows.map(asL(_, 1))
     val cqFlat = rows.flatMap(_.getSeq[Long](2))
-    call_function(graft.plans.PqArgmin.name, col("sq"), col("sub"),
-      typedLit(subStarts), typedLit(ids), typedLit(cqFlat))
+    Some(call_function(graft.plans.PqArgmin.name, col("sq"), col("sub"),
+      typedLit(subStarts), typedLit(ids), typedLit(cqFlat)))
   }
 
   /** Nearest codeword per (vector, subspace) under exact integer L2
@@ -1134,7 +1137,13 @@ object Similarity {
     * [[pqArgminCol]] projection; the broadcast-join fan-out and the
     * argmin aggregate are gone, AnnBuildProbe/BENCH_NOTES r13). */
   private[graft] def pqAssign(subs: DataFrame, cb: DataFrame): DataFrame =
-    subs.select(col("vec_id"), col("sub"), pqArgminCol(cb).as("cell"))
+    pqArgminCol(cb) match {
+      case Some(cell) =>
+        subs.select(col("vec_id"), col("sub"), cell.as("cell"))
+      case None => // no codewords: the old join form assigned nothing
+        subs.limit(0).select(col("vec_id"), col("sub"),
+          lit(null).cast(LongType).as("cell"))
+    }
 
   /** Product-quantization codebooks: per subspace, Lloyd's k-means
     * (k = 4, 2 fixed iterations, low-id singleton seeds) over the
@@ -1172,13 +1181,16 @@ object Similarity {
       // each Lloyd's iteration is one map + one map-side-combined
       // aggregate (the old assignment join back onto `subs` was a
       // corpus-sized SMJ: 740 MB shuffled per iteration at sf100,
-      // AnnBuildProbe/BENCH_NOTES r13)
-      cb = subs.withColumn("cell", pqArgminCol(cb))
-        .groupBy("sub", "cell")
-        .agg(count(lit(1)).as("n"), expr("vec_sum(sq)").as("s"))
-        .select(col("sub"), col("cell"),
-          transform(col("s"),
-            x => floor(x.cast(DoubleType) / col("n"))).as("cq"))
+      // AnnBuildProbe/BENCH_NOTES r13). An empty codebook (empty
+      // corpus) stays empty — iterating is a no-op.
+      pqArgminCol(cb).foreach { cell =>
+        cb = subs.withColumn("cell", cell)
+          .groupBy("sub", "cell")
+          .agg(count(lit(1)).as("n"), expr("vec_sum(sq)").as("s"))
+          .select(col("sub"), col("cell"),
+            transform(col("s"),
+              x => floor(x.cast(DoubleType) / col("n"))).as("cq"))
+      }
     }
     val out = cb.localCheckpoint()
     subs.unpersist()

@@ -57,8 +57,12 @@ case class CellArgmax(qv: Expression, cellIds: Array[Long],
   override def prettyName: String = CellArgmax.name
 
   override def nullSafeEval(q: Any): Any = {
-    val qa = q.asInstanceOf[ArrayData]
-    val d = qa.numElements()
+    // one primitive copy of the row's vector, then k·d primitive
+    // reads: ArrayData.getLong is a virtual call + bounds check, and
+    // at k·d ≈ 16k reads per row it dominated the loop (~100 µs/row
+    // measured at sf100 vs ~16 µs of arithmetic)
+    val qv = q.asInstanceOf[ArrayData].toLongArray()
+    val d = qv.length
     val k = cellIds.length
     var bestJ = -1L
     var bestScore = Double.NegativeInfinity
@@ -68,7 +72,7 @@ case class CellArgmax(qv: Expression, cellIds: Array[Long],
       var dot = 0L
       val off = j * d
       var i = 0
-      while (i < d) { dot += qa.getLong(i) * sFlat(off + i); i += 1 }
+      while (i < d) { dot += qv(i) * sFlat(off + i); i += 1 }
       val score = dot.toDouble / ns(j).toDouble
       val cid = cellIds(j)
       if (score > bestScore || (score == bestScore && cid < bestId)) {
@@ -96,8 +100,10 @@ case class CellArgmax(qv: Expression, cellIds: Array[Long],
       val bestJ = ctx.freshName("bestJ")
       val bestScore = ctx.freshName("bestScore")
       val bestId = ctx.freshName("bestId")
+      val qbuf = ctx.freshName("qbuf")
       s"""
-         |int $d = $q.numElements();
+         |long[] $qbuf = $q.toLongArray();
+         |int $d = $qbuf.length;
          |int $k = $idsRef.length;
          |long $bestJ = -1L;
          |double $bestScore = java.lang.Double.NEGATIVE_INFINITY;
@@ -106,7 +112,7 @@ case class CellArgmax(qv: Expression, cellIds: Array[Long],
          |  long $dot = 0L;
          |  int $off = $j * $d;
          |  for (int $i = 0; $i < $d; $i++) {
-         |    $dot += $q.getLong($i) * $sRef[$off + $i];
+         |    $dot += $qbuf[$i] * $sRef[$off + $i];
          |  }
          |  double $score = (double) $dot / (double) $nsRef[$j];
          |  long $cid = $idsRef[$j];

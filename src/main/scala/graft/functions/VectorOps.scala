@@ -35,22 +35,39 @@ object VectorOps {
   def dotQ(qa: Column, qb: Column): Column =
     aggregate(zip_with(qa, qb, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
 
+  /** Column ⇄ Catalyst-expression bridge (the Spark 4 classic-API
+    * helper): lets the fused native expressions below construct
+    * directly — no function-registry round-trip, no registration
+    * ordering concerns at analysis time. (SQL registration still
+    * exists for SQL-text use; see each expression's `register`.) */
+  private def ofExpr(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(e)
+  private def exprOf(c: Column) =
+    org.apache.spark.sql.GraftColumnBridge.expression(c)
+
   /** [[dotQ]] through the fused native expression
     * ([[graft.plans.LongDot]]) — identical integers, a tight codegen
     * loop instead of the interpreted per-element HOF lambdas (measured
     * ~7 µs → sub-0.1 µs per 64-dim pair; the N×k ANN assignment plane
-    * is built from exactly this call). Requires
-    * [[graft.plans.LongVecOps.register]] on the session — every
-    * QuantizedDot/VecSumAgg registration does it. */
+    * is built from exactly this call). */
   def ldotQ(qa: Column, qb: Column): Column =
-    call_function(graft.plans.LongVecOps.dotName, qa, qb)
+    ofExpr(graft.plans.LongDot(exprOf(qa), exprOf(qb)))
 
   /** Exact integer squared L2 of two quantized BIGINT arrays through
     * the fused native expression ([[graft.plans.LongL2]]) — the PQ
-    * assignment/LUT distance. Same registration contract as
-    * [[ldotQ]]. */
+    * assignment/LUT distance. */
   def ll2Q(qa: Column, qb: Column): Column =
-    call_function(graft.plans.LongVecOps.l2Name, qa, qb)
+    ofExpr(graft.plans.LongL2(exprOf(qa), exprOf(qb)))
+
+  /** [[quantize]] through the fused native expression
+    * ([[graft.plans.QuantizeVec]]) — the same `ROUND(v·1e6)`
+    * half-away-from-zero grid in one primitive loop with one output
+    * allocation, vs the HOF `transform`'s interpreted per-element
+    * lambda. Bit-equal to [[quantize]] (QuantizedDotSpec pins it over
+    * the fixture vectors). */
+  def quantizeFast(a: Column): Column =
+    ofExpr(graft.plans.QuantizeVec(exprOf(a)))
 
   /** Exact integer squared norm of a quantized array. */
   def norm2Q(qa: Column): Column = dotQ(qa, qa)

@@ -404,7 +404,7 @@ object Similarity {
   private def centroidSums(spark: SparkSession, sfDir: String): DataFrame = {
     graft.plans.VecSumAgg.register(spark)
     Tables.embeddings(spark, sfDir)
-      .select(col("label"), VectorOps.quantize(col("embedding")).as("qv"))
+      .select(col("label"), VectorOps.quantizeFast(col("embedding")).as("qv"))
       .groupBy("label")
       .agg(count(lit(1)).as("n_vecs"), expr("vec_sum(qv)").as("sums"))
   }
@@ -505,7 +505,7 @@ object Similarity {
         .select(col("label").as("cell"), col("n_vecs").as("n"),
           col("sums").as("s")))
     Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("qv"))
+      .select(col("vec_id"), VectorOps.quantizeFast(col("embedding")).as("qv"))
       .crossJoin(broadcast(cent))
       .select(col("vec_id"), col("cell"),
         (VectorOps.ldotQ(col("qv"), col("s")).cast(DoubleType) / col("n"))
@@ -567,7 +567,7 @@ object Similarity {
     val idx = stagedIvfIndex(spark, sfDir)
     val probeScores = Tables.embeddings(spark, sfDir)
       .filter(col("vec_id") < NQueries)
-      .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("qv"))
+      .select(col("vec_id"), VectorOps.quantizeFast(col("embedding")).as("qv"))
       .crossJoin(broadcast(idx.cells))
       .select(col("vec_id"), col("cell"),
         (VectorOps.ldotQ(col("qv"), col("s")).cast(DoubleType) / col("n"))
@@ -638,7 +638,7 @@ object Similarity {
     val vecs = Tables.embeddings(spark, sfDir)
       .filter(col("vec_id") < idBound)
       .filter(col("vec_id") % stride === 0)
-      .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("qv"))
+      .select(col("vec_id"), VectorOps.quantizeFast(col("embedding")).as("qv"))
       .cache()
     // seeds: the k LOWEST sample vec_ids (rank-based, not `id < k` —
     // robust to sparse/shifted id domains; equal on dense fixtures)
@@ -1032,7 +1032,7 @@ object Similarity {
       (0 until Dims).map(pos =>
         element_at(col("qv"), pos + 1) * lit(sign(j, pos))).reduce(_ + _)
     val projected = quantized(spark, sfDir)
-      .withColumn("qv", VectorOps.quantize(col("embedding")))
+      .withColumn("qv", VectorOps.quantizeFast(col("embedding")))
       .select(col("vec_id"), col("embedding"), col("n2"),
         array((0 until maxD).map(proj): _*).as("p"))
     val q = projected.filter(col("vec_id") < NQueries)
@@ -1092,7 +1092,7 @@ object Similarity {
     * stage that feeds both training (sampled) and encoding (full). */
   private[graft] def pqSubVectors(spark: SparkSession, sfDir: String): DataFrame = {
     val vecs = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("qv"))
+      .select(col("vec_id"), VectorOps.quantizeFast(col("embedding")).as("qv"))
     vecs.select(col("vec_id"),
       posexplode(array((0 until PqM).map(j =>
         slice(col("qv"), j * PqSubDims + 1, PqSubDims)): _*))
@@ -1128,8 +1128,9 @@ object Similarity {
       .scanLeft(0L)(_ + _).toArray
     val ids = rows.map(asL(_, 1))
     val cqFlat = rows.flatMap(_.getSeq[Long](2))
-    Some(call_function(graft.plans.PqArgmin.name, col("sq"), col("sub"),
-      typedLit(subStarts), typedLit(ids), typedLit(cqFlat)))
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    Some(column(graft.plans.PqArgmin(expression(col("sq")),
+      expression(col("sub")), subStarts, ids, cqFlat)))
   }
 
   /** Nearest codeword per (vector, subspace) under exact integer L2
@@ -1409,9 +1410,11 @@ object Similarity {
     val ids = rows.map(_.getLong(0))
     val ns = rows.map(_.getLong(1))
     val sFlat = rows.flatMap(_.getSeq[Long](2))
-    val j = call_function(graft.plans.CellArgmax.name, col("qv"),
-      typedLit(ids), typedLit(ns), typedLit(sFlat))
-    vecs.select(col("vec_id"), VectorOps.quantize(col("embedding")).as("qv"))
+    val j = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.plans.CellArgmax(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("qv")),
+        ids, ns, sFlat))
+    vecs.select(col("vec_id"), VectorOps.quantizeFast(col("embedding")).as("qv"))
       .withColumn("__j", j)
       .select(col("vec_id"),
         element_at(typedLit(ids), (col("__j") + 1).cast(IntegerType))
@@ -1440,7 +1443,7 @@ object Similarity {
     * final O(vectors) sort: the 100 TB shape is a pure map job. */
   def int8Export(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("q"))
+      .select(col("vec_id"), VectorOps.quantizeFast(col("embedding")).as("q"))
       .withColumn("maxabs",
         expr("array_max(transform(q, v -> abs(v)))"))
       .withColumn("codes", expr(

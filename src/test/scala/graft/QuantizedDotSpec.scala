@@ -81,6 +81,32 @@ class QuantizedDotSpec extends SparkSuite {
     assert(graft.plans.LongL2(la, lb).eval(null) == 117L)
   }
 
+  test("fused quantize equals the HOF transform over every fixture vector") {
+    // graft_quantize fronts every ANN plane (r13); its grid must be
+    // BIT-equal to the composed round(cast·1e6) HOF form, including
+    // negatives/zeros/exact-half edge shapes.
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val bad = e.select(
+        VectorOps.quantize(col("embedding")).as("hof"),
+        VectorOps.quantizeFast(col("embedding")).as("fused"))
+      .filter(col("hof") =!= col("fused")).count()
+    assert(bad == 0)
+    import spark.implicits._
+    val adv = Seq(Array(-0.5f, 0.0f, 1.25f, -2.0000005f, 0.0000005f))
+      .toDF("a")
+      .select(VectorOps.quantize(col("a")).as("hof"),
+        VectorOps.quantizeFast(col("a")).as("fused"))
+      .head
+    assert(adv.getSeq[Long](0) == adv.getSeq[Long](1))
+    // interpreted path
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val interp = graft.plans.QuantizeVec(
+      Literal.create(Array(-0.5f, 1.25f), ArrayType(FloatType)))
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert(interp.toLongArray().toSeq == Seq(-500000L, 1250000L))
+  }
+
   test("self-dot rewrites to the fused norm and values are unchanged") {
     import org.apache.spark.sql.functions._
     graft.plans.QuantizedDot.register(spark)

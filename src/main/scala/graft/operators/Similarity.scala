@@ -499,7 +499,6 @@ object Similarity {
 
   private def cellScores(spark: SparkSession, sfDir: String,
                          cellsOverride: Option[DataFrame] = None): DataFrame = {
-    graft.plans.LongVecOps.register(spark)
     val cent = cellsOverride.getOrElse(
       centroidSums(spark, sfDir)
         .select(col("label").as("cell"), col("n_vecs").as("n"),
@@ -563,7 +562,6 @@ object Similarity {
     * scoring ONLY the queries changes nothing). */
   private def ivfLearnedCandidates(spark: SparkSession, sfDir: String,
                                    nprobe: Int): DataFrame = {
-    graft.plans.LongVecOps.register(spark)
     val idx = stagedIvfIndex(spark, sfDir)
     val probeScores = Tables.embeddings(spark, sfDir)
       .filter(col("vec_id") < NQueries)
@@ -645,19 +643,23 @@ object Similarity {
     var cells = vecs.orderBy("vec_id").limit(k)
       .select(col("vec_id").as("cell"), lit(1L).as("n"), col("qv").as("s"))
     for (_ <- 1 to iters) {
-      // argmax as a map-side-combined max_by (not a row_number window,
-      // which would shuffle N×k scored rows per iteration); the
-      // (score desc, cell asc) tiebreak is total → same assignment
-      val assign = vecs.crossJoin(broadcast(cells))
-        .select(col("vec_id"), col("cell"),
-          (VectorOps.ldotQ(col("qv"), col("s")).cast(DoubleType) / col("n"))
-            .as("score"))
-        .groupBy("vec_id")
-        .agg(max_by(col("cell"),
-          struct(col("score"), (-col("cell")).as("nc"))).as("cell"))
-      cells = vecs.join(assign, "vec_id")
-        .groupBy("cell")
-        .agg(count(lit(1)).as("n"), expr("vec_sum(qv)").as("s"))
+      // Each Lloyd's iteration is one MAP + one map-side-combined
+      // aggregate: the row's cell comes from the plan-embedded
+      // [[graft.plans.CellArgmax]] (same total (score desc, cell asc)
+      // tiebreak → same assignment), and the rebuild aggregates the
+      // row's OWN qv under it. The old crossJoin → max_by(struct) +
+      // re-join form was the SortAggregate shape AnnBuildProbe caught
+      // on the full assignment plane — at 1B-vector geometry (k ≈ 31k
+      // cells × the 65k sample) the training fan-out alone would be
+      // 2B rows per iteration. An empty sample keeps the empty seed
+      // relation (iterating is a no-op).
+      cellArgmaxParts(cells).foreach { case (ids, _, _, j) =>
+        cells = vecs.withColumn("__j", j)
+          .select(element_at(typedLit(ids),
+            (col("__j") + 1).cast(IntegerType)).as("cell"), col("qv"))
+          .groupBy("cell")
+          .agg(count(lit(1)).as("n"), expr("vec_sum(qv)").as("s"))
+      }
     }
     // k × dims summed longs — materialize the (tiny) codebook, release
     // the corpus-sized quantized-vector cache
@@ -1388,46 +1390,59 @@ object Similarity {
     * (score desc, cell asc) tiebreak is total, so the argmax equals
     * the oracle's ROW_NUMBER() = 1 row exactly, and the double
     * round-trips through parquet bit-for-bit. */
-  private[graft] def assignToCellsScored(vecs: DataFrame,
-                                         cells: DataFrame): DataFrame = {
-    val spark = vecs.sparkSession
-    graft.plans.LongVecOps.register(spark)
-    graft.plans.CellArgmax.register(spark)
-    // The codebook is a MODEL — k×dims longs, k ≈ √N by [[annGeometry]]
-    // — so it collapses to plan-embedded literals and the assignment
-    // becomes a pure MAP job: per row, [[graft.plans.CellArgmax]] loops
-    // the codebook inline with the same (score desc, cell asc) IEEE
-    // tiebreak the old crossJoin → max_by(struct) plane computed. That
-    // plane was a scale defect, not just overhead: max_by's struct
-    // ordering key forces SortAggregate, which at sf100 externally
-    // sorted the 500M-row fan-out — 23.7 GB of spill for a 2M-row
-    // result (AnnBuildProbe, BENCH_NOTES r13). This collect is
-    // metadata-plane by the same contract that broadcast the cells
-    // relation before it (k×dims ≈ 128 KB at sf100; a billion-vector
-    // corpus at k=√N ≈ 31k cells is ~16 MB — still a driver constant).
+  /** The collected codebook (sorted by cell id) plus the
+    * [[graft.plans.CellArgmax]] index column over a `qv` input — the
+    * shared core of the assignment plane and the Lloyd's trainer.
+    * The codebook is a MODEL — k×dims longs, k ≈ √N by
+    * [[annGeometry]] — so it collapses to plan-embedded primitive
+    * arrays and scoring becomes a pure MAP job with the same
+    * (score desc, cell asc) IEEE tiebreak the old
+    * crossJoin → max_by(struct) plane computed. That plane was a scale
+    * defect, not just overhead: max_by's struct ordering key forces
+    * SortAggregate, which at sf100 externally sorted the 500M-row
+    * fan-out — 23.7 GB of spill for a 2M-row result (AnnBuildProbe,
+    * BENCH_NOTES r13). The collect is metadata-plane by the same
+    * contract that broadcast the cells relation before it (k×dims ≈
+    * 128 KB at sf100; a billion-vector corpus at k=√N ≈ 31k cells is
+    * ~16 MB — still a driver constant). None for an empty codebook
+    * (empty-corpus fixtures). */
+  private def cellArgmaxParts(cells: DataFrame)
+      : Option[(Array[Long], Array[Long], Array[Long],
+                org.apache.spark.sql.Column)] = {
     val rows = cells.select(col("cell"), col("n"), col("s")).collect()
       .sortBy(_.getLong(0))
+    if (rows.isEmpty) return None
     val ids = rows.map(_.getLong(0))
     val ns = rows.map(_.getLong(1))
     val sFlat = rows.flatMap(_.getSeq[Long](2))
-    val j = org.apache.spark.sql.GraftColumnBridge.column(
-      graft.plans.CellArgmax(
-        org.apache.spark.sql.GraftColumnBridge.expression(col("qv")),
-        ids, ns, sFlat))
-    vecs.select(col("vec_id"), VectorOps.quantizeFast(col("embedding")).as("qv"))
-      .withColumn("__j", j)
-      .select(col("vec_id"),
-        element_at(typedLit(ids), (col("__j") + 1).cast(IntegerType))
-          .as("cell"),
-        // winner's score recomputed with one ldot over the winner's
-        // slice — the identical (double)dot / (double)n op chain
-        (VectorOps.ldotQ(col("qv"),
-          slice(typedLit(sFlat),
-            (col("__j") * size(col("qv")) + 1).cast(IntegerType),
-            size(col("qv")))).cast(DoubleType) /
-          element_at(typedLit(ns), (col("__j") + 1).cast(IntegerType)))
-          .as("cellscore"))
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    Some((ids, ns, sFlat, column(graft.plans.CellArgmax(
+      expression(col("qv")), ids, ns, sFlat))))
   }
+
+  private[graft] def assignToCellsScored(vecs: DataFrame,
+                                         cells: DataFrame): DataFrame =
+    cellArgmaxParts(cells) match {
+      case Some((ids, ns, sFlat, j)) =>
+        vecs.select(col("vec_id"),
+            VectorOps.quantizeFast(col("embedding")).as("qv"))
+          .withColumn("__j", j)
+          .select(col("vec_id"),
+            element_at(typedLit(ids), (col("__j") + 1).cast(IntegerType))
+              .as("cell"),
+            // winner's score recomputed with one ldot over the winner's
+            // slice — the identical (double)dot / (double)n op chain
+            (VectorOps.ldotQ(col("qv"),
+              slice(typedLit(sFlat),
+                (col("__j") * size(col("qv")) + 1).cast(IntegerType),
+                size(col("qv")))).cast(DoubleType) /
+              element_at(typedLit(ns), (col("__j") + 1).cast(IntegerType)))
+              .as("cellscore"))
+      case None => // no cells: the old crossJoin form assigned nothing
+        vecs.limit(0).select(col("vec_id"),
+          lit(null).cast(LongType).as("cell"),
+          lit(null).cast(DoubleType).as("cellscore"))
+    }
 
   /** Per-vector symmetric int8 post-training quantization — the export
     * step that turns a float corpus into the serving/packing format —

@@ -164,6 +164,39 @@ class StreamingSpec extends SparkSuite {
     assert(out.forall(_.getLong(3) == 1L))
   }
 
+  test("append sessionize resumes across a restart (exactly-once, state carried)") {
+    // The production contract SessionAppendSoak measures at sf10/sf100,
+    // pinned here at CI scale: run 1 drains the historical 99% (by
+    // event time), the newest 1% lands as NEW FILES, run 2 resumes from
+    // the checkpoint — and the two-run sink must equal the single-shot
+    // x13f over the full corpus, row for row. A session STRADDLING the
+    // cut (open at the end of run 1, closed by run 2's data/watermark)
+    // is exactly what the carried state must get right.
+    val dir = java.nio.file.Files.createTempDirectory("graft_x13f_rs_")
+    val src = s"$dir/src"
+    val out = s"$dir/sink"
+    val ckpt = s"$dir/ckpt"
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select("event_id", "user_id", "event_type", "ts", "value")
+    val Seq(minUs, maxUs) = ev
+      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+      .head.toSeq.map(_.asInstanceOf[Long])
+    val cutUs = minUs + ((maxUs - minUs) * 99L) / 100L
+    ev.filter(unix_micros(col("ts")) < cutUs)
+      .write.parquet(s"$src/events.parquet")
+    val run1 = Streaming.sessionizeAppendRun(spark, src, out, ckpt).count()
+    ev.filter(unix_micros(col("ts")) >= cutUs)
+      .write.mode("append").parquet(s"$src/events.parquet")
+    val resumed = Streaming.sessionizeAppendRun(spark, src, out, ckpt)
+      .collect().map(_.toString).sorted.toSeq
+    assert(resumed.size > run1, "the tail must close additional sessions")
+    val oneShot = Streaming.sessionizeAppend(spark, src)
+      .collect().map(_.toString).sorted.toSeq
+    assert(resumed == oneShot,
+      s"resumed sink diverges from single-shot: ${resumed.size} vs " +
+        s"${oneShot.size} sessions")
+  }
+
   test("append sessionize (x13f) = batch sessions restricted to watermark-closed") {
     // The finalization-lag contract stated as an equality: the append
     // sink holds EXACTLY the x23 batch sessions whose end_us clears the

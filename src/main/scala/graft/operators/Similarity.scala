@@ -440,12 +440,18 @@ object Similarity {
     * themselves beyond the scoring aggregate.
     */
   def nearestCentroid(spark: SparkSession, sfDir: String): DataFrame = {
-    val cs = cellScores(spark, sfDir)
+    // per-row argmax over the plan-embedded centroids — the old
+    // corpus×labels row_number window SHUFFLED the whole N×k scored
+    // fan-out on vec_id just to keep rank 1 (the same physical-shape
+    // class as the assignment plane, BENCH_NOTES r13); the argmax
+    // tiebreak (score desc, cell asc) matches the window order, so
+    // the confusion matrix is bit-identical
+    val assign = assignToCellsScored(
+      Tables.embeddings(spark, sfDir).select("vec_id", "embedding"),
+      centroidCells(spark, sfDir))
     val labels = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("label").as("true_label"))
-    val w = Window.partitionBy("vec_id").orderBy(desc("cellscore"), asc("cell"))
-    cs.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") === 1)
+    assign
       .join(labels, "vec_id")
       .groupBy(col("true_label"), col("cell").as("predicted_label"))
       .agg(count(lit(1)).as("n_vecs"))
@@ -473,43 +479,47 @@ object Similarity {
   private def ivfCandidates(spark: SparkSession, sfDir: String,
                             nprobe: Int,
                             cells: Option[DataFrame]): DataFrame = {
-    val cs = cellScores(spark, sfDir, cells).cache()
-    // corpus assignment: ONE map-side-combined max_by aggregate — a
-    // row_number window here would shuffle all N×k scored rows on
-    // vec_id; the aggregate combines each vector's k candidates before
-    // the exchange. The (score desc, cell asc) tiebreak is total, so
-    // the argmax equals the oracle's ROW_NUMBER() = 1 row exactly.
-    val assign = cs.groupBy("vec_id")
-      .agg(max_by(col("cell"),
-        struct(col("cellscore"), (-col("cell")).as("nc"))).as("cell"))
-    // probe ranking needs top-NPROBE (not just the argmax) but only for
-    // the bounded query set — the window's shuffle is queries × k rows
+    val cent = cells.getOrElse(centroidCells(spark, sfDir))
+    // corpus assignment: the map-only CellArgmax plane (shared with
+    // the staged build) — the old form materialized + cached the
+    // corpus×k scored relation and max_by(struct)-aggregated it (the
+    // SortAggregate shape, BENCH_NOTES r13); the argmax tiebreak
+    // (score desc, cell asc) equals the oracle's ROW_NUMBER() = 1 row
+    val assign = assignToCellsScored(
+      Tables.embeddings(spark, sfDir).select("vec_id", "embedding"), cent)
+      .select("vec_id", "cell")
+    // probe ranking needs top-NPROBE (not just the argmax) but only
+    // for the bounded query set — scored live (|Q| × k rows), the same
+    // slice discipline as the staged-index probe path
     val w = Window.partitionBy("vec_id").orderBy(desc("cellscore"), asc("cell"))
-    val probes = cs.filter(col("vec_id") < NQueries)
+    val probes = cellScores(spark, sfDir, cent)
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= nprobe)
       .select(col("vec_id").as("query_id"), col("cell"))
-    val cand = broadcast(probes).join(assign, "cell")
+    broadcast(probes).join(assign, "cell")
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id")).distinct()
       .localCheckpoint()
-    cs.unpersist()
-    cand
   }
 
+  /** The label centroids in the (cell, n, s) codebook shape. */
+  private def centroidCells(spark: SparkSession, sfDir: String): DataFrame =
+    centroidSums(spark, sfDir)
+      .select(col("label").as("cell"), col("n_vecs").as("n"),
+        col("sums").as("s"))
+
+  /** Mean-dot cell scores for the bounded QUERY slice only (|Q| × k
+    * rows — the probe side's live scoring; the corpus side goes
+    * through [[assignToCellsScored]]'s map-only argmax). */
   private def cellScores(spark: SparkSession, sfDir: String,
-                         cellsOverride: Option[DataFrame] = None): DataFrame = {
-    val cent = cellsOverride.getOrElse(
-      centroidSums(spark, sfDir)
-        .select(col("label").as("cell"), col("n_vecs").as("n"),
-          col("sums").as("s")))
+                         cent: DataFrame): DataFrame =
     Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < NQueries)
       .select(col("vec_id"), VectorOps.quantizeFast(col("embedding")).as("qv"))
       .crossJoin(broadcast(cent))
       .select(col("vec_id"), col("cell"),
         (VectorOps.ldotQ(col("qv"), col("s")).cast(DoubleType) / col("n"))
           .as("cellscore"))
-  }
 
   /** IVF-style approximate top-k: the corpus is coarsely quantized into
     * cells (default: the label centroids — deterministic and
@@ -1409,19 +1419,25 @@ object Similarity {
   private def cellArgmaxParts(cells: DataFrame)
       : Option[(Array[Long], Array[Long], Array[Long],
                 org.apache.spark.sql.Column)] = {
+    // cell/n arrive as INT (label codebooks) or LONG (vec_id-seeded
+    // ones) — read numerically; the caller restores the cell dtype
+    def asL(r: org.apache.spark.sql.Row, i: Int): Long =
+      r.get(i).asInstanceOf[Number].longValue
     val rows = cells.select(col("cell"), col("n"), col("s")).collect()
-      .sortBy(_.getLong(0))
+      .sortBy(asL(_, 0))
     if (rows.isEmpty) return None
-    val ids = rows.map(_.getLong(0))
-    val ns = rows.map(_.getLong(1))
-    val sFlat = rows.flatMap(_.getSeq[Long](2))
+    val ids = rows.map(asL(_, 0))
+    val ns = rows.map(asL(_, 1))
+    val sFlat = rows.flatMap(_.getSeq[Any](2)
+      .map(_.asInstanceOf[Number].longValue))
     import org.apache.spark.sql.GraftColumnBridge.{column, expression}
     Some((ids, ns, sFlat, column(graft.plans.CellArgmax(
       expression(col("qv")), ids, ns, sFlat))))
   }
 
   private[graft] def assignToCellsScored(vecs: DataFrame,
-                                         cells: DataFrame): DataFrame =
+                                         cells: DataFrame): DataFrame = {
+    val cellType = cells.schema("cell").dataType
     cellArgmaxParts(cells) match {
       case Some((ids, ns, sFlat, j)) =>
         vecs.select(col("vec_id"),
@@ -1429,7 +1445,7 @@ object Similarity {
           .withColumn("__j", j)
           .select(col("vec_id"),
             element_at(typedLit(ids), (col("__j") + 1).cast(IntegerType))
-              .as("cell"),
+              .cast(cellType).as("cell"),
             // winner's score recomputed with one ldot over the winner's
             // slice — the identical (double)dot / (double)n op chain
             (VectorOps.ldotQ(col("qv"),
@@ -1440,9 +1456,10 @@ object Similarity {
               .as("cellscore"))
       case None => // no cells: the old crossJoin form assigned nothing
         vecs.limit(0).select(col("vec_id"),
-          lit(null).cast(LongType).as("cell"),
+          lit(null).cast(cellType).as("cell"),
           lit(null).cast(DoubleType).as("cellscore"))
     }
+  }
 
   /** Per-vector symmetric int8 post-training quantization — the export
     * step that turns a float corpus into the serving/packing format —

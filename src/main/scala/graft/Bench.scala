@@ -191,8 +191,11 @@ object Bench {
     var errors = Map.empty[String, String]
     // Optional comma-separated query filter for interactive iteration
     // (SPARK_GRAFT_ONLY=x09e_ngram_jaccard,x09g_dedup_clusters).
+    // blank tokens dropped: SPARK_GRAFT_ONLY="" means "no filter", not
+    // "run the query named empty-string"
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
     // A typo'd filter name would otherwise yield a silent empty run that
     // still prints a valid-looking total — surface it as an error entry.
     val unknown = only.diff(SparkEntry.queries.keySet)

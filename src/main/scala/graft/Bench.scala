@@ -339,15 +339,24 @@ object Bench {
         ",\"shuffle_write_mb\":" + mb(w) + ",\"spill_mb\":" + mb(s) +
         ",\"gc_ms\":" + g + "}"
     }.mkString("{", ",", "}")
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_probe_norm":$qsNorm,"queries_memo_sec":$qMemoJson,"memo_builds":$memoJson,"queries_io":$ioJson,"probe_start_sec":$probeStart,"probe_end_sec":$probeEnd,"probe_median_sec":$probeMedian,"probe_io_start_sec":$probeIoStart,"probe_io_end_sec":$probeIoEnd,"probe_io_median_sec":$probeIoMedian,"probe_io_direct":$ioProbeDirect,"probe_timeline":$timelineJson,"errors":$errJson,"cache_create_sec":$tCreate,"cache_reuse_sec":$tReuse,"o12_venue_create_sec":$tO12Create,"o12_reuse_read_sec":$tO12Reuse,"sf":"$sfDir"}"""
+    // A wave-triggered rerun child ships its artifacts under the
+    // `_rerun` suffix so the canonical run's record is never clobbered.
+    val rerunSuffix = if (sys.env.contains("GRAFT_BENCH_RERUN")) "_rerun" else ""
+    // Wave decision COMPUTED BEFORE the artifact line so the record
+    // itself says whether this window triggered a rerun (ADVICE r13) —
+    // the _rerun artifact's presence alone was the only prior signal.
+    val waveProbe = sys.env.get("GRAFT_BENCH_WAVE_PROBE")
+      .map(_.toDouble).getOrElse(1.15)
+    val waveIo = sys.env.get("GRAFT_BENCH_WAVE_IO")
+      .map(_.toDouble).getOrElse(1.2)
+    val wavy = probeMedian > waveProbe || probeIoMedian > waveIo
+    val waveRerun = wavy && rerunSuffix.isEmpty && only.isEmpty
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_probe_norm":$qsNorm,"queries_memo_sec":$qMemoJson,"memo_builds":$memoJson,"queries_io":$ioJson,"probe_start_sec":$probeStart,"probe_end_sec":$probeEnd,"probe_median_sec":$probeMedian,"probe_io_start_sec":$probeIoStart,"probe_io_end_sec":$probeIoEnd,"probe_io_median_sec":$probeIoMedian,"probe_io_direct":$ioProbeDirect,"wave_rerun":$waveRerun,"probe_timeline":$timelineJson,"errors":$errJson,"cache_create_sec":$tCreate,"cache_reuse_sec":$tReuse,"o12_venue_create_sec":$tO12Create,"o12_reuse_read_sec":$tO12Reuse,"sf":"$sfDir"}"""
     println(fullLine)
     // The full line above exceeds the harness's 2 KiB output-tail capture
     // (74 queries x ~26 chars), so it can never be parsed whole from the
     // tail. Persist it as an artifact, then print a compact summary line
     // LAST (top slowest queries, 2-decimal seconds) that fits the tail.
-    // A wave-triggered rerun child ships its artifacts under the
-    // `_rerun` suffix so the canonical run's record is never clobbered.
-    val rerunSuffix = if (sys.env.contains("GRAFT_BENCH_RERUN")) "_rerun" else ""
     if (only.isEmpty) { // don't clobber the artifacts from filtered runs
       // BENCH_FULL.json is "the latest full run" (driver contract); the
       // per-scale BENCH_<sf>.json keeps each scale's record so a small-
@@ -379,14 +388,7 @@ object Bench {
     // probe is the cleaner discriminator (quiet runs 0.15-0.26 s; the
     // r12 wave read 1.58). Env-tunable: GRAFT_BENCH_WAVE_PROBE /
     // GRAFT_BENCH_WAVE_IO (set PROBE to a huge value to disable).
-    val waveProbe = sys.env.get("GRAFT_BENCH_WAVE_PROBE")
-      .map(_.toDouble).getOrElse(1.15)
-    val waveIo = sys.env.get("GRAFT_BENCH_WAVE_IO")
-      .map(_.toDouble).getOrElse(1.2)
-    val wavy = probeMedian > waveProbe || probeIoMedian > waveIo
-    var waveRerun = false
-    if (wavy && rerunSuffix.isEmpty && only.isEmpty) {
-      waveRerun = true
+    if (waveRerun) {
       System.err.println(f"graft: wavy bench window (probe median " +
         f"$probeMedian%.2f s vs $waveProbe%.2f, io $probeIoMedian%.2f s " +
         f"vs $waveIo%.2f) — re-running once in a fresh JVM; second " +
@@ -407,9 +409,16 @@ object Bench {
         // tail line — its record is its artifact files
         pb.redirectOutput(new java.io.File("/tmp/graft_bench_rerun.log"))
         pb.redirectErrorStream(true)
-        val rc = pb.start().waitFor()
-        if (rc != 0) System.err.println(
-          s"graft: wave rerun exited $rc (see /tmp/graft_bench_rerun.log)")
+        // Bounded wait: a hung child JVM must not hang the whole bench
+        // (ADVICE r13). 30 min is ~4x a full sf0.1 run on a loud box.
+        val proc = pb.start()
+        if (!proc.waitFor(30, java.util.concurrent.TimeUnit.MINUTES)) {
+          proc.destroyForcibly()
+          System.err.println("graft: wave rerun exceeded 30 min — " +
+            "killed (see /tmp/graft_bench_rerun.log)")
+        } else if (proc.exitValue() != 0) System.err.println(
+          s"graft: wave rerun exited ${proc.exitValue()} " +
+            "(see /tmp/graft_bench_rerun.log)")
       } catch { case e: Exception =>
         System.err.println(s"graft: wave rerun failed to launch: $e")
       }
@@ -426,7 +435,7 @@ object Bench {
     // (VERDICT r10 #7); tools/bench_diff.py compares two artifacts on
     // the normalized columns directly.
     val totalNorm = if (probeMedian > 0) total / probeMedian else total
-    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$slowest,"n_queries":${results.size},"n_errors":${errors.size},"memo_build_sec":${r2(memoTotal)},"cache_create_sec":${r2(tCreate)},"cache_reuse_sec":${r2(tReuse)},"o12_venue_create_sec":${r2(tO12Create)},"o12_reuse_read_sec":${r2(tO12Reuse)},"probe_start_sec":${r2(probeStart)},"probe_end_sec":${r2(probeEnd)},"probe_median_sec":${r2(probeMedian)},"probe_io_median_sec":${r2(probeIoMedian)},"total_probe_norm":${r2(totalNorm)},"sf":"$sfDir","detail":"BENCH_FULL.json"}""")
+    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$slowest,"n_queries":${results.size},"n_errors":${errors.size},"memo_build_sec":${r2(memoTotal)},"cache_create_sec":${r2(tCreate)},"cache_reuse_sec":${r2(tReuse)},"o12_venue_create_sec":${r2(tO12Create)},"o12_reuse_read_sec":${r2(tO12Reuse)},"probe_start_sec":${r2(probeStart)},"probe_end_sec":${r2(probeEnd)},"probe_median_sec":${r2(probeMedian)},"probe_io_median_sec":${r2(probeIoMedian)},"total_probe_norm":${r2(totalNorm)},"wave_rerun":$waveRerun,"sf":"$sfDir","detail":"BENCH_FULL.json"}""")
     spark.stop()
   }
 }

@@ -60,6 +60,12 @@ object VectorOps {
   def ll2Q(qa: Column, qb: Column): Column =
     ofExpr(graft.plans.LongL2(exprOf(qa), exprOf(qb)))
 
+  /** Count of positions where two BIGINT arrays agree, through the
+    * fused native expression ([[graft.plans.LongMatch]]) — the MinHash
+    * signature-agreement count (Jaccard-estimate numerator). */
+  def lmatch(a: Column, b: Column): Column =
+    ofExpr(graft.plans.LongMatch(exprOf(a), exprOf(b)))
+
   /** [[quantize]] through the fused native expression
     * ([[graft.plans.QuantizeVec]]) — the same `ROUND(v·1e6)`
     * half-away-from-zero grid in one primitive loop with one output

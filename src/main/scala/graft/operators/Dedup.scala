@@ -468,9 +468,13 @@ object Dedup {
       .select(col("d.doc_id").as("doc_id"), col("p.doc_id").as("partner"))
       .distinct()
     val allSig = index.unionByName(deltaSig)
-    val nMatch = aggregate(
-      zip_with(col("mh_d"), col("mh_p"), (a, b) => (a === b).cast("int")),
-      lit(0), (acc, v) => acc + v)
+    // Signature-agreement count through the fused native expression
+    // (the last corpus-adjacent interpreted HOF, VERDICT r13 #3) —
+    // same integers as the old aggregate(zip_with(...)) form, one
+    // codegen loop per candidate pair; cast back to INT to keep the
+    // published n_match schema.
+    val nMatch = graft.functions.VectorOps
+      .lmatch(col("mh_d"), col("mh_p")).cast("int")
     val top = cand
       .join(deltaSig.select(col("doc_id"), col("mh").as("mh_d")), "doc_id")
       .join(allSig.select(col("doc_id").as("partner"),

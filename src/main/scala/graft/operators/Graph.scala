@@ -34,13 +34,27 @@ object Graph {
 
   private val Scale = 1000000000L // 1e9: 9 fractional digits of rank
 
-  /** PageRank (damping 0.85, 3 synchronous iterations) over the
-    * symmetric customer↔supplier graph: an edge per (custkey, suppkey)
-    * pair weighted by its lineitem count, both directions, so every
-    * node has out-mass and the dangling-mass term vanishes. Emits the
-    * top-20 nodes by final rank with a total order. */
-  def pageRank(spark: SparkSession, sfDir: String): DataFrame =
-    pageRankCore(linkedEdges(spark, sfDir))
+  /** PageRank (damping 0.85, `iterations` synchronous rounds, default
+    * 3 — the published x27 contract) over the symmetric
+    * customer↔supplier graph: an edge per (custkey, suppkey) pair
+    * weighted by its lineitem count, both directions, so every node
+    * has out-mass and the dangling-mass term vanishes. Emits the
+    * top-20 nodes by final rank with a total order.
+    *
+    * Longer jobs: every `checkpointInterval` rounds the O(nodes) rank
+    * relation is checkpointed (lineage TRUNCATED) — without it each
+    * round's plan nests the previous round's, so analysis/codegen cost
+    * grows super-linearly with depth and a 20-round job replays the
+    * whole chain on any partition loss. `localCheckpoint` here
+    * (executor-local blocks — right for `local[*]` and for
+    * fault-tolerance-by-recompute-is-fine jobs); at cluster scale with
+    * long jobs prefer a reliable `checkpoint` dir — same call shape.
+    * The default x27 depth (3 < interval) never checkpoints, so the
+    * committed plans and the unrolled-CTE oracle are untouched. */
+  def pageRank(spark: SparkSession, sfDir: String,
+               iterations: Int = 3,
+               checkpointInterval: Int = 5): DataFrame =
+    pageRankCore(linkedEdges(spark, sfDir), iterations, checkpointInterval)
 
   /** The symmetric weighted trade graph folded with per-source
     * out-mass, hash-partitioned on the join key and cached so the
@@ -107,11 +121,15 @@ object Graph {
     linked
   }
 
-  private def pageRankCore(linked: DataFrame): DataFrame = {
+  private def pageRankCore(linked: DataFrame, iterations: Int = 3,
+                           checkpointInterval: Int = 5): DataFrame = {
+    require(iterations >= 1 && checkpointInterval >= 1,
+      s"pageRank: iterations ($iterations) and checkpointInterval " +
+        s"($checkpointInterval) must be >= 1")
     val nodes = linked.select(col("src").as("node")).distinct()
     val r0 = nodes.select(col("node"), lit(Scale).as("rank"))
-    val rFinal = (1 to 3).foldLeft(r0) { (r, _) =>
-      linked.join(r, linked("src") === r("node"))
+    val rFinal = (1 to iterations).foldLeft(r0) { (r, i) =>
+      val next = linked.join(r, linked("src") === r("node"))
         .select(col("dst"),
           // ⌊rank·w/ow⌋ without the 128-bit product (overflow-safe)
           (expr("rank div ow") * col("w")
@@ -119,6 +137,15 @@ object Graph {
         .groupBy(col("dst").as("node"))
         .agg((lit(15L * Scale / 100)
           + expr("85 * sum(contrib) div 100")).as("rank"))
+      // Truncate lineage every `checkpointInterval` rounds: the rank
+      // relation is O(nodes) — checkpointing it is cheap — while the
+      // UNtruncated plan re-nests every prior round (analysis +
+      // codegen grow with depth; a lost partition replays the chain).
+      // Skipped on the final round (the consumer materializes it) and
+      // never reached at the default depth of 3.
+      if (i % checkpointInterval == 0 && i < iterations)
+        next.localCheckpoint(eager = true)
+      else next
     }
     // top-20 via sort+limit (TakeOrderedAndProject — a distributed
     // partial top-k, no global sort); the rank window then runs over

@@ -325,19 +325,58 @@ object Similarity {
     // scores k times instead of once — integer codegen'd dots, the
     // cheap side of the trade; the distinct is unchanged because the
     // score is deterministic per pair.
+    //
+    // Physical-strategy switch (`graft.neardup.strategy`, r14 A/B —
+    // VERDICT r13 #4): the payload-carrying bucket join's residual
+    // cost at sf100 is the EXTERNAL SORTS feeding the sort-merge join
+    // — corpus×bands rows × 64-dim payload per side (25-35 GB spill).
+    //  - "smj" (default): the standing r11 shape above.
+    //  - "hash": same dataflow, but the self-join is a shuffled HASH
+    //    join (no sort of either payload-carrying side; partitions
+    //    are bucket-keyed so each build map holds one partition's
+    //    share and spills row-wise if tight).
+    //  - "light": ids-only candidates through the bucket join (sort
+    //    payload ~3 longs/row), distinct on candidate ids, payloads
+    //    re-joined before the verify-dot — the r11 candidate-mass
+    //    shape, kept A/B-able as the documented losing trade.
+    // All three are value-identical (same verify arithmetic, same
+    // distinct) — NearDupStrategySpec pins it; the bench decomposition
+    // lives in BENCH_NOTES r14.
+    val strategy = spark.conf.getOption("graft.neardup.strategy")
+      .getOrElse("smj")
     val all = quantized(spark, sfDir)
-    val withEmb = bk.join(all.select(col("vec_id"), col("embedding"),
-      col("n2")), "vec_id")
-    withEmb.as("x").join(withEmb.as("y"),
-        col("x.band") === col("y.band") && col("x.bandkey") === col("y.bandkey")
-          && col("x.sub") === col("y.sub")
-          && col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
-        VectorOps.cosineFromQ(expr("quantized_dot(x.embedding, y.embedding)"),
-          col("x.n2"), col("y.n2")).as("cosine"))
-      .filter(col("cosine") >= threshold)
-      .distinct()
-      .orderBy("vec_a", "vec_b")
+    def bucketCond(x: String, y: String) =
+      col(s"$x.band") === col(s"$y.band") &&
+        col(s"$x.bandkey") === col(s"$y.bandkey") &&
+        col(s"$x.sub") === col(s"$y.sub") &&
+        col(s"$x.vec_id") < col(s"$y.vec_id")
+    val pairs = strategy match {
+      case "light" =>
+        val cand = bk.as("x").join(bk.as("y"), bucketCond("x", "y"))
+          .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+          .distinct()
+        cand
+          .join(all.select(col("vec_id").as("vec_a"),
+            col("embedding").as("ea"), col("n2").as("na")), "vec_a")
+          .join(all.select(col("vec_id").as("vec_b"),
+            col("embedding").as("eb"), col("n2").as("nb")), "vec_b")
+          .select(col("vec_a"), col("vec_b"),
+            VectorOps.cosineFromQ(expr("quantized_dot(ea, eb)"),
+              col("na"), col("nb")).as("cosine"))
+          .filter(col("cosine") >= threshold)
+      case s =>
+        val withEmb = bk.join(all.select(col("vec_id"), col("embedding"),
+          col("n2")), "vec_id")
+        val left = if (s == "hash") withEmb.hint("SHUFFLE_HASH") else withEmb
+        left.as("x").join(withEmb.as("y"), bucketCond("x", "y"))
+          .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+            VectorOps.cosineFromQ(
+              expr("quantized_dot(x.embedding, y.embedding)"),
+              col("x.n2"), col("y.n2")).as("cosine"))
+          .filter(col("cosine") >= threshold)
+          .distinct()
+    }
+    pairs.orderBy("vec_a", "vec_b")
   }
 
   /** X9 semantic dedup (SemDeDup, Abbas et al. 2023): cluster the

@@ -868,16 +868,24 @@ object Snapshot {
     // of a DV'd version re-collected the manifest and re-hashed the
     // full inventory on the driver (twice per deleteWhereMor, which
     // calls applyDv inside its own read). The key also folds in a
-    // cheap inventory fingerprint (manifest-or-version-dir mtime):
-    // a scratch root deleted and recreated at the same path within
-    // one session (test fixtures, re-run soaks) must not be served
-    // the dead root's verdict for a different inventory.
+    // cheap inventory fingerprint: a scratch root deleted and
+    // recreated at the same path within one session (test fixtures,
+    // re-run soaks) must not be served the dead root's verdict for a
+    // different inventory. Directory mtime alone is second-granular
+    // on some filesystems — a same-second delete+recreate would still
+    // hit the stale memo (ADVICE r13) — so fold in the direct-child
+    // count and total length from one listStatus (O(children) driver
+    // metadata, same order as the fs.exists probe above).
     val fpDir = {
       val m = new org.apache.hadoop.fs.Path(root, s"$ManifestDir/v=$v")
       if (fs.exists(m)) m else new org.apache.hadoop.fs.Path(root, s"v=$v")
     }
-    val fp = try fsOf(spark, fpDir).getFileStatus(fpDir)
-      .getModificationTime catch { case _: Exception => 0L }
+    val fp = try {
+      val fpFs = fsOf(spark, fpDir)
+      val mtime = fpFs.getFileStatus(fpDir).getModificationTime
+      val kids = fpFs.listStatus(fpDir)
+      s"$mtime:${kids.length}:${kids.map(_.getLen).sum}"
+    } catch { case _: Exception => "0" }
     val exactSafe = graft.util.SessionMemo.memoizedValue(spark,
         s"graft.dv.exactSafe:$root:v=$v:fp=$fp") {
       val inventory = manifestFiles(spark, root, v).getOrElse {

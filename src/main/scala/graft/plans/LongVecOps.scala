@@ -29,15 +29,19 @@ import org.apache.spark.sql.types._
 object LongVecOps {
   val dotName = "graft_ldot"
   val l2Name = "graft_ll2"
+  val matchName = "graft_lmatch"
 
   /** Idempotent per-session SQL registration of `graft_ldot(a, b)`
-    * (exact Σ aᵢ·bᵢ) and `graft_ll2(a, b)` (exact Σ (aᵢ−bᵢ)²) over
+    * (exact Σ aᵢ·bᵢ), `graft_ll2(a, b)` (exact Σ (aᵢ−bᵢ)²) and
+    * `graft_lmatch(a, b)` (count of positions with aᵢ = bᵢ) over
     * `array<bigint>` columns. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       dotName, exprs => LongDot(exprs.head, exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       l2Name, exprs => LongL2(exprs.head, exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      matchName, exprs => LongMatch(exprs.head, exprs(1)), "scala_udf")
   }
 }
 
@@ -121,5 +125,22 @@ case class LongL2(left: Expression, right: Expression)
   }
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): LongL2 =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `graft_lmatch(a, b)` = |{i : aᵢ = bᵢ}| — the MinHash
+  * signature-agreement count (x09q's per-candidate-pair Jaccard
+  * estimate numerator), the last corpus-adjacent interpreted HOF
+  * (VERDICT r13 #3). Same truncate-to-shorter convention as the
+  * siblings; fixture signatures are equal-length (16). */
+case class LongMatch(left: Expression, right: Expression)
+  extends LongVecReduce {
+  override def prettyName: String = LongVecOps.matchName
+  override protected def termJava(x: String, y: String): String =
+    s"(($x == $y) ? 1L : 0L)"
+  override protected def termEval(x: Long, y: Long): Long =
+    if (x == y) 1L else 0L
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LongMatch =
     copy(left = newLeft, right = newRight)
 }

@@ -37,6 +37,18 @@ case class PqArgmin(sq: Expression, sub: Expression,
                     cqFlat: Array[Long])
   extends BinaryExpression {
 
+  // Every subspace must own at least one codeword: an empty range
+  // [subStarts(i), subStarts(i+1)) would make the argmin loop fall
+  // through and return the Long.MaxValue SENTINEL as a real code —
+  // silent corruption where the old inner-join form merely dropped the
+  // row. Unreachable under current codebook construction (all m subs
+  // trained together), so fail loudly at plan-build time if the
+  // invariant ever breaks rather than guarding the per-row hot loop.
+  require(subStarts.length >= 2 &&
+    subStarts.iterator.sliding(2).forall(p => p.head < p.last),
+    s"${PqArgmin.name}: subStarts must be strictly increasing — every " +
+      s"subspace needs >=1 codeword, got ${subStarts.mkString("[", ",", "]")}")
+
   override def left: Expression = sq
   override def right: Expression = sub
 

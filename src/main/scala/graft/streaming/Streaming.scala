@@ -457,18 +457,44 @@ object Streaming {
       val q = stream.writeStream.outputMode("append")
         .format("parquet").option("path", out.toString)
         .option("checkpointLocation", ckpt.toString).start()
-      q.processAllAvailable()
-      if (q.recentProgress.exists(_.numInputRows > 0)) {
-        val lastData = q.recentProgress
-          .filter(_.numInputRows > 0).map(_.batchId).max
-        def flushed = q.recentProgress
-          .exists(p => p.batchId > lastData && p.numInputRows == 0)
-        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-        while (!flushed && System.nanoTime() < deadline) Thread.sleep(50)
-        if (!flushed) throw new IllegalStateException(
-          "append-sink eviction-flush no-data batch did not run within 30s")
-      }
-      q.stop()
+      try {
+        q.processAllAvailable()
+        if (q.recentProgress.exists(_.numInputRows > 0)) {
+          val lastData = q.recentProgress
+            .filter(_.numInputRows > 0).map(_.batchId).max
+          def flushed = q.recentProgress
+            .exists(p => p.batchId > lastData && p.numInputRows == 0)
+          // The trailing no-data batch only runs when the watermark
+          // ADVANCES. A resumed run whose new files carry only LATE
+          // events (<= the checkpointed watermark) never advances it:
+          // every row is dropped against the restored watermark, no
+          // state changes, no session becomes evictable, and no flush
+          // batch will ever arrive — detect that shape up front (zero
+          // state rows touched across all data batches) and return
+          // instead of spinning 30 s into a hard failure.
+          def stateUntouched = q.recentProgress
+            .filter(_.numInputRows > 0)
+            .forall(p => p.stateOperators.nonEmpty &&
+              p.stateOperators.map(_.numRowsUpdated).sum == 0)
+          if (!stateUntouched) {
+            // Timeout is TOLERATED, not fatal: a flushless run can be
+            // the correct outcome (new events inside the delay of the
+            // restored watermark extend sessions without closing any;
+            // or the eviction already rode a DATA batch that ran with
+            // the advanced watermark, e.g. an on-time file followed by
+            // a late-only one). Whether a flush batch is still PENDING
+            // after the last batch is unobservable from the progress
+            // log — the watermark computed from the final batch's max
+            // only surfaces in the next batch's progress, which is
+            // exactly the batch that may never come. The specs and
+            // oracles assert sink CONTENT, so a genuinely missing
+            // flush cannot pass silently.
+            val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+            while (!flushed && System.nanoTime() < deadline)
+              Thread.sleep(50)
+          }
+        }
+      } finally q.stop()
     }
     withStateWidth(spark, derived)(drain())
     spark.read.schema(stream.schema).parquet(out.toString)

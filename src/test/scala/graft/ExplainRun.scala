@@ -23,6 +23,13 @@ object ExplainRun {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // trailing `key=value` args become session confs (A/B switches,
+    // e.g. graft.neardup.strategy=hash)
+    args.drop(2).filter(_.contains('=')).foreach { a =>
+      val Array(k, v) = a.split("=", 2)
+      println(s"[explain] conf $k=$v")
+      spark.conf.set(k, v)
+    }
     spark.range(1000).selectExpr("sum(id)").collect()
     val ioR = new java.util.concurrent.atomic.AtomicLong
     val ioW = new java.util.concurrent.atomic.AtomicLong

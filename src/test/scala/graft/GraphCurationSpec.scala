@@ -33,6 +33,24 @@ class GraphCurationSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
 
+  test("pageRank at depth 10: checkpoint cadence is trajectory-neutral") {
+    // VERDICT r13 #6: the iterations/checkpointInterval parameters.
+    // A 10-round run crosses the default interval-5 checkpoint twice;
+    // truncating lineage must not perturb the exact integer trajectory
+    // — pin it against the same depth with checkpointing effectively
+    // off, and pin that depth actually changes the answer vs 3 rounds
+    // (the parameter is live, not decorative).
+    val deep = Graph.pageRank(spark, sf, iterations = 10).collect().toSeq
+    val noCkpt = Graph.pageRank(spark, sf, iterations = 10,
+      checkpointInterval = 100).collect().toSeq
+    assert(deep == noCkpt,
+      "lineage checkpointing changed the rank trajectory")
+    assert(deep.length == 20)
+    assert(deep.map(_.getLong(3)).forall(_ > 0))
+    val shallow = Graph.pageRank(spark, sf).collect().toSeq
+    assert(deep != shallow, "10 rounds should move ranks vs 3")
+  }
+
   test("trustRank: teleport mass reaches only seed-connected nodes") {
     val out = Graph.trustRank(spark, sf).collect()
     assert(out.length == 20)

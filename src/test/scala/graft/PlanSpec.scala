@@ -47,7 +47,7 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), "corpus must not shuffle for the score join")
   }
 
-  test("IVF assignment is a pure map job; PQ argmin hash-aggregates") {
+  test("IVF assignment and PQ argmin are pure map jobs") {
     // r13 (BENCH_NOTES decomposition): the crossJoin → max_by(struct)
     // assignment plane planned SortAggregate over the N×k fan-out
     // (23.8 GB spill at sf100 for a 2M-row result). The CellArgmax

@@ -81,6 +81,62 @@ class QuantizedDotSpec extends SparkSuite {
     assert(graft.plans.LongL2(la, lb).eval(null) == 117L)
   }
 
+  test("fused lmatch equals the HOF agreement count over fixture pairs") {
+    // graft_lmatch replaced the x09q MinHash signature-agreement HOF
+    // (the last corpus-adjacent interpreted lambda, r14) — identical
+    // integers pinned over real quantized fixture vectors (self-pairs
+    // must score the full length), crafted partial matches, and the
+    // interpreted (no-codegen) path.
+    graft.plans.LongVecOps.register(spark)
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("qv"))
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("qv").as("qq"))
+    val bad = e.crossJoin(q)
+      .select(
+        VectorOps.lmatch(col("qq"), col("qv")).as("fm"),
+        aggregate(zip_with(col("qq"), col("qv"),
+            (x, y) => (x === y).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("hm"))
+      .filter(col("fm") =!= col("hm"))
+      .count()
+    assert(bad == 0)
+    val dim = e.head.getSeq[Long](1).length.toLong
+    assert(e.limit(1).crossJoin(e.limit(1).select(col("qv").as("qq")))
+      .select(VectorOps.lmatch(col("qq"), col("qv"))).head.getLong(0) == dim)
+    import spark.implicits._
+    val adv = Seq((Array(-3L, 0L, 7L, 5L), Array(-3L, -2L, 7L, 0L)))
+      .toDF("a", "b").select(expr("graft_lmatch(a, b)")).head
+    assert(adv.getLong(0) == 2L)
+    // interpreted path + truncate-to-shorter convention
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val la = Literal.create(Array(1L, 2L, 3L), ArrayType(LongType))
+    val lb = Literal.create(Array(1L, 9L, 3L, 4L), ArrayType(LongType))
+    assert(graft.plans.LongMatch(la, lb).eval(null) == 2L)
+  }
+
+  test("PqArgmin rejects an empty subspace at construction") {
+    // A codeword-less subspace would fall through the argmin loop and
+    // return the Long.MaxValue sentinel as a real code — the invariant
+    // must fail LOUDLY at plan-build time (ADVICE r13), never corrupt.
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val sq = Literal.create(Array(1L, 2L), ArrayType(LongType))
+    val sub = Literal.create(0L, LongType)
+    val ex = intercept[IllegalArgumentException] {
+      graft.plans.PqArgmin(sq, sub,
+        subStarts = Array(0L, 0L, 2L), // subspace 0 owns zero codewords
+        cellIds = Array(0L, 1L), cqFlat = Array(1L, 2L, 3L, 4L))
+    }
+    assert(ex.getMessage.contains("strictly increasing"))
+    // the well-formed sibling constructs and evaluates
+    val ok = graft.plans.PqArgmin(sq, sub,
+      subStarts = Array(0L, 1L, 2L),
+      cellIds = Array(7L, 9L), cqFlat = Array(1L, 2L, 5L, 5L))
+    assert(ok.eval(null) == 7L)
+  }
+
   test("fused quantize equals the HOF transform over every fixture vector") {
     // graft_quantize fronts every ANN plane (r13); its grid must be
     // BIT-equal to the composed round(cast·1e6) HOF form, including

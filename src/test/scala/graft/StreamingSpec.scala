@@ -197,6 +197,42 @@ class StreamingSpec extends SparkSuite {
         s"${oneShot.size} sessions")
   }
 
+  test("append sessionize resume with only-late events returns promptly") {
+    // ADVICE r14: a resumed refresh whose new files hold ONLY late
+    // events (<= the checkpointed watermark) never advances the
+    // watermark, so no eviction-flush no-data batch will ever run —
+    // the drain must recognize that (zero state rows touched) and
+    // return, not spin 30 s into an IllegalStateException with the
+    // query leaked. Sink content must be byte-unchanged.
+    val dir = java.nio.file.Files.createTempDirectory("graft_x13f_late_")
+    val src = s"$dir/src"
+    val out = s"$dir/sink"
+    val ckpt = s"$dir/ckpt"
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select("event_id", "user_id", "event_type", "ts", "value")
+    ev.write.parquet(s"$src/events.parquet")
+    val run1 = Streaming.sessionizeAppendRun(spark, src, out, ckpt)
+      .collect().map(_.toString).sorted.toSeq
+    // new file: the corpus's OLDEST 1% re-stamped as fresh events —
+    // all far below the checkpointed watermark (fixture span >> 1 h
+    // delay), so every row is dropped as late on resume
+    val minUs = ev.agg(min(unix_micros(col("ts")))).head.getLong(0)
+    val lateOnly = ev.filter(unix_micros(col("ts"))
+      < minUs + 1000000L) // oldest second — unambiguously late
+    assert(lateOnly.count() > 0, "fixture must supply late rows")
+    lateOnly.write.mode("append").parquet(s"$src/events.parquet")
+    val t0 = System.nanoTime()
+    val resumed = Streaming.sessionizeAppendRun(spark, src, out, ckpt)
+      .collect().map(_.toString).sorted.toSeq
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(resumed == run1,
+      s"late-only resume must not change the sink: ${resumed.size} vs " +
+        s"${run1.size} sessions")
+    assert(sec < 25.0,
+      f"late-only resume took $sec%.1f s — the flushless fast path " +
+        "did not engage")
+  }
+
   test("append sessionize (x13f) = batch sessions restricted to watermark-closed") {
     // The finalization-lag contract stated as an equality: the append
     // sink holds EXACTLY the x23 batch sessions whose end_us clears the

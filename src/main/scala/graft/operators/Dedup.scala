@@ -27,6 +27,23 @@ object Dedup {
                       (build: => DataFrame): DataFrame =
     graft.util.SessionMemo.memoized(spark, key)(build)
 
+  /** Scope a corpus-scale BUILD body to the shuffle width the corpus
+    * actually needs ([[Layout.corpusBuildWidth]] — clamp(bytes/512 KB,
+    * 4, session width)). The dedup builds are many-stage DAGs whose
+    * shuffled relations track corpus CONTENT (classes, grams, bands),
+    * so at fixture scale a session-width (= core count) exchange hands
+    * every tiny stage 32 tasks of pure overhead — measured r14: the
+    * x09e gram build burned 6.5× its width-4 task CPU at width 32.
+    * At deployment scale the derivation returns the session width
+    * unchanged (the cap). Applied INSIDE each memoized body so the
+    * build's own materializing action plans under it and the caller's
+    * session width is restored before any query-side plan exists. */
+  private def corpusScoped[T](spark: SparkSession, sfDir: String)
+                             (f: => T): T =
+    Layout.withBuildScope(spark,
+      Layout.corpusBuildWidth(spark, sfDir),
+      Layout.tableBytes(spark, sfDir, "documents"))(f)
+
   /** Driver-side fingerprint of the documents table's files (name,
     * length, mtime per leaf file) — pure namenode metadata, no data
     * read. Keys the [[wideIds]] memo so a fixture dir whose CONTENTS
@@ -135,12 +152,14 @@ object Dedup {
   private[operators] def tokArrShared(spark: SparkSession,
                                       sfDir: String): DataFrame =
     graft.util.SessionMemo.memoizedValue(spark, s"tokArrShared|$sfDir") {
-      val df = tokArr(Tables.documents(spark, sfDir))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      df.count() // materialize eagerly: the build cost lands on this
-      // call, not smeared into whichever family query happens to run
-      // first (keeps per-query bench attribution honest)
-      df
+      corpusScoped(spark, sfDir) {
+        val df = tokArr(Tables.documents(spark, sfDir))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        df.count() // materialize eagerly: the build cost lands on this
+        // call, not smeared into whichever family query happens to run
+        // first (keeps per-query bench attribution honest)
+        df
+      }
     }
 
   /** Identical-TEXT equivalence classes of the corpus, derived from
@@ -163,6 +182,7 @@ object Dedup {
   private[operators] def arrClasses(spark: SparkSession,
                                     sfDir: String): DataFrame =
     graft.util.SessionMemo.memoizedValue(spark, s"arrClasses|$sfDir") {
+     corpusScoped(spark, sfDir) {
       val base = tokArrShared(spark, sfDir)
       // Dup-free bypass (measured r9 adjudication: class staging costs
       // +0.6-2.2 s per x09 query at dup-FREE scale, where every class
@@ -195,6 +215,7 @@ object Dedup {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df.count() // materialize eagerly — same discipline as tokArrShared
       df
+     }
     }
 
   /** The un-persisted twin of [[arrClasses]] for plan-audit builds
@@ -219,15 +240,17 @@ object Dedup {
                          width: Int): DataFrame =
     graft.util.SessionMemo.memoizedValue(
         spark, s"classGrams|$sfDir|$width") {
-      val df = arrClasses(spark, sfDir)
-        .filter(size(col("arr")) >= width)
-        .select(col("cid"), col("w"),
-          explode(transform(shingleArrOf(col("arr"), width),
-            s => TextAnalysis.polyHash(s))).as("gid"))
-        .distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      df.count()
-      df
+      corpusScoped(spark, sfDir) {
+        val df = arrClasses(spark, sfDir)
+          .filter(size(col("arr")) >= width)
+          .select(col("cid"), col("w"),
+            explode(transform(shingleArrOf(col("arr"), width),
+              s => TextAnalysis.polyHash(s))).as("gid"))
+          .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        df.count()
+        df
+      }
     }
 
   /** All n-token shingles as one array column, built directly from the
@@ -276,7 +299,9 @@ object Dedup {
     // build per (session, fixture) — same discipline as the jaccard
     // and simhash pair memos
     memoized(spark, s"minhashLsh|$sfDir") {
-      minhashLshBuild(spark, sfDir)
+      corpusScoped(spark, sfDir) {
+        minhashLshBuild(spark, sfDir)
+      }
     }.orderBy("doc_a", "doc_b")
 
   /** The class-LEVEL MinHash-LSH artifacts, shared by [[minhashLsh]]'s
@@ -291,7 +316,9 @@ object Dedup {
   private[operators] def minhashClassArtifacts(
       spark: SparkSession, sfDir: String): (DataFrame, DataFrame) =
     graft.util.SessionMemo.memoizedValue(spark, s"minhashCls|$sfDir") {
-      minhashClassBuild(spark, sfDir)
+      corpusScoped(spark, sfDir) {
+        minhashClassBuild(spark, sfDir)
+      }
     }
 
   private def minhashClassBuild(spark: SparkSession,
@@ -446,10 +473,12 @@ object Dedup {
     val docs = Tables.documents(spark, sfDir)
     val idxDir = graft.util.SessionMemo.memoizedValue(
         spark, s"minhashIndex|$sfDir") {
-      val dir = graft.util.Scratch.dir("graft_mhidx_")
-      minhashSignatures(docs.filter(col("doc_id") % 5 =!= 0))
-        .write.mode("overwrite").parquet(dir)
-      dir
+      corpusScoped(spark, sfDir) {
+        val dir = graft.util.Scratch.dir("graft_mhidx_")
+        minhashSignatures(docs.filter(col("doc_id") % 5 =!= 0))
+          .write.mode("overwrite").parquet(dir)
+        dir
+      }
     }
     // ---- incremental path: only delta text + the index below ----
     val delta = docs.filter(col("doc_id") % 5 === 0)
@@ -589,7 +618,9 @@ object Dedup {
       (if (broadcastable) "broadcast anti (expansion never shuffles)"
        else "shuffle anti"))
     val lexPairs = memoized(spark, s"minhashLsh|$sfDir") {
-      minhashLshBuild(spark, sfDir)
+      corpusScoped(spark, sfDir) {
+        minhashLshBuild(spark, sfDir)
+      }
     }
     val lexOnly = lexPairs
       .join(if (broadcastable) broadcast(both) else both,
@@ -693,7 +724,7 @@ object Dedup {
     * same-hamming-or-better pairs and can never surface.
     */
   def simhashPairs(spark: SparkSession, sfDir: String): DataFrame =
-    memoized(spark, s"simhashPairs|$sfDir") {
+    memoized(spark, s"simhashPairs|$sfDir") { corpusScoped(spark, sfDir) {
       // one row per distinct 64-bit fingerprint: sorted member ids +
       // the min id as the signature's join key
       val sigs = simhash(spark, sfDir)
@@ -750,7 +781,7 @@ object Dedup {
       // the signature cache is corpus-keyed and must not outlive the
       // build
       try bounded.localCheckpoint() finally sigs.unpersist()
-    }.orderBy("doc_a", "doc_b")
+    } }.orderBy("doc_a", "doc_b")
 
   /** Edit-distance verification of the SimHash candidate pairs — the
     * third verification family next to set-based Jaccard and bit-based
@@ -792,7 +823,9 @@ object Dedup {
     */
   def dedupClusters(spark: SparkSession, sfDir: String): DataFrame =
     graft.util.SessionMemo.memoized(spark, s"dedupClusters|$sfDir") {
-      dedupClustersBuild(spark, sfDir)
+      corpusScoped(spark, sfDir) {
+        dedupClustersBuild(spark, sfDir)
+      }
     }.orderBy("doc_id")
 
   private def dedupClustersBuild(spark: SparkSession,
@@ -1059,7 +1092,9 @@ object Dedup {
       // x09o scrub application — same shared-pair-set discipline as
       // the jaccard/simhash memos
       memoized(spark, s"repeatedSpans|$sfDir|$width") {
-        repeatedSpansBuild(spark, sfDir, width, materialize = true)
+        corpusScoped(spark, sfDir) {
+          repeatedSpansBuild(spark, sfDir, width, materialize = true)
+        }
       }.orderBy("doc_id", "span_start")
 
   private def repeatedSpansBuild(spark: SparkSession, sfDir: String,
@@ -1253,7 +1288,9 @@ object Dedup {
     // not a Spark job.
     graft.util.SessionMemo.memoizedValue(
       spark, s"jaccardStrategy|$sfDir|$width") {
-      chooseStrategyProbe(spark, sfDir, width)
+      corpusScoped(spark, sfDir) {
+        chooseStrategyProbe(spark, sfDir, width)
+      }
     }
 
   private def chooseStrategyProbe(spark: SparkSession, sfDir: String,
@@ -1303,7 +1340,9 @@ object Dedup {
       case s => s
     }
     memoized(spark, s"ngramJaccard|$sfDir|$maxDf|$resolved|$width") {
-      ngramJaccardBuild(spark, sfDir, maxDf, resolved, width = width)
+      corpusScoped(spark, sfDir) {
+        ngramJaccardBuild(spark, sfDir, maxDf, resolved, width = width)
+      }
     }.orderBy("doc_a", "doc_b")
   }
 
@@ -1346,7 +1385,9 @@ object Dedup {
                        maxDf: Long = 300L, width: Int = 4): DataFrame =
     topPairsPerDoc(
       memoized(spark, s"containment|$sfDir|$maxDf|$width") {
-        containmentBuild(spark, sfDir, maxDf, width)
+        corpusScoped(spark, sfDir) {
+          containmentBuild(spark, sfDir, maxDf, width)
+        }
       },
       greatest(col("cont_a"), col("cont_b")).desc, col("doc_b"))
       .orderBy("doc_a", "doc_b")

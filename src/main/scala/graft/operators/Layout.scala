@@ -317,4 +317,90 @@ object Layout {
     }.sum
     shuffleWidthFor(bytes, spark.conf.get("spark.sql.shuffle.partitions").toInt)
   }
+
+  // ---- derived corpus-BUILD width (r14, guide §2: scale-adaptive
+  // partitioning — never a constant tuned for local mode or cluster) --
+
+  /** Compressed source bytes one partition of a corpus-scale BUILD
+    * shuffle should carry. [[shuffleWidthFor]] solves the opposite
+    * problem (WIDEN huge shuffles before a partition's sort thrashes);
+    * this one NARROWS tiny ones: below ~1 MB of source bytes per
+    * partition the per-task fixed overhead (task-binary deserialization
+    * of multi-MB serialized stages, store/agg init, scheduler latency)
+    * dwarfs the data work. Measured (r14, sf0.1's 594 KB corpus): the
+    * x09e gram-pair build ran 467 s of task CPU and 29.2 s wall at the
+    * session width 32 vs 71 s CPU / 16.5 s wall at width 4 — 6.5× the
+    * CPU was pure per-partition overhead; x09d likewise 12.1 → 8.2 s.
+    * 512 KB/partition keeps the in-flight exploded gram mass (~10×
+    * source) in the single-digit-MB range per task — small enough to
+    * stay cache-resident, large enough that task overhead amortizes. */
+  private[graft] val CorpusBuildBytesPerPartition = 512L << 10
+
+  /** width = clamp(ceil(bytes / [[CorpusBuildBytesPerPartition]]),
+    * 4, session width). The CAP is the deployment's configured width —
+    * the derivation only ever NARROWS, and only while the corpus is
+    * small enough that narrow is right (59 MB of documents already
+    * saturates a 32-wide session; at 100 TB the cap always wins, so
+    * production parallelism is never reduced). Pure, spec-pinnable. */
+  private[graft] def corpusWidthFor(bytes: Long, cap: Int): Int = {
+    val want = (bytes + CorpusBuildBytesPerPartition - 1) /
+      CorpusBuildBytesPerPartition
+    math.min(cap.toLong, math.max(4L, want)).toInt
+  }
+
+  /** [[corpusWidthFor]] over the leaf-file bytes of `tables` (fs
+    * metadata only — no data read, no job). */
+  def corpusBuildWidth(spark: SparkSession, sfDir: String,
+                       tables: Seq[String] = Seq("documents")): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val bytes = tables.map { t =>
+      val p = new org.apache.hadoop.fs.Path(s"$sfDir/$t.parquet")
+      try p.getFileSystem(conf).getContentSummary(p).getLength
+      catch { case _: java.io.FileNotFoundException => 0L }
+    }.sum
+    corpusWidthFor(bytes,
+      spark.conf.get("spark.sql.shuffle.partitions").toInt)
+  }
+
+  /** Scope `spark.sql.shuffle.partitions` to `width` around `f` —
+    * used INSIDE memoized build bodies, where the build's own actions
+    * (count / localCheckpoint / index write) run, so the conf binds at
+    * exchange-planning time and is restored before the caller's query
+    * plans anything. Restores on all exits. */
+  def withShuffleWidth[T](spark: SparkSession, width: Int)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val was = spark.conf.get(key)
+    spark.conf.set(key, width.toString)
+    try f finally spark.conf.set(key, was)
+  }
+
+  /** [[withShuffleWidth]] plus SCAN-width alignment: also scope
+    * `spark.sql.files.maxPartitionBytes` to `srcBytes / width` (floored
+    * at 64 KB) so the build's SOURCE SCAN runs at ~`width` tasks too.
+    * Needed because compressed bytes are a terrible proxy for the
+    * compute a columnar scan feeds: the replicated embeddings table
+    * compresses ~80× (200k × 64-float vectors = 5 MB of parquet at
+    * sf10), so the default split size handed the ~630 µs/row LSH sign
+    * projection to ONE task — measured r14: the x09f bucket build ran
+    * a 126 s single-task stage at sf10 while the rest of the box sat
+    * idle; split-aligned it runs at the derived width. Restores both
+    * confs on all exits. */
+  def withBuildScope[T](spark: SparkSession, width: Int,
+                        srcBytes: Long)(f: => T): T = {
+    val key = "spark.sql.files.maxPartitionBytes"
+    val was = spark.conf.get(key)
+    val split = math.max(64L << 10, srcBytes / math.max(1, width))
+    spark.conf.set(key, split.toString)
+    try withShuffleWidth(spark, width)(f)
+    finally spark.conf.set(key, was)
+  }
+
+  /** Leaf-file bytes of `$sfDir/$table.parquet` (fs metadata only). */
+  private[operators] def tableBytes(spark: SparkSession, sfDir: String,
+                                    table: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$sfDir/$table.parquet")
+    try p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getContentSummary(p).getLength
+    catch { case _: java.io.FileNotFoundException => 0L }
+  }
 }

@@ -54,6 +54,32 @@ object Similarity {
                                         sfDir: String): String =
     graft.util.Fingerprint.of(spark, s"$sfDir/embeddings.parquet")
 
+  /** Rows one task of a vector BUILD should own. Vector work is
+    * CPU-dense per row (the banded sign projection runs
+    * (planes+reserve) fused 64-dim dots ≈ 630 µs/row at the sf10
+    * geometry), and the replicated embeddings parquet compresses ~80×,
+    * so BYTES-derived widths starve it — width must come from the ROW
+    * count (footer metadata via [[corpusN]], no data read). 8k rows ≈
+    * 5 s of projection per task at the sf10 geometry. */
+  private val VecRowsPerTask = 8192L
+
+  /** Scope a vector-BUILD body to the width the embeddings table
+    * actually needs: width = clamp(ceil(n / [[VecRowsPerTask]]), 4,
+    * session width), applied to BOTH the shuffles and the source-scan
+    * split size ([[Layout.withBuildScope]]). Measured r14 at sf10
+    * (200k vectors, 5 MB parquet): the default 8 MB split handed the
+    * whole banded projection to one 126 s task; scan-aligned it runs
+    * at the derived width. At deployment scale the session width (the
+    * cap) always wins — the derivation never narrows big corpora. */
+  private def vecScoped[T](spark: SparkSession, sfDir: String)
+                          (f: => T): T = {
+    val cap = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val want = (corpusN(spark, sfDir) + VecRowsPerTask - 1) / VecRowsPerTask
+    val width = math.min(cap.toLong, math.max(4L, want)).toInt
+    Layout.withBuildScope(spark, width,
+      Layout.tableBytes(spark, sfDir, "embeddings"))(f)
+  }
+
   /** Vector count of the (optionally id-bounded) corpus — one count
     * over the pruned scan, memoized per (fixture, fingerprint, bound).
     * The returned literal seeds [[annGeometry]] on both the Spark and
@@ -262,6 +288,7 @@ object Similarity {
                                         planes: Int, bands: Int): DataFrame =
     graft.util.SessionMemo.memoized(spark,
         s"lshRefined|$sfDir|$planes|$bands") {
+     vecScoped(spark, sfDir) {
       var cur = bandedBuckets(spark, sfDir, planes, bands,
           extraBits = LshMaxExtraBits)
         .select(col("vec_id"), col("band"), col("bandkey"), col("xkey"),
@@ -296,6 +323,7 @@ object Similarity {
         }
       }
       cur.select("vec_id", "band", "bandkey", "sub")
+     }
     }
 
   /** X9/X10: embedding-cosine near-duplicate pairs — ALL pairs sharing
@@ -665,7 +693,9 @@ object Similarity {
     graft.util.SessionMemo.memoized(spark,
       s"kmeansSums|$sfDir|$iters|$idBound|$kOverride|" +
         embFingerprint(spark, sfDir)) {
-      kmeansSumsBuild(spark, sfDir, iters, idBound, kOverride)
+      vecScoped(spark, sfDir) {
+        kmeansSumsBuild(spark, sfDir, iters, idBound, kOverride)
+      }
     }
 
   /** The un-memoized trainer (the determinism spec replays it).
@@ -761,7 +791,9 @@ object Similarity {
                                     sfDir: String): IvfIndex = {
     val fp = embFingerprint(spark, sfDir)
     graft.util.SessionMemo.memoizedValue(spark, s"ivfIndex|$sfDir|$fp") {
-      buildOrOpenIvfIndex(spark, sfDir, fp)
+      vecScoped(spark, sfDir) {
+        buildOrOpenIvfIndex(spark, sfDir, fp)
+      }
     }
   }
 

@@ -793,6 +793,11 @@ object TextAnalysis {
     require(rounds >= 1, s"bpe rounds must be >= 1, got $rounds")
     graft.util.SessionMemo.memoizedValue(
       spark, s"bpeTrained|$sfDir|$rounds") {
+    // corpus-build width (r14): the merge loop is `rounds` fixed-shape
+    // window+aggregate stages over the VOCAB-sized symbol state — at
+    // session width every tiny round pays a core-count of task overhead
+    // (see Layout.corpusBuildWidth); at deployment scale the cap wins.
+    Layout.withShuffleWidth(spark, Layout.corpusBuildWidth(spark, sfDir)) {
     import org.apache.spark.sql.expressions.Window
     // Empty tokens (split() keeps them for doubled/trailing spaces) are
     // excluded from the word relation: BPE over a zero-char word is
@@ -857,7 +862,7 @@ object TextAnalysis {
       r += 1
     }
     (merges.reduce(_ union _), cur)
-  }}
+  }}}
 
   /** BPE ENCODING — the application half of the tokenizer story
     * ([[bpeMerges]] learns the rules; this runs them over the corpus,

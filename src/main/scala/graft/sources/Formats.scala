@@ -23,32 +23,60 @@ object Formats {
       .select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
     val dir = graft.util.Scratch.dir("graft_formats_")
 
-    // Sizing probe: one un-cached pass over the extract. Runs at the
-    // scan's full width (nothing narrowed below it).
-    val rows = base.count()
     // Size the writer task count to the DATA, not the shuffle width —
     // and size it for the least-splittable format in the fan-out: XML
     // reads whole files (one file = one read task), so file size IS the
-    // read-side parallelism unit. ~250k rows/file ≈ 50 MB of XML keeps
-    // both sides healthy; floor 4 avoids single-file sinks at toy SF,
-    // cap 32 = local core count (a cluster would cap at its width).
-    // repartition, NOT coalesce: the extract's width is
-    // venue-dependent (a broadcast join rides the scan width — 1-2
-    // partitions at fixture scale), and coalesce can only narrow. The
-    // measured cost of widening here was a 539 MB single XML file whose
-    // unsplittable read ran one-task serial: 8.6 s where 12-wide
-    // parallel parse takes <2 s (sf1).
-    val nFiles = math.max(4L, math.min(32L, (rows + 249999) / 250000)).toInt
+    // read-side parallelism unit. Derived from the SOURCE table's leaf
+    // bytes (fs metadata — r14 dropped the extra full extract pass a
+    // row-count probe cost here; at ~120 B/row of parquet the old
+    // ~250k-rows/file rule is ~8 MB of source bytes per file, and the
+    // extract's ~50% selectivity only halves file sizes, the safe
+    // direction for the unsplittable XML read). Floor 4 avoids
+    // single-file sinks at toy SF, cap 32 = local core count (a
+    // cluster would cap at its width). repartition, NOT coalesce: the
+    // extract's width is venue-dependent (a broadcast join rides the
+    // scan width — 1-2 partitions at fixture scale), and coalesce can
+    // only narrow. The measured cost of widening here was a 539 MB
+    // single XML file whose unsplittable read ran one-task serial:
+    // 8.6 s where 12-wide parallel parse takes <2 s (sf1).
+    val srcBytes = {
+      val p = new org.apache.hadoop.fs.Path(s"$sfDir/lineitem.parquet")
+      try p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getContentSummary(p).getLength
+      catch { case _: java.io.FileNotFoundException => 0L }
+    }
+    val nFiles =
+      math.max(4L, math.min(32L, (srcBytes + (8L << 20) - 1) / (8L << 20)))
+        .toInt
     // Cache ABOVE the repartition, so the exchange runs once: four
     // sinks consume the same 12-or-so in-memory partitions instead of
     // each replaying cache-scan + 200 MB shuffle (measured 3× that
     // cost at sf1 with the cache below the exchange).
     val w = base.repartition(nFiles).cache()
+    // The first write materializes the cache; the remaining three are
+    // INDEPENDENT jobs over the now-cached partitions, so they run
+    // concurrently from a small thread pool (guide §2.6: overlap
+    // independent jobs — each sink's straggling tail backfills with the
+    // next sink's tasks instead of idling the cores). Format writers
+    // are separate committers on separate directories; results are
+    // unchanged, only the idle tail goes away (measured r14 at sf0.1:
+    // the three overlapped writes take ~max instead of ~sum).
     w.write.mode("overwrite").option("header", "true").csv(s"$dir/csv")
-    w.write.mode("overwrite").json(s"$dir/json")
-    w.write.mode("overwrite").orc(s"$dir/orc")
-    // XML is a native data source since Spark 4 — no external module.
-    w.write.mode("overwrite").option("rowTag", "row").xml(s"$dir/xml")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val writes = Seq(
+        scala.concurrent.Future {
+          w.write.mode("overwrite").json(s"$dir/json") },
+        scala.concurrent.Future {
+          w.write.mode("overwrite").orc(s"$dir/orc") },
+        // XML is a native data source since Spark 4 — no external module.
+        scala.concurrent.Future {
+          w.write.mode("overwrite").option("rowTag", "row").xml(s"$dir/xml") })
+      writes.foreach(f => scala.concurrent.Await.result(
+        f, scala.concurrent.duration.Duration(10, "min")))
+    } finally pool.shutdown()
 
     w.unpersist() // downstream reads come from the written files
 

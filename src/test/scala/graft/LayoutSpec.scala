@@ -211,4 +211,25 @@ class LayoutSpec extends SparkSuite {
     assert(derived == spark.conf.get("spark.sql.shuffle.partitions").toInt,
       "toy fixtures sit at the floor")
   }
+
+  test("corpus-build width narrows tiny corpora and caps at the session width") {
+    import graft.operators.Layout
+    // the r14 measured geometry: the sf0.1 corpus (594 KB) must narrow
+    // to the floor (the width-32 x09e build burned 6.5× the width-4
+    // task CPU), while anything past ~16 MB saturates a 32-wide session
+    assert(Layout.corpusWidthFor(594L << 10, 32) == 4)
+    assert(Layout.corpusWidthFor(6L << 20, 32) == 12)   // ~sf1
+    assert(Layout.corpusWidthFor(59L << 20, 32) == 32)  // ~sf10: cap
+    assert(Layout.corpusWidthFor(594L << 20, 32) == 32) // ~sf100: cap
+    // the CAP is the deployment width — a wide session is never
+    // narrowed once the corpus carries enough bytes per partition,
+    // and a production width always wins at production volume
+    assert(Layout.corpusWidthFor(10L << 30, 2048) == 2048)
+    // degenerate inputs stay in-range
+    assert(Layout.corpusWidthFor(0L, 32) == 4)
+    assert(Layout.corpusWidthFor(1L, 2) == 2) // cap below floor: cap wins
+    // fs-metadata derivation over the real fixture: tiny corpus → floor
+    val w = Layout.corpusBuildWidth(spark, sf)
+    assert(w == 4, s"fixture documents corpus should derive the floor, got $w")
+  }
 }

@@ -109,8 +109,27 @@ object ScaleFixtures {
       // every 8 MB split owns a row group and the single-file fixture
       // scans in parallel, which is the point of the contract's
       // "row-group splittable" clause.
+      //
+      // r14 refinement: a FIXED 8 MB group is still one-group-per-file
+      // for tables that compress harder than ~mult× (the replicated
+      // embeddings table dictionary-compresses ~80×: 200k × 64-float
+      // vectors = 5 MB at sf10), and one row group = one scan task no
+      // matter the split size — measured: the x09f LSH projection ran
+      // a 123 s single-task stage at sf10 with 31 cores idle. Size the
+      // group to the table's ESTIMATED OUTPUT bytes (source bytes ×
+      // mult) so every fixture file carries ≥~32 row groups, floored
+      // at 256 KB (below that, footer/page overhead dominates) and
+      // capped at the historical 8 MB.
+      val estBytes = {
+        val p = new org.apache.hadoop.fs.Path(s"$src/$name.parquet")
+        try p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getContentSummary(p).getLength * mult
+        catch { case _: java.io.FileNotFoundException => 0L }
+      }
+      val blockBytes = math.max(256L << 10,
+        math.min(8L << 20, estBytes / 32))
       df.coalesce(1).write.mode("overwrite")
-        .option("parquet.block.size", (8L * 1024 * 1024).toString)
+        .option("parquet.block.size", blockBytes.toString)
         .parquet(tmp)
       val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
         .filter(p => p.endsWith(".parquet") && !p.contains("_SUCCESS"))

@@ -1567,15 +1567,26 @@ object Dedup {
         strategyCache = Some(arrs)
         val prefixRows = arrs.select(col("cid"), col("n"),
           explode(slice(col("arr"), lit(1), col("p"))).as("gid"))
-        val fullRows = arrs.select(col("cid"), col("n"),
-          explode(col("arr")).as("gid"))
-        val cand = prefixRows.as("x").join(fullRows.as("y"),
+        // PREFIX×PREFIX candidate join (the canonical PPJoin form, r14;
+        // guide §2.3 shuffle fewer bytes / §3.1). The prefix-filtering
+        // principle holds pairwise: J ≥ τ ⟹ |A∩B| ≥ α with
+        // α = ⌈τ/(1+τ)·(|A|+|B|)⌉ ≥ ⌈τ|X|⌉ for BOTH sides (J ≥ τ forces
+        // |A| ≥ τ|B| and vice versa), and two sets with overlap ≥ α
+        // sorted by one global order must share a gram inside their
+        // first |X|−α+1 ≤ p_X elements — so joining the two PREFIX
+        // relations (Σp rows ≈ 0.4Σn each side) keeps every true pair
+        // while the previous prefix×full form streamed the FULL Σn
+        // exploded rows through the probe side. Candidates are a
+        // superset of true pairs either way; the exact array_intersect
+        // verification below makes the emitted pair set identical
+        // (oracle-checked). cid-ordering replaces least/greatest —
+        // each unordered pair arrives once per shared prefix gram.
+        val cand = prefixRows.as("x").join(prefixRows.as("y"),
             col("x.gid") === col("y.gid")
-              && col("x.cid") =!= col("y.cid")
+              && col("x.cid") < col("y.cid")
               && col("y.n") * 5 >= col("x.n") * 3  // |B| ≥ τ|A|
-              && col("y.n") * 3 <= col("x.n") * 5) // |B| ≤ |A|/τ
-          .select(least(col("x.cid"), col("y.cid")).as("ca"),
-            greatest(col("x.cid"), col("y.cid")).as("cb"))
+              && col("x.n") * 5 >= col("y.n") * 3) // |A| ≥ τ|B|
+          .select(col("x.cid").as("ca"), col("y.cid").as("cb"))
           .distinct()
         // Exact verification: true intersection via array_intersect over
         // the per-class gram arrays (distinct gids — set semantics).

@@ -75,7 +75,9 @@ object Etl {
     // produce identical row placement classes). The of21 lesson as a
     // write-path policy: layout derives from data, never from a
     // constant.
-    val rows = Tables.lineitem(spark, sfDir).count()
+    // r14: an ACTUAL footer probe — the count() this replaces compiled
+    // to a job over every row group; footers carry the exact count
+    val rows = Layout.footerRowCount(spark, s"$sfDir/lineitem.parquet")
     val keys = 3L // |l_returnflag| domain: A/N/R
     val fpk = math.max(1L, math.min(32L, (rows / keys + 1999999) / 2000000)).toInt
     ext
@@ -245,7 +247,9 @@ object Etl {
       .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
     Snapshot.commitWithStats(
       orders.repartitionByRange(
-          Snapshot.derivedCommitFiles(orders.count()), col("o_orderdate"))
+          Snapshot.derivedCommitFiles(
+            Layout.footerRowCount(spark, s"$sfDir/orders.parquet")),
+          col("o_orderdate"))
         .sortWithinPartitions("o_orderdate"),
       table, Seq("o_orderdate"))
     Snapshot.readCurrentPruned(spark, table, "o_orderdate",
@@ -272,7 +276,9 @@ object Etl {
     val orders = Tables.orders(spark, sfDir)
     Snapshot.commitWithStats(
       orders.repartitionByRange(
-          Snapshot.derivedCommitFiles(orders.count()), col("o_orderkey"))
+          Snapshot.derivedCommitFiles(
+            Layout.footerRowCount(spark, s"$sfDir/orders.parquet")),
+          col("o_orderkey"))
         .sortWithinPartitions("o_orderkey"),
       table, Seq("o_orderkey"))
     // change batch: one contiguous key band repriced (+500, exact) —
@@ -305,7 +311,9 @@ object Etl {
     val orders = Tables.orders(spark, sfDir)
     Snapshot.commitWithStats(
       orders.repartitionByRange(
-          Snapshot.derivedCommitFiles(orders.count()), col("o_orderkey"))
+          Snapshot.derivedCommitFiles(
+            Layout.footerRowCount(spark, s"$sfDir/orders.parquet")),
+          col("o_orderkey"))
         .sortWithinPartitions("o_orderkey"),
       table, Seq("o_orderkey"))
     Snapshot.deleteWhereMor(spark, table, col("o_orderkey") % 97 === 0)

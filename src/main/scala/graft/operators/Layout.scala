@@ -395,6 +395,114 @@ object Layout {
     finally spark.conf.set(key, was)
   }
 
+  /** Maximum achievable parquet SCAN parallelism for the table at
+    * `dir`, capped at `atMost`: parquet scans split at ROW-GROUP
+    * granularity (a row group is assigned to the split holding its
+    * midpoint), so however small the split size, a table with R row
+    * groups runs at most R scan tasks. Metadata-only: ≥`atMost` leaf
+    * files short-circuits without opening anything (each file holds ≥1
+    * row group — the only case that can be narrow is a few-file
+    * table, exactly when the footer walk is cheap); otherwise the
+    * footers are read (no data pages) with early exit at `atMost`.
+    * Returns 0 for a missing/empty table. */
+  def scanParallelism(spark: SparkSession, dir: String, atMost: Int): Int = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files =
+      try p.getFileSystem(conf).listStatus(p).toSeq
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      catch { case _: java.io.FileNotFoundException => return 0 }
+    if (files.length >= atMost) return atMost
+    var total = 0
+    val it = files.iterator
+    while (it.hasNext && total < atMost) {
+      val f = it.next()
+      val in = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromStatus(f, conf))
+      try total += in.getRowGroups.size()
+      finally in.close()
+    }
+    math.min(total, atMost)
+  }
+
+  /** Exact row count of a parquet directory from FOOTERS — metadata
+    * only, no data pages, no job. Identical to `df.count()` on the
+    * unfiltered table (parquet row counts are exact), so sizing passes
+    * that only need the cardinality of a base table pay O(files)
+    * driver metadata instead of a full count job per venue (guide
+    * §1.2: don't compute things you throw away — at 100 TB the count
+    * pass is a full scan). Missing directory → 0. */
+  def footerRowCount(spark: SparkSession, dir: String): Long =
+    footerWalk(spark, dir).map(_._2).sum
+
+  /** Exact max of a plain INT32/INT64 column from footer statistics,
+    * or None when any populated row group lacks an exact stat (caller
+    * falls back to the aggregate job). Matches `max(col)` exactly —
+    * parquet integer statistics are never truncated. */
+  def footerMaxLong(spark: SparkSession, dir: String,
+                    column: String): Option[Long] = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    var hi = Long.MinValue
+    var seen = false
+    footerWalk(spark, dir).foreach { case (st, _) =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+      try {
+        val schema = reader.getFileMetaData.getSchema
+        if (!schema.containsField(column)) return None
+        val t = schema.getType(Seq(column): _*)
+        if (!t.isPrimitive) return None
+        val ann = t.asPrimitiveType().getLogicalTypeAnnotation
+        val plain = ann == null || (ann match {
+          case i: org.apache.parquet.schema.LogicalTypeAnnotation
+                .IntLogicalTypeAnnotation =>
+            i.isSigned && (i.getBitWidth == 32 || i.getBitWidth == 64)
+          case _ => false
+        })
+        if (!plain) return None
+        reader.getRowGroups.asScala.foreach { b =>
+          if (b.getRowCount > 0) {
+            val chunk = b.getColumns.asScala
+              .find(_.getPath.toDotString == column).getOrElse(return None)
+            val s = chunk.getStatistics
+            if (s == null || s.isEmpty) return None
+            if (s.hasNonNullValue) {
+              val mx = s.genericGetMax match {
+                case l: java.lang.Long => l.longValue
+                case i: java.lang.Integer => i.intValue.toLong
+                case _ => return None
+              }
+              if (mx > hi) hi = mx
+              seen = true
+            } else if (s.getNumNulls < b.getRowCount) return None
+          }
+        }
+      } finally reader.close()
+    }
+    if (seen) Some(hi) else None
+  }
+
+  /** (leaf parquet FileStatus, its footer row count) for every file of
+    * `dir` — the shared metadata walk behind the footer probes. */
+  private def footerWalk(spark: SparkSession, dir: String)
+      : Seq[(org.apache.hadoop.fs.FileStatus, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files =
+      try p.getFileSystem(conf).listStatus(p).toSeq
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      catch { case _: java.io.FileNotFoundException => return Nil }
+    files.map { st =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+      try (st, reader.getRowGroups.asScala.map(_.getRowCount).sum)
+      finally reader.close()
+    }
+  }
+
   /** Leaf-file bytes of `$sfDir/$table.parquet` (fs metadata only). */
   private[operators] def tableBytes(spark: SparkSession, sfDir: String,
                                     table: String): Long = {

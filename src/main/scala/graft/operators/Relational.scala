@@ -810,7 +810,9 @@ object Relational {
     val ev = Tables.events(spark, sfDir)
     val t = graft.util.SessionMemo.memoizedValue(
       spark, s"sessMaintThreshold|$sfDir") {
-      val n = ev.agg(max(col("event_id"))).first().getLong(0) + 1L
+      val n = Layout.footerMaxLong(spark, s"$sfDir/events.parquet",
+          "event_id")
+        .getOrElse(ev.agg(max(col("event_id"))).first().getLong(0)) + 1L
       n - math.max(1L, n / 100L)
     }
     val touched = ev.filter(col("event_id") >= t)
@@ -826,8 +828,10 @@ object Relational {
       // merge, or split their sessions) and the merge must REPLACE
       // them, which is the maintenance shape under test
       val base = sessionsOf(ev.filter(col("event_id") < t), gapUs)
+      // sessions ≤ events; width from the upper bound — footer
+      // metadata, not a count job (r14)
       val width = graft.operators.Snapshot.derivedCommitFiles(
-        ev.count()) // sessions ≤ events; width from the upper bound
+        Layout.footerRowCount(spark, s"$sfDir/events.parquet"))
       graft.operators.Snapshot.commitWithStats(
         base.repartitionByRange(width, col("user_id"))
           .sortWithinPartitions("user_id", "sess_id"),

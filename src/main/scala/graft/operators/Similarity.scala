@@ -71,13 +71,39 @@ object Similarity {
     * whole banded projection to one 126 s task; scan-aligned it runs
     * at the derived width. At deployment scale the session width (the
     * cap) always wins — the derivation never narrows big corpora. */
-  private def vecScoped[T](spark: SparkSession, sfDir: String)
-                          (f: => T): T = {
+  private def vecBuildWidth(spark: SparkSession, sfDir: String): Int = {
     val cap = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val want = (corpusN(spark, sfDir) + VecRowsPerTask - 1) / VecRowsPerTask
-    val width = math.min(cap.toLong, math.max(4L, want)).toInt
-    Layout.withBuildScope(spark, width,
+    math.min(cap.toLong, math.max(4L, want)).toInt
+  }
+
+  private def vecScoped[T](spark: SparkSession, sfDir: String)
+                          (f: => T): T =
+    Layout.withBuildScope(spark, vecBuildWidth(spark, sfDir),
       Layout.tableBytes(spark, sfDir, "embeddings"))(f)
+
+  /** Conditionally WIDEN an embeddings-derived relation for a
+    * CPU-dense build stage: parquet scans split at row-group
+    * granularity, so when the table's row groups are fewer than the
+    * derived build width, narrowing the split size cannot help — the
+    * projection runs on however many row groups exist while the rest
+    * of the box idles (guide §2.5 input skew: "one huge unsplittable
+    * file … repartition immediately after the read"). Measured r14 at
+    * sf10 BEFORE the fixture row-group fix: the whole 200k-vector
+    * banded projection ran as ONE 126 s task; after the fixture fix 3
+    * row groups still cap the scan at 3 of the derived 25 tasks. The
+    * round-robin repartition moves the compact quantized vectors once
+    * (~50 MB at sf10) to unlock the full projection width — and fires
+    * ONLY when the metadata probe (memoized per fixture fingerprint)
+    * says row groups < width, so at deployment scale (files ≥ width)
+    * it is the identity and build plans keep their no-exchange shape. */
+  private def widenedForBuild(df: DataFrame, spark: SparkSession,
+                              sfDir: String, width: Int): DataFrame = {
+    val avail = graft.util.SessionMemo.memoizedValue(spark,
+        s"embRg|$sfDir|$width|${embFingerprint(spark, sfDir)}") {
+      Layout.scanParallelism(spark, s"$sfDir/embeddings.parquet", width)
+    }
+    if (avail < width) df.repartition(width) else df
   }
 
   /** Vector count of the (optionally id-bounded) corpus — one count
@@ -88,7 +114,9 @@ object Similarity {
                              idBound: Long = Long.MaxValue): Long =
     graft.util.SessionMemo.memoizedValue(spark,
         s"annN|$sfDir|$idBound|${embFingerprint(spark, sfDir)}") {
-      Tables.embeddings(spark, sfDir)
+      if (idBound == Long.MaxValue) // unbounded: exact from footers (r14)
+        Layout.footerRowCount(spark, s"$sfDir/embeddings.parquet")
+      else Tables.embeddings(spark, sfDir)
         .filter(col("vec_id") < idBound).select("vec_id").count()
     }
 
@@ -196,7 +224,8 @@ object Similarity {
     */
   private[operators] def bandedBuckets(spark: SparkSession, sfDir: String,
                                        planes: Int, bands: Int,
-                                       extraBits: Int = 0): DataFrame = {
+                                       extraBits: Int = 0,
+                                       wide: Boolean = false): DataFrame = {
     require(planes % bands == 0, "bands must divide planes")
     val perBand = planes / bands
     graft.plans.QuantizedDot.register(spark)
@@ -221,8 +250,15 @@ object Similarity {
     val pCols = (0 until planes + extraBits).map(j =>
       call_function(graft.plans.QuantizedDot.name,
         col("embedding"), lit(wvec(j))).as(s"p$j"))
-    val withP = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id") +: pCols: _*)
+    // BUILD callers (refinedBuckets) widen the scan when row groups
+    // cap it below the derived width — the projection is the ~630
+    // µs/row hot loop; query callers keep the exchange-free shape
+    val src = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val srcW =
+      if (wide) widenedForBuild(src, spark, sfDir, vecBuildWidth(spark, sfDir))
+      else src
+    val withP = srcW.select(col("vec_id") +: pCols: _*)
     val bandStructs = (0 until bands).map { b =>
       val key = (0 until perBand).map { r =>
         val j = b * perBand + r
@@ -289,6 +325,13 @@ object Similarity {
     graft.util.SessionMemo.memoized(spark,
         s"lshRefined|$sfDir|$planes|$bands") {
      vecScoped(spark, sfDir) {
+      // wide = false DELIBERATELY (r14, measured): widening this
+      // projection cut the build 80 → 62 s at sf10 but the downstream
+      // payload self-join (embeddingNearDup's SMJ over the bucket
+      // checkpoint) went 11 → 36 s with 4.5× the shuffle bytes — the
+      // scattered checkpoint order costs the query side more than the
+      // wide build saves (net wall flat, CPU ×4). The IVF staged-index
+      // builds keep the widen (measured −29% wall, §5).
       var cur = bandedBuckets(spark, sfDir, planes, bands,
           extraBits = LshMaxExtraBits)
         .select(col("vec_id"), col("band"), col("bandkey"), col("xkey"),
@@ -712,9 +755,14 @@ object Similarity {
     val (stride, k) =
       if (kOverride > 0) (1L, kOverride)
       else annGeometry(corpusN(spark, sfDir, idBound))
-    val vecs = Tables.embeddings(spark, sfDir)
-      .filter(col("vec_id") < idBound)
-      .filter(col("vec_id") % stride === 0)
+    // the cached sample inherits the SCAN's partitioning, so a
+    // row-group-capped scan would run every Lloyd's iteration (k fused
+    // dots per sampled row) at row-group width — widen before caching
+    val vecs = widenedForBuild(
+        Tables.embeddings(spark, sfDir)
+          .filter(col("vec_id") < idBound)
+          .filter(col("vec_id") % stride === 0),
+        spark, sfDir, vecBuildWidth(spark, sfDir))
       .select(col("vec_id"), VectorOps.quantizeFast(col("embedding")).as("qv"))
       .cache()
     // seeds: the k LOWEST sample vec_ids (rank-based, not `id < k` —
@@ -901,7 +949,9 @@ object Similarity {
         .sortWithinPartitions("vec_id")
       Snapshot.commitWithStats(
         keyLaid(assignToCellsScored(
-          Tables.embeddings(spark, sfDir).select("vec_id", "embedding"), cb)),
+          widenedForBuild(
+            Tables.embeddings(spark, sfDir).select("vec_id", "embedding"),
+            spark, sfDir, vecBuildWidth(spark, sfDir)), cb)),
         target.resolve("assign").toString, Seq("vec_id"))
       // the PQ half of the ANN layout is index state too: the per-vector
       // codes are the compressed corpus representation — written once at
@@ -909,7 +959,7 @@ object Similarity {
       val pqcb = pqCodebooksBuild(spark, sfDir)
       Snapshot.commit(pqcb.coalesce(1), target.resolve("pqcodebook").toString)
       Snapshot.commitWithStats(
-        keyLaid(pqAssign(pqSubVectors(spark, sfDir), pqcb)
+        keyLaid(pqAssign(pqSubVectors(spark, sfDir, wide = true), pqcb)
           .select(col("vec_id"), col("sub"), col("cell").as("code"))),
         target.resolve("pqcodes").toString, Seq("vec_id"))
       if (claimed) Files.createFile(complete)
@@ -1173,8 +1223,14 @@ object Similarity {
   /** One row per (vector, subspace): the quantized 16-dim slice.
     * Pure per-row projection — no shuffle; at 100 TB this is the map
     * stage that feeds both training (sampled) and encoding (full). */
-  private[graft] def pqSubVectors(spark: SparkSession, sfDir: String): DataFrame = {
-    val vecs = Tables.embeddings(spark, sfDir)
+  private[graft] def pqSubVectors(spark: SparkSession, sfDir: String,
+                                  wide: Boolean = false): DataFrame = {
+    val base = Tables.embeddings(spark, sfDir)
+    val srcW =
+      if (wide) widenedForBuild(base, spark, sfDir,
+        vecBuildWidth(spark, sfDir))
+      else base
+    val vecs = srcW
       .select(col("vec_id"), VectorOps.quantizeFast(col("embedding")).as("qv"))
     vecs.select(col("vec_id"),
       posexplode(array((0 until PqM).map(j =>
@@ -1256,7 +1312,9 @@ object Similarity {
   private[graft] def pqCodebooksBuild(spark: SparkSession,
                                       sfDir: String): DataFrame = {
     graft.plans.VecSumAgg.register(spark)
-    val subs = pqSubVectors(spark, sfDir).cache()
+    // full-corpus sub-vector relation, iterated PqIters times — widen
+    // past the row-group cap before caching (see [[widenedForBuild]])
+    val subs = pqSubVectors(spark, sfDir, wide = true).cache()
     var cb = subs.filter(col("vec_id") < PqKsub)
       .select(col("sub"), col("vec_id").as("cell"), col("sq").as("cq"))
     for (_ <- 1 to PqIters) {

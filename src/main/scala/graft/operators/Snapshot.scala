@@ -711,8 +711,9 @@ object Snapshot {
     * everything); the curve serves both from one write-time range
     * shuffle. */
   def commitClustered(df: DataFrame, root: String, c1: String, c2: String,
-                      nFiles: Int, bloomCols: Seq[String] = Nil): Long =
-    commitInternal(Layout.zorderCluster(df, c1, c2, nFiles), root,
+                      nFiles: Int, bloomCols: Seq[String] = Nil,
+                      bits: Int = 0): Long =
+    commitInternal(Layout.zorderCluster(df, c1, c2, nFiles, bits), root,
       Seq(c1, c2), bloomCols)
 
   private def commitInternal(df: DataFrame, root: String,
@@ -938,12 +939,133 @@ object Snapshot {
                          statsCols: Seq[String],
                          bloomCols: Seq[String] = Nil): Unit = {
     import org.apache.spark.sql.functions._
-    spark.read.parquet(s"$root/v=$v")
-      .groupBy(canonMetaPath(input_file_name()).as("file"))
-      .agg(statsAggs(spark, statsCols, bloomCols).head,
-        statsAggs(spark, statsCols, bloomCols).tail: _*)
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$root/$StatsDir/v=$v")
+    // FOOTER FAST PATH (r14, guide §6/§1.2): the per-file min/max/count
+    // manifest is exactly what parquet footers already record, so for
+    // integer stats columns the manifest derives from METADATA — no
+    // second pass over the just-committed data bytes (at 100 TB the
+    // read-back is a full extra scan of every commit). Values are
+    // exact (parquet int statistics are never truncated), null
+    // semantics match the aggregate path (all-null file → null bounds;
+    // zero-row file → no manifest row, like an empty groupBy), and any
+    // unsupported type / missing statistic / bloom requirement falls
+    // back to the measured scan. `graft.stats.footerFastPath=false`
+    // restores the old path for A/B.
+    val enabled = spark.conf.getOption("graft.stats.footerFastPath")
+      .forall(_.toBoolean)
+    val fast =
+      if (bloomCols.nonEmpty || !enabled) None
+      else footerStats(spark, s"$root/v=$v", statsCols)
+    fast match {
+      case Some(df) =>
+        df.coalesce(1)
+          .write.mode("overwrite").parquet(s"$root/$StatsDir/v=$v")
+      case None =>
+        spark.read.parquet(s"$root/v=$v")
+          .groupBy(canonMetaPath(input_file_name()).as("file"))
+          .agg(statsAggs(spark, statsCols, bloomCols).head,
+            statsAggs(spark, statsCols, bloomCols).tail: _*)
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$root/$StatsDir/v=$v")
+    }
+  }
+
+  /** Per-file `(file, min_c, max_c, …, n_rows)` rows assembled from
+    * parquet FOOTERS (column-chunk statistics aggregated across row
+    * groups), or None when any stats column is not a plain INT32/INT64
+    * (float NaN rules and binary truncation make those footers
+    * unreliable; int statistics are exact) or any populated row group
+    * lacks a statistic. Driver-side O(files) metadata reads — the same
+    * footers the scan-path planner opens anyway. */
+  private def footerStats(spark: SparkSession, dir: String,
+                          statsCols: Seq[String]): Option[DataFrame] = {
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files =
+      try p.getFileSystem(conf).listStatus(p).toSeq
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      catch { case _: java.io.FileNotFoundException => return None }
+    if (files.isEmpty) return None
+    // (sparkType, per-file Row values) per column; abort → None
+    val perFile = files.flatMap { st =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+      try {
+        val schema = reader.getFileMetaData.getSchema
+        val blocks = reader.getRowGroups.asScala.toSeq
+        val nRows = blocks.map(_.getRowCount).sum
+        if (nRows == 0L) None // scan path emits no group for 0 rows
+        else {
+          val cols = statsCols.map { c =>
+            if (!schema.containsField(c)) return None
+            val t = schema.getType(Seq(c): _*)
+            if (!t.isPrimitive) return None
+            val prim = t.asPrimitiveType()
+            val tn = prim.getPrimitiveTypeName
+            import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+            val sparkType: DataType = tn match {
+              case INT64 => LongType
+              case INT32 => IntegerType
+              case _ => return None
+            }
+            // logical annotations (decimal/date/timestamp/int8/16)
+            // change the Spark-side value — plain ints only
+            val ann = prim.getLogicalTypeAnnotation
+            val plain = ann == null || (ann match {
+              case i: org.apache.parquet.schema.LogicalTypeAnnotation
+                    .IntLogicalTypeAnnotation =>
+                i.isSigned && (i.getBitWidth == 32 || i.getBitWidth == 64)
+              case _ => false
+            })
+            if (!plain) return None
+            var lo: Long = Long.MaxValue
+            var hi: Long = Long.MinValue
+            var seen = false
+            blocks.foreach { b =>
+              if (b.getRowCount > 0) {
+                val chunk = b.getColumns.asScala
+                  .find(_.getPath.toDotString == c).getOrElse(return None)
+                val s = chunk.getStatistics
+                if (s == null || s.isEmpty) return None
+                if (s.hasNonNullValue) {
+                  val (mn, mx) = s.genericGetMin match {
+                    case l: java.lang.Long =>
+                      (l.longValue,
+                        s.genericGetMax.asInstanceOf[java.lang.Long].longValue)
+                    case i: java.lang.Integer =>
+                      (i.intValue.toLong, s.genericGetMax
+                        .asInstanceOf[java.lang.Integer].intValue.toLong)
+                    case _ => return None
+                  }
+                  if (mn < lo) lo = mn
+                  if (mx > hi) hi = mx
+                  seen = true
+                } else if (s.getNumNulls < b.getRowCount) return None
+              }
+            }
+            def box(v: Long): Any =
+              if (sparkType == LongType) Long.box(v) else Int.box(v.toInt)
+            val (mnV, mxV) =
+              if (seen) (box(lo), box(hi)) else (null, null)
+            (sparkType, mnV, mxV)
+          }
+          Some((canonFile(st.getPath), cols, nRows))
+        }
+      } finally reader.close()
+    }
+    val colTypes = perFile.headOption.map(_._2.map(_._1))
+      .getOrElse(statsCols.map(_ => LongType))
+    val fields = StructField("file", StringType, nullable = true) +:
+      statsCols.zip(colTypes).flatMap { case (c, t) =>
+        Seq(StructField(s"min_$c", t, nullable = true),
+          StructField(s"max_$c", t, nullable = true)) } :+
+      StructField("n_rows", LongType, nullable = false)
+    val rows = perFile.map { case (f, cols, n) =>
+      org.apache.spark.sql.Row.fromSeq(
+        f +: cols.flatMap { case (_, mn, mx) => Seq(mn, mx) } :+ Long.box(n))
+    }
+    Some(spark.createDataFrame(rows.asJava, StructType(fields)))
   }
 
   /** The per-file aggregate list every stats write shares: min/max per
@@ -2326,10 +2448,17 @@ object Snapshot {
     import org.apache.spark.sql.functions._
     val li = graft.sources.Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
-    // one probe pass feeds both the delete bound and the commit width
-    val probe = li.agg(floor(max(col("l_orderkey")) / 5),
-      count(lit(1))).head()
-    val (hi, rows) = (probe.getLong(0), probe.getLong(1))
+    // footer probe feeds both the delete bound and the commit width
+    // (r14: exact metadata, no probe job)
+    val (hi, rows) = Layout.footerMaxLong(
+        spark, s"$sfDir/lineitem.parquet", "l_orderkey") match {
+      case Some(mx) =>
+        (mx / 5, Layout.footerRowCount(spark, s"$sfDir/lineitem.parquet"))
+      case None =>
+        val probe = li.agg(floor(max(col("l_orderkey")) / 5),
+          count(lit(1))).head()
+        (probe.getLong(0), probe.getLong(1))
+    }
     val root = graft.util.Scratch.dir("graft_del_")
     commitWithStats(
       li.repartitionByRange(derivedCommitFiles(rows), col("l_orderkey"))
@@ -2358,7 +2487,8 @@ object Snapshot {
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
     val root = graft.util.Scratch.dir("graft_restore_")
     commitWithStats(
-      o.repartitionByRange(derivedCommitFiles(o.count()),
+      o.repartitionByRange(derivedCommitFiles(
+            Layout.footerRowCount(spark, s"$sfDir/orders.parquet")),
           col("o_orderkey"))
         .sortWithinPartitions("o_orderkey"),
       root, Seq("o_orderkey"))
@@ -2456,8 +2586,14 @@ object Snapshot {
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
     val root = graft.util.Scratch.dir("graft_rename_")
     val keep = orders.filter(col("o_orderkey") % 10 =!= 3)
+    // r14: width and range cut from footer metadata — the survivor
+    // count is bounded above by the base count (9/10 of it here), and
+    // upper-bound sizing errs toward smaller files, the safe
+    // direction; the old keep.count()/max() pair was two extra full
+    // passes per venue run
     commitWithStats(
-      keep.repartitionByRange(derivedCommitFiles(keep.count()),
+      keep.repartitionByRange(derivedCommitFiles(
+            Layout.footerRowCount(spark, s"$sfDir/orders.parquet")),
           col("o_orderkey"))
         .sortWithinPartitions("o_orderkey"),
       root, Seq("o_orderkey"))
@@ -2466,7 +2602,9 @@ object Snapshot {
       orders.filter(col("o_orderkey") % 10 === 3)
         .withColumnRenamed("o_totalprice", "o_price"),
       root)
-    val cut = orders.agg(max(col("o_orderkey"))).head().getLong(0) / 5
+    val cut = Layout.footerMaxLong(spark, s"$sfDir/orders.parquet",
+        "o_orderkey")
+      .getOrElse(orders.agg(max(col("o_orderkey"))).head().getLong(0)) / 5
     def side(df: DataFrame, priceCol: String, label: String) =
       df.groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n_rows"),
@@ -2499,8 +2637,10 @@ object Snapshot {
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
     val root = graft.util.Scratch.dir("graft_drop_")
     val keep = orders.filter(col("o_orderkey") % 10 =!= 3)
+    // r14: footer-derived width (upper-bound sizing — see renameDemo)
     commitWithStats(
-      keep.repartitionByRange(derivedCommitFiles(keep.count()),
+      keep.repartitionByRange(derivedCommitFiles(
+            Layout.footerRowCount(spark, s"$sfDir/orders.parquet")),
           col("o_orderkey"))
         .sortWithinPartitions("o_orderkey"),
       root, Seq("o_orderkey"))
@@ -2512,7 +2652,9 @@ object Snapshot {
     val refused =
       try { appendCommit(orders.limit(1), root); 0L }
       catch { case _: IllegalArgumentException => 1L }
-    val cut = orders.agg(max(col("o_orderkey"))).head().getLong(0) / 5
+    val cut = Layout.footerMaxLong(spark, s"$sfDir/orders.parquet",
+        "o_orderkey")
+      .getOrElse(orders.agg(max(col("o_orderkey"))).head().getLong(0)) / 5
     def side(df: DataFrame, label: String) = {
       val priceAgg =
         if (df.columns.contains("o_totalprice"))
@@ -2613,9 +2755,15 @@ object Snapshot {
     val base = graft.util.Scratch.dir("graft_clone_")
     val src = s"$base/src"
     val dst = s"$base/clone"
-    // one probe pass feeds both the delete cut and the commit width
-    val probe = orders.agg(max(col("o_orderkey")), count(lit(1))).head()
-    val (cut, rows) = (probe.getLong(0) / 6, probe.getLong(1))
+    // footer probe feeds both the delete cut and the commit width (r14)
+    val (cut, rows) = Layout.footerMaxLong(
+        spark, s"$sfDir/orders.parquet", "o_orderkey") match {
+      case Some(mx) =>
+        (mx / 6, Layout.footerRowCount(spark, s"$sfDir/orders.parquet"))
+      case None =>
+        val probe = orders.agg(max(col("o_orderkey")), count(lit(1))).head()
+        (probe.getLong(0) / 6, probe.getLong(1))
+    }
     commitWithStats(
       orders.repartitionByRange(derivedCommitFiles(rows),
           col("o_orderkey"))
@@ -2790,11 +2938,14 @@ object Snapshot {
     // file count tracks data volume: a FIXED 8-file layout made the
     // write venue the 18.7× line of the sf10 soak — 10× the rows
     // through the same 8 writers (see [[derivedCommitFiles]]).
-    val rows = orders.count()
+    // r14: both probes from footer metadata (exact; no sizing jobs)
+    val rows = Layout.footerRowCount(spark, s"$sfDir/orders.parquet")
     val nF = derivedCommitFiles(rows)
     commitGenerated(orders, root, "o_orderkey", 1000L, "ok_bucket",
       nFiles = nF)
-    val mx = orders.agg(max("o_orderkey")).head().getLong(0)
+    val mx = Layout.footerMaxLong(spark, s"$sfDir/orders.parquet",
+        "o_orderkey")
+      .getOrElse(orders.agg(max("o_orderkey")).head().getLong(0))
     readCurrentWhereBase(spark, root, "o_orderkey", mx / 4, mx / 2)
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n_rows"),
@@ -2820,13 +2971,25 @@ object Snapshot {
     val li = graft.sources.Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
         col("l_quantity"))
-    // one probe pass feeds the box bounds and the commit width
-    val maxes = li.agg(max(col("l_partkey")), max(col("l_suppkey")),
-      count(lit(1))).head()
-    val (pMax, sMax) = (maxes.getLong(0), maxes.getLong(1))
+    // footer probe feeds the box bounds, the commit width AND the
+    // z-order interleave width (r14: zorderCluster's own bits
+    // derivation would re-aggregate the maxima — one more full pass;
+    // the footer maxima are the same exact values)
+    val liDir = s"$sfDir/lineitem.parquet"
+    val (pMax, sMax, rows) = (
+      Layout.footerMaxLong(spark, liDir, "l_partkey"),
+      Layout.footerMaxLong(spark, liDir, "l_suppkey")) match {
+      case (Some(p), Some(s)) => (p, s, Layout.footerRowCount(spark, liDir))
+      case _ =>
+        val m = li.agg(max(col("l_partkey")), max(col("l_suppkey")),
+          count(lit(1))).head()
+        (m.getLong(0), m.getLong(1), m.getLong(2))
+    }
+    val zbits = math.min(31, math.max(1,
+      64 - java.lang.Long.numberOfLeadingZeros(math.max(pMax, sMax)))).toInt
     val root = graft.util.Scratch.dir("graft_zorder_")
     commitClustered(li, root, "l_partkey", "l_suppkey",
-      derivedCommitFiles(maxes.getLong(2)))
+      derivedCommitFiles(rows), bits = zbits)
     readCurrentPrunedBox(spark, root,
         "l_partkey", lit(pMax / 4), lit(pMax / 2),
         "l_suppkey", lit(sMax / 4), lit(sMax / 2))
@@ -2855,10 +3018,17 @@ object Snapshot {
     import org.apache.spark.sql.functions._
     val li = graft.sources.Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
-    // one probe pass feeds both the delete bound and the commit width
-    val probe = li.agg(floor(max(col("l_orderkey")) / 5),
-      count(lit(1))).head()
-    val (hi, rows) = (probe.getLong(0), probe.getLong(1))
+    // footer probe feeds both the delete bound and the commit width
+    // (r14: exact metadata, no probe job)
+    val (hi, rows) = Layout.footerMaxLong(
+        spark, s"$sfDir/lineitem.parquet", "l_orderkey") match {
+      case Some(mx) =>
+        (mx / 5, Layout.footerRowCount(spark, s"$sfDir/lineitem.parquet"))
+      case None =>
+        val probe = li.agg(floor(max(col("l_orderkey")) / 5),
+          count(lit(1))).head()
+        (probe.getLong(0), probe.getLong(1))
+    }
     val root = graft.util.Scratch.dir("graft_vacuum_")
     commitWithStats(
       li.repartitionByRange(derivedCommitFiles(rows), col("l_orderkey"))
@@ -2890,10 +3060,17 @@ object Snapshot {
     import org.apache.spark.sql.functions._
     val o = graft.sources.Tables.table(spark, sfDir, "orders")
       .select(col("o_orderkey"), col("o_totalprice"))
-    // one probe pass feeds both the delete bound and the commit width
-    val probe = o.agg(floor(max(col("o_orderkey")) / 3),
-      count(lit(1))).head()
-    val (hi, rows) = (probe.getLong(0), probe.getLong(1))
+    // footer probe feeds both the delete bound and the commit width
+    // (r14: exact metadata, no probe job)
+    val (hi, rows) = Layout.footerMaxLong(
+        spark, s"$sfDir/orders.parquet", "o_orderkey") match {
+      case Some(mx) =>
+        (mx / 3, Layout.footerRowCount(spark, s"$sfDir/orders.parquet"))
+      case None =>
+        val probe = o.agg(floor(max(col("o_orderkey")) / 3),
+          count(lit(1))).head()
+        (probe.getLong(0), probe.getLong(1))
+    }
     val root = graft.util.Scratch.dir("graft_asof_")
     commitWithStats(
       o.repartitionByRange(derivedCommitFiles(rows), col("o_orderkey"))

@@ -232,4 +232,68 @@ class LayoutSpec extends SparkSuite {
     val w = Layout.corpusBuildWidth(spark, sf)
     assert(w == 4, s"fixture documents corpus should derive the floor, got $w")
   }
+
+  test("footer probes are exact replacements for the sizing jobs (r14)") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    assert(Layout.footerRowCount(spark, s"$sf/lineitem.parquet") ==
+      li.count(), "footer row count must equal count()")
+    assert(Layout.footerMaxLong(spark, s"$sf/lineitem.parquet",
+        "l_orderkey") ==
+      Some(li.agg(max("l_orderkey")).head().getLong(0)),
+      "footer max must equal max()")
+    // unsupported shapes fall back loudly to None, never a wrong value
+    assert(Layout.footerMaxLong(spark, s"$sf/lineitem.parquet",
+      "no_such_col").isEmpty)
+    assert(Layout.footerMaxLong(spark, s"$sf/lineitem.parquet",
+      "l_returnflag").isEmpty, "string stats (truncatable) must refuse")
+    assert(Layout.footerRowCount(spark, s"$sf/does_not_exist.parquet") == 0L)
+    // scan parallelism: row-group granularity, early-exit cap
+    val p1 = Layout.scanParallelism(spark, s"$sf/lineitem.parquet", 1)
+    assert(p1 == 1)
+    val p64 = Layout.scanParallelism(spark, s"$sf/lineitem.parquet", 64)
+    assert(p64 >= 1 && p64 <= 64)
+    assert(Layout.scanParallelism(spark, s"$sf/does_not_exist.parquet", 8) == 0)
+  }
+
+  test("footer-path stats manifest matches the scan path (r14)") {
+    import graft.operators.Snapshot
+    import spark.implicits._
+    // a layout with one ALL-NULL file for the stats column (ids < 100
+    // range-partition into the first file) plus ordinary files — the
+    // null-bounds edge the fast path must reproduce, on both INT64 and
+    // INT32 columns
+    val src = spark.range(0L, 1000L).toDF("id")
+      .select(col("id"),
+        when(col("id") < 250, lit(null).cast("long"))
+          .otherwise(col("id") * 7 % 101).as("k"),
+        (col("id") % 1000).cast("int").as("i"))
+      .repartitionByRange(8, col("id"))
+      .sortWithinPartitions("id")
+    def manifest(root: String, enable: Boolean) = {
+      spark.conf.set("graft.stats.footerFastPath", enable.toString)
+      try Snapshot.commitWithStats(src, root, Seq("k", "i"))
+      finally spark.conf.unset("graft.stats.footerFastPath")
+      spark.read.parquet(s"$root/_stats/v=1")
+    }
+    val slow = manifest(
+      java.nio.file.Files.createTempDirectory("graft_fstat_a_").toString +
+        "/t", enable = false)
+    val fast = manifest(
+      java.nio.file.Files.createTempDirectory("graft_fstat_b_").toString +
+        "/t", enable = true)
+    // same schema (names + types, the contract readers prune on) …
+    assert(fast.schema.map(f => (f.name, f.dataType)) ==
+      slow.schema.map(f => (f.name, f.dataType)),
+      s"schema drift: ${fast.schema} vs ${slow.schema}")
+    // … and identical per-file bounds/counts (file names differ by
+    // writer UUID — compare the value tuples)
+    def tuples(df: org.apache.spark.sql.DataFrame) = df
+      .select("min_k", "max_k", "min_i", "max_i", "n_rows")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(tuples(fast) == tuples(slow),
+      "footer-derived stats must equal the scan-derived stats")
+    // the all-null file's bounds really are null in BOTH
+    assert(slow.filter(col("min_k").isNull).count() >= 1L)
+    assert(fast.filter(col("min_k").isNull).count() >= 1L)
+  }
 }

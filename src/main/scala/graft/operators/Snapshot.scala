@@ -978,14 +978,35 @@ object Snapshot {
     * footers the scan-path planner opens anyway. */
   private def footerStats(spark: SparkSession, dir: String,
                           statsCols: Seq[String]): Option[DataFrame] = {
-    import org.apache.spark.sql.types._
-    import scala.jdk.CollectionConverters._
     val p = new org.apache.hadoop.fs.Path(dir)
     val conf = spark.sparkContext.hadoopConfiguration
     val files =
       try p.getFileSystem(conf).listStatus(p).toSeq
         .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
       catch { case _: java.io.FileNotFoundException => return None }
+    footerStatsOf(spark, files, statsCols)
+  }
+
+  /** [[footerStats]] over an explicit file list (the file-granular
+    * commit's FRESH files — paths as [[canonFile]] strings). */
+  private def footerStatsPaths(spark: SparkSession, paths: Seq[String],
+                               statsCols: Seq[String]): Option[DataFrame] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files =
+      try paths.map { s =>
+        val p = new org.apache.hadoop.fs.Path(s)
+        p.getFileSystem(conf).getFileStatus(p)
+      }
+      catch { case _: java.io.FileNotFoundException => return None }
+    footerStatsOf(spark, files, statsCols)
+  }
+
+  private def footerStatsOf(spark: SparkSession,
+                            files: Seq[org.apache.hadoop.fs.FileStatus],
+                            statsCols: Seq[String]): Option[DataFrame] = {
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
     if (files.isEmpty) return None
     // (sparkType, per-file Row values) per column; abort → None
     val perFile = files.flatMap { st =>
@@ -1054,8 +1075,11 @@ object Snapshot {
         }
       } finally reader.close()
     }
-    val colTypes = perFile.headOption.map(_._2.map(_._1))
-      .getOrElse(statsCols.map(_ => LongType))
+    // every file empty: let the scan path produce the (empty) manifest
+    // with the exact column types — a guessed type here would silently
+    // widen on the carry path's unionByName
+    if (perFile.isEmpty) return None
+    val colTypes = perFile.head._2.map(_._1)
     val fields = StructField("file", StringType, nullable = true) +:
       statsCols.zip(colTypes).flatMap { case (c, t) =>
         Seq(StructField(s"min_$c", t, nullable = true),
@@ -2153,12 +2177,21 @@ object Snapshot {
     if (sc.nonEmpty) {
       val carried = spark.read.parquet(s"$root/$StatsDir/v=$base")
         .filter(col("file").isin(carriedFiles: _*))
-      val aggs = statsAggs(spark, sc, bloomColsOf(spark, root, base))
+      val blooms = bloomColsOf(spark, root, base)
+      val aggs = statsAggs(spark, sc, blooms)
+      // fresh-file stats from footers where eligible (same fast path
+      // as writeStats — appends are the highest-frequency commit
+      // shape, and the scan this replaces reads every appended byte
+      // back); scan fallback otherwise
+      val footerOk = blooms.isEmpty &&
+        spark.conf.getOption("graft.stats.footerFastPath")
+          .forall(_.toBoolean)
       val fresh =
         if (newFiles.isEmpty) carried.limit(0)
-        else spark.read.parquet(newFiles: _*)
-          .groupBy(canonMetaPath(input_file_name()).as("file"))
-          .agg(aggs.head, aggs.tail: _*)
+        else (if (footerOk) footerStatsPaths(spark, newFiles, sc) else None)
+          .getOrElse(spark.read.parquet(newFiles: _*)
+            .groupBy(canonMetaPath(input_file_name()).as("file"))
+            .agg(aggs.head, aggs.tail: _*))
       carried.unionByName(fresh).coalesce(1)
         .write.mode("overwrite").parquet(s"$root/$StatsDir/v=$next")
     }

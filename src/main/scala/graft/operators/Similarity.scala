@@ -325,15 +325,20 @@ object Similarity {
     graft.util.SessionMemo.memoized(spark,
         s"lshRefined|$sfDir|$planes|$bands") {
      vecScoped(spark, sfDir) {
-      // wide = false DELIBERATELY (r14, measured): widening this
-      // projection cut the build 80 → 62 s at sf10 but the downstream
-      // payload self-join (embeddingNearDup's SMJ over the bucket
-      // checkpoint) went 11 → 36 s with 4.5× the shuffle bytes — the
-      // scattered checkpoint order costs the query side more than the
-      // wide build saves (net wall flat, CPU ×4). The IVF staged-index
-      // builds keep the widen (measured −29% wall, §5).
+      // wide = off by default DELIBERATELY (r14, measured): widening
+      // this projection cut the build 80 → 62 s at sf10 but the
+      // downstream payload self-join (embeddingNearDup's SMJ over the
+      // bucket checkpoint) went 11 → 36 s with 4.5× the shuffle bytes
+      // — the scattered checkpoint order costs the query side more
+      // than the wide build saves (net wall flat, CPU ×4). The IVF
+      // staged-index builds keep the widen (measured −29% wall, §5).
+      // `graft.lsh.wide=true` arms the wide build PLUS a vec_id
+      // key-lay of the final checkpoint (the order-restoration
+      // experiment — results identical either way: the relation is
+      // consumed by key joins and the emitted queries re-sort).
+      val wide = spark.conf.getOption("graft.lsh.wide").exists(_.toBoolean)
       var cur = bandedBuckets(spark, sfDir, planes, bands,
-          extraBits = LshMaxExtraBits)
+          extraBits = LshMaxExtraBits, wide = wide)
         .select(col("vec_id"), col("band"), col("bandkey"), col("xkey"),
           lit(0L).as("sub"), lit(0).as("used"))
         .localCheckpoint()
@@ -365,7 +370,14 @@ object Similarity {
           round += 1
         }
       }
-      cur.select("vec_id", "band", "bandkey", "sub")
+      val out = cur.select("vec_id", "band", "bandkey", "sub")
+      // key-lay the signature table when the wide build scattered it
+      // (~50 MB of 4-long rows at sf10 — cheap next to the payload
+      // self-join whose map-side compressibility it restores)
+      if (wide)
+        out.repartitionByRange(vecBuildWidth(spark, sfDir), col("vec_id"))
+          .sortWithinPartitions("vec_id")
+      else out
      }
     }
 

@@ -181,6 +181,21 @@ class DedupSimilaritySpec extends SparkSuite {
       planes = 24, bands = 3).collect()
     nd.foreach(r => assert(r.getDouble(2) >= 0.3))
   }
+  test("armed wide LSH build (graft.lsh.wide) is row-identical to the default narrow build") {
+    // the r14 switch: wide projection + vec_id key-lay of the bucket
+    // checkpoint. A fresh session dodges the lshRefined memo so the
+    // wide variant really rebuilds; rows must match the default
+    // build's exactly (the layout never leaks into values).
+    val narrow = operators.Similarity.embeddingNearDup(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val s2 = spark.newSession()
+    s2.conf.set("graft.lsh.wide", "true")
+    val wide2 = operators.Similarity.embeddingNearDup(s2, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(narrow == wide2,
+      s"wide LSH build changed results: ${narrow.size} vs ${wide2.size} rows")
+  }
+
   test("k-means codebook: every vector lands in one surviving cell, and iterating moves mass") {
     val cells = Similarity.kmeansCells(spark, sf).collect()
     val total = spark.read.parquet(s"$sf/embeddings.parquet").count()
